@@ -1,0 +1,79 @@
+"""Text-analysis column functions for the documents pipeline.
+
+All pure Catalyst expressions (split/transform/aggregate/regexp) — no
+Python UDFs, so they stay inside whole-stage codegen and scale linearly.
+Used by the dedup / quality / language-ID operators and the §2.11 text
+queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny deterministic stopword list for quality scoring / language hints.
+STOPWORDS = ("the", "a", "and", "of", "to", "in")
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization → array<string> (single-space convention)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ")
+
+
+def token_count(col: Column | str) -> Column:
+    """Number of whitespace tokens."""
+    return F.size(tokens(col))
+
+
+def punct_count(col: Column | str) -> Column:
+    """Count of non-alphanumeric, non-space characters (punctuation-ish)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c) - F.length(F.regexp_replace(c, r"[^a-zA-Z0-9 ]", ""))
+
+
+def word_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Array of word n-grams (space-joined) from whitespace tokens.
+
+    Expressed with transform-over-index-sequence so it stays JVM-side:
+    for i in 0..len-n: concat_ws(' ', slice(tokens, i+1, n)).
+    """
+    toks = tokens(col)
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    idx = F.sequence(F.lit(1), count)
+    return F.when(count > 0, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def char_ngrams(col: Column | str, n: int = 5) -> Column:
+    """Array of character n-grams (shingles) of the string."""
+    c = F.col(col) if isinstance(col, str) else col
+    count = F.greatest(F.length(c) - F.lit(n - 1), F.lit(0))
+    idx = F.sequence(F.lit(1), count)
+    return F.when(count > 0, F.transform(idx, lambda i: F.substring(c, i, n))).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def doc_fingerprint(col: Column | str, mod: int = 2**31 - 1) -> Column:
+    """Deterministic rolling document fingerprint (SURVEY.md north-star
+    'document fingerprinting').
+
+    Polynomial fold over whitespace tokens using engine-portable token
+    features (first-char codepoint and length), mod a Mersenne prime:
+    ``acc = (acc*31 + ascii(first_char)*131 + len(token)) % m``. Exact
+    BIGINT arithmetic → identical on any engine / partitioning.
+    """
+    toks = tokens(col)
+    m = F.lit(mod)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: (
+            acc * F.lit(31)
+            + F.ascii(F.substring(t, 1, 1)).cast("bigint") * F.lit(131)
+            + F.length(t).cast("bigint")
+        )
+        % m,
+    )

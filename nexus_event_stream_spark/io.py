@@ -1,0 +1,102 @@
+"""Batch IO: catalog of the driver parquet tables + generic readers.
+
+Scans are declared-schema parquet reads so Catalyst gets exact column
+pruning and predicate pushdown for free (check ``PushedFilters`` /
+``ReadSchema`` in ``df.explain("formatted")``). At 100 TB these same reads
+partition by parquet row-groups via ``spark.sql.files.maxPartitionBytes`` —
+no code change needed.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nexus_event_stream_spark.schemas import TABLE_NAMES, TABLE_SCHEMAS
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Runtime-settable confs the engine's semantics depend on. Applied to
+#: whatever session we're handed (the driver builds its own): the reference
+#: is a *permissive*, TZ-aware-UTC system (SURVEY.md §1.2, §2.8), so ANSI
+#: eager errors would change semantics and a non-UTC session TZ would skew
+#: timestamp rendering vs the oracle.
+_ENGINE_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.ansi.enabled": "false",
+}
+
+
+def ensure_engine_confs(spark: SparkSession) -> None:
+    for k, v in _ENGINE_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            pass  # non-settable on some deployments; semantics guarded by try_* fns
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver table with its declared schema (no inference).
+
+    The driver parquet stores mixed-precision timestamps (ns for ``events``,
+    ms elsewhere). Spark's vectorized reader only accepts TIMESTAMP(NANOS)
+    as BIGINT (``spark.sql.legacy.parquet.nanosAsLong``, set in session.py),
+    so timestamp columns are read as integer longs in their native unit and
+    converted to µs timestamps with exact integer arithmetic — the same
+    floor-truncation DuckDB's reader applies, so both engines see identical
+    values. The unit is sniffed once per table from the parquet footer.
+    """
+    if name not in TABLE_SCHEMAS:
+        raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    ensure_engine_confs(spark)
+    schema = TABLE_SCHEMAS[name]
+    path = f"{sf_dir}/{name}.parquet"
+    ts_cols = [
+        f.name for f in schema.fields if isinstance(f.dataType, T.TimestampType)
+    ]
+    if not ts_cols:
+        return spark.read.schema(schema).parquet(path)
+    units = _timestamp_units(path)
+    physical = T.StructType(
+        [
+            T.StructField(
+                f.name,
+                T.LongType() if f.name in ts_cols else f.dataType,
+                f.nullable,
+            )
+            for f in schema.fields
+        ]
+    )
+    df = spark.read.schema(physical).parquet(path)
+    to_micros = {"ns": "`{c}` div 1000", "us": "`{c}`", "ms": "`{c}` * 1000"}
+    for c in ts_cols:
+        expr = to_micros[units.get(c, "us")].format(c=c)
+        df = df.withColumn(c, F.expr(f"timestamp_micros({expr})"))
+    return df
+
+
+def _timestamp_units(path: str) -> dict[str, str]:
+    """Per-column parquet timestamp unit ('ns'|'us'|'ms') from the footer."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, str] = {}
+    for field in pq.ParquetFile(path).schema_arrow:
+        t = field.type
+        if hasattr(t, "unit") and str(t).startswith("timestamp"):
+            out[field.name] = t.unit
+    return out
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load all ten driver tables as a dict of DataFrames."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every driver table as a temp view for the SQL API."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,67 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local runs are single-JVM (``local[N]``), but every conf here is chosen so
+the same code runs unchanged on a 1000-executor cluster:
+
+- AQE on (runtime coalesce, skew-join splitting, dynamic join strategy) so
+  plans re-shape themselves as real data sizes become known;
+- shuffle partitions sized to cores locally; on a cluster AQE coalesces the
+  initial number down, so a generous initial value is safe;
+- session timezone pinned to UTC (the reference is TZ-aware UTC,
+  control-plane/nexus/settings.py:123-127) — required for oracle parity;
+- ANSI off: the reference is a *permissive* system (malformed events are
+  dropped, unparseable timestamps degrade to 0 — data-plane/internal/
+  consumer/consumer.go:39-44, projection/signal.go:147-153), so eager
+  runtime errors would change semantics;
+- Arrow on for the few Pandas-UDF code paths (vectorized transfer).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "nexus-event-stream-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Parameters are overridable for tests (small local session) and bench
+    (local[$SPARK_GRAFT_CPUS]); production would pass a YARN/K8s master.
+    """
+    master = master or f"local[{DEFAULT_CPUS}]"
+    if shuffle_partitions is None:
+        if master.startswith("local["):
+            inner = master[len("local[") : -1]
+            shuffle_partitions = 32 if inner == "*" else max(int(inner), 1)
+        else:
+            shuffle_partitions = 200
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Driver testdata stores TIMESTAMP(NANOS) parquet, which Spark only
+        # reads as BIGINT; io.load_table converts ns→µs timestamps.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,108 @@
+"""Local replica of the driver's oracle gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB over the same parquet tables, then compares row count, column names,
+and an order-insensitive multiset of stringified rows (stricter than a
+hash — it pinpoints the first differing row).
+
+Usage: python tools/selfcheck.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from collections import Counter
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+from nexus_event_stream_spark.schemas import TABLE_NAMES  # noqa: E402
+from nexus_event_stream_spark.session import get_spark  # noqa: E402
+
+
+def norm_cell(v) -> str:
+    import datetime
+    import math
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)  # full precision — we claim bit-identical floats
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    return str(v)
+
+
+def row_multiset(rows, colnames_sorted, colnames) -> Counter:
+    idx = [colnames.index(c) for c in colnames_sorted]
+    return Counter("|".join(norm_cell(r[i]) for i in idx) for r in rows)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    failures = []
+    for name, build in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        sdf = build(spark, sf_dir)
+        scols = sdf.columns
+        srows = sdf.collect()
+        dt_spark = time.time() - t0
+        if name not in oracles:
+            print(f"  {name:<24} rows-only: {len(srows)} rows  [{dt_spark:.1f}s]")
+            continue
+        t0 = time.time()
+        rel = con.sql(oracles[name])
+        dcols = rel.columns
+        drows = rel.fetchall()
+        dt_duck = time.time() - t0
+        status = "OK"
+        detail = ""
+        if sorted(scols) != sorted(dcols):
+            status, detail = "COLS-MISMATCH", f"spark={scols} duck={dcols}"
+        elif len(srows) != len(drows):
+            status, detail = "COUNT-MISMATCH", f"spark={len(srows)} duck={len(drows)}"
+        else:
+            cs = sorted(scols)
+            ms, md = row_multiset(srows, cs, scols), row_multiset(drows, cs, dcols)
+            if ms != md:
+                status = "VALUE-MISMATCH"
+                only_s = list((ms - md).items())[:3]
+                only_d = list((md - ms).items())[:3]
+                detail = f"spark-only={only_s} duck-only={only_d}"
+        print(
+            f"  {name:<24} {status}  {len(srows)} rows "
+            f"[spark {dt_spark:.1f}s, duck {dt_duck:.1f}s] {detail}"
+        )
+        if status != "OK":
+            failures.append(name)
+
+    print()
+    if failures:
+        print(f"FAILED: {failures}")
+        return 1
+    print("all queries match")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
