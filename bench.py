@@ -1,0 +1,65 @@
+"""Benchmark harness — driver contract.
+
+Runs every catalog query at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Each query is materialized through the noop sink — full execution, no
+driver-side collect cost, so the number measures the engine not the
+serializer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from nexus_event_stream_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+
+    spark = get_spark(app_name="nexus-bench", master=f"local[{cpus}]")
+    # Warm the JVM + parquet footers once so per-query numbers measure the
+    # query, not first-touch costs.
+    from nexus_event_stream_spark.io import load_table
+
+    load_table(spark, sf_dir, "lineitem").write.format("noop").mode("overwrite").save()
+
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name, build in qs.items():
+        t0 = time.perf_counter()
+        build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        per_query[name] = round(dt, 3)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
