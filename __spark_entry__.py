@@ -15,6 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+import nexus_event_stream_spark.plans as _plans
 from nexus_event_stream_spark.plans import catalog as _catalog
 
 

@@ -56,6 +56,30 @@ def char_ngrams(col: Column | str, n: int = 5) -> Column:
     )
 
 
+#: Mersenne prime modulus for portable hashing (fits comfortably in BIGINT
+#: intermediate products: acc < 2^31, ×131 + 0x10FFFF < 2^39).
+HASH_MOD = 2**31 - 1
+HASH_MULT = 131
+
+
+def portable_string_hash(col: Column | str, mod: int = HASH_MOD) -> Column:
+    """Engine-portable polynomial hash of a string column.
+
+    ``acc = (acc*131 + codepoint(ch)) % (2^31-1)`` folded left-to-right over
+    the characters. Unlike xxhash64/murmur this is expressible in ANSI SQL
+    (DuckDB ``list_reduce`` over ``string_split(s,'')``), which lets the
+    MinHash/SimHash pipelines keep full value-level oracles. Exact integer
+    arithmetic → identical on any engine/partitioning.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.aggregate(
+        F.split(c, ""),
+        F.lit(0).cast("bigint"),
+        lambda acc, ch: (acc * F.lit(HASH_MULT) + F.ascii(ch).cast("bigint"))
+        % F.lit(mod),
+    )
+
+
 def doc_fingerprint(col: Column | str, mod: int = 2**31 - 1) -> Column:
     """Deterministic rolling document fingerprint (SURVEY.md north-star
     'document fingerprinting').

@@ -1,0 +1,279 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+North-star extension (BASELINE.json): exact dedup, n-gram Jaccard,
+MinHash+LSH, SimHash, and embedding-cosine near-dup — all expressed as
+compositions of built-in DataFrame ops (no UDFs), so Catalyst sees every
+predicate and the whole pipeline stays in whole-stage codegen.
+
+Scale design:
+- exact dedup: one hash-shuffle on the text digest — the minimum possible.
+- all-pairs operators (``ngram_jaccard_pairs``) REQUIRE a blocking column;
+  an unblocked self-join is O(n²) and is refused. At 100 TB the scale path
+  is MinHash-LSH: cost is O(n · num_perm) for signatures plus a shuffle per
+  band on the band-bucket key, and only bucket-colliding pairs are verified.
+- hashing is the engine-portable polynomial hash (functions/text.py), so
+  every stage remains verifiable against a SQL oracle — swap in xxhash64
+  for marginally better mixing once cross-engine verification isn't needed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from nexus_event_stream_spark.functions.text import (
+    HASH_MOD,
+    portable_string_hash,
+    word_ngrams,
+)
+
+# Deterministic 64 (a,b) pairs for MinHash permutations h_i = (a*h+b) % p,
+# generated once from a fixed LCG so both the Spark side and any SQL oracle
+# can re-derive them. a must be non-zero mod p.
+_LCG_MOD = 2**31 - 1
+
+
+def minhash_coeffs(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    out = []
+    x = seed
+    for _ in range(num_perm):
+        x = (1103515245 * x + 12345) % _LCG_MOD
+        a = x or 1
+        x = (1103515245 * x + 12345) % _LCG_MOD
+        b = x
+        out.append((a, b))
+    return out
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate groups: md5 digest → min-id representative + count.
+
+    One shuffle on the digest. Output: text_hash, keep_id, n_copies.
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _distinct_ngrams(text_col: str, n: int) -> Column:
+    return F.array_distinct(word_ngrams(text_col, n))
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard of two pre-distinct arrays (integer set sizes → the
+    division is the only float op, identical on every engine)."""
+    inter = F.size(F.array_intersect(a, b))
+    return inter.cast("double") / (F.size(a) + F.size(b) - inter)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    block_cols: Sequence[str],
+    n: int = 3,
+    threshold: float = 0.05,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All-pairs word-n-gram Jaccard within blocks.
+
+    ``block_cols`` bounds the join (pairs only form inside a block) — this
+    is classic blocking dedup. Refuses to run unblocked: at scale an
+    unblocked self-join is quadratic; use MinHash-LSH instead.
+    Output: doc_a, doc_b, jaccard (doc_a < doc_b).
+    """
+    if not block_cols:
+        raise ValueError(
+            "ngram_jaccard_pairs requires blocking columns; "
+            "use minhash_dedup for unblocked near-dup at scale"
+        )
+    t = docs.select(
+        *block_cols,
+        F.col(id_col).alias("__id"),
+        _distinct_ngrams(text_col, n).alias("__g"),
+    )
+    a = t.alias("a")
+    b = t.alias("b")
+    cond = F.col(f"a.__id") < F.col(f"b.__id")
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    j = jaccard(F.col("a.__g"), F.col("b.__g"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.__id").alias("doc_a"),
+            F.col("b.__id").alias("doc_b"),
+            j.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_perm: int = 16,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signature per document: sig[i] = min over shingles of
+    (a_i·h(shingle)+b_i) mod p, h = portable polynomial hash.
+
+    Pure narrow map (transform/aggregate HOFs) — no shuffle, no UDF.
+    Empty shingle sets get sig[i] = p (sentinel > any hash) so they never
+    collide with real signatures. Output: id, n_shingles, sig array.
+    """
+    coeffs = minhash_coeffs(num_perm, seed)
+    shingles = F.array_distinct(word_ngrams(text_col, shingle_n))
+    hashes = F.transform(shingles, lambda s: portable_string_hash(s))
+    sig = F.array(
+        *[
+            F.coalesce(
+                F.array_min(
+                    F.transform(
+                        hashes,
+                        lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(HASH_MOD),
+                    )
+                ),
+                F.lit(HASH_MOD),
+            )
+            for a, b in coeffs
+        ]
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        shingles.alias("__shingles"),
+        sig.alias("sig"),
+    )
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame, bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: explode signatures into (band, bucket-key) and
+    self-join per bucket → candidate pairs (distinct).
+
+    The bucket key is the concatenated signature slice. One shuffle on the
+    bucket key; bucket sizes are the skew knob (salt or cap pathological
+    buckets at extreme scale). Output: doc_a, doc_b.
+    """
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(i),
+                *[F.col("sig")[i * rows_per_band + r] for r in range(rows_per_band)],
+            )
+            for i in range(bands)
+        ]
+    )
+    keyed = sigs.select("doc_id", F.explode(band_keys).alias("bucket"))
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup(
+    docs: DataFrame,
+    num_perm: int = 16,
+    shingle_n: int = 3,
+    bands: int = 4,
+    threshold: float = 0.05,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
+    exact-Jaccard verification of candidates only.
+
+    Output: doc_a, doc_b, jaccard for verified pairs. Unlike
+    ``ngram_jaccard_pairs`` this never materializes the O(n²) pair space —
+    the verify join touches only bucket-colliding pairs.
+    """
+    rows = num_perm // bands
+    sigs = minhash_signatures(docs, num_perm, shingle_n, id_col, text_col)
+    cands = minhash_lsh_candidates(sigs, bands, rows)
+    shing = sigs.select("doc_id", "__shingles")
+    j = jaccard(F.col("sa.__shingles"), F.col("sb.__shingles"))
+    return (
+        cands.join(shing.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(shing.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", j.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 16, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """SimHash fingerprint: bit j set iff the sum over tokens of
+    (2·bit_j(h(token)) − 1) is ≥ 0. Near-dups differ in few bits.
+
+    Narrow map, exact integer arithmetic, portable hash → oracle-able.
+    Output: doc_id, simhash.
+    """
+    toks = F.array_distinct(F.split(F.col(text_col), " "))
+    hashes = F.transform(toks, lambda t: portable_string_hash(t))
+
+    def bit_of(h, j):
+        # (h div 2^j) % 2 — division of <2^31 ints by powers of two is
+        # exact in binary FP, so floor() is engine-portable.
+        return F.floor(h / F.pow(F.lit(2.0), j)).cast("bigint") % F.lit(2)
+
+    bit_vals = F.transform(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        lambda j: F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0).cast("bigint"),
+                lambda acc, h: acc + (F.lit(2) * bit_of(h, j) - F.lit(1)),
+            )
+            >= 0,
+            F.pow(F.lit(2.0), j).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    fp = F.aggregate(bit_vals, F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+    return docs.select(F.col(id_col).alias("doc_id"), fp.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    block_cols: Sequence[str],
+    bits: int = 16,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-dup candidates: pairs within a block whose fingerprints
+    differ in ≤ max_hamming bits. Output: doc_a, doc_b, hamming.
+    """
+    fps = simhash(docs, bits, id_col, text_col).join(
+        docs.select(F.col(id_col).alias("doc_id"), *block_cols), "doc_id"
+    )
+    a, b = fps.alias("a"), fps.alias("b")
+    cond = F.col("a.doc_id") < F.col("b.doc_id")
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,162 @@
+"""Similarity search over embedding columns (north-star extension).
+
+Two tiers:
+- **Brute-force cosine top-k** — the exact baseline. Quantized-integer dot
+  products (functions/vectors.py) keep results bit-deterministic and
+  oracle-verifiable. Cost O(n·d) per query; fine for a broadcast query
+  vector against any corpus size (narrow map + TakeOrdered).
+- **Sign-random-projection LSH (ANN)** — the scale path for pairwise /
+  batch queries: hash each vector to a b-bit bucket via fixed hyperplanes,
+  search only the query's bucket (optionally multi-probe neighbors).
+  Hyperplanes are derived deterministically from a seed, driver-side, and
+  enter the plan as literals — no UDF, no broadcast variable needed.
+
+An IVF variant (k-means coarse quantizer) would slot in the same shape:
+assign → bucket join → exact re-rank; LSH avoids the training step.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from nexus_event_stream_spark.functions.vectors import cosine_similarity, int_dot, quantize
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors of one corpus vector.
+
+    The 1-row query side is broadcast; the corpus side is a narrow scan —
+    orderBy+limit plans as TakeOrderedAndProject (per-partition heaps).
+    Output: vec_id, cosine.
+    """
+    q = embeddings.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("__q")
+    )
+    return (
+        embeddings.filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            id_col,
+            cosine_similarity(F.col(vec_col), F.col("__q")).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-Gaussian hyperplanes (Box-Muller over an LCG) —
+    derived from the seed so every run/engine regenerates the same planes.
+    """
+    state = seed or 1
+    def lcg() -> float:
+        nonlocal state
+        state = (6364136223846793005 * state + 1442695040888963407) % 2**63
+        return (state >> 11) / float(2**52)
+
+    planes: list[list[float]] = []
+    for _ in range(bits):
+        row = []
+        for _ in range(dim):
+            u1, u2 = max(lcg(), 1e-12), lcg()
+            row.append(math.sqrt(-2 * math.log(u1)) * math.cos(2 * math.pi * u2))
+        planes.append(row)
+    return planes
+
+
+def srp_bucket(
+    vec_col: Column | str, dim: int, bits: int = 8, seed: int = 42
+) -> Column:
+    """Sign-random-projection bucket id (0..2^bits-1) of an embedding.
+
+    bit_j = [⟨v, plane_j⟩ ≥ 0]; all dot products are zip_with/aggregate
+    expressions over literal plane arrays — fully JVM-side.
+    """
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    planes = _hyperplanes(dim, bits, seed)
+    acc = F.lit(0).cast("bigint")
+    for j, plane in enumerate(planes):
+        plane_arr = F.array(*[F.lit(x) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(v, plane_arr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+        acc = acc + F.when(dot >= 0, F.lit(2**j).cast("bigint")).otherwise(F.lit(0))
+    return acc
+
+
+def ann_topk_per_vector(
+    embeddings: DataFrame,
+    dim: int,
+    k: int = 1,
+    bits: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k neighbors for EVERY vector: bucket by SRP, exact
+    cosine re-rank within buckets only.
+
+    One shuffle on the bucket id; pair space is Σ bucket² instead of n².
+    Recall improves with multi-probe (union of neighbor buckets) — not
+    needed at current scales. Output: vec_id, neighbor_id, cosine, rank.
+    """
+    b = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        srp_bucket(vec_col, dim, bits, seed).alias("__bucket"),
+    )
+    lhs, rhs = b.alias("l"), b.alias("r")
+    pairs = lhs.join(
+        rhs,
+        (F.col("l.__bucket") == F.col("r.__bucket"))
+        & (F.col(f"l.{id_col}") != F.col(f"r.{id_col}")),
+    ).select(
+        F.col(f"l.{id_col}").alias("vec_id"),
+        F.col(f"r.{id_col}").alias("neighbor_id"),
+        cosine_similarity(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")).alias("cosine"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def exact_top1_per_vector_blocked(
+    embeddings: DataFrame,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact nearest neighbor per vector within a blocking column —
+    embedding-cosine near-dup building block (quantized → oracle-able).
+    Output: vec_id, nn_id, cosine.
+    """
+    t = embeddings.select(id_col, block_col, F.col(vec_col).alias("__v"))
+    a, b = t.alias("a"), t.alias("b")
+    pairs = a.join(
+        b,
+        (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+        & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("vec_id"),
+        F.col(f"b.{id_col}").alias("nn_id"),
+        cosine_similarity(F.col("a.__v"), F.col("b.__v")).alias("cosine"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("nn_id"))
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -6,3 +6,6 @@ from nexus_event_stream_spark.plans.catalog import (  # noqa: F401
     oracle_sql,
     queries,
 )
+
+# Importing registers the X-tier LLM-pipeline queries into CATALOG.
+from nexus_event_stream_spark.plans import llm_catalog  # noqa: E402,F401

@@ -1,0 +1,388 @@
+"""LLM-data-pipeline query catalog (north-star extensions, SURVEY.md §2.11
+X tier): dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash /
+embedding near-dup), similarity search, text analysis, multimodal metadata.
+
+Everything except the seeded-hyperplane ANN has a full DuckDB value oracle —
+including MinHash-LSH, which is possible only because the pipeline uses the
+engine-portable polynomial hash (functions/text.py) instead of xxhash64.
+
+Registered into the same CATALOG as plans/catalog.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nexus_event_stream_spark.functions.text import (
+    HASH_MOD,
+    HASH_MULT,
+    STOPWORDS,
+    doc_fingerprint,
+    tokens,
+)
+from nexus_event_stream_spark.io import load_table
+from nexus_event_stream_spark.operators.dedup import (
+    exact_dedup,
+    minhash_coeffs,
+    minhash_dedup,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from nexus_event_stream_spark.operators.multimodal import documents_as_media
+from nexus_event_stream_spark.operators.similarity import (
+    ann_topk_per_vector,
+    brute_force_topk,
+    exact_top1_per_vector_blocked,
+)
+from nexus_event_stream_spark.plans.catalog import register
+
+# ---------------------------------------------------------------------------
+# Shared SQL fragments (DuckDB side of the portable primitives)
+# ---------------------------------------------------------------------------
+
+M = HASH_MOD
+
+#: quantized-integer dot product of two FLOAT[] lists (scale 1e4)
+Q = "CAST(ROUND(CAST({x} AS DOUBLE)*10000,0) AS BIGINT)"
+SQL_DOT = (
+    "list_sum(list_transform(list_zip({a},{b}), "
+    f"p -> {Q.format(x='p[1]')}*{Q.format(x='p[2]')}))"
+)
+SQL_NORM = f"list_sum(list_transform({{a}}, x -> {Q.format(x='x')}*{Q.format(x='x')}))"
+
+
+def sql_cosine(a: str, b: str, na: str, nb: str) -> str:
+    return (
+        f"CAST({SQL_DOT.format(a=a, b=b)} AS DOUBLE)"
+        f"/SQRT(CAST({na} AS DOUBLE)*CAST({nb} AS DOUBLE))"
+    )
+
+
+#: portable polynomial string hash (mirrors functions.text.portable_string_hash)
+SQL_STR_HASH = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split({s},''), ch -> CAST(ascii(ch) AS BIGINT))), "
+    f"(acc, c) -> (acc*{HASH_MULT} + c) % {M})"
+)
+
+#: distinct word 3-grams of a text column
+SQL_NGRAMS3 = (
+    "list_distinct(list_transform("
+    "range(1, greatest(len(string_split({t},' '))-2, 0)+1), "
+    "i -> array_to_string(list_slice(string_split({t},' '), i, i+2), ' ')))"
+)
+
+SQL_JACCARD = (
+    "CAST(len(list_intersect({a},{b})) AS DOUBLE)"
+    "/(len({a})+len({b})-len(list_intersect({a},{b})))"
+)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_text_analysis",
+    """
+    SELECT lang, COUNT(*) AS n_docs,
+      CAST(SUM(n_chars) AS DOUBLE)/COUNT(*) AS avg_chars,
+      CAST(SUM(len(string_split(text,' '))) AS DOUBLE)/COUNT(*) AS avg_tokens
+    FROM documents GROUP BY lang
+    """,
+    doc="Per-language document stats (north-star text analysis).",
+)
+def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        (F.sum(F.size(tokens("text"))).cast("double") / F.count(F.lit(1))).alias(
+            "avg_tokens"
+        ),
+    )
+
+
+@register(
+    "q_lang_id",
+    f"""
+    SELECT lang,
+      CASE WHEN len(list_filter(string_split(text,' '),
+                     t -> t IN {tuple(STOPWORDS)}))*5
+                >= len(string_split(text,' '))
+           THEN 'en' ELSE 'other' END AS pred_lang,
+      COUNT(*) AS n_docs
+    FROM documents GROUP BY 1, 2
+    """,
+    doc="Heuristic language ID: stopword-density rule (n-gram heuristic "
+    "stand-in); grouped confusion counts vs the labeled lang column.",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    pred = F.when(n_stop * 5 >= F.size(toks), F.lit("en")).otherwise(F.lit("other"))
+    return docs.groupBy("lang", pred.alias("pred_lang")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@register(
+    "q_quality_score",
+    f"""
+    SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(len(string_split(text,' '))) AS DOUBLE)/COUNT(*) AS avg_tokens,
+      CAST(SUM(length(text) - length(regexp_replace(text,'[^a-zA-Z0-9 ]','','g')))
+           AS DOUBLE)/SUM(length(text)) AS punct_ratio,
+      CAST(SUM(len(list_filter(string_split(text,' '),
+                    t -> t IN {tuple(STOPWORDS)})))
+           AS DOUBLE)/SUM(len(string_split(text,' '))) AS stopword_ratio
+    FROM documents GROUP BY source
+    """,
+    doc="Per-source quality signals: token/punctuation/stopword ratios — "
+    "all ratios are divisions of exactly-summed integers.",
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_tok = F.size(toks)
+    n_punct = F.length("text") - F.length(
+        F.regexp_replace(F.col("text"), r"[^a-zA-Z0-9 ]", "")
+    )
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum(n_tok).cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        (F.sum(n_punct).cast("double") / F.sum(F.length("text"))).alias("punct_ratio"),
+        (F.sum(n_stop).cast("double") / F.sum(n_tok)).alias("stopword_ratio"),
+    )
+
+
+@register(
+    "q_doc_fingerprint",
+    f"""
+    SELECT doc_id,
+      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(string_split(text,' '),
+          t -> CAST(ascii(substring(t,1,1)) AS BIGINT)*131
+               + CAST(length(t) AS BIGINT))),
+        (acc, x) -> (acc*31 + x) % {M}) AS fingerprint
+    FROM documents
+    """,
+    doc="Rolling polynomial document fingerprint over tokens (north-star "
+    "document fingerprinting) — exact BIGINT fold, engine-portable.",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+
+
+@register(
+    "q_token_stats",
+    """
+    SELECT COUNT(*) AS total_tokens, COUNT(DISTINCT tok) AS distinct_tokens
+    FROM (SELECT unnest(string_split(text,' ')) AS tok FROM documents)
+    """,
+    doc="Corpus token counting: explode + global count / count-distinct.",
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens("text")).alias("tok"))
+    return tok.agg(
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.countDistinct("tok").alias("distinct_tokens"),
+    )
+
+
+@register(
+    "q_binary_meta",
+    """
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+      CASE WHEN octet_length(encode(text)) > 300 THEN 'large' ELSE 'small' END
+        AS size_class
+    FROM documents
+    """,
+    doc="Multimodal metadata path: opaque binary payload (UTF-8 bytes of "
+    "text as the stand-in blob) + typed metadata; the decode kernels "
+    "live in operators/multimodal.py (stubbed, mapInPandas).",
+)
+def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return media.select(
+        F.col("media_id").alias("doc_id"),
+        "n_bytes",
+        F.when(F.col("n_bytes") > 300, F.lit("large"))
+        .otherwise(F.lit("small"))
+        .alias("size_class"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+    doc="Exact dedup via content digest: representative id + copy count.",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_ngram_jaccard",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, {SQL_NGRAMS3.format(t='text')} AS g
+      FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      {SQL_JACCARD.format(a='a.g', b='b.g')} AS jaccard
+    FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE {SQL_JACCARD.format(a='a.g', b='b.g')} >= 0.05
+    """,
+    doc="Blocked all-pairs word-3-gram Jaccard near-dup (blocking column: "
+    "source). The quadratic pair space exists only inside blocks.",
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, block_cols=["source"], n=3, threshold=0.05)
+
+
+def _sql_minhash(num_perm: int = 16, bands: int = 4) -> str:
+    rows = num_perm // bands
+    coeffs = minhash_coeffs(num_perm)
+    sig_parts = ", ".join(
+        f"COALESCE(list_min(list_transform(hs, h -> ({a}*h+{b}) % {M})), {M})"
+        for a, b in coeffs
+    )
+    band_keys = ", ".join(
+        "concat_ws(':', "
+        + str(i)
+        + ", "
+        + ", ".join(f"sig[{i * rows + r + 1}]" for r in range(rows))
+        + ")"
+        for i in range(bands)
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {SQL_NGRAMS3.format(t='text')} AS g FROM documents),
+    h AS (
+      SELECT doc_id, g,
+        list_transform(g, s -> {SQL_STR_HASH.format(s='s')}) AS hs
+      FROM t),
+    s AS (
+      SELECT doc_id, g, list_value({sig_parts}) AS sig
+      FROM (SELECT doc_id, g, hs FROM h)),
+    k AS (
+      SELECT doc_id, unnest([{band_keys}]) AS bucket FROM s),
+    c AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM k a JOIN k b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+      {SQL_JACCARD.format(a='sa.g', b='sb.g')} AS jaccard
+    FROM c
+      JOIN s sa ON c.doc_a = sa.doc_id
+      JOIN s sb ON c.doc_b = sb.doc_id
+    WHERE {SQL_JACCARD.format(a='sa.g', b='sb.g')} >= 0.05
+    """
+
+
+@register(
+    "q_minhash_lsh",
+    _sql_minhash(),
+    doc="Full MinHash-LSH near-dup pipeline (16 perms, 4 bands × 4 rows, "
+    "word-3-gram shingles, exact-Jaccard verify of candidates). Fully "
+    "value-verified against SQL thanks to the portable hash.",
+)
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_dedup(docs, num_perm=16, shingle_n=3, bands=4, threshold=0.05)
+
+
+@register(
+    "q_simhash",
+    f"""
+    SELECT doc_id,
+      list_sum(list_transform(range(0,16), j -> CASE WHEN
+        list_sum(list_transform(
+          list_transform(list_distinct(string_split(text,' ')),
+                         t -> {SQL_STR_HASH.format(s='t')}),
+          h -> 2*(CAST(FLOOR(h / pow(2, j)) AS BIGINT) % 2) - 1)) >= 0
+        THEN CAST(pow(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END))
+      AS simhash
+    FROM documents
+    """,
+    doc="16-bit SimHash fingerprint per document (portable token hash; "
+    "near-dups differ in few bits — pair query in operators/dedup.py).",
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs, bits=16)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_vector_math",
+    f"""
+    WITH v AS (
+      SELECT vec_id, embedding AS e, {SQL_NORM.format(a='embedding')} AS nn
+      FROM embeddings)
+    SELECT a.vec_id,
+      {sql_cosine('a.e', 'q.e', 'a.nn', 'q.nn')} AS cosine
+    FROM v a, (SELECT * FROM v WHERE vec_id = 0) q
+    WHERE a.vec_id <> 0
+    ORDER BY cosine DESC, a.vec_id LIMIT 10
+    """,
+    doc="Exact brute-force cosine top-10 neighbors of vec_id=0 — the ANN "
+    "baseline. Quantized-integer dot products → bit-deterministic.",
+)
+def q_vector_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, query_vec_id=0, k=10)
+
+
+@register(
+    "q_embed_neardup",
+    f"""
+    WITH v AS (
+      SELECT vec_id, label, embedding AS e, {SQL_NORM.format(a='embedding')} AS nn
+      FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+        {sql_cosine('a.e', 'b.e', 'a.nn', 'b.nn')} AS cosine
+      FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id)
+    SELECT vec_id, nn_id, cosine FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY cosine DESC, nn_id) AS rn
+      FROM p) WHERE rn = 1
+    """,
+    doc="Embedding-cosine near-dup: exact nearest neighbor per vector "
+    "within label blocks (blocked quadratic; the unblocked scale path is "
+    "q_ann_lsh).",
+)
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return exact_top1_per_vector_blocked(emb, block_col="label")
+
+
+@register(
+    "q_ann_lsh",
+    None,
+    doc="Approximate NN per vector via sign-random-projection LSH buckets "
+    "(seeded hyperplanes). Rows-only check: the hyperplane constants are "
+    "not reasonably expressible in SQL.",
+)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_topk_per_vector(emb, dim=64, k=1, bits=6)
