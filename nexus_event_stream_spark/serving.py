@@ -1,0 +1,78 @@
+"""Serving API parity — the data plane's read endpoints as a library.
+
+Reference contracts (data-plane/internal/handler/signal.go:24-60,
+projection/signal.go:70-108; CLI client.go:68-77):
+
+- ``list()``                → top-50 newest-first;
+- ``list(priority=P)``      → equality filter; *unknown* priority → empty
+                              list, not an error (score-0 quirk);
+- ``get(id)``               → single record or ``NotFoundError`` (the Go
+                              ``ErrNotFound`` / HTTP 404 analogue);
+- ``health()``              → view reachability + row count.
+
+Each endpooint is a one-liner DataFrame query over the materialized view;
+Catalyst's pushdown replaces the reference's hand-picked Redis indexes
+(SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+
+from nexus_event_stream_spark.operators.topk import newest_first
+from nexus_event_stream_spark.schemas import PRIORITY_SCORES
+from nexus_event_stream_spark.streaming.projection import ParquetViewStore
+
+LIST_LIMIT = 50  # handler/signal.go:45 — hardcoded ZRANGE 0 49
+
+
+class NotFoundError(LookupError):
+    """Entity absent from the view (handler 404 / client ErrNotFound)."""
+
+
+@dataclass
+class SignalService:
+    spark: SparkSession
+    store: ParquetViewStore
+
+    def _view(self) -> DataFrame | None:
+        return self.store.read(self.spark)
+
+    def list(self, priority: str | None = None) -> list[Row]:
+        view = self._view()
+        if view is None:
+            return []
+        if priority is not None:
+            # Unknown display string maps to score 0 → matches nothing
+            # (projection/signal.go:21-25,84-96). Equality on the stored
+            # display string reproduces that: bogus values hit no rows.
+            view = view.filter(F.col("priority") == F.lit(priority))
+        return newest_first(
+            view, ts_col="created_at", tiebreak=["id"], limit=LIST_LIMIT
+        ).collect()
+
+    def get(self, id_: str) -> Row:
+        view = self._view()
+        rows = (
+            view.filter(F.col("id") == F.lit(id_)).limit(1).collect()
+            if view is not None
+            else []
+        )
+        if not rows:
+            raise NotFoundError(id_)
+        return rows[0]
+
+    def health(self) -> dict:
+        view = self._view()
+        return {
+            "status": "ok",
+            "view_exists": view is not None,
+            "rows": view.count() if view is not None else 0,
+        }
+
+    @staticmethod
+    def known_priorities() -> dict[str, int]:
+        return dict(PRIORITY_SCORES)

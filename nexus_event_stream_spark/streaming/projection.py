@@ -1,0 +1,149 @@
+"""The streaming projection — the reference's data plane, Spark-first.
+
+Reference behavior being reproduced (SURVEY.md §3.2): consume the event
+stream, fold each event into a keyed last-write-wins view (upsert on
+created/updated, evict on deleted), commit the offset only after the write
+succeeds, tolerate at-least-once replay via idempotent application
+(data-plane/internal/consumer/consumer.go:32-67,
+internal/projection/signal.go:38-67).
+
+Spark realization: Structured Streaming ``foreachBatch`` + an ACID-ish
+parquet view store. Delta's MERGE INTO is the natural sink but the delta
+package isn't available here, so ``ParquetViewStore`` provides the same
+guarantees with versioned snapshots:
+
+- each epoch writes a NEW snapshot directory ``v=N`` (never in-place);
+- a pointer file is atomically renamed over to commit {version, epoch};
+- readers resolve the pointer first — they never see a partial write;
+- the recorded epoch id makes re-delivered micro-batches no-ops, which
+  together with checkpointing upgrades at-least-once to exactly-once
+  (the reference needs idempotent Redis upserts for the same reason; here
+  idempotency is structural).
+
+At scale the store maps directly onto Delta/Iceberg (swap write() for
+MERGE INTO); the LWW merge itself (operators/lww.py) is one shuffle on the
+entity key over |view|+|batch| rows, and the view can additionally be
+partitioned by a stable hash of the key to keep per-file sizes bounded.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from nexus_event_stream_spark.operators.lww import latest_live_state, lww_merge_batch
+from nexus_event_stream_spark.schemas import VIEW_SCHEMA
+
+POINTER = "_CURRENT"
+
+
+class ParquetViewStore:
+    """Versioned parquet snapshots with an atomically-updated pointer."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    # -- pointer ------------------------------------------------------------
+
+    def _pointer_path(self) -> str:
+        return os.path.join(self.path, POINTER)
+
+    def current(self) -> dict | None:
+        try:
+            with open(self._pointer_path()) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return None
+
+    def _commit(self, version: int, epoch: int | None) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.path, prefix="._ptr")
+        with os.fdopen(fd, "w") as fh:
+            json.dump({"version": version, "epoch": epoch}, fh)
+        os.replace(tmp, self._pointer_path())  # atomic on POSIX
+
+    # -- read/write ---------------------------------------------------------
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        cur = self.current()
+        if cur is None:
+            return None
+        return spark.read.schema(VIEW_SCHEMA).parquet(
+            os.path.join(self.path, f"v={cur['version']}")
+        )
+
+    def write(self, df: DataFrame, epoch: int | None = None) -> int:
+        cur = self.current()
+        version = (cur["version"] + 1) if cur else 0
+        out = os.path.join(self.path, f"v={version}")
+        df.write.mode("overwrite").parquet(out)
+        self._commit(version, epoch)
+        self._vacuum(keep=(version, version - 1))
+        return version
+
+    def _vacuum(self, keep: tuple[int, ...]) -> None:
+        # Keep current + previous snapshot (in-flight readers), drop older.
+        keep_names = {f"v={v}" for v in keep}
+        for name in os.listdir(self.path):
+            if name.startswith("v=") and name not in keep_names:
+                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+
+
+def apply_batch(
+    spark: SparkSession, store: ParquetViewStore, batch: DataFrame, epoch: int
+) -> None:
+    """One foreachBatch application: idempotent LWW merge + commit.
+
+    Re-delivered epochs (failure between write and Spark's own commit) are
+    detected via the recorded epoch id and skipped — the Redis-upsert
+    idempotency of the reference, made structural.
+    """
+    cur = store.current()
+    if cur is not None and cur.get("epoch") is not None and epoch <= cur["epoch"]:
+        return  # already applied
+    view = store.read(spark)
+    if view is None:
+        merged = latest_live_state(
+            batch, key=["id"], ts_col="updated_at", tiebreak=["created_at", "title"]
+        )
+    else:
+        merged = lww_merge_batch(
+            view,
+            batch,
+            key=["id"],
+            ts_col="updated_at",
+            tiebreak=["created_at", "title"],
+        )
+    # Materialize via the store (new snapshot dir) — never in-place.
+    store.write(merged.select(*[f.name for f in VIEW_SCHEMA.fields]), epoch)
+
+
+def start_projection(
+    spark: SparkSession,
+    events: DataFrame,
+    view_path: str,
+    checkpoint_path: str,
+    trigger_seconds: int | None = None,
+):
+    """Wire a parsed event stream into the LWW view and start it.
+
+    Returns the StreamingQuery; callers use ``processAllAvailable()`` in
+    tests or let it run continuously in production.
+    """
+    store = ParquetViewStore(view_path)
+
+    def _apply(batch: DataFrame, epoch: int) -> None:
+        apply_batch(spark, store, batch, epoch)
+
+    writer = (
+        events.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(_apply)
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
