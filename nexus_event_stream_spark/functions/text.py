@@ -32,18 +32,29 @@ def punct_count(col: Column | str) -> Column:
     return F.length(c) - F.length(F.regexp_replace(c, r"[^a-zA-Z0-9 ]", ""))
 
 
+def ngrams_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Array of word n-grams from a *pre-projected* token-array column.
+
+    ``toks`` MUST be a bound column reference (e.g. projected via
+    ``.select(F.split(...).alias("__toks"))``), not an inline ``split(...)``
+    expression: higher-order-function lambdas are interpreted without
+    common-subexpression elimination, so an inline split would re-tokenize
+    the document once per n-gram — O(len²) work per row.
+    """
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    idx = F.sequence(F.lit(1), count)
+    return F.when(
+        count > 0, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def word_ngrams(col: Column | str, n: int = 3) -> Column:
     """Array of word n-grams (space-joined) from whitespace tokens.
 
-    Expressed with transform-over-index-sequence so it stays JVM-side:
-    for i in 0..len-n: concat_ws(' ', slice(tokens, i+1, n)).
+    Convenience form for one-off use; in hot paths prefer projecting the
+    token array first and calling ``ngrams_from_tokens`` (see its warning).
     """
-    toks = tokens(col)
-    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    idx = F.sequence(F.lit(1), count)
-    return F.when(count > 0, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))).otherwise(
-        F.array().cast("array<string>")
-    )
+    return ngrams_from_tokens(tokens(col), n)
 
 
 def char_ngrams(col: Column | str, n: int = 5) -> Column:

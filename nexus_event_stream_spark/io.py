@@ -79,6 +79,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, multiplier: int = 1) -> DataFrame:
+    """Ensure a DataFrame has at least default-parallelism partitions.
+
+    Small parquet inputs (one row-group) arrive as a single partition, which
+    serializes every downstream higher-order-function pipeline onto one
+    core. Compute-heavy operators call this before their hot map stage; the
+    round-robin shuffle of a small input costs ~nothing next to 32× the
+    compute parallelism. Inputs that are already well-partitioned (the
+    100 TB case) pass through untouched.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism * multiplier
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def _timestamp_units(path: str) -> dict[str, str]:
     """Per-column parquet timestamp unit ('ns'|'us'|'ms') from the footer."""
     import pyarrow.parquet as pq

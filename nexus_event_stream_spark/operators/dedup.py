@@ -25,9 +25,10 @@ from pyspark.sql import functions as F
 
 from nexus_event_stream_spark.functions.text import (
     HASH_MOD,
+    ngrams_from_tokens,
     portable_string_hash,
-    word_ngrams,
 )
+from nexus_event_stream_spark.io import spread
 
 # Deterministic 64 (a,b) pairs for MinHash permutations h_i = (a*h+b) % p,
 # generated once from a fixed LCG so both the Spark side and any SQL oracle
@@ -63,10 +64,6 @@ def exact_dedup(
     )
 
 
-def _distinct_ngrams(text_col: str, n: int) -> Column:
-    return F.array_distinct(word_ngrams(text_col, n))
-
-
 def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard of two pre-distinct arrays (integer set sizes → the
     division is the only float op, identical on every engine)."""
@@ -82,11 +79,20 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """All-pairs word-n-gram Jaccard within blocks.
+    """All-pairs word-n-gram Jaccard within blocks, posting-list style.
 
-    ``block_cols`` bounds the join (pairs only form inside a block) — this
-    is classic blocking dedup. Refuses to run unblocked: at scale an
-    unblocked self-join is quadratic; use MinHash-LSH instead.
+    Instead of materializing every in-block pair and intersecting arrays
+    (O(pairs·|set|)), the n-gram sets are exploded into postings and
+    self-joined on (block, gram): |A∩B| falls out as a count per pair, and
+    pairs sharing NO gram never exist. This is the formulation that
+    survives scale — join traffic is Σ_g freq(g)², concentrated exactly
+    where near-dups are, and a hot-gram cap (drop grams with pathological
+    document frequency, standard trick) bounds the worst key if needed.
+
+    Sets are xxhash64-hashed: set sizes equal string-set sizes
+    (collisions ~2^-64·|g|² improbable) and the join key is a cheap int.
+    ``block_cols`` bounds the pair space; refuses to run unblocked — use
+    minhash_dedup for unblocked near-dup at scale.
     Output: doc_a, doc_b, jaccard (doc_a < doc_b).
     """
     if not block_cols:
@@ -94,24 +100,46 @@ def ngram_jaccard_pairs(
             "ngram_jaccard_pairs requires blocking columns; "
             "use minhash_dedup for unblocked near-dup at scale"
         )
-    t = docs.select(
+    # Two-step projection: tokens land in a bound column first so the
+    # n-gram lambda slices an attribute instead of re-splitting per element.
+    tok = spread(docs).select(
         *block_cols,
         F.col(id_col).alias("__id"),
-        _distinct_ngrams(text_col, n).alias("__g"),
+        F.split(F.col(text_col), " ").alias("__toks"),
     )
-    a = t.alias("a")
-    b = t.alias("b")
-    cond = F.col(f"a.__id") < F.col(f"b.__id")
+    # persist: feeds the posting self-join (both sides) and both size joins.
+    t = tok.select(
+        *block_cols,
+        "__id",
+        F.array_distinct(
+            F.transform(
+                ngrams_from_tokens(F.col("__toks"), n), lambda s: F.xxhash64(s)
+            )
+        ).alias("__g"),
+    ).persist()
+    sizes = t.select(*block_cols, "__id", F.size("__g").alias("__n"))
+    posts = t.select(*block_cols, "__id", F.explode("__g").alias("__h"))
+    a, b = posts.alias("a"), posts.alias("b")
+    cond = (F.col("a.__h") == F.col("b.__h")) & (F.col("a.__id") < F.col("b.__id"))
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    j = jaccard(F.col("a.__g"), F.col("b.__g"))
-    return (
+    inter = (
         a.join(b, cond)
-        .select(
+        .groupBy(
             F.col("a.__id").alias("doc_a"),
             F.col("b.__id").alias("doc_b"),
-            j.alias("jaccard"),
         )
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    na = sizes.select(F.col("__id").alias("doc_a"), F.col("__n").alias("__na"))
+    nb = sizes.select(F.col("__id").alias("doc_b"), F.col("__n").alias("__nb"))
+    j = F.col("__inter").cast("double") / (
+        F.col("__na") + F.col("__nb") - F.col("__inter")
+    )
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", j.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -132,14 +160,29 @@ def minhash_signatures(
     collide with real signatures. Output: id, n_shingles, sig array.
     """
     coeffs = minhash_coeffs(num_perm, seed)
-    shingles = F.array_distinct(word_ngrams(text_col, shingle_n))
-    hashes = F.transform(shingles, lambda s: portable_string_hash(s))
+    # Staged projections: tokens → shingles → hashed shingle set. Each
+    # stage lands in a bound column so no HOF lambda recomputes upstream
+    # work per element (split per n-gram / char-hash per permutation).
+    tok = spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("__toks"),
+    )
+    sh = tok.select(
+        "doc_id",
+        F.array_distinct(ngrams_from_tokens(F.col("__toks"), shingle_n)).alias("__sh"),
+    )
+    hashed = sh.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(F.col("__sh"), lambda s: portable_string_hash(s))
+        ).alias("__shingles"),  # hashed shingle set (verify + sig input)
+    )
     sig = F.array(
         *[
             F.coalesce(
                 F.array_min(
                     F.transform(
-                        hashes,
+                        F.col("__shingles"),
                         lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(HASH_MOD),
                     )
                 ),
@@ -148,11 +191,7 @@ def minhash_signatures(
             for a, b in coeffs
         ]
     )
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        shingles.alias("__shingles"),
-        sig.alias("sig"),
-    )
+    return hashed.select("doc_id", "__shingles", sig.alias("sig"))
 
 
 def minhash_lsh_candidates(
@@ -206,7 +245,10 @@ def minhash_dedup(
     the verify join touches only bucket-colliding pairs.
     """
     rows = num_perm // bands
-    sigs = minhash_signatures(docs, num_perm, shingle_n, id_col, text_col)
+    # persist: the signature relation feeds the band self-join (2 sides)
+    # and the verify join (2 sides) — without it the whole hash pipeline
+    # is recomputed 4×, which dominated the first benchmark of this op.
+    sigs = minhash_signatures(docs, num_perm, shingle_n, id_col, text_col).persist()
     cands = minhash_lsh_candidates(sigs, bands, rows)
     shing = sigs.select("doc_id", "__shingles")
     j = jaccard(F.col("sa.__shingles"), F.col("sb.__shingles"))
@@ -225,6 +267,7 @@ def simhash(docs: DataFrame, bits: int = 16, id_col: str = "doc_id", text_col: s
     Narrow map, exact integer arithmetic, portable hash → oracle-able.
     Output: doc_id, simhash.
     """
+    docs = spread(docs)
     toks = F.array_distinct(F.split(F.col(text_col), " "))
     hashes = F.transform(toks, lambda t: portable_string_hash(t))
 

@@ -274,23 +274,22 @@ def _sql_minhash(num_perm: int = 16, bands: int = 4) -> str:
     WITH t AS (
       SELECT doc_id, {SQL_NGRAMS3.format(t='text')} AS g FROM documents),
     h AS (
-      SELECT doc_id, g,
-        list_transform(g, s -> {SQL_STR_HASH.format(s='s')}) AS hs
+      SELECT doc_id,
+        list_distinct(list_transform(g, s -> {SQL_STR_HASH.format(s='s')})) AS hs
       FROM t),
     s AS (
-      SELECT doc_id, g, list_value({sig_parts}) AS sig
-      FROM (SELECT doc_id, g, hs FROM h)),
+      SELECT doc_id, hs, list_value({sig_parts}) AS sig FROM h),
     k AS (
       SELECT doc_id, unnest([{band_keys}]) AS bucket FROM s),
     c AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM k a JOIN k b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
     SELECT doc_a, doc_b,
-      {SQL_JACCARD.format(a='sa.g', b='sb.g')} AS jaccard
+      {SQL_JACCARD.format(a='sa.hs', b='sb.hs')} AS jaccard
     FROM c
       JOIN s sa ON c.doc_a = sa.doc_id
       JOIN s sb ON c.doc_b = sb.doc_id
-    WHERE {SQL_JACCARD.format(a='sa.g', b='sb.g')} >= 0.05
+    WHERE {SQL_JACCARD.format(a='sa.hs', b='sb.hs')} >= 0.05
     """
 
 
