@@ -7,5 +7,6 @@ from nexus_event_stream_spark.plans.catalog import (  # noqa: F401
     queries,
 )
 
-# Importing registers the X-tier LLM-pipeline queries into CATALOG.
-from nexus_event_stream_spark.plans import llm_catalog  # noqa: E402,F401
+# Importing registers the X-tier LLM-pipeline and extended-relational
+# queries into CATALOG.
+from nexus_event_stream_spark.plans import ext_catalog, llm_catalog  # noqa: E402,F401

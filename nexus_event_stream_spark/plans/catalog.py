@@ -365,9 +365,10 @@ def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_analytics",
     f"""
     SELECT event_id, user_id,
-      SUM({CENTS.format(c='value')}) OVER (
+      CAST(SUM({CENTS.format(c='value')}) OVER (
         PARTITION BY user_id ORDER BY ts, event_id
-        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents,
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS running_cents,
       LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
         AS prev_value
     FROM events

@@ -1,0 +1,246 @@
+"""Extended relational coverage: as-of join, sessionization, rollup, pivot,
+top-k per group, interval join, scalar-function breadth, approx distinct.
+
+These go beyond the reference's surface (SURVEY.md §2 marks the categories
+absent) but round out what users of a general analytics engine run daily —
+each is a composition of built-in operators with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nexus_event_stream_spark.io import load_table
+from nexus_event_stream_spark.operators.relational import (
+    asof_join,
+    band_join,
+    sessionize,
+    topk_per_group,
+)
+from nexus_event_stream_spark.plans.catalog import CENTS, cents, register
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "q_asof_join",
+    """
+    WITH r AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
+        FROM orders) WHERE rn = 1)
+    SELECT event_id, ts, user_id, o_orderkey, o_totalprice
+    FROM events ASOF LEFT JOIN r
+      ON user_id = r.o_custkey AND ts >= r.o_orderdate
+    """,
+    doc="Backward as-of join: each event matched to the customer's latest "
+    "order at-or-before its timestamp. Spark has no native as-of join; "
+    "implemented as tagged union + running last() over one key window "
+    "(operators/relational.py) — one shuffle, no range explosion. The "
+    "right side is deduped to one row per (key, date) so tie semantics "
+    "are engine-independent.",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    r = topk_per_group(
+        orders,
+        ["o_custkey", "o_orderdate"],
+        [F.col("o_orderkey").desc()],
+        1,
+    )
+    return asof_join(
+        events,
+        r,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload=["o_orderkey", "o_totalprice"],
+        right_tiebreak="o_orderkey",
+    ).select("event_id", "ts", "user_id", "o_orderkey", "o_totalprice")
+
+
+@register(
+    "q_sessionize",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+        CASE WHEN lag(ts) OVER w IS NULL
+               OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+             THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+      MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM (
+      SELECT user_id, ts,
+        CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS session_id
+      FROM flagged)
+    GROUP BY user_id, session_id
+    """,
+    doc="Gap-based sessionization (30-min gap): lag → boundary flag → "
+    "running sum; the batch twin of session_window(ts, gap).",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return sessionize(events, gap_seconds=1800)
+
+
+@register(
+    "q_rollup",
+    f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+      CAST(SUM({CENTS.format(c='l_quantity')}) AS DOUBLE)/100 AS sum_qty
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    doc="Hierarchical rollup aggregate (subtotals + grand total).",
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.sum(cents("l_quantity")).cast("double") / 100).alias("sum_qty"),
+    )
+
+
+@register(
+    "q_pivot",
+    """
+    SELECT user_id,
+      CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+      CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+      CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+      CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+      CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+    FROM events GROUP BY user_id
+    """,
+    doc="Pivot event_type → per-user count columns (explicit value list "
+    "keeps the output schema static, as required for production pivots).",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    pivoted = (
+        events.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ],
+    )
+
+
+@register(
+    "q_topk_per_group",
+    """
+    SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice FROM (
+      SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        row_number() OVER (PARTITION BY l_returnflag
+          ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+      FROM lineitem) WHERE rn <= 3
+    """,
+    doc="Top-3 most expensive lineitems per return flag — ranking window, "
+    "per-group heap semantics.",
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return topk_per_group(
+        li,
+        ["l_returnflag"],
+        [F.col("l_extendedprice").desc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()],
+        3,
+    ).select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+
+
+@register(
+    "q_range_join",
+    """
+    SELECT event_id, value, band FROM events
+    LEFT JOIN (VALUES ('low', 0.0, 50.0), ('mid', 50.0, 150.0),
+                      ('high', 150.0, 1000000.0)) AS b(band, lo, hi)
+      ON value >= lo AND value < hi
+    """,
+    doc="Interval/range join against a tiny band dimension — broadcast "
+    "non-equi (BroadcastNestedLoopJoin), the right plan for a 3-row side.",
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return band_join(
+        events,
+        [("low", 0.0, 50.0), ("mid", 50.0, 150.0), ("high", 150.0, 1e6)],
+    ).select("event_id", "value", "band")
+
+
+@register(
+    "q_scalar_funcs",
+    """
+    SELECT event_id,
+      upper(event_type) AS type_upper,
+      substring(event_type, 1, 3) AS type_prefix,
+      concat_ws('-', event_type, CAST(user_id AS VARCHAR)) AS type_user,
+      length(props) AS props_len,
+      replace(event_type, 'e', '3') AS type_leet,
+      lpad(CAST(user_id AS VARCHAR), 6, '0') AS user_padded,
+      abs(value - 100.0) AS dist_from_100,
+      floor(value) AS value_floor,
+      ceil(value) AS value_ceil,
+      CAST(round(value, 0) AS DOUBLE) AS value_round,
+      greatest(value, 50.0) AS value_floor50,
+      CAST(year(ts) AS INTEGER) AS y,
+      CAST(month(ts) AS INTEGER) AS m,
+      CAST(dayofmonth(ts) AS INTEGER) AS d,
+      CAST(hour(ts) AS INTEGER) AS h,
+      date_diff('day', TIMESTAMP '2024-01-01 00:00:00', ts) AS days_since
+    FROM events
+    """,
+    doc="Scalar-function breadth: string/math/date built-ins with exact "
+    "cross-engine semantics (floor/ceil/round on positive 2-decimal "
+    "doubles, integer date parts).",
+)
+def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.upper("event_type").alias("type_upper"),
+        F.substring("event_type", 1, 3).alias("type_prefix"),
+        F.concat_ws("-", F.col("event_type"), F.col("user_id").cast("string")).alias(
+            "type_user"
+        ),
+        F.length("props").cast("long").alias("props_len"),
+        F.replace(F.col("event_type"), F.lit("e"), F.lit("3")).alias("type_leet"),
+        F.lpad(F.col("user_id").cast("string"), 6, "0").alias("user_padded"),
+        F.abs(F.col("value") - 100.0).alias("dist_from_100"),
+        F.floor("value").cast("double").alias("value_floor"),
+        F.ceil("value").cast("double").alias("value_ceil"),
+        F.round("value", 0).cast("double").alias("value_round"),
+        F.greatest(F.col("value"), F.lit(50.0)).alias("value_floor50"),
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.datediff(
+            F.to_date("ts"), F.to_date(F.lit("2024-01-01"))
+        ).cast("long").alias("days_since"),
+    )
+
+
+@register(
+    "q_approx_distinct",
+    None,
+    doc="HyperLogLog++ approximate distinct users per event_type — "
+    "rows-only check (sketches are engine-specific by construction; the "
+    "exact twin is q_distinct).",
+)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users")
+    )

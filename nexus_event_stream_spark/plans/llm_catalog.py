@@ -309,12 +309,12 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_simhash",
     f"""
     SELECT doc_id,
-      list_sum(list_transform(range(0,16), j -> CASE WHEN
+      CAST(list_sum(list_transform(range(0,16), j -> CASE WHEN
         list_sum(list_transform(
           list_transform(list_distinct(string_split(text,' ')),
                          t -> {SQL_STR_HASH.format(s='t')}),
           h -> 2*(CAST(FLOOR(h / pow(2, j)) AS BIGINT) % 2) - 1)) >= 0
-        THEN CAST(pow(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END))
+        THEN CAST(pow(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
       AS simhash
     FROM documents
     """,

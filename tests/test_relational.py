@@ -1,0 +1,84 @@
+"""Extended relational operators on constructed fixtures."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from nexus_event_stream_spark.operators.relational import (
+    asof_join,
+    band_join,
+    sessionize,
+    topk_per_group,
+)
+
+
+def ts(h, m=0):
+    return dt.datetime(2026, 1, 1, h, m)
+
+
+def test_asof_join_backward_with_ties_and_unmatched(spark):
+    left = spark.createDataFrame(
+        [(1, 10, ts(5)), (2, 10, ts(1)), (3, 20, ts(12))],
+        "eid long, k long, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, ts(2), 100, "early"),
+            (10, ts(5), 200, "exact"),   # equal timestamp → matches (≤)
+            (10, ts(9), 300, "late"),
+            (20, ts(3), 400, "other"),
+        ],
+        "k long, t timestamp, oid long, tag string",
+    )
+    out = {
+        r["eid"]: (r["oid"], r["tag"])
+        for r in asof_join(
+            left.withColumnRenamed("t", "lt"),
+            right,
+            left_key="k",
+            right_key="k",
+            left_ts="lt",
+            right_ts="t",
+            payload=["oid", "tag"],
+            right_tiebreak="oid",
+        ).collect()
+    }
+    assert out[1] == (200, "exact")  # ≤ semantics: equal ts matches
+    assert out[2] == (None, None)  # nothing at-or-before → null payload
+    assert out[3] == (400, "other")
+
+
+def test_sessionize_gap_splits(spark):
+    rows = [
+        (1, 1, ts(1, 0)), (2, 1, ts(1, 10)),  # session 1
+        (3, 1, ts(2, 30)),                     # gap > 30min → session 2
+        (4, 2, ts(1, 0)),                      # other user
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = {
+        (r["user_id"], r["session_id"]): r["n_events"]
+        for r in sessionize(df, gap_seconds=1800).collect()
+    }
+    assert out == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
+
+
+def test_topk_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 20.0), ("b", 4, 5.0)],
+        "g string, id long, v double",
+    )
+    out = topk_per_group(df, ["g"], [F.col("v").desc(), F.col("id").asc()], 2)
+    got = {(r["g"], r["id"]) for r in out.collect()}
+    assert got == {("a", 2), ("a", 3), ("b", 4)}
+
+
+def test_band_join_boundaries(spark):
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, 49.99), (3, 50.0), (4, 500.0), (5, -1.0)],
+        "id long, value double",
+    )
+    bands = [("low", 0.0, 50.0), ("high", 50.0, 1000.0)]
+    out = {r["id"]: r["band"] for r in band_join(df, bands).collect()}
+    assert out == {1: "low", 2: "low", 3: "high", 4: "high", 5: None}
