@@ -1,0 +1,74 @@
+"""Physical-plan regression tests — the scale properties are part of the
+contract, not an accident: filters must reach the parquet scan, small dims
+must broadcast, top-k must not global-sort. If a refactor breaks one of
+these, correctness tests stay green but 100 TB behavior regresses; these
+tests pin it.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from nexus_event_stream_spark.plans.catalog import CATALOG
+
+
+def physical_plan(df) -> str:
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filter_pushed_to_scan(spark, sf_dir):
+    plan = physical_plan(CATALOG["q_filter_priority"].build(spark, sf_dir))
+    assert "PushedFilters" in plan
+    assert "EqualTo(event_type,purchase)" in plan
+
+
+def test_point_lookup_pushdown(spark, sf_dir):
+    plan = physical_plan(CATALOG["q_point_lookup"].build(spark, sf_dir))
+    assert "EqualTo(event_id,42)" in plan
+
+
+def test_star_join_broadcasts_dims_and_prunes_columns(spark, sf_dir):
+    plan = physical_plan(CATALOG["q_join_star"].build(spark, sf_dir))
+    # every dim side broadcast, fact side never shuffled before the agg
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # column pruning: the lineitem scan reads exactly the 3 needed columns
+    li_schema = next(
+        line for line in plan.splitlines() if "ReadSchema" in line and "l_orderkey" in line
+    )
+    assert (
+        "struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>"
+        in li_schema
+    )
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark, sf_dir):
+    plan = physical_plan(CATALOG["q_list_newest"].build(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_denorm_join_broadcasts_user_dim(spark, sf_dir):
+    plan = physical_plan(CATALOG["q_denorm_join"].build(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_lww_fold_single_shuffle(spark, sf_dir):
+    plan = physical_plan(CATALOG["q_latest_state"].build(spark, sf_dir))
+    # one hash exchange on the entity key and no more ("(N) Exchange" is
+    # the detail header, one per physical exchange node)
+    assert plan.count(") Exchange") == 1
+    # rank<=1 is pushed below the shuffle (WindowGroupLimit, Spark 3.5+):
+    # each map task pre-drops rows that cannot be the per-key latest
+    assert "WindowGroupLimit" in plan
+
+
+def test_group_agg_partial_aggregation(spark, sf_dir):
+    plan = physical_plan(CATALOG["q_group_agg"].build(spark, sf_dir))
+    # map-side combine: HashAggregate appears before AND after the exchange
+    assert plan.count(") HashAggregate") >= 2
+    # map-side combine before the exchange
+    assert "partial_sum" in plan and "partial_count" in plan
