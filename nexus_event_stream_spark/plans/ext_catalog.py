@@ -233,6 +233,136 @@ def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_cube",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows
+    FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    doc="Full cube over two grouping columns (all grouping-set combos).",
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+@register(
+    "q_scalar_subquery",
+    """
+    SELECT o_orderkey, o_totalprice,
+      (SELECT COUNT(*) FROM lineitem WHERE l_orderkey = o_orderkey) AS n_items
+    FROM orders
+    """,
+    doc="Correlated scalar subquery (decorrelated by Catalyst into an "
+    "aggregate + outer join) — exercised through the SQL API entry.",
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexus_event_stream_spark.io import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice,
+          (SELECT COUNT(*) FROM lineitem WHERE l_orderkey = o_orderkey)
+            AS n_items
+        FROM orders
+        """
+    )
+
+
+@register(
+    "q_fuzzy_join",
+    """
+    SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+      levenshtein(a.c_name, b.c_name) AS edit_dist
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey
+     AND a.c_mktsegment = b.c_mktsegment
+     AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """,
+    doc="Fuzzy self-join: blocked customer pairs within edit distance 2 "
+    "(levenshtein is identically defined in both engines).",
+)
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    a, b = c.alias("a"), c.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            F.col("a.c_custkey").alias("cust_a"),
+            F.col("b.c_custkey").alias("cust_b"),
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).cast("long").alias(
+                "edit_dist"
+            ),
+        )
+        .filter(F.col("edit_dist") <= 2)
+    )
+
+
+@register(
+    "q_array_funcs",
+    """
+    SELECT vec_id,
+      CAST(len(embedding) AS INTEGER) AS n_dims,
+      list_max(list_transform(embedding,
+        x -> CAST(ROUND(CAST(x AS DOUBLE)*10000,0) AS BIGINT))) AS q_max,
+      list_min(list_transform(embedding,
+        x -> CAST(ROUND(CAST(x AS DOUBLE)*10000,0) AS BIGINT))) AS q_min,
+      CAST(list_sum(list_slice(list_transform(embedding,
+        x -> CAST(ROUND(CAST(x AS DOUBLE)*10000,0) AS BIGINT)), 1, 3))
+        AS BIGINT) AS q_head_sum,
+      CAST(len(list_filter(list_transform(embedding,
+        x -> CAST(ROUND(CAST(x AS DOUBLE)*10000,0) AS BIGINT)),
+        x -> x > 0)) AS INTEGER) AS n_positive
+    FROM embeddings
+    """,
+    doc="Array-function breadth over the embedding column: size, min/max, "
+    "slice+reduce, filter — all on quantized integers for parity.",
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexus_event_stream_spark.functions.vectors import quantize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize("embedding")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        F.array_max(q).alias("q_max"),
+        F.array_min(q).alias("q_min"),
+        F.aggregate(
+            F.slice(q, 1, 3), F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("q_head_sum"),
+        F.size(F.filter(q, lambda x: x > 0)).alias("n_positive"),
+    )
+
+
+@register(
+    "q_string_agg",
+    """
+    SELECT event_type,
+      string_agg(DISTINCT CAST(user_id AS VARCHAR), ','
+                 ORDER BY CAST(user_id AS VARCHAR)) AS users
+    FROM events GROUP BY event_type
+    """,
+    doc="Ordered string aggregation (deterministic: distinct + sorted).",
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.array_join(
+            F.array_sort(F.collect_set(F.col("user_id").cast("string"))), ","
+        ).alias("users")
+    )
+
+
+@register(
     "q_approx_distinct",
     None,
     doc="HyperLogLog++ approximate distinct users per event_type — "
