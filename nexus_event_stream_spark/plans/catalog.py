@@ -414,6 +414,34 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_scd2",
+    """
+    SELECT event_id, user_id, ts AS valid_from,
+      lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        AS valid_to,
+      CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM events
+    """,
+    doc="SCD2 dimension from the event history: each event becomes a "
+    "version row with a validity interval [ts, next_ts); the reference's "
+    "LWW view is exactly the is_current=1 slice of this (emulated MERGE "
+    "history — the 'CDC/SCD2 without Delta' pattern).",
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return events.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )
+
+
+@register(
     "q_tumbling_window",
     f"""
     SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -1,0 +1,107 @@
+"""Advanced streaming semantics: watermark late-data drop and
+stream-stream joins — the parts of the streaming surface the reference
+explicitly leaves out of scope (data-plane/README.md:165) but a general
+engine must provide.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from nexus_event_stream_spark.schemas import TABLE_SCHEMAS
+from nexus_event_stream_spark.streaming.stateful import windowed_counts
+
+EVENTS_DDL = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def write_files(spark, src, batches):
+    for rows in batches:
+        spark.createDataFrame(rows, EVENTS_DDL).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+
+def stream(spark, src):
+    return (
+        spark.readStream.schema(TABLE_SCHEMAS["events"])
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+
+
+def ev(eid, h, typ="click", uid=1, val=1.0):
+    return (eid, dt.datetime(2026, 1, 1, h, 0), uid, typ, val, "{}")
+
+
+def test_watermark_drops_late_events_in_append_mode(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # batch 1 advances event time to hour 13; batch 2 contains an event at
+    # hour 1 — far beyond the 1h watermark → dropped in append mode.
+    write_files(spark, src, [[ev(1, 10), ev(2, 13)]])
+
+    agg = windowed_counts(stream(spark, src), watermark="1 hour")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_drop")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    write_files(spark, src, [[ev(3, 1)], [ev(4, 20)]])  # late + advancing
+    q.processAllAvailable()
+    q.stop()
+    rows = {
+        r["window_start"].hour: r["n_events"]
+        for r in spark.sql("SELECT * FROM late_drop").collect()
+    }
+    # hour-10 and hour-13 windows finalized; the late hour-1 event never
+    # produced a window (dropped); hour-20 not yet finalized in append mode
+    assert rows.get(10) == 1 and rows.get(13) == 1
+    assert 1 not in rows
+
+
+def test_stream_stream_join_with_watermarks(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    clicks_src = str(tmp_path / "clicks")
+    buys_src = str(tmp_path / "buys")
+    os.makedirs(clicks_src)
+    os.makedirs(buys_src)
+    write_files(spark, clicks_src, [[ev(1, 10, "click", uid=7), ev(2, 11, "click", uid=8)]])
+    write_files(spark, buys_src, [[ev(10, 10, "purchase", uid=7), ev(11, 18, "purchase", uid=8)]])
+
+    clicks = (
+        stream(spark, clicks_src)
+        .withWatermark("ts", "2 hours")
+        .select(F.col("user_id").alias("c_uid"), F.col("ts").alias("c_ts"))
+    )
+    buys = (
+        stream(spark, buys_src)
+        .withWatermark("ts", "2 hours")
+        .select(F.col("user_id").alias("b_uid"), F.col("ts").alias("b_ts"))
+    )
+    joined = clicks.join(
+        buys,
+        (F.col("c_uid") == F.col("b_uid"))
+        & (F.col("b_ts") >= F.col("c_ts"))
+        & (F.col("b_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {(r["c_uid"], r["b_ts"].hour) for r in spark.sql("SELECT * FROM ssj").collect()}
+    # user 7 purchased within the 1h attribution window; user 8's purchase
+    # at hour 18 is outside click+1h → no join row
+    assert got == {(7, 10)}
