@@ -363,6 +363,78 @@ def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_percentiles",
+    """
+    SELECT event_type,
+      quantile_cont(value, 0.5) AS med,
+      quantile_cont(value, 0.9) AS p90,
+      MIN(value) AS vmin, MAX(value) AS vmax
+    FROM events GROUP BY event_type
+    """,
+    doc="Exact interpolated percentiles per group (Spark percentile() ≡ "
+    "DuckDB quantile_cont, bit-identical on the same inputs). The "
+    "approximate-scale twin is percentile_approx (sketch, rows-only).",
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("med"),
+        F.percentile("value", 0.9).alias("p90"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+
+
+@register(
+    "q_regex",
+    """
+    SELECT event_id,
+      regexp_extract(props, '[0-9]+') AS first_number,
+      regexp_matches(props, '[0-9]{2}') AS has_2digits,
+      regexp_replace(event_type, '[aeiou]', '_', 'g') AS type_devoweled
+    FROM events
+    """,
+    doc="Regex surface: extract / match / global replace (patterns chosen "
+    "inside the Java-regex ∩ RE2 common dialect).",
+)
+def q_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.regexp_extract("props", "[0-9]+", 0).alias("first_number"),
+        F.col("props").rlike("[0-9]{2}").alias("has_2digits"),
+        F.regexp_replace("event_type", "[aeiou]", "_").alias("type_devoweled"),
+    )
+
+
+@register(
+    "q_null_handling",
+    """
+    SELECT event_type,
+      COUNT(*) AS n_total,
+      COUNT(CASE WHEN user_id % 3 = 0 THEN NULL ELSE value END) AS n_nonnull,
+      CAST(SUM(CASE WHEN COALESCE(
+        CASE WHEN user_id % 3 = 0 THEN NULL ELSE value END, -1.0) = -1.0
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_defaulted
+    FROM events GROUP BY event_type
+    """,
+    doc="Null semantics: null-generating CASE, null-skipping COUNT, "
+    "COALESCE defaulting — the tolerant-reader value rules in aggregate "
+    "form.",
+)
+def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    v_null = F.when(F.col("user_id") % 3 == 0, F.lit(None)).otherwise(F.col("value"))
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(v_null).alias("n_nonnull"),
+        F.sum(
+            F.when(F.coalesce(v_null, F.lit(-1.0)) == -1.0, 1).otherwise(0)
+        ).alias("n_defaulted"),
+    )
+
+
+@register(
     "q_approx_distinct",
     None,
     doc="HyperLogLog++ approximate distinct users per event_type — "
