@@ -1,0 +1,78 @@
+"""HTTP read API parity — the data plane's endpoints over the Spark view.
+
+Reference contracts (data-plane/internal/handler/signal.go:24-81):
+
+- ``GET /signals``              → JSON list, top-50 newest-first
+- ``GET /signals?priority=P``   → filtered; unknown P → empty list (200)
+- ``GET /signals/{id}``         → record or 404 ``{"error": "..."}``
+- ``GET /health``               → 200/503 with status body
+- errors use the ``{"error": msg}`` envelope; Content-Type is JSON
+
+Built on the stdlib server — the API tier is deliberately thin: every
+endpoint is one DataFrame query (serving.py); a production deployment
+would put the same three calls behind any ASGI framework.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from nexus_event_stream_spark.serving import NotFoundError, SignalService
+
+
+def _row_to_dict(row) -> dict:
+    d = row.asDict()
+    for k in ("created_at", "updated_at"):
+        if d.get(k) is not None:
+            d[k] = d[k].isoformat()
+    return d
+
+
+def make_handler(service: SignalService):
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802 (stdlib naming)
+            url = urlparse(self.path)
+            parts = [p for p in url.path.split("/") if p]
+            try:
+                if parts == ["health"]:
+                    h = service.health()
+                    self._send(200 if h["view_exists"] else 503, h)
+                elif parts == ["signals"]:
+                    prio = parse_qs(url.query).get("priority", [None])[0]
+                    rows = service.list(priority=prio)
+                    self._send(200, [_row_to_dict(r) for r in rows])
+                elif len(parts) == 2 and parts[0] == "signals":
+                    try:
+                        self._send(200, _row_to_dict(service.get(parts[1])))
+                    except NotFoundError:
+                        self._send(404, {"error": "signal not found"})
+                else:
+                    self._send(404, {"error": "not found"})
+            except Exception as exc:  # 500 envelope (handler/signal.go:71-81)
+                self._send(500, {"error": str(exc)})
+
+        def log_message(self, *args):  # quiet test output
+            pass
+
+    return Handler
+
+
+def serve(service: SignalService, port: int = 0) -> ThreadingHTTPServer:
+    """Start the read API on a daemon thread; returns the server (use
+    ``server.server_address[1]`` for the bound port, ``shutdown()`` to stop).
+    """
+    server = ThreadingHTTPServer(("127.0.0.1", port), make_handler(service))
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    return server

@@ -1,0 +1,97 @@
+"""HTTP API + CLI parity — mirrors handler_test.go / client_test.go /
+cli rendering contracts end-to-end against a live server.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from nexus_event_stream_spark.cli import main as cli_main, render_list
+from nexus_event_stream_spark.schemas import VIEW_SCHEMA
+from nexus_event_stream_spark.serving import SignalService
+from nexus_event_stream_spark.serving_http import serve
+from nexus_event_stream_spark.streaming.projection import ParquetViewStore
+
+UTC = dt.timezone.utc
+
+
+def vrow(id_, priority="High", day=23, title=None):
+    ts = dt.datetime(2026, 2, day, 18, 0, tzinfo=UTC)
+    return (id_, title or f"title-{id_}", "c", priority, "otavio", ts, ts)
+
+
+@pytest.fixture(scope="module")
+def service(spark, tmp_path_factory):
+    store = ParquetViewStore(str(tmp_path_factory.mktemp("view")))
+    rows = [vrow("s1", "High", 23), vrow("s2", "Low", 22)]
+    store.write(spark.createDataFrame(rows, VIEW_SCHEMA), epoch=0)
+    return SignalService(spark, store)
+
+
+@pytest.fixture(scope="module")
+def base_url(service):
+    server = serve(service)
+    yield f"http://127.0.0.1:{server.server_address[1]}"
+    server.shutdown()
+
+
+def get_json(url):
+    with urllib.request.urlopen(url) as resp:
+        return resp.status, resp.headers["Content-Type"], json.load(resp)
+
+
+def test_list_endpoint_order_and_content_type(base_url):
+    status, ctype, body = get_json(f"{base_url}/signals")
+    assert status == 200 and ctype == "application/json"
+    assert [r["id"] for r in body] == ["s1", "s2"]  # newest first
+    assert body[0]["created_at"].startswith("2026-02-23T18:00")
+
+
+def test_priority_filter_and_unknown_empty(base_url):
+    _, _, body = get_json(f"{base_url}/signals?priority=Low")
+    assert [r["id"] for r in body] == ["s2"]
+    _, _, body = get_json(f"{base_url}/signals?priority=Bogus")
+    assert body == []  # unknown priority: empty, not error
+
+
+def test_get_and_404_error_envelope(base_url):
+    status, _, body = get_json(f"{base_url}/signals/s1")
+    assert status == 200 and body["title"] == "title-s1"
+    with pytest.raises(urllib.error.HTTPError) as err:
+        urllib.request.urlopen(f"{base_url}/signals/ghost")
+    assert err.value.code == 404
+    assert json.load(err.value)["error"] == "signal not found"
+
+
+def test_health_endpoint(base_url):
+    status, _, body = get_json(f"{base_url}/health")
+    assert status == 200 and body["status"] == "ok" and body["rows"] == 2
+
+
+def test_cli_list_truncation_and_exit_codes(service, capsys):
+    long_title = "x" * 60
+    assert cli_main(service, ["list"]) == 0
+    out = capsys.readouterr().out
+    assert "title-s1" in out and "PRIORITY" in out
+
+    rendered = render_list(
+        [
+            {
+                "id": "a",
+                "title": long_title,
+                "priority": "High",
+                "created_at": dt.datetime(2026, 1, 1, 12, 30),
+            }
+        ]
+    )
+    assert "x" * 39 + "…" in rendered  # cli/main.go:165-170 truncation
+    assert "2026-01-01 12:30" in rendered  # cli/main.go:157-163 format
+
+    assert cli_main(service, ["get", "s1"]) == 0
+    assert cli_main(service, ["get", "ghost"]) == 1  # ErrNotFound → exit 1
+    assert cli_main(service, ["health"]) == 0
