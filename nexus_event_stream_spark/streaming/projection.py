@@ -42,10 +42,17 @@ POINTER = "_CURRENT"
 
 
 class ParquetViewStore:
-    """Versioned parquet snapshots with an atomically-updated pointer."""
+    """Versioned parquet snapshots with an atomically-updated pointer.
 
-    def __init__(self, path: str):
+    ``partition_by`` physically partitions each snapshot (e.g. by
+    ``priority``: 3 values → serving-side equality filters prune to one
+    directory, the Spark analogue of the reference's priority ZSet index).
+    Only low-cardinality columns belong here.
+    """
+
+    def __init__(self, path: str, partition_by: str | None = None):
         self.path = path
+        self.partition_by = partition_by
         os.makedirs(path, exist_ok=True)
 
     # -- pointer ------------------------------------------------------------
@@ -80,7 +87,10 @@ class ParquetViewStore:
         cur = self.current()
         version = (cur["version"] + 1) if cur else 0
         out = os.path.join(self.path, f"v={version}")
-        df.write.mode("overwrite").parquet(out)
+        writer = df.write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(self.partition_by)
+        writer.parquet(out)
         self._commit(version, epoch)
         self._vacuum(keep=(version, version - 1))
         return version
