@@ -100,6 +100,77 @@ def extract_image_features(media: DataFrame) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def resize_image_stub(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """Deterministic fake resize: proportionally subsample the byte stream
+    (a real kernel decodes → interpolates → re-encodes; same signature)."""
+    if not payload:
+        return b""
+    n = max(1, int(len(payload) * (target_w * target_h) / (64 * 64)))
+    step = max(1, len(payload) // n)
+    return payload[::step][:n]
+
+
+def resize_images(media: DataFrame, target_w: int = 32, target_h: int = 32) -> DataFrame:
+    """Batch resize via mapInPandas (only media_id+payload cross Arrow)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": target_w,
+                    "height": target_h,
+                    "payload": [
+                        resize_image_stub(p, target_w, target_h)
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(batches, RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4, frame_bytes: int = 16) -> DataFrame:
+    """Uniform frame sampling from a video-like payload: n_frames evenly
+    spaced byte windows per payload, one output row per frame (explode
+    shape). A real kernel seeks keyframes; the Spark-side contract —
+    1→N row fan-out through Arrow — is identical.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                p = p or b""
+                for i in range(n_frames):
+                    off = (i * max(len(p) - frame_bytes, 0)) // max(n_frames - 1, 1)
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(p[off : off + frame_bytes])
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return media.select("media_id", "payload").mapInPandas(batches, FRAMES_SCHEMA)
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter used by tests/bench: treat document text bytes as an opaque
     payload so the multimodal plumbing can run on driver testdata."""

@@ -225,6 +225,31 @@ def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_token_bpe",
+    r"""
+    SELECT doc_id,
+      CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+      CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+        AS BIGINT) AS bpe_ish_tokens
+    FROM documents
+    """,
+    doc="Token counting both ways: whitespace and a BPE-ish regex "
+    "(letter-runs | digit-runs | single punctuation), the pre-tokenizer "
+    "shape of GPT-style BPE vocabularies; pattern chosen inside the "
+    "Java-regex ∩ RE2 common dialect.",
+)
+def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(tokens("text")).cast("long").alias("ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"))
+        .cast("long")
+        .alias("bpe_ish_tokens"),
+    )
+
+
+@register(
     "q_dedup_exact",
     """
     SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
