@@ -365,6 +365,78 @@ def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_window_range_frame",
+    f"""
+    SELECT event_id, user_id,
+      CAST(SUM({CENTS.format(c='value')}) OVER (
+        PARTITION BY user_id ORDER BY epoch(ts)
+        RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS cents_last_hour
+    FROM events
+    """,
+    doc="RANGE-frame window: per-user trailing-1-hour sum keyed on event "
+    "time (vs the ROWS frame of q_window_analytics) — the batch twin of "
+    "a sliding stream aggregate.",
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.sum(cents("value")).over(w).alias("cents_last_hour"),
+    )
+
+
+@register(
+    "q_shipping_priority",
+    f"""
+    SELECT o_orderkey, o_orderdate,
+      CAST(SUM({CENTS.format(c='l_extendedprice')} *
+               (100 - {CENTS.format(c='l_discount')})) AS DOUBLE)/10000
+        AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+    doc="TPC-H Q3 shape (shipping priority): selective dim filter + "
+    "two-level join + group + top-10 — filters push to every scan, "
+    "customer broadcasts, ordering ties broken by key.",
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1995-03-15"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1995-03-15"
+    )
+    revenue = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg((F.sum(revenue).cast("double") / 10000).alias("revenue"))
+        .select("o_orderkey", "o_orderdate", "revenue")
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
     "q_percentiles",
     """
     SELECT event_type,
