@@ -351,6 +351,38 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(docs, bits=16)
 
 
+@register(
+    "q_mad_udaf",
+    """
+    SELECT event_type, median(value) AS med, mad(value) AS mad
+    FROM events GROUP BY event_type
+    """,
+    doc="Custom UDAF surface (SURVEY.md §2.10): median absolute deviation "
+    "has no Spark built-in, so it runs as an Arrow grouped-map "
+    "(applyInPandas) — one pandas frame per group, O(group) state. "
+    "pandas' interpolated median is bit-identical to DuckDB's "
+    "median()/mad(), so even the UDF path keeps a value oracle.",
+)
+def q_mad_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    events = load_table(spark, sf_dir, "events")
+
+    def mad(pdf: pd.DataFrame) -> pd.DataFrame:
+        med = pdf["value"].median()
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "med": [med],
+                "mad": [(pdf["value"] - med).abs().median()],
+            }
+        )
+
+    return events.select("event_type", "value").groupBy("event_type").applyInPandas(
+        mad, "event_type string, med double, mad double"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
