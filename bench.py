@@ -33,11 +33,30 @@ def main() -> None:
     qs = entrymod.queries()
 
     spark = get_spark(app_name="nexus-bench", master=f"local[{cpus}]")
-    # Warm the JVM + parquet footers once so per-query numbers measure the
-    # query, not first-touch costs.
+    # Warm-up: run a few representative query *shapes* at the smallest SF
+    # so JIT/codegen compilation and parquet footer reads happen before the
+    # clock starts — measured numbers then reflect the query, not
+    # first-touch JVM costs. (Shapes: scan+window, pair join + HOF compute,
+    # LSH pipeline, star join.)
     from nexus_event_stream_spark.io import load_table
 
     load_table(spark, sf_dir, "lineitem").write.format("noop").mode("overwrite").save()
+    warm_sf = "/root/testdata/sf0.001"
+    # q_mad_udaf warms the Python/Arrow worker pool for UDF-path queries.
+    for warm_q in (
+        "q_latest_state",
+        "q_join_star",
+        "q_embed_neardup",
+        "q_minhash_lsh",
+        "q_mad_udaf",
+    ):
+        if warm_q in qs:
+            try:
+                qs[warm_q](spark, warm_sf).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:
+                pass
 
     per_query: dict[str, float] = {}
     total = 0.0
