@@ -432,12 +432,52 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_top1_per_vector_blocked(emb, block_col="label")
 
 
+def _sql_ann_lsh(dim: int = 64, bits: int = 6, seed: int = 42) -> str:
+    """SQL twin of ann_topk_per_vector: the seeded hyperplanes are emitted
+    as literal arrays, and each dot product is the same left-to-right fold
+    Spark's ``aggregate`` performs, so the sign bits — and therefore the
+    buckets, candidates, and cosines — are bit-identical.
+    """
+    from nexus_event_stream_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, bits, seed)
+    bit_terms = []
+    for j, plane in enumerate(planes):
+        arr = "[" + ", ".join(repr(x) for x in plane) + "]"
+        dot = (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(list_zip(e, {arr}), "
+            "p -> CAST(p[1] AS DOUBLE) * p[2])), (a, b) -> a + b)"
+        )
+        bit_terms.append(
+            f"CASE WHEN {dot} >= 0 THEN CAST({2**j} AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END"
+        )
+    bucket = " + ".join(bit_terms)
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding AS e, {SQL_NORM.format(a='embedding')} AS nn
+      FROM embeddings),
+    b AS (
+      SELECT vec_id, e, nn, {bucket} AS bkt FROM v),
+    p AS (
+      SELECT a.vec_id AS vec_id, b2.vec_id AS neighbor_id,
+        {sql_cosine('a.e', 'b2.e', 'a.nn', 'b2.nn')} AS cosine
+      FROM b a JOIN b b2 ON a.bkt = b2.bkt AND a.vec_id <> b2.vec_id)
+    SELECT vec_id, neighbor_id, cosine, CAST(rn AS INTEGER) AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM p) WHERE rn <= 1
+    """
+
+
 @register(
     "q_ann_lsh",
-    None,
-    doc="Approximate NN per vector via sign-random-projection LSH buckets "
-    "(seeded hyperplanes). Rows-only check: the hyperplane constants are "
-    "not reasonably expressible in SQL.",
+    _sql_ann_lsh(),
+    doc="Approximate NN per vector via sign-random-projection LSH buckets. "
+    "Fully value-verified: the seeded hyperplanes enter the oracle as "
+    "literal arrays and both engines fold the projection dot products "
+    "in the same order, so buckets and results are bit-identical.",
 )
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
