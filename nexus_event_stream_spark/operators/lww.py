@@ -77,21 +77,51 @@ def lww_merge_batch(
     """Merge a micro-batch of events into an existing view (MERGE emulation).
 
     Without Delta's MERGE INTO, the incremental fold is: reduce the batch to
-    its own latest-per-key, anti-join the view against batch keys (dropping
-    superseded rows), union the surviving upserts. Equivalent to re-folding
-    history, but touches only |view| + |batch| rows. Used by the streaming
-    projection's ``foreachBatch`` (SURVEY.md §3.2).
+    its own latest-per-key, full-outer-join it against the view on the key,
+    and pick the LWW winner per key by lexicographic (ts, *tiebreak)
+    comparison. Touches only |view| + |batch| rows — one shuffle on the key
+    — yet is provably equivalent to re-folding all history (property-tested
+    in tests/test_properties.py), so cross-batch out-of-order arrival is
+    harmless, not just within-batch.
 
-    Assumes view rows carry no ``action`` column (they are live state) and
-    batch rows do. LWW-on-timestamp makes the merge order-insensitive, so
-    at-least-once replay is harmless (consumer.go:46-51 semantics).
+    Winner rules per key:
+    - key only in view  → view row survives;
+    - key only in batch → batch row applies (upsert) unless it's a delete
+      (delete of a never-seen key: silent no-op, signal_test.go:116-130);
+    - both → greater (ts, tiebreak) wins; a batch event with a NULL
+      timestamp wins unconditionally (the reference's 2-key delete envelope
+      carries no timestamps and applies on arrival — signals.py:83-88);
+    - if the winner is a delete, the key is evicted.
+
+    At-least-once replay is harmless: a replayed event compares equal and
+    produces the same row (consumer.go:46-51 semantics, made structural).
     """
     batch_latest = latest_state(batch, key=key, ts_col=ts_col, tiebreak=tiebreak)
-    upserts = batch_latest.filter(F.col(action_col) != F.lit(delete_marker)).drop(
-        action_col
+    keys = list(key)
+    view_cols = view.columns  # VIEW_SCHEMA order, no action column
+
+    v = view.alias("v")
+    b = batch_latest.alias("b")
+    joined = v.join(b, on=[F.col(f"v.{k}").eqNullSafe(F.col(f"b.{k}")) for k in keys], how="full_outer")
+
+    order_cols = [ts_col, *tiebreak]
+    b_ord = F.struct(*[F.col(f"b.{c}") for c in order_cols])
+    v_ord = F.struct(*[F.col(f"v.{c}") for c in order_cols])
+    b_present = F.col(f"b.{keys[0]}").isNotNull()
+    v_present = F.col(f"v.{keys[0]}").isNotNull()
+    batch_wins = b_present & (
+        ~v_present | F.col(f"b.{ts_col}").isNull() | (b_ord >= v_ord)
     )
-    # A view row survives only if the batch's latest event for its key is
-    # not newer. Simplification used here (matching the reference, where any
-    # event for a key overwrites the hash): batch always wins on key match.
-    survivors = view.join(batch_latest.select(*key), on=list(key), how="left_anti")
-    return survivors.unionByName(upserts)
+
+    merged = joined.select(
+        batch_wins.alias("__bw"),
+        F.when(batch_wins, F.col(f"b.{action_col}")).alias("__action"),
+        *[
+            F.when(batch_wins, F.col(f"b.{c}")).otherwise(F.col(f"v.{c}")).alias(c)
+            for c in view_cols
+        ],
+    )
+    live = merged.filter(
+        (~F.col("__bw")) | (F.col("__action") != F.lit(delete_marker))
+    )
+    return live.select(*view_cols)

@@ -352,6 +352,62 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_kmv_distinct",
+    f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+        {SQL_STR_HASH.format(s="CAST(user_id AS VARCHAR)")} AS hv
+      FROM events),
+    r AS (
+      SELECT event_type, hv,
+        row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rk,
+        COUNT(*) OVER (PARTITION BY event_type) AS n_distinct_hashes
+      FROM h)
+    SELECT event_type,
+      CAST(n_distinct_hashes AS BIGINT) AS exact_distinct,
+      CASE WHEN n_distinct_hashes >= 16
+           THEN (16 - 1) * {M}.0 / hv
+           ELSE CAST(n_distinct_hashes AS DOUBLE) END AS kmv_estimate
+    FROM r WHERE rk = LEAST(16, n_distinct_hashes)
+    """,
+    doc="K-minimum-values distinct sketch (k=16) — the deterministic, "
+    "engine-portable alternative to HLL: estimate = (k-1)·M / h_(k) over "
+    "portable-hashed keys. Unlike q_approx_distinct this sketch is fully "
+    "value-verified; at scale the k smallest hashes per group come from "
+    "a partial top-k (no full shuffle of distinct values needed).",
+)
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from nexus_event_stream_spark.functions.text import portable_string_hash
+
+    events = load_table(spark, sf_dir, "events")
+    h = events.select(
+        "event_type",
+        portable_string_hash(F.col("user_id").cast("string")).alias("hv"),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("hv")
+    wc = Window.partitionBy("event_type")
+    r = h.select(
+        "event_type",
+        "hv",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wc).alias("n_distinct_hashes"),
+    )
+    k = 16
+    est = F.when(
+        F.col("n_distinct_hashes") >= k,
+        (F.lit(k - 1) * F.lit(float(M))) / F.col("hv"),
+    ).otherwise(F.col("n_distinct_hashes").cast("double"))
+    return r.filter(
+        F.col("rk") == F.least(F.lit(k), F.col("n_distinct_hashes"))
+    ).select(
+        "event_type",
+        F.col("n_distinct_hashes").cast("long").alias("exact_distinct"),
+        est.alias("kmv_estimate"),
+    )
+
+
+@register(
     "q_mad_udaf",
     """
     SELECT event_type, median(value) AS med, mad(value) AS mad

@@ -1,0 +1,122 @@
+"""Property-based tests (hypothesis) for the LWW fold — the reference's
+central invariants, checked over generated event histories:
+
+- order-insensitivity: any permutation of the history folds to the same
+  view (the property that replaces the reference's single-partition
+  ordering dependency);
+- incremental merge ≡ full re-fold for any split point;
+- idempotency under duplication.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from nexus_event_stream_spark.operators.lww import (
+    latest_live_state,
+    lww_merge_batch,
+)
+from nexus_event_stream_spark.schemas import EVENT_SCHEMA
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def spark_mod(spark):
+    return spark
+
+
+events_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["created", "updated", "deleted"]),
+        st.sampled_from(["k1", "k2", "k3"]),  # few keys → collisions likely
+        st.integers(min_value=0, max_value=50),  # ts seconds
+        st.integers(min_value=0, max_value=10**6),  # unique seq
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+def to_rows(events):
+    # title encodes the unique seq → a total tiebreak inside equal ts
+    return [
+        (
+            action,
+            key,
+            f"t{seq:07d}",
+            "c",
+            "High",
+            "a",
+            dt.datetime(2026, 1, 1),
+            dt.datetime(2026, 1, 1, 0, 0, ts),
+        )
+        for action, key, ts, seq in events
+    ]
+
+
+def fold(spark, rows):
+    df = spark.createDataFrame(rows, EVENT_SCHEMA)
+    out = latest_live_state(
+        df, key=["id"], ts_col="updated_at", tiebreak=["title"]
+    )
+    return {(r["id"], r["title"]) for r in out.collect()}
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=events_strategy, seed=st.randoms())
+def test_fold_is_order_insensitive(spark_mod, events, seed):
+    rows = to_rows(events)
+    shuffled = rows[:]
+    seed.shuffle(shuffled)
+    assert fold(spark_mod, rows) == fold(spark_mod, shuffled)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=events_strategy, split=st.integers(min_value=0, max_value=12))
+def test_incremental_merge_equals_full_fold(spark_mod, events, split):
+    rows = to_rows(events)
+    split = min(split, len(rows))
+    history, batch = rows[:split], rows[split:]
+    if not batch:
+        return
+    hist_df = spark_mod.createDataFrame(history, EVENT_SCHEMA) if history else None
+    view = (
+        latest_live_state(hist_df, key=["id"], ts_col="updated_at", tiebreak=["title"])
+        if hist_df is not None
+        else spark_mod.createDataFrame([], latest_live_state(
+            spark_mod.createDataFrame([to_rows([("created", "k1", 0, 0)])[0]], EVENT_SCHEMA),
+            key=["id"], ts_col="updated_at", tiebreak=["title"],
+        ).schema)
+    )
+    merged = lww_merge_batch(
+        view,
+        spark_mod.createDataFrame(batch, EVENT_SCHEMA),
+        key=["id"],
+        ts_col="updated_at",
+        tiebreak=["title"],
+    )
+    got = {(r["id"], r["title"]) for r in merged.collect()}
+    assert got == fold(spark_mod, rows)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=events_strategy)
+def test_fold_idempotent_under_duplication(spark_mod, events):
+    rows = to_rows(events)
+    assert fold(spark_mod, rows) == fold(spark_mod, rows + rows)
