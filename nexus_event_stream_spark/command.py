@@ -1,0 +1,108 @@
+"""Command side — the control plane's write API, event-log-first.
+
+The reference persists Signals in PostgreSQL and publishes domain events
+after commit (control-plane/nexus/core/signals.py:58-88). In this engine
+the event log IS the source of truth (SURVEY.md §2.1 "transactional
+outbox" row): a command appends an envelope to the log (a local JSON-lines
+directory consumed by ``sources.file_event_stream``, or Kafka via
+``sources.kafka_sink`` in production) and the streaming projection folds
+it into the serving view.
+
+Envelope parity (FIXTURES.md §1):
+- ``action`` ∈ created/updated/deleted;
+- priority stored as the display string (Low/Medium/High — signals.py:51);
+- timestamps ISO-8601 with offset (signals.py:53-54);
+- delete envelope is exactly ``{action, id}`` (tests.py:134-139);
+- one file per command batch ≈ one producer flush; files appear atomically
+  (write-then-rename) so a concurrent stream never reads half a batch.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import tempfile
+import uuid
+
+from nexus_event_stream_spark.schemas import PRIORITY_SCORES
+
+PRIORITY_DISPLAY = {v: k for k, v in PRIORITY_SCORES.items()}
+
+
+class SignalCommands:
+    """Append-only command API over a local JSON-lines event log."""
+
+    def __init__(self, log_dir: str, author: str = "system"):
+        self.log_dir = log_dir
+        self.author = author
+        self._state: dict[str, dict] = {}  # id → last written entity fields
+        os.makedirs(log_dir, exist_ok=True)
+        self._seq = 0
+
+    # -- internals ----------------------------------------------------------
+
+    def _now(self) -> str:
+        return dt.datetime.now(dt.timezone.utc).isoformat()
+
+    def _append(self, payload: dict) -> None:
+        self._seq += 1
+        name = f"cmd-{self._seq:08d}"
+        fd, tmp = tempfile.mkstemp(dir=self.log_dir, prefix=f".{name}")
+        with os.fdopen(fd, "w") as fh:
+            fh.write(json.dumps(payload) + "\n")
+        os.replace(tmp, os.path.join(self.log_dir, f"{name}.json"))
+
+    # -- commands (viewset create/update/destroy analogues) -----------------
+
+    def create(
+        self,
+        title: str,
+        content: str,
+        priority: int = 1,
+        author: str | None = None,
+    ) -> str:
+        """POST /signals — returns the new entity id (uuid4, models.py:21).
+
+        ``priority`` is the integer code (1/2/3, default Low=1,
+        models.py:32-35); the event carries the display string.
+        """
+        if priority not in PRIORITY_DISPLAY:
+            raise ValueError(f"priority must be one of {sorted(PRIORITY_DISPLAY)}")
+        id_ = str(uuid.uuid4())
+        now = self._now()
+        fields = {
+            "id": id_,
+            "title": title,
+            "content": content,
+            "priority": PRIORITY_DISPLAY[priority],
+            "author": author or self.author,
+            "created_at": now,
+            "updated_at": now,
+        }
+        self._state[id_] = fields
+        self._append({"action": "created", **fields})
+        return id_
+
+    def update(self, id_: str, **changes) -> None:
+        """PUT/PATCH /signals/{id} — full envelope republished with a fresh
+        updated_at (auto_now, models.py:38)."""
+        if id_ not in self._state:
+            raise KeyError(id_)
+        fields = dict(self._state[id_])
+        if "priority" in changes:
+            changes["priority"] = PRIORITY_DISPLAY[changes["priority"]]
+        for k, v in changes.items():
+            if k not in fields or k in ("id", "created_at"):
+                raise ValueError(f"cannot update field {k!r}")
+            fields[k] = v
+        fields["updated_at"] = self._now()
+        self._state[id_] = fields
+        self._append({"action": "updated", **fields})
+
+    def delete(self, id_: str) -> None:
+        """DELETE /signals/{id} — 2-key envelope (tests.py:134-139)."""
+        if id_ not in self._state:
+            raise KeyError(id_)
+        del self._state[id_]
+        self._append({"action": "deleted", "id": id_})

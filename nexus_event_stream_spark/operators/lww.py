@@ -27,8 +27,14 @@ from pyspark.sql import functions as F
 
 
 def _latest_window(key: Sequence[str], ts_col: str, tiebreak: Sequence[str]):
-    order: list[Column] = [F.col(ts_col).desc()]
-    order += [F.col(c).desc() for c in tiebreak]
+    # NULLS FIRST under desc: an event without a timestamp ranks as the
+    # latest. The reference's 2-key delete envelope carries no timestamps
+    # (tests.py:134-139) and applies on arrival — within a micro-batch
+    # "arrival" degrades to "wins the fold", consistent with the
+    # null-ts-wins rule in lww_merge_batch. Timestamped events (all of the
+    # driver catalog) are unaffected.
+    order: list[Column] = [F.col(ts_col).desc_nulls_first()]
+    order += [F.col(c).desc_nulls_first() for c in tiebreak]
     return Window.partitionBy(*key).orderBy(*order)
 
 
@@ -62,47 +68,60 @@ def latest_live_state(
     discriminator is dropped from the view (domain/signal.go:34-44).
     """
     latest = latest_state(df, key=key, ts_col=ts_col, tiebreak=tiebreak)
-    return latest.filter(F.col(action_col) != F.lit(delete_marker)).drop(action_col)
+    return live_view(latest, action_col=action_col, delete_marker=delete_marker)
+
+
+def live_view(
+    state: DataFrame,
+    action_col: str = "action",
+    delete_marker: str = "deleted",
+) -> DataFrame:
+    """Serving projection of a state table: tombstones out, action dropped
+    (domain/signal.go:34-44 — the stored hash has no action field)."""
+    return state.filter(
+        F.col(action_col).isNull() | (F.col(action_col) != F.lit(delete_marker))
+    ).drop(action_col)
 
 
 def lww_merge_batch(
-    view: DataFrame,
+    state: DataFrame,
     batch: DataFrame,
     key: Sequence[str] = ("id",),
     ts_col: str = "updated_at",
     tiebreak: Sequence[str] = (),
     action_col: str = "action",
-    delete_marker: str = "deleted",
 ) -> DataFrame:
-    """Merge a micro-batch of events into an existing view (MERGE emulation).
+    """Merge a micro-batch of events into the keyed STATE table (MERGE
+    emulation). The state keeps one row per key *including delete
+    tombstones* — without them, a delete followed (in arrival order) by an
+    older out-of-order create would resurrect the entity; with them the
+    merge is provably equivalent to re-folding all history for any batch
+    split (property-tested in tests/test_properties.py). Serving reads go
+    through ``live_view``.
 
-    Without Delta's MERGE INTO, the incremental fold is: reduce the batch to
-    its own latest-per-key, full-outer-join it against the view on the key,
-    and pick the LWW winner per key by lexicographic (ts, *tiebreak)
-    comparison. Touches only |view| + |batch| rows — one shuffle on the key
-    — yet is provably equivalent to re-folding all history (property-tested
-    in tests/test_properties.py), so cross-batch out-of-order arrival is
-    harmless, not just within-batch.
-
-    Winner rules per key:
-    - key only in view  → view row survives;
-    - key only in batch → batch row applies (upsert) unless it's a delete
-      (delete of a never-seen key: silent no-op, signal_test.go:116-130);
-    - both → greater (ts, tiebreak) wins; a batch event with a NULL
-      timestamp wins unconditionally (the reference's 2-key delete envelope
-      carries no timestamps and applies on arrival — signals.py:83-88);
-    - if the winner is a delete, the key is evicted.
-
+    Mechanics: reduce the batch to its latest-per-key, full-outer-join
+    against the state, pick the per-key winner by lexicographic
+    (ts, *tiebreak) comparison — one shuffle over |state| + |batch| rows.
+    A batch event with a NULL timestamp wins unconditionally (the 2-key
+    delete envelope carries none and applies on arrival, signals.py:83-88).
     At-least-once replay is harmless: a replayed event compares equal and
-    produces the same row (consumer.go:46-51 semantics, made structural).
+    yields the same row (consumer.go:46-51 semantics, made structural).
+
+    Tombstone GC at scale: tombstones only matter within the maximum
+    out-of-order horizon (the streaming watermark); a periodic compaction
+    can drop tombstones older than that horizon, bounding state size.
     """
     batch_latest = latest_state(batch, key=key, ts_col=ts_col, tiebreak=tiebreak)
     keys = list(key)
-    view_cols = view.columns  # VIEW_SCHEMA order, no action column
+    state_cols = state.columns  # action + entity fields
 
-    v = view.alias("v")
+    v = state.alias("v")
     b = batch_latest.alias("b")
-    joined = v.join(b, on=[F.col(f"v.{k}").eqNullSafe(F.col(f"b.{k}")) for k in keys], how="full_outer")
+    joined = v.join(
+        b,
+        on=[F.col(f"v.{k}").eqNullSafe(F.col(f"b.{k}")) for k in keys],
+        how="full_outer",
+    )
 
     order_cols = [ts_col, *tiebreak]
     b_ord = F.struct(*[F.col(f"b.{c}") for c in order_cols])
@@ -113,15 +132,9 @@ def lww_merge_batch(
         ~v_present | F.col(f"b.{ts_col}").isNull() | (b_ord >= v_ord)
     )
 
-    merged = joined.select(
-        batch_wins.alias("__bw"),
-        F.when(batch_wins, F.col(f"b.{action_col}")).alias("__action"),
+    return joined.select(
         *[
             F.when(batch_wins, F.col(f"b.{c}")).otherwise(F.col(f"v.{c}")).alias(c)
-            for c in view_cols
-        ],
+            for c in state_cols
+        ]
     )
-    live = merged.filter(
-        (~F.col("__bw")) | (F.col("__action") != F.lit(delete_marker))
-    )
-    return live.select(*view_cols)

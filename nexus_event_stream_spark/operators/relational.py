@@ -128,10 +128,15 @@ def band_join(
     for tiny interval dims. (For large interval tables, bucketize the range
     key and equi-join on the bucket first.)
     """
+    from nexus_event_stream_spark.io import spread
+
     spark = df.sparkSession
     dim = spark.createDataFrame(
         [(name, float(lo), float(hi)) for name, lo, hi in bands],
         "band string, lo double, hi double",
     )
     cond = (F.col(value_col) >= F.col("lo")) & (F.col(value_col) < F.col("hi"))
-    return df.join(F.broadcast(dim), cond, "left").drop("lo", "hi")
+    # BNLJ probes every row against every band — spread the probe side so
+    # the nested loop runs on all cores (single-file scans arrive as one
+    # partition locally).
+    return spread(df).join(F.broadcast(dim), cond, "left").drop("lo", "hi")

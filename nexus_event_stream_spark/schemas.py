@@ -39,6 +39,12 @@ EVENT_SCHEMA = T.StructType(
 #: the event minus the ``action`` discriminator.
 VIEW_SCHEMA = T.StructType([f for f in EVENT_SCHEMA.fields if f.name != "action"])
 
+#: Keyed state table behind the view: latest event per key INCLUDING delete
+#: tombstones (operators/lww.py — tombstones make the incremental merge
+#: equivalent to a full re-fold under out-of-order arrival). The serving
+#: view is ``live_view(state)``: tombstones filtered, action dropped.
+STATE_SCHEMA = EVENT_SCHEMA
+
 #: Priority display-string → index score (projection/signal.go:21-25).
 #: Unknown values score 0 (Go zero value) — a documented quirk we preserve.
 PRIORITY_SCORES = {"Low": 1, "Medium": 2, "High": 3}

@@ -39,7 +39,7 @@ class SignalService:
     store: ParquetViewStore
 
     def _view(self) -> DataFrame | None:
-        return self.store.read(self.spark)
+        return self.store.read_live(self.spark)
 
     def list(self, priority: str | None = None) -> list[Row]:
         view = self._view()

@@ -55,6 +55,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
+        # Scan splits follow parquet row-group boundaries, so sub-row-group
+        # maxPartitionBytes buys nothing on single-row-group local files
+        # (measured): keep the cluster-appropriate default; compute-heavy
+        # operators parallelize explicitly via io.spread().
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         # Driver testdata stores TIMESTAMP(NANOS) parquet, which Spark only
         # reads as BIGINT; io.load_table converts ns→µs timestamps.

@@ -35,10 +35,17 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
-from nexus_event_stream_spark.operators.lww import latest_live_state, lww_merge_batch
-from nexus_event_stream_spark.schemas import VIEW_SCHEMA
+from nexus_event_stream_spark.operators.lww import (
+    latest_state,
+    live_view,
+    lww_merge_batch,
+)
+from nexus_event_stream_spark.schemas import STATE_SCHEMA
 
 POINTER = "_CURRENT"
+
+#: Tiebreak making the per-key order total when updated_at collides.
+_TIEBREAK = ("created_at", "title")
 
 
 class ParquetViewStore:
@@ -76,12 +83,18 @@ class ParquetViewStore:
     # -- read/write ---------------------------------------------------------
 
     def read(self, spark: SparkSession) -> DataFrame | None:
+        """Full state table (latest event per key, tombstones included)."""
         cur = self.current()
         if cur is None:
             return None
-        return spark.read.schema(VIEW_SCHEMA).parquet(
+        return spark.read.schema(STATE_SCHEMA).parquet(
             os.path.join(self.path, f"v={cur['version']}")
         )
+
+    def read_live(self, spark: SparkSession) -> DataFrame | None:
+        """Serving view: tombstones filtered, action column dropped."""
+        state = self.read(spark)
+        return None if state is None else live_view(state)
 
     def write(self, df: DataFrame, epoch: int | None = None) -> int:
         cur = self.current()
@@ -115,21 +128,21 @@ def apply_batch(
     cur = store.current()
     if cur is not None and cur.get("epoch") is not None and epoch <= cur["epoch"]:
         return  # already applied
-    view = store.read(spark)
-    if view is None:
-        merged = latest_live_state(
-            batch, key=["id"], ts_col="updated_at", tiebreak=["created_at", "title"]
+    state = store.read(spark)
+    if state is None:
+        merged = latest_state(
+            batch, key=["id"], ts_col="updated_at", tiebreak=list(_TIEBREAK)
         )
     else:
         merged = lww_merge_batch(
-            view,
+            state,
             batch,
             key=["id"],
             ts_col="updated_at",
-            tiebreak=["created_at", "title"],
+            tiebreak=list(_TIEBREAK),
         )
     # Materialize via the store (new snapshot dir) — never in-place.
-    store.write(merged.select(*[f.name for f in VIEW_SCHEMA.fields]), epoch)
+    store.write(merged.select(*[f.name for f in STATE_SCHEMA.fields]), epoch)
 
 
 def start_projection(

@@ -1,0 +1,79 @@
+"""Full CQRS loop, end-to-end: command API → event log → streaming
+projection → serving (list/get/health + HTTP) — the complete reference
+topology collapsed into one engine.
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+import pytest
+
+from nexus_event_stream_spark.command import SignalCommands
+from nexus_event_stream_spark.serving import NotFoundError, SignalService
+from nexus_event_stream_spark.serving_http import serve
+from nexus_event_stream_spark.sources.streams import file_event_stream, parse_events
+from nexus_event_stream_spark.streaming.projection import (
+    ParquetViewStore,
+    start_projection,
+)
+
+
+def test_full_cqrs_loop(spark, tmp_path):
+    log_dir = str(tmp_path / "log")
+    cmds = SignalCommands(log_dir, author="otavio")
+
+    # -- command side: create / update / delete through the write API
+    a = cmds.create("Server Alert", "CPU at 95%", priority=3)
+    b = cmds.create("Disk notice", "disk 70%", priority=1)
+    cmds.update(a, content="CPU at 99%")
+    c = cmds.create("Net flap", "eth0 flapping", priority=2)
+    cmds.delete(b)
+
+    # -- projection: stream the log into the LWW view
+    events = parse_events(file_event_stream(spark, log_dir))
+    store = ParquetViewStore(str(tmp_path / "view"))
+    q = start_projection(spark, events, store.path, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    # -- serve: library API
+    svc = SignalService(spark, store)
+    rows = {r["id"]: r for r in svc.list()}
+    assert set(rows) == {a, c}
+    assert rows[a]["content"] == "CPU at 99%"  # update applied
+    assert rows[a]["priority"] == "High"  # code 3 → display string
+    with pytest.raises(NotFoundError):
+        svc.get(b)  # deleted
+
+    # priority filter + unknown-priority quirk, through HTTP
+    server = serve(svc)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        with urllib.request.urlopen(f"{base}/signals?priority=Medium") as resp:
+            body = json.load(resp)
+        assert [r["id"] for r in body] == [c]
+        with urllib.request.urlopen(f"{base}/health") as resp:
+            assert json.load(resp)["rows"] == 2
+    finally:
+        server.shutdown()
+
+    # -- late command, second projection run (checkpoint resume)
+    cmds.update(c, priority=3)
+    events2 = parse_events(file_event_stream(spark, log_dir))
+    q2 = start_projection(spark, events2, store.path, str(tmp_path / "ckpt"))
+    q2.processAllAvailable()
+    q2.stop()
+    assert SignalService(spark, store).get(c)["priority"] == "High"
+
+
+def test_command_validation(tmp_path):
+    cmds = SignalCommands(str(tmp_path / "log"))
+    with pytest.raises(ValueError):
+        cmds.create("t", "c", priority=9)  # unknown code
+    i = cmds.create("t", "c")
+    with pytest.raises(ValueError):
+        cmds.update(i, created_at="2020-01-01")  # immutable field
+    with pytest.raises(KeyError):
+        cmds.delete("ghost")

@@ -12,7 +12,7 @@ import urllib.request
 import pytest
 
 from nexus_event_stream_spark.cli import main as cli_main, render_list
-from nexus_event_stream_spark.schemas import VIEW_SCHEMA
+from nexus_event_stream_spark.schemas import STATE_SCHEMA
 from nexus_event_stream_spark.serving import SignalService
 from nexus_event_stream_spark.serving_http import serve
 from nexus_event_stream_spark.streaming.projection import ParquetViewStore
@@ -22,14 +22,14 @@ UTC = dt.timezone.utc
 
 def vrow(id_, priority="High", day=23, title=None):
     ts = dt.datetime(2026, 2, day, 18, 0, tzinfo=UTC)
-    return (id_, title or f"title-{id_}", "c", priority, "otavio", ts, ts)
+    return ("created", id_, title or f"title-{id_}", "c", priority, "otavio", ts, ts)
 
 
 @pytest.fixture(scope="module")
 def service(spark, tmp_path_factory):
     store = ParquetViewStore(str(tmp_path_factory.mktemp("view")))
     rows = [vrow("s1", "High", 23), vrow("s2", "Low", 22)]
-    store.write(spark.createDataFrame(rows, VIEW_SCHEMA), epoch=0)
+    store.write(spark.createDataFrame(rows, STATE_SCHEMA), epoch=0)
     return SignalService(spark, store)
 
 

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from nexus_event_stream_spark.operators.lww import (
     latest_live_state,
     latest_state,
+    live_view,
     lww_merge_batch,
 )
 from nexus_event_stream_spark.schemas import EVENT_SCHEMA, VIEW_SCHEMA
@@ -106,7 +107,8 @@ def test_latest_state_tiebreak_deterministic(spark):
 
 
 def test_incremental_merge_equals_full_fold(spark):
-    """foreachBatch merge path ≡ re-folding all history (SURVEY.md §3.2)."""
+    """foreachBatch merge path ≡ re-folding all history (SURVEY.md §3.2).
+    The state table keeps tombstones; the live view filters them."""
     history = [
         ev("created", "s1", 0, title="s1v1"),
         ev("created", "s2", 1),
@@ -117,10 +119,13 @@ def test_incremental_merge_equals_full_fold(spark):
         ev("updated", "s1", 4, title="s1v3"),
         ev("created", "s3", 5),
     ]
-    view = latest_live_state(make_events(spark, history))
-    merged = lww_merge_batch(view, make_events(spark, batch))
+    state = latest_state(make_events(spark, history), key=["id"])
+    merged = lww_merge_batch(state, make_events(spark, batch))
+    live = live_view(merged)
     full = latest_live_state(make_events(spark, history + batch))
-    assert sorted(merged.columns) == sorted([f.name for f in VIEW_SCHEMA.fields])
-    got = {(r["id"], r["title"]) for r in merged.collect()}
+    assert sorted(live.columns) == sorted([f.name for f in VIEW_SCHEMA.fields])
+    # tombstone retained in state, absent from the live view
+    assert {r["id"] for r in merged.collect()} == {"s1", "s2", "s3"}
+    got = {(r["id"], r["title"]) for r in live.collect()}
     want = {(r["id"], r["title"]) for r in full.collect()}
     assert got == want == {("s1", "s1v3"), ("s3", "Server Alert")}

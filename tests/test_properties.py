@@ -17,6 +17,8 @@ from hypothesis import strategies as st
 
 from nexus_event_stream_spark.operators.lww import (
     latest_live_state,
+    latest_state,
+    live_view,
     lww_merge_batch,
 )
 from nexus_event_stream_spark.schemas import EVENT_SCHEMA
@@ -91,23 +93,18 @@ def test_incremental_merge_equals_full_fold(spark_mod, events, split):
     history, batch = rows[:split], rows[split:]
     if not batch:
         return
-    hist_df = spark_mod.createDataFrame(history, EVENT_SCHEMA) if history else None
-    view = (
-        latest_live_state(hist_df, key=["id"], ts_col="updated_at", tiebreak=["title"])
-        if hist_df is not None
-        else spark_mod.createDataFrame([], latest_live_state(
-            spark_mod.createDataFrame([to_rows([("created", "k1", 0, 0)])[0]], EVENT_SCHEMA),
-            key=["id"], ts_col="updated_at", tiebreak=["title"],
-        ).schema)
+    hist_df = spark_mod.createDataFrame(history or [], EVENT_SCHEMA)
+    state = latest_state(
+        hist_df, key=["id"], ts_col="updated_at", tiebreak=["title"]
     )
     merged = lww_merge_batch(
-        view,
+        state,
         spark_mod.createDataFrame(batch, EVENT_SCHEMA),
         key=["id"],
         ts_col="updated_at",
         tiebreak=["title"],
     )
-    got = {(r["id"], r["title"]) for r in merged.collect()}
+    got = {(r["id"], r["title"]) for r in live_view(merged).collect()}
     assert got == fold(spark_mod, rows)
 
 

@@ -9,7 +9,7 @@ import datetime as dt
 
 import pytest
 
-from nexus_event_stream_spark.schemas import VIEW_SCHEMA
+from nexus_event_stream_spark.schemas import STATE_SCHEMA
 from nexus_event_stream_spark.serving import NotFoundError, SignalService
 from nexus_event_stream_spark.streaming.projection import ParquetViewStore
 
@@ -19,14 +19,14 @@ UTC = dt.timezone.utc
 def seed_store(spark, tmp_path, rows):
     store = ParquetViewStore(str(tmp_path / "view"))
     if rows is not None:
-        df = spark.createDataFrame(rows, VIEW_SCHEMA)
+        df = spark.createDataFrame(rows, STATE_SCHEMA)
         store.write(df, epoch=0)
     return store
 
 
 def vrow(id_, priority="High", day=23):
     ts = dt.datetime(2026, 2, day, 18, 0, tzinfo=UTC)
-    return (id_, "title-" + id_, "c", priority, "otavio", ts, ts)
+    return ("created", id_, "title-" + id_, "c", priority, "otavio", ts, ts)
 
 
 def test_empty_view_lists_empty(spark, tmp_path):

@@ -59,7 +59,7 @@ def run_stream(spark, src, view, ckpt):
 
 
 def view_rows(spark, view):
-    df = ParquetViewStore(view).read(spark)
+    df = ParquetViewStore(view).read_live(spark)
     return {} if df is None else {r["id"]: r.asDict() for r in df.collect()}
 
 

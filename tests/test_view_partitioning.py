@@ -6,7 +6,7 @@ import datetime as dt
 
 from pyspark.sql import functions as F
 
-from nexus_event_stream_spark.schemas import VIEW_SCHEMA
+from nexus_event_stream_spark.schemas import STATE_SCHEMA
 from nexus_event_stream_spark.serving import SignalService
 from nexus_event_stream_spark.streaming.projection import ParquetViewStore
 
@@ -15,15 +15,15 @@ UTC = dt.timezone.utc
 
 def vrow(id_, priority):
     ts = dt.datetime(2026, 2, 23, 18, 0, tzinfo=UTC)
-    return (id_, f"t-{id_}", "c", priority, "otavio", ts, ts)
+    return ("created", id_, f"t-{id_}", "c", priority, "otavio", ts, ts)
 
 
 def test_partitioned_store_roundtrip_and_pruning(spark, tmp_path):
     store = ParquetViewStore(str(tmp_path / "view"), partition_by="priority")
     rows = [vrow("s1", "High"), vrow("s2", "Low"), vrow("s3", "High")]
-    store.write(spark.createDataFrame(rows, VIEW_SCHEMA), epoch=0)
+    store.write(spark.createDataFrame(rows, STATE_SCHEMA), epoch=0)
 
-    view = store.read(spark)
+    view = store.read_live(spark)
     assert {r["id"] for r in view.collect()} == {"s1", "s2", "s3"}
 
     filtered = view.filter(F.col("priority") == "High")
