@@ -28,6 +28,7 @@ partitioned by a stable hash of the key to keep per-file sizes bounded.
 
 from __future__ import annotations
 
+import datetime as dt  # noqa: F401 (type reference in compact_tombstones)
 import json
 import os
 import shutil
@@ -143,6 +144,38 @@ def apply_batch(
         )
     # Materialize via the store (new snapshot dir) — never in-place.
     store.write(merged.select(*[f.name for f in STATE_SCHEMA.fields]), epoch)
+
+
+def compact_tombstones(
+    spark: SparkSession,
+    store: ParquetViewStore,
+    horizon: "dt.datetime",
+    ts_col: str = "updated_at",
+) -> int | None:
+    """Drop delete tombstones older than the out-of-order horizon.
+
+    A tombstone only needs to outlive the window in which an out-of-order
+    event for its key could still arrive (the streaming watermark). Running
+    this periodically bounds state size at |live keys| + |recent deletes|.
+    Tombstones with NULL timestamps (2-key envelopes) are retained — they
+    carry no event time, so no horizon can prove them stale; production
+    flows that need them collected should stamp deletes with a broker
+    timestamp at ingest.
+
+    Returns the new snapshot version, or None if there is no state yet.
+    """
+    from pyspark.sql import functions as F
+
+    state = store.read(spark)
+    if state is None:
+        return None
+    keep = state.filter(
+        (F.col("action") != F.lit("deleted"))
+        | F.col(ts_col).isNull()
+        | (F.col(ts_col) >= F.lit(horizon))
+    )
+    cur = store.current()
+    return store.write(keep, cur.get("epoch") if cur else None)
 
 
 def start_projection(

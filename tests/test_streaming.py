@@ -107,6 +107,34 @@ def test_restart_with_checkpoint_resumes_no_duplication(spark, dirs):
     assert ParquetViewStore(view).current()["version"] >= v0
 
 
+def test_tombstone_compaction(spark, dirs):
+    import datetime as dt
+
+    from nexus_event_stream_spark.streaming.projection import compact_tombstones
+
+    src, view, ckpt = dirs
+    write_batch(src, "b0", [
+        event("created", "s1", 1),
+        event("created", "s2", 1),
+        event("deleted", "s2", 2),   # old tombstone (2026-02-23)
+    ])
+    run_stream(spark, src, view, ckpt)
+    store = ParquetViewStore(view)
+    assert {r["id"] for r in store.read(spark).collect()} == {"s1", "s2"}
+
+    # horizon after the tombstone's event time → tombstone collected
+    compact_tombstones(spark, store, dt.datetime(2026, 3, 1))
+    assert {r["id"] for r in store.read(spark).collect()} == {"s1"}
+    # live view unchanged by compaction
+    assert set(view_rows(spark, view)) == {"s1"}
+
+    # horizon before event times → nothing collected
+    write_batch(src, "b1", [event("deleted", "s1", 3)])
+    run_stream(spark, src, view, ckpt)
+    compact_tombstones(spark, store, dt.datetime(2026, 1, 1))
+    assert {r["id"] for r in store.read(spark).collect()} == {"s1"}
+
+
 def test_stream_equals_batch_fold(spark, dirs):
     """Batch LWW over all history ≡ incremental streamed folds (SURVEY §7 M2)."""
     src, view, ckpt = dirs
