@@ -28,7 +28,7 @@ partitioned by a stable hash of the key to keep per-file sizes bounded.
 
 from __future__ import annotations
 
-import datetime as dt  # noqa: F401 (type reference in compact_tombstones)
+import datetime as dt
 import json
 import os
 import shutil
@@ -149,7 +149,7 @@ def apply_batch(
 def compact_tombstones(
     spark: SparkSession,
     store: ParquetViewStore,
-    horizon: "dt.datetime",
+    horizon: dt.datetime,
     ts_col: str = "updated_at",
 ) -> int | None:
     """Drop delete tombstones older than the out-of-order horizon.
@@ -162,20 +162,37 @@ def compact_tombstones(
     flows that need them collected should stamp deletes with a broker
     timestamp at ingest.
 
-    Returns the new snapshot version, or None if there is no state yet.
+    Concurrency contract: compaction is a read-modify-write of the whole
+    snapshot, so it must run from the projection's single writer (between
+    micro-batches, or while the stream is stopped). As a backstop against
+    accidental overlap, the write is skipped if the snapshot version moved
+    while compacting — losing a concurrent epoch's merge would otherwise be
+    silent.
+
+    Returns the new snapshot version; None if there is no state yet, if
+    nothing is collectable (no rewrite — a no-op must not burn a retention
+    slot), or if a concurrent write was detected.
     """
     from pyspark.sql import functions as F
 
+    cur = store.current()
     state = store.read(spark)
     if state is None:
         return None
-    keep = state.filter(
-        (F.col("action") != F.lit("deleted"))
-        | F.col(ts_col).isNull()
-        | (F.col(ts_col) >= F.lit(horizon))
+    stale = (
+        (F.col("action") == F.lit("deleted"))
+        & F.col(ts_col).isNotNull()
+        & (F.col(ts_col) < F.lit(horizon))
     )
-    cur = store.current()
-    return store.write(keep, cur.get("epoch") if cur else None)
+    if state.filter(stale).limit(1).count() == 0:
+        return None
+    # NULL action rows are live (tolerant reader: event with id but no
+    # action) — three-valued logic would silently drop them from a plain
+    # `action != 'deleted'` keep-filter.
+    keep = state.filter(F.col("action").isNull() | ~stale)
+    if store.current() != cur:
+        return None  # a writer committed meanwhile; retry next period
+    return store.write(keep, cur.get("epoch"))
 
 
 def start_projection(

@@ -128,10 +128,12 @@ def test_tombstone_compaction(spark, dirs):
     # live view unchanged by compaction
     assert set(view_rows(spark, view)) == {"s1"}
 
-    # horizon before event times → nothing collected
+    # horizon before event times → nothing collectable → no-op (no rewrite)
     write_batch(src, "b1", [event("deleted", "s1", 3)])
     run_stream(spark, src, view, ckpt)
-    compact_tombstones(spark, store, dt.datetime(2026, 1, 1))
+    v_before = store.current()["version"]
+    assert compact_tombstones(spark, store, dt.datetime(2026, 1, 1)) is None
+    assert store.current()["version"] == v_before
     assert {r["id"] for r in store.read(spark).collect()} == {"s1"}
 
 
