@@ -38,7 +38,14 @@ class SignalCommands:
         self.author = author
         self._state: dict[str, dict] = {}  # id → last written entity fields
         os.makedirs(log_dir, exist_ok=True)
-        self._seq = 0
+        # Resume the sequence after existing log files — the log is the
+        # source of truth, so a restarted writer must never overwrite it.
+        existing = [
+            int(name[4:12])
+            for name in os.listdir(log_dir)
+            if name.startswith("cmd-") and name.endswith(".json")
+        ]
+        self._seq = max(existing, default=0)
 
     # -- internals ----------------------------------------------------------
 

@@ -107,7 +107,6 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("__id"),
         F.split(F.col(text_col), " ").alias("__toks"),
     )
-    # persist: feeds the posting self-join (both sides) and both size joins.
     t = tok.select(
         *block_cols,
         "__id",
@@ -116,9 +115,12 @@ def ngram_jaccard_pairs(
                 ngrams_from_tokens(F.col("__toks"), n), lambda s: F.xxhash64(s)
             )
         ).alias("__g"),
-    ).persist()
+    )
     sizes = t.select(*block_cols, "__id", F.size("__g").alias("__n"))
     posts = t.select(*block_cols, "__id", F.explode("__g").alias("__h"))
+    # no persist: the shared upstream is deduped by Spark's exchange reuse;
+    # an explicit cache measured *slower* (materialization cost) and leaks
+    # storage for the session lifetime
     a, b = posts.alias("a"), posts.alias("b")
     cond = (F.col("a.__h") == F.col("b.__h")) & (F.col("a.__id") < F.col("b.__id"))
     for c in block_cols:
@@ -245,10 +247,11 @@ def minhash_dedup(
     the verify join touches only bucket-colliding pairs.
     """
     rows = num_perm // bands
-    # persist: the signature relation feeds the band self-join (2 sides)
-    # and the verify join (2 sides) — without it the whole hash pipeline
-    # is recomputed 4×, which dominated the first benchmark of this op.
-    sigs = minhash_signatures(docs, num_perm, shingle_n, id_col, text_col).persist()
+    # The signature relation feeds the band self-join (2 sides) and the
+    # verify join (2 sides); Spark's exchange/subplan reuse dedupes the
+    # computation — an explicit persist measured slower (materialization
+    # cost) and leaked cache for the session lifetime.
+    sigs = minhash_signatures(docs, num_perm, shingle_n, id_col, text_col)
     cands = minhash_lsh_candidates(sigs, bands, rows)
     shing = sigs.select("doc_id", "__shingles")
     j = jaccard(F.col("sa.__shingles"), F.col("sb.__shingles"))

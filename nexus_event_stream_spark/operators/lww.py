@@ -115,8 +115,10 @@ def lww_merge_batch(
     keys = list(key)
     state_cols = state.columns  # action + entity fields
 
-    v = state.alias("v")
-    b = batch_latest.alias("b")
+    # Explicit presence flags: key columns can themselves be NULL (the join
+    # uses eqNullSafe), so presence must not be inferred from them.
+    v = state.withColumn("__vp", F.lit(True)).alias("v")
+    b = batch_latest.withColumn("__bp", F.lit(True)).alias("b")
     joined = v.join(
         b,
         on=[F.col(f"v.{k}").eqNullSafe(F.col(f"b.{k}")) for k in keys],
@@ -126,10 +128,16 @@ def lww_merge_batch(
     order_cols = [ts_col, *tiebreak]
     b_ord = F.struct(*[F.col(f"b.{c}") for c in order_cols])
     v_ord = F.struct(*[F.col(f"v.{c}") for c in order_cols])
-    b_present = F.col(f"b.{keys[0]}").isNotNull()
-    v_present = F.col(f"v.{keys[0]}").isNotNull()
+    b_present = F.col("b.__bp").isNotNull()
+    v_present = F.col("v.__vp").isNotNull()
+    b_ts = F.col(f"b.{ts_col}")
+    v_ts = F.col(f"v.{ts_col}")
+    # Null-ts events rank ABOVE any timestamp (the fold's desc_nulls_first):
+    # a null-ts batch event always wins, but a null-ts state row (a 2-key
+    # delete tombstone) also beats any timestamped batch event — otherwise
+    # at-least-once redelivery after a delete would resurrect the entity.
     batch_wins = b_present & (
-        ~v_present | F.col(f"b.{ts_col}").isNull() | (b_ord >= v_ord)
+        ~v_present | b_ts.isNull() | (v_ts.isNotNull() & (b_ord >= v_ord))
     )
 
     return joined.select(

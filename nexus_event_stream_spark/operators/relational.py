@@ -12,6 +12,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(
@@ -36,24 +37,32 @@ def asof_join(
 
     Right rows equal-dated with a left row sort *before* it (tag 0 < 1),
     implementing ≤. Unmatched left rows keep null payload (ASOF LEFT).
+
+    The payload travels as ONE struct through ``last(ignorenulls)`` —
+    per-column fills would stitch fields from *different* right rows
+    whenever a payload value is legitimately NULL (matched-but-NULL must
+    stay NULL, not inherit an older row's value).
     """
     r = right.select(
         F.col(right_key).alias("__k"),
         F.col(right_ts).alias("__t"),
         F.lit(0).alias("__tag"),
         F.col(right_tiebreak).alias("__tb"),
-        *[F.col(c) for c in payload],
+        F.struct(*[F.col(c) for c in payload]).alias("__payload"),
         *[
             F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}")
             for c in left.columns
         ],
+    )
+    payload_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in payload]
     )
     l = left.select(
         F.col(left_key).alias("__k"),
         F.col(left_ts).alias("__t"),
         F.lit(1).alias("__tag"),
         F.lit(None).cast(right.schema[right_tiebreak].dataType).alias("__tb"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload],
+        F.lit(None).cast(payload_type).alias("__payload"),
         *[F.col(c).alias(f"__l_{c}") for c in left.columns],
     )
     merged = r.unionByName(l)
@@ -65,9 +74,15 @@ def asof_join(
     filled = merged.select(
         "__tag",
         *[F.col(f"__l_{c}").alias(c) for c in left.columns],
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload],
+        F.last("__payload", ignorenulls=True).over(w).alias("__p"),
     )
-    return filled.filter(F.col("__tag") == 1).drop("__tag")
+    return (
+        filled.filter(F.col("__tag") == 1)
+        .select(
+            *left.columns,
+            *[F.col(f"__p.{c}").alias(c) for c in payload],
+        )
+    )
 
 
 def sessionize(
@@ -86,8 +101,12 @@ def sessionize(
     """
     w = Window.partitionBy(key).orderBy(F.col(ts_col).asc(), F.col(tiebreak).asc())
     prev_ts = F.lag(ts_col).over(w)
-    gap = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts)
-    is_start = F.when(prev_ts.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    # microsecond integers, NOT unix_timestamp (whole-second truncation
+    # would misclassify sub-second events straddling the gap boundary)
+    gap = F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts)
+    is_start = F.when(
+        prev_ts.isNull() | (gap > gap_seconds * 1_000_000), 1
+    ).otherwise(0)
     run = Window.partitionBy(key).orderBy(
         F.col(ts_col).asc(), F.col(tiebreak).asc()
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)

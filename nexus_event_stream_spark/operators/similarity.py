@@ -210,12 +210,18 @@ def topk_vs_queries_numpy(
             sims = (m @ qmat.T) / (
                 np.linalg.norm(m, axis=1)[:, None] * qnorm[None, :]
             )
-            # per-partition prune: keep only plausible top-k rows per query
+            # per-partition prune: keep the top k+1 rows per query — one
+            # extra because the query's own corpus row (cosine 1.0) may
+            # occupy a slot and is filtered out downstream; pruning to
+            # exactly k could drop the true k-th neighbor
             frames = []
+            kk = k + 1
             for j in range(len(qids)):
                 col = sims[:, j]
                 keep = (
-                    np.argpartition(col, -k)[-k:] if len(col) > k else np.arange(len(col))
+                    np.argpartition(col, -kk)[-kk:]
+                    if len(col) > kk
+                    else np.arange(len(col))
                 )
                 frames.append(
                     pd.DataFrame(

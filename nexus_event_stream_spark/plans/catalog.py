@@ -217,12 +217,13 @@ def q_priority_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "one event_type since the testdata has no bad timestamps.",
 )
 def q_ts_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexus_event_stream_spark.functions.domain import rfc3339_to_unix
+
     events = load_table(spark, sf_dir, "events")
     s = F.when(F.col("event_type") == DELETE_MARKER, F.lit("not-a-timestamp")).otherwise(
         F.col("ts").cast("string")
     )
-    ts_unix = F.coalesce(F.unix_timestamp(F.to_timestamp(s)), F.lit(0)).cast("bigint")
-    return events.select("event_id", ts_unix.alias("ts_unix"))
+    return events.select("event_id", rfc3339_to_unix(s).alias("ts_unix"))
 
 
 @register(

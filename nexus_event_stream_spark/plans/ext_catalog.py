@@ -69,7 +69,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH flagged AS (
       SELECT user_id, ts, event_id,
         CASE WHEN lag(ts) OVER w IS NULL
-               OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
              THEN 1 ELSE 0 END AS is_start
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
@@ -369,14 +369,16 @@ def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT event_id, user_id,
       CAST(SUM({CENTS.format(c='value')}) OVER (
-        PARTITION BY user_id ORDER BY epoch(ts)
-        RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT)
+        PARTITION BY user_id ORDER BY CAST(epoch_us(ts) AS BIGINT)
+        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT)
         AS cents_last_hour
     FROM events
     """,
     doc="RANGE-frame window: per-user trailing-1-hour sum keyed on event "
     "time (vs the ROWS frame of q_window_analytics) — the batch twin of "
-    "a sliding stream aggregate.",
+    "a sliding stream aggregate. Frame bounds are exact microsecond "
+    "integers; whole-second truncation would shift boundary membership "
+    "on sub-second data.",
 )
 def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -384,8 +386,8 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
     )
     return events.select(
         "event_id",

@@ -75,10 +75,12 @@ class ParquetViewStore:
         except FileNotFoundError:
             return None
 
-    def _commit(self, version: int, epoch: int | None) -> None:
+    def _commit(self, version: int, epoch: int | None, run_token: str | None) -> None:
         fd, tmp = tempfile.mkstemp(dir=self.path, prefix="._ptr")
         with os.fdopen(fd, "w") as fh:
-            json.dump({"version": version, "epoch": epoch}, fh)
+            json.dump(
+                {"version": version, "epoch": epoch, "run_token": run_token}, fh
+            )
         os.replace(tmp, self._pointer_path())  # atomic on POSIX
 
     # -- read/write ---------------------------------------------------------
@@ -97,7 +99,9 @@ class ParquetViewStore:
         state = self.read(spark)
         return None if state is None else live_view(state)
 
-    def write(self, df: DataFrame, epoch: int | None = None) -> int:
+    def write(
+        self, df: DataFrame, epoch: int | None = None, run_token: str | None = None
+    ) -> int:
         cur = self.current()
         version = (cur["version"] + 1) if cur else 0
         out = os.path.join(self.path, f"v={version}")
@@ -105,7 +109,7 @@ class ParquetViewStore:
         if self.partition_by:
             writer = writer.partitionBy(self.partition_by)
         writer.parquet(out)
-        self._commit(version, epoch)
+        self._commit(version, epoch, run_token)
         self._vacuum(keep=(version, version - 1))
         return version
 
@@ -118,17 +122,31 @@ class ParquetViewStore:
 
 
 def apply_batch(
-    spark: SparkSession, store: ParquetViewStore, batch: DataFrame, epoch: int
+    spark: SparkSession,
+    store: ParquetViewStore,
+    batch: DataFrame,
+    epoch: int,
+    run_token: str | None = None,
 ) -> None:
     """One foreachBatch application: idempotent LWW merge + commit.
 
     Re-delivered epochs (failure between write and Spark's own commit) are
-    detected via the recorded epoch id and skipped — the Redis-upsert
-    idempotency of the reference, made structural.
+    detected via the recorded (run_token, epoch) pair and skipped — the
+    Redis-upsert idempotency of the reference, made structural. Epoch ids
+    are only monotonic *per streaming run*: a fresh checkpoint restarts
+    them at 0, so the guard compares epochs only within the same run token
+    (a restarted run re-applies instead of silently skipping new data —
+    harmless, because the LWW merge is idempotent).
     """
     cur = store.current()
-    if cur is not None and cur.get("epoch") is not None and epoch <= cur["epoch"]:
-        return  # already applied
+    if (
+        cur is not None
+        and cur.get("epoch") is not None
+        and run_token is not None
+        and cur.get("run_token") == run_token
+        and epoch <= cur["epoch"]
+    ):
+        return  # already applied within this run
     state = store.read(spark)
     if state is None:
         merged = latest_state(
@@ -143,7 +161,9 @@ def apply_batch(
             tiebreak=list(_TIEBREAK),
         )
     # Materialize via the store (new snapshot dir) — never in-place.
-    store.write(merged.select(*[f.name for f in STATE_SCHEMA.fields]), epoch)
+    store.write(
+        merged.select(*[f.name for f in STATE_SCHEMA.fields]), epoch, run_token
+    )
 
 
 def compact_tombstones(
@@ -192,7 +212,7 @@ def compact_tombstones(
     keep = state.filter(F.col("action").isNull() | ~stale)
     if store.current() != cur:
         return None  # a writer committed meanwhile; retry next period
-    return store.write(keep, cur.get("epoch"))
+    return store.write(keep, cur.get("epoch"), cur.get("run_token"))
 
 
 def start_projection(
@@ -207,10 +227,13 @@ def start_projection(
     Returns the StreamingQuery; callers use ``processAllAvailable()`` in
     tests or let it run continuously in production.
     """
+    import uuid
+
     store = ParquetViewStore(view_path)
+    run_token = uuid.uuid4().hex  # epoch ids are only monotonic per run
 
     def _apply(batch: DataFrame, epoch: int) -> None:
-        apply_batch(spark, store, batch, epoch)
+        apply_batch(spark, store, batch, epoch, run_token)
 
     writer = (
         events.writeStream.outputMode("update")

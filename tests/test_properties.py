@@ -37,6 +37,7 @@ events_strategy = st.lists(
         st.sampled_from(["k1", "k2", "k3"]),  # few keys → collisions likely
         st.integers(min_value=0, max_value=50),  # ts seconds
         st.integers(min_value=0, max_value=10**6),  # unique seq
+        st.booleans(),  # bare 2-key delete (null ts/fields) when deleted
     ),
     min_size=1,
     max_size=12,
@@ -44,20 +45,27 @@ events_strategy = st.lists(
 
 
 def to_rows(events):
-    # title encodes the unique seq → a total tiebreak inside equal ts
-    return [
-        (
-            action,
-            key,
-            f"t{seq:07d}",
-            "c",
-            "High",
-            "a",
-            dt.datetime(2026, 1, 1),
-            dt.datetime(2026, 1, 1, 0, 0, ts),
-        )
-        for action, key, ts, seq in events
-    ]
+    # title encodes the unique seq → a total tiebreak inside equal ts.
+    # A "bare" delete is the reference's 2-key envelope: only action+id,
+    # everything else null — it must act as a terminal tombstone.
+    rows = []
+    for action, key, ts, seq, bare in events:
+        if action == "deleted" and bare:
+            rows.append((action, key, None, None, None, None, None, None))
+        else:
+            rows.append(
+                (
+                    action,
+                    key,
+                    f"t{seq:07d}",
+                    "c",
+                    "High",
+                    "a",
+                    dt.datetime(2026, 1, 1),
+                    dt.datetime(2026, 1, 1, 0, 0, ts),
+                )
+            )
+    return rows
 
 
 def fold(spark, rows):

@@ -66,6 +66,37 @@ def test_watermark_drops_late_events_in_append_mode(spark, tmp_path):
     assert 1 not in rows
 
 
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """Broker-level duplicate delivery (same event_id re-sent in a later
+    micro-batch) is removed by dropDuplicatesWithinWatermark — the
+    stream-side guard complementing the projection's idempotent merge."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    write_files(spark, src, [[ev(1, 10), ev(2, 11)]])
+
+    dedup = (
+        stream(spark, src)
+        .withWatermark("ts", "6 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        dedup.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .start()
+    )
+    q.processAllAvailable()
+    # redelivery of event 1 (same id) + a genuinely new event
+    write_files(spark, src, [[ev(1, 10), ev(3, 12)]])
+    q.processAllAvailable()
+    q.stop()
+    ids = sorted(
+        r["event_id"] for r in spark.sql("SELECT * FROM dedup_stream").collect()
+    )
+    assert ids == [1, 2, 3]  # duplicate suppressed across micro-batches
+
+
 def test_stream_stream_join_with_watermarks(spark, tmp_path):
     import pyspark.sql.functions as F
 
