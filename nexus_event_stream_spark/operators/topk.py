@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -42,18 +42,15 @@ def paginate(
     """Page ``page`` (1-based) of ``page_size`` rows — DRF
     PageNumberPagination semantics (control-plane/nexus/settings.py:61-64).
 
-    Implemented as a ranking window + range filter. Note: OFFSET-style
-    pagination is inherently a scan of the first ``page*page_size`` ranks;
-    for deep pagination at scale, keyset pagination (filter on the last-seen
-    sort key) is the right call — ``TakeOrderedAndProject`` keeps shallow
-    pages cheap.
+    Implemented as ``orderBy + offset + limit``, which Catalyst collapses
+    into a single ``TakeOrderedAndProject(limit=page*page_size,
+    offset=(page-1)*page_size)``: every task keeps only a ``page*page_size``
+    row heap and the driver merges — no global sort, no single-partition
+    window. OFFSET pagination is still inherently a scan of the first
+    ``page*page_size`` ranks; for deep pages at scale, keyset pagination
+    (filter on the last-seen sort key) is the right call.
     """
     cols = [F.col(c).desc() if descending else F.col(c).asc() for c in order_by]
-    w = Window.orderBy(*cols)
     lo = (page - 1) * page_size + 1
     hi = page * page_size
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn").between(lo, hi))
-        .drop("__rn")
-    )
+    return df.orderBy(*cols).offset(lo - 1).limit(hi - lo + 1)
