@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -116,11 +117,17 @@ def ngram_jaccard_pairs(
             )
         ).alias("__g"),
     )
+    # The hashed-gram relation feeds four consumers (both posting-join
+    # sides + both size lookups) and AQE broadcasts the posting join, so
+    # exchange reuse never fires — without a persist the tokenize→ngram→
+    # hash subtree executes 4×. MEMORY_AND_DISK persist (evictable, spills)
+    # measured ~4× faster end-to-end at sf0.1; the relation is one bigint
+    # array per doc, far smaller than the corpus. At 100 TB the same role
+    # is played by checkpointing signatures to a table. CacheManager keys
+    # on the analyzed plan, so repeated calls share one cache entry.
+    t = t.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = t.select(*block_cols, "__id", F.size("__g").alias("__n"))
     posts = t.select(*block_cols, "__id", F.explode("__g").alias("__h"))
-    # no persist: the shared upstream is deduped by Spark's exchange reuse;
-    # an explicit cache measured *slower* (materialization cost) and leaks
-    # storage for the session lifetime
     a, b = posts.alias("a"), posts.alias("b")
     cond = (F.col("a.__h") == F.col("b.__h")) & (F.col("a.__id") < F.col("b.__id"))
     for c in block_cols:
@@ -248,10 +255,14 @@ def minhash_dedup(
     """
     rows = num_perm // bands
     # The signature relation feeds the band self-join (2 sides) and the
-    # verify join (2 sides); Spark's exchange/subplan reuse dedupes the
-    # computation — an explicit persist measured slower (materialization
-    # cost) and leaked cache for the session lifetime.
-    sigs = minhash_signatures(docs, num_perm, shingle_n, id_col, text_col)
+    # verify join (2 sides), and AQE broadcasts both joins, so exchange
+    # reuse never fires — persist or the shingle+signature subtree runs 4×.
+    # MEMORY_AND_DISK (evictable, spills); one sig array per doc. At 100 TB
+    # signatures are checkpointed to a table instead. CacheManager keys on
+    # the analyzed plan, so repeated calls share one cache entry.
+    sigs = minhash_signatures(docs, num_perm, shingle_n, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     cands = minhash_lsh_candidates(sigs, bands, rows)
     shing = sigs.select("doc_id", "__shingles")
     j = jaccard(F.col("sa.__shingles"), F.col("sb.__shingles"))
