@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import math
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -141,11 +142,18 @@ def ann_topk_per_vector(
     needed at current scales. Output: vec_id, neighbor_id, cosine, rank.
     """
     q = quantize(vec_col)
-    b = spread(embeddings).select(
-        F.col(id_col),
-        q.alias("__qv"),
-        int_dot(q, q).cast("double").alias("__nn"),
-        srp_bucket(vec_col, dim, bits, seed).alias("__bucket"),
+    # Both self-join sides consume this relation; AQE broadcasts the join,
+    # so without a persist the quantize + bits·d SRP dot products run twice
+    # per vector. Evictable MEMORY_AND_DISK; one int array + bucket per row.
+    b = (
+        spread(embeddings)
+        .select(
+            F.col(id_col),
+            q.alias("__qv"),
+            int_dot(q, q).cast("double").alias("__nn"),
+            srp_bucket(vec_col, dim, bits, seed).alias("__bucket"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     lhs, rhs = b.alias("l"), b.alias("r")
     pairs = lhs.join(
@@ -405,7 +413,11 @@ def exact_top1_per_vector_blocked(
     embedding-cosine near-dup building block (quantized → oracle-able).
     Output: vec_id, nn_id, cosine.
     """
-    t = _quantized(embeddings, id_col, vec_col, block_col)
+    # Persist: the quantized relation feeds both self-join sides (see
+    # ann_topk_per_vector) — without it the quantize pass runs twice.
+    t = _quantized(embeddings, id_col, vec_col, block_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     a, b = t.alias("a"), t.alias("b")
     pairs = a.join(
         b,
