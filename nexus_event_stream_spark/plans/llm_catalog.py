@@ -34,6 +34,8 @@ from nexus_event_stream_spark.operators.similarity import (
     ann_topk_per_vector,
     brute_force_topk,
     exact_top1_per_vector_blocked,
+    ivf_topk,
+    ivf_train_centroids,
 )
 from nexus_event_stream_spark.plans.catalog import register
 
@@ -538,3 +540,26 @@ def _sql_ann_lsh(dim: int = 64, bits: int = 6, seed: int = 42) -> str:
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return ann_topk_per_vector(emb, dim=64, k=1, bits=6)
+
+
+@register(
+    "q_ann_ivf",
+    None,
+    doc="IVF coarse-quantizer ANN (the other standard scale path next to "
+    "LSH): k-means centroids trained driver-side on a bounded sample "
+    "(seeded Lloyd, deterministic), every vector assigned to its inverted "
+    "list via an Arrow-batched numpy kernel, queries probe only the "
+    "nprobe nearest lists, exact cosine re-rank inside them. Iterative "
+    "training is not SQL-expressible → rows-only check.",
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_train_centroids(emb, n_centroids=16, iters=5)
+    qrows = (
+        emb.filter(F.col("vec_id") < 3)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    qvecs = [(int(r[0]), [float(x) for x in r[1]]) for r in qrows]
+    return ivf_topk(emb, cents, qvecs, k=5, nprobe=4)

@@ -59,3 +59,17 @@ def test_ivf_deterministic(emb, centroids):
     a = sorted(map(tuple, ivf_topk(emb, centroids, qs, k=5, nprobe=3).collect()))
     b = sorted(map(tuple, ivf_topk(emb, centroids, qs, k=5, nprobe=3).collect()))
     assert a == b
+
+
+def test_catalog_q_ann_ivf(spark):
+    from nexus_event_stream_spark.plans.llm_catalog import q_ann_ivf
+
+    rows = q_ann_ivf(spark, "/root/testdata/sf0.001").collect()
+    # 3 query vectors × top-5, ranks dense per query, no self-matches
+    assert len(rows) == 15
+    by_q = {}
+    for r in rows:
+        assert r["query_id"] != r["vec_id"]
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert set(by_q) == {0, 1, 2}
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())
