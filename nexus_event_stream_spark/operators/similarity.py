@@ -268,13 +268,15 @@ def ivf_train_centroids(
     """
     import numpy as np
 
-    n = embeddings.count()
-    frac = min(1.0, sample_cap / max(n, 1))
-    sample = (
-        embeddings.sample(fraction=frac, seed=seed) if frac < 1.0 else embeddings
-    )
+    # Bounded prefix sample: one scan that short-circuits after sample_cap
+    # rows (CollectLimit), instead of a full count + a second sampling scan.
+    # Deterministic (file order); for a synthetic/shuffled corpus a prefix
+    # is as representative as a Bernoulli sample — at 100 TB you'd sample
+    # per-partition limits instead. ``seed`` is unused now that neither
+    # sampling nor init draws randomness; kept for call-site stability.
     x = np.array(
-        [r[0] for r in sample.select(vec_col).collect()], dtype=np.float64
+        [r[0] for r in embeddings.select(vec_col).limit(sample_cap).collect()],
+        dtype=np.float64,
     )
     # deterministic init: evenly spaced rows of the (stable-order) sample
     idx = np.linspace(0, len(x) - 1, n_centroids).astype(int)
@@ -294,22 +296,26 @@ def ivf_assign(
     centroids,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    include_vec: bool = False,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (inverted lists).
 
     mapInPandas + numpy: one (batch×k) distance matrix per Arrow batch.
-    Output: id, centroid_id — persist/partition by centroid_id to serve
-    probes without touching other lists.
+    Output: id, centroid_id (+ the vector when ``include_vec`` — lets a
+    downstream re-rank avoid a join back to the corpus, i.e. one scan and
+    no shuffle-by-id). Persist/partition by centroid_id to serve probes
+    without touching other lists.
     """
     import numpy as np
 
     cents = centroids.copy()
-    out_schema = T.StructType(
-        [
-            T.StructField(id_col, T.LongType()),
-            T.StructField("centroid_id", T.IntegerType()),
-        ]
-    )
+    fields = [
+        T.StructField(id_col, T.LongType()),
+        T.StructField("centroid_id", T.IntegerType()),
+    ]
+    if include_vec:
+        fields.append(T.StructField(vec_col, T.ArrayType(T.DoubleType())))
+    out_schema = T.StructType(fields)
 
     def assign(batches):
         import pandas as pd
@@ -319,12 +325,13 @@ def ivf_assign(
                 continue
             m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             d2 = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "centroid_id": d2.argmin(axis=1).astype("int32"),
-                }
-            )
+            out = {
+                id_col: pdf[id_col],
+                "centroid_id": d2.argmin(axis=1).astype("int32"),
+            }
+            if include_vec:
+                out[vec_col] = pdf[vec_col]
+            yield pd.DataFrame(out)
 
     return spread(embeddings).select(id_col, vec_col).mapInPandas(assign, out_schema)
 
@@ -344,6 +351,13 @@ def ivf_topk(
     Probing cost is corpus_size · (nprobe / n_centroids) instead of the
     full scan — the standard recall/throughput dial. nprobe = n_centroids
     degenerates to exact brute force.
+
+    Shape: ONE Python stage (the numpy list assignment, vectors riding
+    along via include_vec), then broadcast joins of the tiny probe map and
+    query vectors, then the quantized-integer cosine expression — the same
+    deterministic math as brute_force_topk, so IVF at full probe agrees
+    with the exact baseline bit-for-bit. The corpus is scanned exactly
+    once; only candidate rows are scored.
     Output: query_id, vec_id, cosine, rank.
     """
     import numpy as np
@@ -361,40 +375,22 @@ def ivf_topk(
             "query_id long, centroid_id int",
         )
     )
-    assigned = ivf_assign(embeddings, centroids, id_col, vec_col)
-    candidates = (
-        assigned.join(probe_df, "centroid_id")
-        .join(embeddings.select(id_col, vec_col), id_col)
-        .select("query_id", id_col, vec_col)
+    qvec_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(qid), [float(x) for x in vec]) for qid, vec in queries],
+            "query_id long, __qvec array<double>",
+        )
     )
-    by_qid = {int(q[0]): q[1] for q in queries}
-    out_schema = T.StructType(
-        [
-            T.StructField("query_id", T.LongType()),
-            T.StructField(id_col, T.LongType()),
-            T.StructField("cosine", T.DoubleType()),
-        ]
+    assigned = ivf_assign(embeddings, centroids, id_col, vec_col, include_vec=True)
+    cand = assigned.join(probe_df, "centroid_id").join(qvec_df, "query_id")
+    qv, qq = quantize(vec_col), quantize("__qvec")
+    scored = cand.select(
+        "query_id",
+        id_col,
+        _pair_cosine(
+            qv, qq, int_dot(qv, qv).cast("double"), int_dot(qq, qq).cast("double")
+        ).alias("cosine"),
     )
-
-    def score(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            frames = []
-            for qid, grp in pdf.groupby("query_id"):
-                qv = np.array(by_qid[int(qid)], dtype=np.float64)
-                m = np.array(grp[vec_col].tolist(), dtype=np.float64)
-                sims = (m @ qv) / (np.linalg.norm(m, axis=1) * np.linalg.norm(qv))
-                frames.append(
-                    pd.DataFrame(
-                        {"query_id": int(qid), id_col: grp[id_col], "cosine": sims}
-                    )
-                )
-            yield pd.concat(frames, ignore_index=True)
-
-    scored = candidates.mapInPandas(score, out_schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
     return (
         scored.filter(F.col("query_id") != F.col(id_col))
