@@ -72,3 +72,12 @@ def test_group_agg_partial_aggregation(spark, sf_dir):
     assert plan.count(") HashAggregate") >= 2
     # map-side combine before the exchange
     assert "partial_sum" in plan and "partial_count" in plan
+
+
+def test_pagination_take_ordered_with_offset_no_window(spark, sf_dir):
+    plan = physical_plan(CATALOG["q_pagination"].build(spark, sf_dir))
+    # offset+limit folds into TakeOrderedAndProject (bounded per-task
+    # heap); a global ranking window would drag all rows to one partition
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert "Exchange rangepartitioning" not in plan
