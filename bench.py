@@ -22,7 +22,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from nexus_event_stream_spark.session import get_spark  # noqa: E402
 
 
-def _stream_projection_replay(spark, sf_dir: str, n_batches: int = 8) -> float:
+def _stream_projection_replay(
+    spark, sf_dir: str, n_batches: int = 8, bucketed: bool = False
+) -> float:
     """Seconds to fold the events table into the LWW view, epoch by epoch."""
     import shutil
     import tempfile
@@ -31,8 +33,10 @@ def _stream_projection_replay(spark, sf_dir: str, n_batches: int = 8) -> float:
 
     from nexus_event_stream_spark.io import load_table
     from nexus_event_stream_spark.streaming.projection import (
+        BucketedViewStore,
         ParquetViewStore,
         apply_batch,
+        apply_batch_bucketed,
     )
 
     ev = load_table(spark, sf_dir, "events")
@@ -53,14 +57,19 @@ def _stream_projection_replay(spark, sf_dir: str, n_batches: int = 8) -> float:
     span = (hi - lo) / n_batches
     d = tempfile.mkdtemp(prefix="bench_view_")
     try:
-        store = ParquetViewStore(d)
+        if bucketed:
+            store = BucketedViewStore(d, n_buckets=64)
+            apply = apply_batch_bucketed
+        else:
+            store = ParquetViewStore(d)
+            apply = apply_batch
         t0 = time.perf_counter()
         for i in range(n_batches):
             a = lo + span * i
             cond = F.col("__ts") >= F.lit(a)
             if i < n_batches - 1:
                 cond = cond & (F.col("__ts") < F.lit(lo + span * (i + 1)))
-            apply_batch(
+            apply(
                 spark, store, sig.filter(cond).drop("__ts"), epoch=i,
                 run_token="bench",
             )
@@ -118,6 +127,11 @@ def main() -> None:
     # projection (the reference's consume→project loop) in 8 time-ordered
     # micro-batches — each epoch pays the full foreachBatch cost: read
     # current snapshot, incremental LWW merge, write + commit new snapshot.
+    # (The manifest-bucketed store is NOT benched here: at sf0.1 every
+    # batch touches every bucket of the ~1k-key view, so partial rewrite
+    # cannot win — it pays off when |batch keys| << |view keys|. Its
+    # contract is pinned by tests/test_bucketed_store.py instead; pass
+    # bucketed=True above to measure it manually.)
     dt = _stream_projection_replay(spark, sf_dir)
     per_query["stream_projection_replay"] = round(dt, 3)
     total += dt

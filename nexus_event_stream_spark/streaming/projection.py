@@ -215,25 +215,229 @@ def compact_tombstones(
     return store.write(keep, cur.get("epoch"), cur.get("run_token"))
 
 
+def _bucket_expr(n_buckets: int, key_col: str = "id"):
+    """Stable key → bucket: pmod(xxhash64(key), B); NULL keys land in 0."""
+    from pyspark.sql import functions as F
+
+    return F.coalesce(
+        F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)), F.lit(0)
+    ).cast("int")
+
+
+class BucketedViewStore:
+    """Manifest-tracked view store: the snapshot is split into ``n_buckets``
+    key-hash buckets, and an epoch rewrites ONLY the buckets its batch
+    touches — per-epoch write cost is O(|batch| + |touched buckets|), not
+    O(|view|). This is the scale shape of the projection (the same idea as
+    Delta MERGE file skipping / Iceberg partition-level rewrite): at 100 TB
+    a micro-batch touching 1% of keys rewrites ~1% of the view.
+
+    Layout: ``v={version}/__bucket={k}/*.parquet``; the pointer file maps
+    every bucket to the version that owns its current data, so a bucket
+    untouched for many epochs keeps living in an old version directory.
+    Commit is still a single atomic pointer rename; vacuum keeps every
+    version referenced by the current or the immediately previous pointer
+    (in-flight readers), so partial writes and crashes never corrupt a
+    committed snapshot.
+    """
+
+    def __init__(self, path: str, n_buckets: int = 64):
+        self.path = path
+        self.n_buckets = n_buckets
+        os.makedirs(path, exist_ok=True)
+
+    # -- pointer ------------------------------------------------------------
+
+    def _pointer_path(self) -> str:
+        return os.path.join(self.path, POINTER)
+
+    def current(self) -> dict | None:
+        try:
+            with open(self._pointer_path()) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return None
+
+    def _commit(self, pointer: dict) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.path, prefix="._ptr")
+        with os.fdopen(fd, "w") as fh:
+            json.dump(pointer, fh)
+        os.replace(tmp, self._pointer_path())  # atomic on POSIX
+
+    # -- read ---------------------------------------------------------------
+
+    def _bucket_paths(self, manifest: dict, buckets=None) -> list[str]:
+        items = manifest.items()
+        if buckets is not None:
+            want = {str(b) for b in buckets}
+            items = [(b, v) for b, v in manifest.items() if b in want]
+        return [
+            os.path.join(self.path, f"v={ver}", f"__bucket={b}")
+            for b, ver in items
+        ]
+
+    def read(self, spark: SparkSession, buckets=None) -> DataFrame | None:
+        """State table; ``buckets`` restricts the read to those buckets'
+        paths — the merge path never scans untouched buckets."""
+        cur = self.current()
+        if cur is None or not cur["manifest"]:
+            return None
+        paths = self._bucket_paths(cur["manifest"], buckets)
+        if not paths:
+            return None
+        return spark.read.schema(STATE_SCHEMA).parquet(*paths)
+
+    def read_live(self, spark: SparkSession) -> DataFrame | None:
+        state = self.read(spark)
+        return None if state is None else live_view(state)
+
+    # -- write --------------------------------------------------------------
+
+    def write_buckets(
+        self,
+        df: DataFrame,
+        touched: list[int],
+        epoch: int | None = None,
+        run_token: str | None = None,
+    ) -> int:
+        """Write ``df`` (rows of the touched buckets only) as the new
+        version of those buckets and commit the stitched manifest."""
+        cur = self.current()
+        version = (cur["version"] + 1) if cur else 0
+        out = os.path.join(self.path, f"v={version}")
+        (
+            df.withColumn("__bucket", _bucket_expr(self.n_buckets))
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(out)
+        )
+        manifest = dict(cur["manifest"]) if cur else {}
+        written = {
+            name.split("=", 1)[1]
+            for name in os.listdir(out)
+            if name.startswith("__bucket=")
+        }
+        for b in touched:
+            if str(b) in written:
+                manifest[str(b)] = version
+            else:
+                # every key in the bucket was deleted upstream (compaction):
+                # the bucket's data is gone — drop it from the manifest
+                manifest.pop(str(b), None)
+        prev_refs = sorted({v for v in cur["manifest"].values()} | {cur["version"]}) if cur else []
+        self._commit(
+            {
+                "version": version,
+                "epoch": epoch,
+                "run_token": run_token,
+                "manifest": manifest,
+                "prev_refs": prev_refs,
+            }
+        )
+        self._vacuum(manifest, prev_refs, version)
+        return version
+
+    def _vacuum(self, manifest: dict, prev_refs: list[int], version: int) -> None:
+        keep = {f"v={v}" for v in manifest.values()}
+        keep |= {f"v={v}" for v in prev_refs}
+        keep.add(f"v={version}")
+        for name in os.listdir(self.path):
+            if name.startswith("v=") and name not in keep:
+                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+
+
+def apply_batch_bucketed(
+    spark: SparkSession,
+    store: BucketedViewStore,
+    batch: DataFrame,
+    epoch: int,
+    run_token: str | None = None,
+) -> None:
+    """foreachBatch body against the bucketed store: idempotent-epoch guard,
+    then LWW-merge the batch against ONLY the state buckets it touches.
+
+    Same delivery contract as ``apply_batch`` (epoch replay is a no-op
+    within a run; cross-run replay is harmless because the merge is
+    idempotent) with per-epoch cost bounded by the touched buckets.
+    """
+    cur = store.current()
+    if (
+        cur is not None
+        and cur.get("epoch") is not None
+        and run_token is not None
+        and cur.get("run_token") == run_token
+        and epoch <= cur["epoch"]
+    ):
+        return
+    from pyspark.sql import functions as F
+
+    # Reduce the batch once; its latest-per-key result is reused for the
+    # touched-bucket probe and the merge (tiny relation — persist not worth
+    # it, but the bucket list collect is bounded by n_buckets).
+    batch_latest = latest_state(
+        batch, key=["id"], ts_col="updated_at", tiebreak=list(_TIEBREAK)
+    )
+    touched = [
+        r[0]
+        for r in batch_latest.select(
+            _bucket_expr(store.n_buckets).alias("b")
+        )
+        .distinct()
+        .collect()
+    ]
+    if not touched:
+        return
+    state_slice = store.read(spark, buckets=touched) if cur else None
+    if state_slice is None:
+        merged = batch_latest
+    else:
+        merged = lww_merge_batch(
+            state_slice,
+            batch_latest,
+            key=["id"],
+            ts_col="updated_at",
+            tiebreak=list(_TIEBREAK),
+        )
+    store.write_buckets(
+        merged.select(*[f.name for f in STATE_SCHEMA.fields]),
+        touched,
+        epoch,
+        run_token,
+    )
+
+
 def start_projection(
     spark: SparkSession,
     events: DataFrame,
     view_path: str,
     checkpoint_path: str,
     trigger_seconds: int | None = None,
+    bucketed: bool = False,
+    n_buckets: int = 64,
 ):
     """Wire a parsed event stream into the LWW view and start it.
 
-    Returns the StreamingQuery; callers use ``processAllAvailable()`` in
-    tests or let it run continuously in production.
+    ``bucketed=True`` uses the manifest-tracked BucketedViewStore (per-epoch
+    cost bounded by touched buckets — the at-scale configuration); the
+    default full-snapshot store keeps the simplest possible layout for
+    small views. Returns the StreamingQuery; callers use
+    ``processAllAvailable()`` in tests or let it run continuously.
     """
     import uuid
 
-    store = ParquetViewStore(view_path)
     run_token = uuid.uuid4().hex  # epoch ids are only monotonic per run
 
-    def _apply(batch: DataFrame, epoch: int) -> None:
-        apply_batch(spark, store, batch, epoch, run_token)
+    if bucketed:
+        bstore = BucketedViewStore(view_path, n_buckets=n_buckets)
+
+        def _apply(batch: DataFrame, epoch: int) -> None:
+            apply_batch_bucketed(spark, bstore, batch, epoch, run_token)
+
+    else:
+        store = ParquetViewStore(view_path)
+
+        def _apply(batch: DataFrame, epoch: int) -> None:
+            apply_batch(spark, store, batch, epoch, run_token)
 
     writer = (
         events.writeStream.outputMode("update")
