@@ -406,6 +406,47 @@ def apply_batch_bucketed(
     )
 
 
+def compact_tombstones_bucketed(
+    spark: SparkSession,
+    store: BucketedViewStore,
+    horizon: dt.datetime,
+    ts_col: str = "updated_at",
+) -> int | None:
+    """Bucket-scoped tombstone GC: rewrite ONLY buckets holding a stale
+    tombstone — compaction cost tracks garbage, not view size.
+
+    Same contract as ``compact_tombstones`` (single-writer, version-moved
+    guard, NULL-ts tombstones retained, no-op burns no retention slot);
+    a bucket whose every key was a stale tombstone disappears from the
+    manifest entirely (write_buckets drops buckets with no surviving rows).
+    """
+    from pyspark.sql import functions as F
+
+    cur = store.current()
+    state = store.read(spark)
+    if state is None:
+        return None
+    stale = (
+        (F.col("action") == F.lit("deleted"))
+        & F.col(ts_col).isNotNull()
+        & (F.col(ts_col) < F.lit(horizon))
+    )
+    dirty = [
+        r[0]
+        for r in state.filter(stale)
+        .select(_bucket_expr(store.n_buckets).alias("b"))
+        .distinct()
+        .collect()
+    ]
+    if not dirty:
+        return None
+    slice_ = store.read(spark, buckets=dirty)
+    keep = slice_.filter(F.col("action").isNull() | ~stale)
+    if store.current() != cur:
+        return None  # a writer committed meanwhile; retry next period
+    return store.write_buckets(keep, dirty, cur.get("epoch"), cur.get("run_token"))
+
+
 def start_projection(
     spark: SparkSession,
     events: DataFrame,

@@ -120,6 +120,34 @@ def test_vacuum_drops_only_unreferenced_versions(spark, store):
     assert collect_view(spark, store)["hot"][1].minute == 3
 
 
+def test_compaction_rewrites_only_dirty_buckets(spark, store):
+    from nexus_event_stream_spark.streaming.projection import (
+        compact_tombstones_bucketed,
+    )
+
+    apply_batch_bucketed(
+        spark, store, df_of(spark, [ev("created", f"k{i}", i) for i in range(20)]),
+        epoch=0, run_token="r",
+    )
+    apply_batch_bucketed(
+        spark, store, df_of(spark, [ev("deleted", "k7", 25)]), epoch=1, run_token="r"
+    )
+    before = store.current()["manifest"]
+    # horizon after the delete → the k7 tombstone is collectable
+    v = compact_tombstones_bucketed(spark, store, TS + dt.timedelta(minutes=60))
+    assert v is not None
+    after = store.current()["manifest"]
+    moved = {b for b in set(before) | set(after) if after.get(b) != before.get(b)}
+    assert len(moved) == 1  # only the tombstone's bucket was rewritten
+    state = store.read(spark)
+    assert state.filter(F.col("id") == "k7").count() == 0  # tombstone gone
+    assert len(collect_view(spark, store)) == 19  # live rows untouched
+    # nothing left to collect → no-op, no new version
+    assert compact_tombstones_bucketed(
+        spark, store, TS + dt.timedelta(minutes=60)
+    ) is None
+
+
 def test_delete_only_batch_leaves_tombstone_not_live_row(spark, store):
     apply_batch_bucketed(
         spark, store, df_of(spark, [ev("created", "x", 1)]), epoch=0, run_token="r"
