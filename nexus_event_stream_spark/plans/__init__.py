@@ -9,4 +9,8 @@ from nexus_event_stream_spark.plans.catalog import (  # noqa: F401
 
 # Importing registers the X-tier LLM-pipeline and extended-relational
 # queries into CATALOG.
-from nexus_event_stream_spark.plans import ext_catalog, llm_catalog  # noqa: E402,F401
+from nexus_event_stream_spark.plans import (  # noqa: E402,F401
+    ext2_catalog,
+    ext_catalog,
+    llm_catalog,
+)

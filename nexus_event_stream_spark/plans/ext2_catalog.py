@@ -1,0 +1,394 @@
+"""Second extension wave: grouping sets, analytic-window breadth, date
+functions, histograms, event-funnel / cohort-retention / first-touch
+attribution (the event-analytics queries a stream-projection engine like
+the reference would serve next), skew-salted join equivalence, corpus
+top-k tokens, and exact-integer z-score outlier detection.
+
+All oracled against DuckDB. Determinism follows plans/catalog.py's rules:
+monetary doubles fold as integer cents; doubles exposed in outputs are
+computed from identical integer operands with textually-parallel
+expressions on both engines (IEEE ops on equal operands are bit-equal).
+
+Registered into the same CATALOG as plans/catalog.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from nexus_event_stream_spark.io import load_table
+from nexus_event_stream_spark.operators.partitioning import skew_salted_join
+from nexus_event_stream_spark.plans.catalog import CENTS, cents, register
+
+# ---------------------------------------------------------------------------
+# Relational breadth
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_grouping_sets",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+      CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+      CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+      COUNT(*) AS n,
+      CAST(SUM({CENTS.format(c='l_quantity')}) AS DOUBLE)/100 AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    doc="Explicit GROUPING SETS with GROUPING() marker columns — the "
+    "general form of §2.4's cube/rollup rows. Spark plans one Expand + "
+    "hash aggregate (single shuffle for all three groupings).",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []], "l_returnflag", "l_linestatus"
+    ).agg(
+        F.grouping("l_returnflag").cast("int").alias("g_rf"),
+        F.grouping("l_linestatus").cast("int").alias("g_ls"),
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(cents("l_quantity")).cast("double") / 100).alias("sum_qty"),
+    )
+
+
+@register(
+    "q_window_ntile",
+    """
+    SELECT c_custkey, c_mktsegment,
+      ntile(4) OVER w AS quartile,
+      percent_rank() OVER w AS pct_rank,
+      cume_dist() OVER w AS cdist,
+      first_value(c_custkey) OVER w AS richest_key
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    doc="Analytic-window breadth beyond §2.5's ranking set: ntile / "
+    "percent_rank / cume_dist / first_value over one shared window spec "
+    "(single sort-within-partition, no extra shuffle per function). "
+    "Unique (acctbal, custkey) ordering makes peer groups singleton, so "
+    "percent_rank/cume_dist are integer ratios — engine-identical doubles.",
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.first("c_custkey").over(w).alias("richest_key"),
+    )
+
+
+@register(
+    "q_date_funcs",
+    """
+    SELECT o_orderkey,
+      year(o_orderdate) AS y, month(o_orderdate) AS m,
+      day(o_orderdate) AS d, quarter(o_orderdate) AS q,
+      dayofweek(o_orderdate) + 1 AS dow,
+      dayofyear(o_orderdate) AS doy,
+      strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+      date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+        AS days_since_1995,
+      strftime(o_orderdate, '%Y-%m') AS ym
+    FROM orders
+    """,
+    doc="Date/time scalar-function breadth (§2.8 'math/date library' row): "
+    "extraction fields, last_day, datediff from an epoch anchor, "
+    "yyyy-MM bucketing. DuckDB's dayofweek is 0-based Sunday; Spark's is "
+    "1-based — normalized in the oracle, not the engine.",
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.quarter("o_orderdate").alias("q"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias(
+            "days_since_1995"
+        ),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    )
+
+
+@register(
+    "q_histogram",
+    """
+    SELECT bin,
+      CAST(bin*10000 AS DOUBLE) AS bin_lo,
+      COUNT(*) AS n,
+      MIN(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)) AS min_cents,
+      MAX(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)) AS max_cents
+    FROM (
+      SELECT *, CAST(LEAST(FLOOR(l_extendedprice/10000.0), 7) AS INT) AS bin
+      FROM lineitem)
+    GROUP BY bin
+    """,
+    doc="Fixed-width histogram (8 bins of 10k, open-ended top bin) via "
+    "floor arithmetic — a width_bucket that needs no UDF and folds "
+    "map-side. floor(x/w) on equal doubles is engine-identical.",
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    bin_col = F.least(
+        F.floor(F.col("l_extendedprice") / 10000.0), F.lit(7)
+    ).cast("int")
+    return (
+        li.withColumn("bin", bin_col)
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(cents("l_extendedprice")).alias("min_cents"),
+            F.max(cents("l_extendedprice")).alias("max_cents"),
+        )
+        .select(
+            "bin",
+            (F.col("bin") * 10000).cast("double").alias("bin_lo"),
+            "n",
+            "min_cents",
+            "max_cents",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-stream analytics — the queries the reference's serving tier would
+# grow into (its view is exactly a per-entity event fold; these ask
+# cross-entity questions of the same stream).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_funnel",
+    """
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS s_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS c_ts
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'click' AND e.ts > s.s_ts GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS p_ts
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+           (SELECT COUNT(*) FROM c) AS n_click_after,
+           (SELECT COUNT(*) FROM p) AS n_purchase_after
+    """,
+    doc="Ordered 3-step funnel (signup → later click → later purchase), "
+    "counted per stage. Each stage is a keyed min-aggregate plus an "
+    "equi-join on user_id — all three joins share the user_id shuffle "
+    "partitioning, so Spark reuses one exchange per side.",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def stage(etype: str, prev: DataFrame | None, prev_ts: str, out: str):
+        e = ev.filter(F.col("event_type") == etype)
+        if prev is not None:
+            e = e.join(prev, "user_id").filter(F.col("ts") > F.col(prev_ts))
+        return e.groupBy("user_id").agg(F.min("ts").alias(out))
+
+    s = stage("signup", None, "", "s_ts")
+    c = stage("click", s, "s_ts", "c_ts")
+    p = stage("purchase", c, "c_ts", "p_ts")
+    return (
+        s.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after")))
+    )
+
+
+@register(
+    "q_retention",
+    """
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id)
+    SELECT cohort_day,
+      date_diff('day', cohort_day, CAST(e.ts AS DATE)) AS day_offset,
+      COUNT(DISTINCT e.user_id) AS n_active
+    FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    WHERE date_diff('day', cohort_day, CAST(e.ts AS DATE)) BETWEEN 0 AND 7
+    GROUP BY cohort_day, day_offset
+    """,
+    doc="Cohort retention: users bucketed by first-seen day, distinct "
+    "actives per (cohort, day-offset) for the first week. The first_seen "
+    "aggregate and the join share the user_id partitioning.",
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    off = F.datediff(F.to_date("ts"), F.col("cohort_day"))
+    return (
+        ev.join(first_seen, "user_id")
+        .withColumn("day_offset", off)
+        .filter(F.col("day_offset").between(0, 7))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+@register(
+    "q_first_touch",
+    """
+    WITH ft AS (
+      SELECT user_id, event_type AS first_touch FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events) WHERE rn = 1)
+    SELECT ft.first_touch,
+      COUNT(*) AS n_purchases,
+      COUNT(DISTINCT e.user_id) AS n_buyers
+    FROM events e JOIN ft ON e.user_id = ft.user_id
+    WHERE e.event_type = 'purchase'
+    GROUP BY ft.first_touch
+    """,
+    doc="First-touch attribution: every purchase credited to the user's "
+    "earliest event type (ties broken by event_id). The rn=1 window is "
+    "the same latest/earliest-per-key fold as q_latest_state, reversed.",
+)
+def q_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ft = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("first_touch"))
+    )
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(ft, "user_id")
+        .groupBy("first_touch")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.countDistinct("user_id").alias("n_buyers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scale techniques with result-equivalence oracles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_salted_join",
+    f"""
+    SELECT o_orderpriority, COUNT(*) AS n,
+      CAST(SUM({CENTS.format(c='l_extendedprice')}) AS DOUBLE)/100 AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    doc="Skew-salted fact⋈dim join (operators/partitioning.py "
+    "skew_salted_join: fact keys salted n-ways, dim replicated n×, join "
+    "on (key, salt)) proven RESULT-IDENTICAL to the plain join the oracle "
+    "runs. This is the manual remedy for hot keys that AQE's skew split "
+    "can't fix (e.g. one key larger than a single reducer); the oracle "
+    "pins that salting never changes semantics.",
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    dim = orders.select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = skew_salted_join(
+        li,
+        dim,
+        on="l_orderkey",
+        unique_col=F.concat_ws("-", "l_orderkey", "l_linenumber"),
+        n=8,
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(cents("l_extendedprice")).cast("double") / 100).alias(
+            "revenue"
+        ),
+    )
+
+
+@register(
+    "q_token_topk",
+    """
+    SELECT tok, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text,' ')) AS tok FROM documents)
+    GROUP BY tok ORDER BY n DESC, tok LIMIT 20
+    """,
+    doc="Corpus-wide top-20 token frequencies (explode → count → top-k). "
+    "The count partially aggregates map-side before the shuffle; the "
+    "top-k is TakeOrderedAndProject (bounded per-task heap), never a "
+    "full sort of the vocabulary.",
+)
+def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexus_event_stream_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(20)
+    )
+
+
+@register(
+    "q_zscore_outliers",
+    f"""
+    WITH st AS (
+      SELECT event_type, COUNT(*) AS n,
+        SUM({CENTS.format(c='value')}) AS s1,
+        SUM({CENTS.format(c='value')}*{CENTS.format(c='value')}) AS s2
+      FROM events GROUP BY event_type)
+    SELECT e.event_type, MIN(st.n) AS n,
+      SUM(CASE WHEN
+        (st.n*{CENTS.format(c='e.value')} - st.s1)
+          * (st.n*{CENTS.format(c='e.value')} - st.s1)
+        > 4*(st.n*st.s2 - st.s1*st.s1)
+      THEN 1 ELSE 0 END) AS n_outliers
+    FROM events e JOIN st ON e.event_type = st.event_type
+    GROUP BY e.event_type
+    """,
+    doc="Per-group 2-sigma outlier count with ZERO floating point: "
+    "|x-mean| > 2*sd is cross-multiplied into the integer-cents domain "
+    "((n*x-s1)^2 > 4*(n*s2-s1^2), population variance), so the flag is "
+    "exact on any engine and any partitioning. Magnitudes stay inside "
+    "int64 up to ~sf0.15 of this data (n*max_cents ~ 1.1e9, squared "
+    "~1.3e18 < 2^63); beyond that, lift s1/s2 to decimal(38,0). "
+    "Stats join is a broadcast (5 groups).",
+)
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    xc = cents("value")
+    st = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xc).alias("s1"),
+        F.sum(xc * xc).alias("s2"),
+    )
+    dev = F.col("n") * xc - F.col("s1")
+    is_out = dev * dev > 4 * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+    return (
+        ev.join(F.broadcast(st), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("n").alias("n"),
+            F.sum(F.when(is_out, 1).otherwise(0)).alias("n_outliers"),
+        )
+    )
