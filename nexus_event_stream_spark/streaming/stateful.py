@@ -107,3 +107,32 @@ def windowed_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
             "sum_cents",
         )
     )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Event-time session windows (gap-based) per user — the streaming twin
+    of the batch q_sessionize (ext_catalog). ``F.session_window`` grows a
+    window while consecutive events arrive within ``gap``; a session closes
+    and emits (in append mode) once the watermark passes its end. State per
+    key is one open session, merged on arrival — bounded, unlike a
+    collect-and-sort formulation.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias(
+                "sum_cents"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_cents",
+        )
+    )

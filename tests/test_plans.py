@@ -81,3 +81,50 @@ def test_pagination_take_ordered_with_offset_no_window(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_grouping_sets_single_expand_single_shuffle(spark, sf_dir):
+    plan = physical_plan(CATALOG["q_grouping_sets"].build(spark, sf_dir))
+    # all three grouping sets computed in ONE pass: Expand + hash agg,
+    # one exchange — not a union of three separate group-bys
+    assert plan.count(") Expand") == 1
+    assert plan.count(") Exchange") == 1
+    assert "Union" not in plan
+
+
+def test_window_ntile_shares_one_window_node(spark, sf_dir):
+    plan = physical_plan(CATALOG["q_window_ntile"].build(spark, sf_dir))
+    # ntile/percent_rank/cume_dist/first all share one window spec →
+    # one Window node, one hash exchange, one sort
+    assert plan.count(") Window") == 1
+    assert plan.count(") Exchange") == 1
+
+
+def test_date_funcs_pure_projection_no_shuffle(spark, sf_dir):
+    plan = physical_plan(CATALOG["q_date_funcs"].build(spark, sf_dir))
+    assert "Exchange" not in plan  # scalar projection stays map-side
+
+
+def test_histogram_partial_aggregation(spark, sf_dir):
+    plan = physical_plan(CATALOG["q_histogram"].build(spark, sf_dir))
+    assert "partial_count" in plan  # map-side combine before the shuffle
+
+
+def test_salted_join_joins_on_salt(spark, sf_dir):
+    plan = physical_plan(CATALOG["q_salted_join"].build(spark, sf_dir))
+    # the salt column must participate in the join key — that's the whole
+    # mechanism (hot key split across n reducers)
+    assert "__salt" in plan
+
+
+def test_zscore_stats_join_broadcasts(spark, sf_dir):
+    plan = physical_plan(CATALOG["q_zscore_outliers"].build(spark, sf_dir))
+    # the 5-row per-group stats side must broadcast, never shuffle the facts
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_token_topk_take_ordered(spark, sf_dir):
+    plan = physical_plan(CATALOG["q_token_topk"].build(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan

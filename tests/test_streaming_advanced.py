@@ -136,3 +136,42 @@ def test_stream_stream_join_with_watermarks(spark, tmp_path):
     # user 7 purchased within the 1h attribution window; user 8's purchase
     # at hour 18 is outside click+1h → no join row
     assert got == {(7, 10)}
+
+
+def test_session_window_gap_semantics(spark, tmp_path):
+    """Gap-based session windows: events within the 30-min gap merge into
+    one growing session; a >gap quiet period starts a new one. Sessions
+    emit in append mode only after the watermark passes their end."""
+    import datetime as dt
+
+    from nexus_event_stream_spark.streaming.stateful import session_counts
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def at(eid, h, m, uid=1):
+        return (eid, dt.datetime(2026, 1, 1, h, m), uid, "click", 1.0, "{}")
+
+    # user 1: 10:00 + 10:10 (one session), 12:00 (second session)
+    write_files(spark, src, [[at(1, 10, 0), at(2, 10, 10), at(3, 12, 0)]])
+    agg = session_counts(stream(spark, src), gap="30 minutes", watermark="1 hour")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    # advance the watermark past both sessions' ends (15:00 - 1h = 14:00)
+    write_files(spark, src, [[at(9, 15, 0, uid=2)]])
+    q.processAllAvailable()
+    q.stop()
+    rows = sorted(
+        (r["session_start"].hour, r["session_start"].minute, r["n_events"])
+        for r in spark.sql("SELECT * FROM sessions WHERE user_id = 1").collect()
+    )
+    # session 1 spans 10:00-10:40 (two events merged), session 2 is 12:00
+    assert rows == [(10, 0, 2), (12, 0, 1)]
+    # the 15:00 event's session is still open → not emitted yet
+    assert spark.sql("SELECT * FROM sessions WHERE user_id = 2").count() == 0
