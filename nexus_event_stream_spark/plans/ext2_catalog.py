@@ -392,3 +392,133 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(is_out, 1).otherwise(0)).alias("n_outliers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 3: subquery / lateral / map-function / deterministic-sampling breadth
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_exists_subquery",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.08)
+    """,
+    doc="Correlated EXISTS / NOT EXISTS through the SQL API — Catalyst "
+    "decorrelates both into left-semi and left-anti joins on l_orderkey "
+    "(same physical shape as q_semi_anti, arrived at by rewrite).",
+)
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexus_event_stream_spark.io import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_quantity >= 45)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_discount > 0.08)
+        """
+    )
+
+
+@register(
+    "q_posexplode",
+    """
+    SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+      SELECT doc_id,
+        unnest(list_transform(string_split(text,' '),
+               (tok, i) -> struct_pack(pos := i-1, tok := tok))) AS u
+      FROM documents)
+    WHERE u.pos < 5
+    """,
+    doc="Positional explode (token + 0-based position, first 5 per doc) — "
+    "the LATERAL VIEW/table-generator surface. Spark: posexplode, one "
+    "Generate node, no shuffle; DuckDB oracle builds (pos, tok) structs "
+    "with an indexed lambda since its lateral table functions can't "
+    "correlate.",
+)
+def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexus_event_stream_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
+        )
+        .filter(F.col("pos") < 5)
+    )
+
+
+@register(
+    "q_map_funcs",
+    """
+    SELECT user_id,
+      COUNT(DISTINCT event_type) AS n_types,
+      CASE WHEN COUNT(CASE WHEN event_type='click' THEN 1 END) > 0
+           THEN COUNT(CASE WHEN event_type='click' THEN 1 END) END AS n_clicks,
+      COUNT(CASE WHEN event_type='purchase' THEN 1 END) > 0 AS has_purchase
+    FROM events GROUP BY user_id
+    """,
+    doc="Map-typed column surface: per-user event_type→count map built "
+    "with map_from_entries(collect_list(struct)), then size / "
+    "element_at (missing key → NULL) / map_contains_key. The oracle "
+    "computes the same scalars relationally — the map is an engine-side "
+    "representation, not a semantic.",
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    m = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("user_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("event_type", "n"))
+            ).alias("m")
+        )
+    )
+    return m.select(
+        "user_id",
+        F.size("m").alias("n_types"),
+        F.element_at("m", "click").alias("n_clicks"),
+        F.map_contains_key("m", "purchase").alias("has_purchase"),
+    )
+
+
+@register(
+    "q_hash_sample",
+    """
+    SELECT COUNT(*) AS n_sampled,
+      SUM(CAST(ROUND(value*100,0) AS BIGINT)) AS sum_cents,
+      COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    WHERE ((event_id * 2654435761) % 4294967296) % 100 < 10
+    """,
+    doc="Deterministic ~10% sample via multiplicative (Knuth) hashing of "
+    "the unique key — replayable across engines, retries, and restarts, "
+    "unlike rand()-based TABLESAMPLE. The predicate is pure int64 "
+    "arithmetic, evaluated map-side; this is the debugging/sampling "
+    "primitive a 100 TB pipeline uses to iterate on 10 TB.",
+)
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    keep = (
+        F.pmod(
+            F.pmod(F.col("event_id") * F.lit(2654435761), F.lit(4294967296)),
+            F.lit(100),
+        )
+        < 10
+    )
+    return ev.filter(keep).agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum(cents("value")).alias("sum_cents"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
