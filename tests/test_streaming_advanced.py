@@ -175,3 +175,36 @@ def test_session_window_gap_semantics(spark, tmp_path):
     assert rows == [(10, 0, 2), (12, 0, 1)]
     # the 15:00 event's session is still open → not emitted yet
     assert spark.sql("SELECT * FROM sessions WHERE user_id = 2").count() == 0
+
+
+def test_stream_static_broadcast_enrichment(spark, tmp_path):
+    """Stream-static join: each micro-batch enriched against a static
+    dimension (the reference's author denormalization, done read-side on
+    a stream). The static side is broadcast — no stateful join state,
+    no watermark needed."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    users = spark.createDataFrame(
+        [(7, "otavio"), (8, "ana")], "user_id long, username string"
+    )
+    write_files(spark, src, [[ev(1, 10, uid=7)], [ev(2, 11, uid=8), ev(3, 12, uid=99)]])
+
+    enriched = stream(spark, src).join(F.broadcast(users), "user_id", "left")
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enriched")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["event_id"]: r["username"]
+        for r in spark.sql("SELECT * FROM enriched").collect()
+    }
+    # known users resolve across micro-batches; unknown user stays null
+    # (left join — events are never dropped by enrichment)
+    assert got == {1: "otavio", 2: "ana", 3: None}
