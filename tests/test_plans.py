@@ -115,6 +115,10 @@ def test_salted_join_joins_on_salt(spark, sf_dir):
     # the salt column must participate in the join key — that's the whole
     # mechanism (hot key split across n reducers)
     assert "__salt" in plan
+    # and it must be a shuffle join: broadcasting the replicated dim would
+    # defeat the purpose (and measured 2.4× slower at sf0.1)
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
 
 
 def test_zscore_stats_join_broadcasts(spark, sf_dir):
