@@ -190,9 +190,10 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT COUNT(*) FROM p) AS n_purchase_after
     """,
     doc="Ordered 3-step funnel (signup → later click → later purchase), "
-    "counted per stage. Each stage is a keyed min-aggregate plus an "
-    "equi-join on user_id — all three joins share the user_id shuffle "
-    "partitioning, so Spark reuses one exchange per side.",
+    "counted per stage. Each stage folds to one row per qualifying user "
+    "before feeding the next, so the stage⋈events joins broadcast the "
+    "(shrinking) stage side; with extreme user cardinality AQE falls "
+    "back to SMJ on the shared user_id key.",
 )
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
