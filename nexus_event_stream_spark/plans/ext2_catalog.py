@@ -229,7 +229,9 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Cohort retention: users bucketed by first-seen day, distinct "
     "actives per (cohort, day-offset) for the first week. The first_seen "
-    "aggregate and the join share the user_id partitioning.",
+    "aggregate leaves its output hash-partitioned on user_id, so in the "
+    "SMJ regime the join back to events adds no exchange on that side "
+    "(at small SF Catalyst just broadcasts it).",
 )
 def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
