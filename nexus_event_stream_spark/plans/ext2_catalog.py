@@ -57,7 +57,7 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_ntile",
     """
     SELECT c_custkey, c_mktsegment,
-      ntile(4) OVER w AS quartile,
+      CAST(ntile(4) OVER w AS INTEGER) AS quartile,
       percent_rank() OVER w AS pct_rank,
       cume_dist() OVER w AS cdist,
       first_value(c_custkey) OVER w AS richest_key
@@ -90,13 +90,15 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_date_funcs",
     """
     SELECT o_orderkey,
-      year(o_orderdate) AS y, month(o_orderdate) AS m,
-      day(o_orderdate) AS d, quarter(o_orderdate) AS q,
-      dayofweek(o_orderdate) + 1 AS dow,
-      dayofyear(o_orderdate) AS doy,
+      CAST(year(o_orderdate) AS INTEGER) AS y,
+      CAST(month(o_orderdate) AS INTEGER) AS m,
+      CAST(day(o_orderdate) AS INTEGER) AS d,
+      CAST(quarter(o_orderdate) AS INTEGER) AS q,
+      CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+      CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
-      date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
-        AS days_since_1995,
+      CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+        AS INTEGER) AS days_since_1995,
       strftime(o_orderdate, '%Y-%m') AS ym
     FROM orders
     """,
@@ -221,7 +223,8 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
       FROM events GROUP BY user_id)
     SELECT cohort_day,
-      date_diff('day', cohort_day, CAST(e.ts AS DATE)) AS day_offset,
+      CAST(date_diff('day', cohort_day, CAST(e.ts AS DATE)) AS INTEGER)
+        AS day_offset,
       COUNT(DISTINCT e.user_id) AS n_active
     FROM events e JOIN first_seen f ON e.user_id = f.user_id
     WHERE date_diff('day', cohort_day, CAST(e.ts AS DATE)) BETWEEN 0 AND 7
@@ -365,11 +368,11 @@ def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         SUM({CENTS.format(c='value')}*{CENTS.format(c='value')}) AS s2
       FROM events GROUP BY event_type)
     SELECT e.event_type, MIN(st.n) AS n,
-      SUM(CASE WHEN
+      CAST(SUM(CASE WHEN
         (st.n*{CENTS.format(c='e.value')} - st.s1)
           * (st.n*{CENTS.format(c='e.value')} - st.s1)
         > 4*(st.n*st.s2 - st.s1*st.s1)
-      THEN 1 ELSE 0 END) AS n_outliers
+      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
     FROM events e JOIN st ON e.event_type = st.event_type
     GROUP BY e.event_type
     """,
@@ -439,7 +442,7 @@ def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_posexplode",
     """
-    SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+    SELECT doc_id, CAST(u.pos AS INTEGER) AS pos, u.tok AS tok FROM (
       SELECT doc_id,
         unnest(list_transform(string_split(text,' '),
                (tok, i) -> struct_pack(pos := i-1, tok := tok))) AS u
@@ -468,7 +471,7 @@ def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_map_funcs",
     """
     SELECT user_id,
-      COUNT(DISTINCT event_type) AS n_types,
+      CAST(COUNT(DISTINCT event_type) AS INTEGER) AS n_types,
       CASE WHEN COUNT(CASE WHEN event_type='click' THEN 1 END) > 0
            THEN COUNT(CASE WHEN event_type='click' THEN 1 END) END AS n_clicks,
       COUNT(CASE WHEN event_type='purchase' THEN 1 END) > 0 AS has_purchase
@@ -504,7 +507,7 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_hash_sample",
     """
     SELECT COUNT(*) AS n_sampled,
-      SUM(CAST(ROUND(value*100,0) AS BIGINT)) AS sum_cents,
+      CAST(SUM(CAST(ROUND(value*100,0) AS BIGINT)) AS BIGINT) AS sum_cents,
       COUNT(DISTINCT user_id) AS n_users
     FROM events
     WHERE ((event_id * 2654435761) % 4294967296) % 100 < 10

@@ -22,6 +22,44 @@ from nexus_event_stream_spark.schemas import TABLE_NAMES  # noqa: E402
 from nexus_event_stream_spark.session import get_spark  # noqa: E402
 
 
+#: DuckDB logical type → the normalized name Spark's dtypes use. Anything
+#: not listed (notably HUGEINT, which pandas widens to float64 while Spark
+#: stays int64 — the exact drift that broke the driver's value hash on
+#: q_zscore_outliers/q_hash_sample in round 1) falls through unchanged and
+#: therefore mismatches.
+_DUCK_TO_SPARK_TYPE = {
+    "tinyint": "tinyint",
+    "smallint": "smallint",
+    "integer": "int",
+    "bigint": "bigint",
+    "float": "float",
+    "double": "double",
+    "varchar": "string",
+    "boolean": "boolean",
+    "date": "date",
+    "timestamp": "timestamp",
+    "timestamp with time zone": "timestamp",
+}
+
+
+def norm_duck_type(t: str) -> str:
+    t = str(t).strip().lower()
+    if t.endswith("[]"):
+        return f"array<{norm_duck_type(t[:-2])}>"
+    return _DUCK_TO_SPARK_TYPE.get(t, t)
+
+
+def type_mismatches(scols, sdtypes, dcols, dtypes) -> list[str]:
+    """Columns whose DuckDB type doesn't normalize to the Spark dtype."""
+    sd = dict(zip(scols, sdtypes))
+    dd = {c: norm_duck_type(t) for c, t in zip(dcols, dtypes)}
+    return [
+        f"{c}: spark={sd[c]} duck={dd[c]}"
+        for c in scols
+        if c in dd and sd[c] != dd[c]
+    ]
+
+
 def norm_cell(v) -> str:
     import datetime
     import math
@@ -65,6 +103,7 @@ def main() -> int:
         t0 = time.time()
         sdf = build(spark, sf_dir)
         scols = sdf.columns
+        sdtypes = [t for _, t in sdf.dtypes]
         srows = sdf.collect()
         dt_spark = time.time() - t0
         if name not in oracles:
@@ -77,8 +116,11 @@ def main() -> int:
         dt_duck = time.time() - t0
         status = "OK"
         detail = ""
+        bad_types = type_mismatches(scols, sdtypes, dcols, [t for t in rel.types])
         if sorted(scols) != sorted(dcols):
             status, detail = "COLS-MISMATCH", f"spark={scols} duck={dcols}"
+        elif bad_types:
+            status, detail = "TYPE-MISMATCH", "; ".join(bad_types)
         elif len(srows) != len(drows):
             status, detail = "COUNT-MISMATCH", f"spark={len(srows)} duck={len(drows)}"
         else:
