@@ -46,6 +46,21 @@ class SignalCommands:
             if name.startswith("cmd-") and name.endswith(".json")
         ]
         self._seq = max(existing, default=0)
+        # Replay the log into _state: the log is the source of truth, so a
+        # restarted writer must accept update()/delete() on entities created
+        # before the restart (previously they raised KeyError).
+        for seq in sorted(existing):
+            with open(os.path.join(log_dir, f"cmd-{seq:08d}.json")) as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    ev = json.loads(line)
+                    if ev.get("action") == "deleted":
+                        self._state.pop(ev["id"], None)
+                    else:
+                        self._state[ev["id"]] = {
+                            k: v for k, v in ev.items() if k != "action"
+                        }
 
     # -- internals ----------------------------------------------------------
 

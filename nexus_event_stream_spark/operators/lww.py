@@ -126,8 +126,26 @@ def lww_merge_batch(
     )
 
     order_cols = [ts_col, *tiebreak]
-    b_ord = F.struct(*[F.col(f"b.{c}") for c in order_cols])
-    v_ord = F.struct(*[F.col(f"v.{c}") for c in order_cols])
+
+    def _ord(prefix: str) -> Column:
+        # The fold orders desc_nulls_first — a NULL field ranks ABOVE any
+        # value — but bare struct comparison ranks NULL smallest, so a null
+        # tiebreak (tolerant reader can null created_at/title) would flip
+        # the winner between incremental merge and full re-fold. Encode
+        # NULL-ness as a leading boolean: (true, NULL) > (false, x), and
+        # two NULLs tie on the flag.
+        return F.struct(
+            *[
+                F.struct(
+                    F.col(f"{prefix}.{c}").isNull().alias("n"),
+                    F.col(f"{prefix}.{c}").alias("v"),
+                ).alias(c)
+                for c in order_cols
+            ]
+        )
+
+    b_ord = _ord("b")
+    v_ord = _ord("v")
     b_present = F.col("b.__bp").isNotNull()
     v_present = F.col("v.__vp").isNotNull()
     b_ts = F.col(f"b.{ts_col}")

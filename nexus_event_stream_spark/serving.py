@@ -4,8 +4,11 @@ Reference contracts (data-plane/internal/handler/signal.go:24-60,
 projection/signal.go:70-108; CLI client.go:68-77):
 
 - ``list()``                → top-50 newest-first;
-- ``list(priority=P)``      → equality filter; *unknown* priority → empty
-                              list, not an error (score-0 quirk);
+- ``list(priority=P)``      → equality filter, ALL matches (the 0-49 range
+                              applies only to the unfiltered list —
+                              ListByPriority is ByScore with no range);
+                              *unknown* priority → empty list, not an
+                              error (score-0 quirk);
 - ``get(id)``               → single record or ``NotFoundError`` (the Go
                               ``ErrNotFound`` / HTTP 404 analogue);
 - ``health()``              → view reachability + row count.
@@ -49,7 +52,14 @@ class SignalService:
             # Unknown display string maps to score 0 → matches nothing
             # (projection/signal.go:21-25,84-96). Equality on the stored
             # display string reproduces that: bogus values hit no rows.
-            view = view.filter(F.col("priority") == F.lit(priority))
+            # ListByPriority has NO 0-49 range (ZRangeArgs ByScore, exact
+            # score): it returns ALL matches, ascending member order —
+            # the 50-row cap applies only to the unfiltered list.
+            return (
+                view.filter(F.col("priority") == F.lit(priority))
+                .orderBy(F.col("id").asc())
+                .collect()
+            )
         return newest_first(
             view, ts_col="created_at", tiebreak=["id"], limit=LIST_LIMIT
         ).collect()
@@ -76,3 +86,35 @@ class SignalService:
     @staticmethod
     def known_priorities() -> dict[str, int]:
         return dict(PRIORITY_SCORES)
+
+
+def users_newest_first(users: DataFrame) -> list[Row]:
+    """User listing parity: ``User.objects.order_by('-date_joined')``
+    (control-plane/nexus/core/views.py:7-10). Ties broken by username desc —
+    Django leaves tie order to the database; here it must be total.
+    """
+    return users.orderBy(
+        F.col("date_joined").desc(), F.col("username").desc()
+    ).collect()
+
+
+def groups_by_name(groups: DataFrame) -> list[Row]:
+    """Group listing parity: ``Group.objects.order_by('-name')``
+    (control-plane/nexus/core/views.py:12-15; group name is unique in
+    Django's auth model, so the ordering is already total)."""
+    return groups.orderBy(F.col("name").desc()).collect()
+
+
+@dataclass
+class DirectoryService:
+    """Control-plane auth read endpoints — the users/groups listings the
+    reference serves next to signals (views.py:7-15, urls.py router)."""
+
+    users_df: DataFrame
+    groups_df: DataFrame
+
+    def users(self) -> list[Row]:
+        return users_newest_first(self.users_df)
+
+    def groups(self) -> list[Row]:
+        return groups_by_name(self.groups_df)

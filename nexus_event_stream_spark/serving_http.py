@@ -20,18 +20,24 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
-from nexus_event_stream_spark.serving import NotFoundError, SignalService
+from nexus_event_stream_spark.serving import (
+    DirectoryService,
+    NotFoundError,
+    SignalService,
+)
 
 
 def _row_to_dict(row) -> dict:
+    import datetime as _dt
+
     d = row.asDict()
-    for k in ("created_at", "updated_at"):
-        if d.get(k) is not None:
-            d[k] = d[k].isoformat()
+    for k, v in d.items():
+        if isinstance(v, _dt.datetime):
+            d[k] = v.isoformat()
     return d
 
 
-def make_handler(service: SignalService):
+def make_handler(service: SignalService, directory: DirectoryService | None = None):
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, payload) -> None:
             body = json.dumps(payload).encode()
@@ -57,6 +63,10 @@ def make_handler(service: SignalService):
                         self._send(200, _row_to_dict(service.get(parts[1])))
                     except NotFoundError:
                         self._send(404, {"error": "signal not found"})
+                elif parts == ["users"] and directory is not None:
+                    self._send(200, [_row_to_dict(r) for r in directory.users()])
+                elif parts == ["groups"] and directory is not None:
+                    self._send(200, [_row_to_dict(r) for r in directory.groups()])
                 else:
                     self._send(404, {"error": "not found"})
             except Exception as exc:  # 500 envelope (handler/signal.go:71-81)
@@ -68,11 +78,20 @@ def make_handler(service: SignalService):
     return Handler
 
 
-def serve(service: SignalService, port: int = 0) -> ThreadingHTTPServer:
+def serve(
+    service: SignalService,
+    port: int = 0,
+    directory: DirectoryService | None = None,
+) -> ThreadingHTTPServer:
     """Start the read API on a daemon thread; returns the server (use
     ``server.server_address[1]`` for the bound port, ``shutdown()`` to stop).
+
+    ``directory`` optionally mounts the control-plane users/groups listings
+    (views.py:7-15) at ``/users`` and ``/groups``.
     """
-    server = ThreadingHTTPServer(("127.0.0.1", port), make_handler(service))
+    server = ThreadingHTTPServer(
+        ("127.0.0.1", port), make_handler(service, directory)
+    )
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     return server

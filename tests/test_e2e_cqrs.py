@@ -68,6 +68,23 @@ def test_full_cqrs_loop(spark, tmp_path):
     assert SignalService(spark, store).get(c)["priority"] == "High"
 
 
+def test_command_writer_restart_replays_log(tmp_path):
+    # The log is the source of truth: a restarted writer rebuilds _state
+    # from it, so update()/delete() on pre-restart entities must work and
+    # pre-restart deletes must stay deleted.
+    log = str(tmp_path / "log")
+    c1 = SignalCommands(log, author="otavio")
+    kept = c1.create("keep me", "c", priority=2)
+    gone = c1.create("delete me", "c")
+    c1.delete(gone)
+
+    c2 = SignalCommands(log, author="otavio")
+    c2.update(kept, title="kept after restart")
+    c2.delete(kept)
+    with pytest.raises(KeyError):
+        c2.update(gone, title="zombie")
+
+
 def test_command_validation(tmp_path):
     cmds = SignalCommands(str(tmp_path / "log"))
     with pytest.raises(ValueError):

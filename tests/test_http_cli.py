@@ -73,6 +73,28 @@ def test_health_endpoint(base_url):
     assert status == 200 and body["status"] == "ok" and body["rows"] == 2
 
 
+def test_users_groups_endpoints(spark, service):
+    from nexus_event_stream_spark.serving import DirectoryService
+    from nexus_event_stream_spark.serving_http import serve as serve_http
+
+    users = spark.createDataFrame(
+        [("alice", dt.datetime(2026, 1, 2)), ("bob", dt.datetime(2026, 1, 3))],
+        "username string, date_joined timestamp",
+    )
+    groups = spark.createDataFrame([("dev",), ("ops",)], "name string")
+    server = serve_http(service, directory=DirectoryService(users, groups))
+    url = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        status, _, body = get_json(f"{url}/users")
+        assert status == 200
+        assert [u["username"] for u in body] == ["bob", "alice"]
+        assert body[0]["date_joined"].startswith("2026-01-03")
+        _, _, body = get_json(f"{url}/groups")
+        assert [g["name"] for g in body] == ["ops", "dev"]
+    finally:
+        server.shutdown()
+
+
 def test_cli_list_truncation_and_exit_codes(service, capsys):
     long_title = "x" * 60
     assert cli_main(service, ["list"]) == 0

@@ -38,6 +38,7 @@ events_strategy = st.lists(
         st.integers(min_value=0, max_value=50),  # ts seconds
         st.integers(min_value=0, max_value=10**6),  # unique seq
         st.booleans(),  # bare 2-key delete (null ts/fields) when deleted
+        st.booleans(),  # null tiebreak (tolerant reader nulled the title)
     ),
     min_size=1,
     max_size=12,
@@ -48,23 +49,31 @@ def to_rows(events):
     # title encodes the unique seq → a total tiebreak inside equal ts.
     # A "bare" delete is the reference's 2-key envelope: only action+id,
     # everything else null — it must act as a terminal tombstone.
+    # A null-title row exercises the null-tiebreak ordering (NULL wins the
+    # desc_nulls_first fold); at most one per (key, ts) so the total-order
+    # requirement of the fold still holds.
     rows = []
-    for action, key, ts, seq, bare in events:
+    null_seen = set()
+    for action, key, ts, seq, bare, null_title in events:
         if action == "deleted" and bare:
             rows.append((action, key, None, None, None, None, None, None))
-        else:
-            rows.append(
-                (
-                    action,
-                    key,
-                    f"t{seq:07d}",
-                    "c",
-                    "High",
-                    "a",
-                    dt.datetime(2026, 1, 1),
-                    dt.datetime(2026, 1, 1, 0, 0, ts),
-                )
+            continue
+        title = f"t{seq:07d}"
+        if null_title and (key, ts) not in null_seen:
+            null_seen.add((key, ts))
+            title = None
+        rows.append(
+            (
+                action,
+                key,
+                title,
+                "c",
+                "High",
+                "a",
+                dt.datetime(2026, 1, 1),
+                dt.datetime(2026, 1, 1, 0, 0, ts),
             )
+        )
     return rows
 
 
