@@ -274,14 +274,11 @@ def minhash_dedup(
     )
 
 
-def simhash(docs: DataFrame, bits: int = 16, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """SimHash fingerprint: bit j set iff the sum over tokens of
-    (2·bit_j(h(token)) − 1) is ≥ 0. Near-dups differ in few bits.
-
-    Narrow map, exact integer arithmetic, portable hash → oracle-able.
-    Output: doc_id, simhash.
+def simhash_expr(text_col: str = "text", bits: int = 16) -> Column:
+    """SimHash fingerprint as a column expression: bit j set iff the sum
+    over tokens of (2·bit_j(h(token)) − 1) is ≥ 0. Near-dups differ in few
+    bits. Exact integer arithmetic, portable hash → oracle-able.
     """
-    docs = spread(docs)
     toks = F.array_distinct(F.split(F.col(text_col), " "))
     hashes = F.transform(toks, lambda t: portable_string_hash(t))
 
@@ -302,8 +299,15 @@ def simhash(docs: DataFrame, bits: int = 16, id_col: str = "doc_id", text_col: s
             F.pow(F.lit(2.0), j).cast("bigint"),
         ).otherwise(F.lit(0).cast("bigint")),
     )
-    fp = F.aggregate(bit_vals, F.lit(0).cast("bigint"), lambda acc, v: acc + v)
-    return docs.select(F.col(id_col).alias("doc_id"), fp.alias("simhash"))
+    return F.aggregate(bit_vals, F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+
+
+def simhash(docs: DataFrame, bits: int = 16, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """SimHash per document (narrow map). Output: doc_id, simhash."""
+    docs = spread(docs)
+    return docs.select(
+        F.col(id_col).alias("doc_id"), simhash_expr(text_col, bits).alias("simhash")
+    )
 
 
 def simhash_pairs(

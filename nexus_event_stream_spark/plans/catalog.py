@@ -371,22 +371,36 @@ def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         AS running_cents,
       LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        AS prev_value
+        AS prev_value,
+      CAST(SUM({CENTS.format(c='value')}) OVER (
+        PARTITION BY user_id ORDER BY CAST(epoch_us(ts) AS BIGINT)
+        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS cents_last_hour
     FROM events
     """,
-    doc="Per-user running sum (exact cents — window sums are "
-    "order-of-association sensitive in float) + lag. One shuffle on "
-    "user_id, sorted within partitions.",
+    doc="Per-user analytic windows: running sum (exact cents — window "
+    "sums are order-of-association sensitive in float) + lag on a ROWS "
+    "frame, plus a trailing-1-hour RANGE frame keyed on event time (the "
+    "batch twin of a sliding stream aggregate; bounds are exact "
+    "microsecond integers — whole-second truncation would shift "
+    "boundary membership on sub-second data). Both window specs share "
+    "the user_id partition: ONE shuffle, two sorts within partitions.",
 )
 def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    trailing = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
     return events.select(
         "event_id",
         "user_id",
         F.sum(cents("value")).over(running).alias("running_cents"),
         F.lag("value").over(w).alias("prev_value"),
+        F.sum(cents("value")).over(trailing).alias("cents_last_hour"),
     )
 
 

@@ -1,8 +1,9 @@
-"""Second extension wave: grouping sets, analytic-window breadth, date
-functions, histograms, event-funnel / cohort-retention / first-touch
-attribution (the event-analytics queries a stream-projection engine like
-the reference would serve next), skew-salted join equivalence, corpus
-top-k tokens, and exact-integer z-score outlier detection.
+"""Second extension wave: analytic-window breadth (ntile family),
+histograms, the behavioral-analytics suite (funnel / cohort retention /
+first-touch attribution — the event-analytics queries a stream-projection
+engine like the reference would serve next), skew-salted join
+equivalence, corpus top-k tokens, positional explode, and deterministic
+hash sampling.
 
 All oracled against DuckDB. Determinism follows plans/catalog.py's rules:
 monetary doubles fold as integer cents; doubles exposed in outputs are
@@ -24,33 +25,6 @@ from nexus_event_stream_spark.plans.catalog import CENTS, cents, register
 # ---------------------------------------------------------------------------
 # Relational breadth
 # ---------------------------------------------------------------------------
-
-
-@register(
-    "q_grouping_sets",
-    f"""
-    SELECT l_returnflag, l_linestatus,
-      CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
-      CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
-      COUNT(*) AS n,
-      CAST(SUM({CENTS.format(c='l_quantity')}) AS DOUBLE)/100 AS sum_qty
-    FROM lineitem
-    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-    """,
-    doc="Explicit GROUPING SETS with GROUPING() marker columns — the "
-    "general form of §2.4's cube/rollup rows. Spark plans one Expand + "
-    "hash aggregate (single shuffle for all three groupings).",
-)
-def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupingSets(
-        [["l_returnflag"], ["l_linestatus"], []], "l_returnflag", "l_linestatus"
-    ).agg(
-        F.grouping("l_returnflag").cast("int").alias("g_rf"),
-        F.grouping("l_linestatus").cast("int").alias("g_ls"),
-        F.count(F.lit(1)).alias("n"),
-        (F.sum(cents("l_quantity")).cast("double") / 100).alias("sum_qty"),
-    )
 
 
 @register(
@@ -83,46 +57,6 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cdist"),
         F.first("c_custkey").over(w).alias("richest_key"),
-    )
-
-
-@register(
-    "q_date_funcs",
-    """
-    SELECT o_orderkey,
-      CAST(year(o_orderdate) AS INTEGER) AS y,
-      CAST(month(o_orderdate) AS INTEGER) AS m,
-      CAST(day(o_orderdate) AS INTEGER) AS d,
-      CAST(quarter(o_orderdate) AS INTEGER) AS q,
-      CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
-      CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
-      strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
-      CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
-        AS INTEGER) AS days_since_1995,
-      strftime(o_orderdate, '%Y-%m') AS ym
-    FROM orders
-    """,
-    doc="Date/time scalar-function breadth (§2.8 'math/date library' row): "
-    "extraction fields, last_day, datediff from an epoch anchor, "
-    "yyyy-MM bucketing. DuckDB's dayofweek is 0-based Sunday; Spark's is "
-    "1-based — normalized in the oracle, not the engine.",
-)
-def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    d = F.to_date("o_orderdate")
-    return orders.select(
-        "o_orderkey",
-        F.year("o_orderdate").alias("y"),
-        F.month("o_orderdate").alias("m"),
-        F.dayofmonth("o_orderdate").alias("d"),
-        F.quarter("o_orderdate").alias("q"),
-        F.dayofweek("o_orderdate").alias("dow"),
-        F.dayofyear("o_orderdate").alias("doy"),
-        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
-        F.datediff(d, F.lit("1995-01-01").cast("date")).alias(
-            "days_since_1995"
-        ),
-        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
     )
 
 
@@ -174,7 +108,7 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_funnel",
+    "q_behavioral",
     """
     WITH s AS (
       SELECT user_id, MIN(ts) AS s_ts FROM events
@@ -186,20 +120,66 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     p AS (
       SELECT e.user_id, MIN(e.ts) AS p_ts
       FROM events e JOIN c ON e.user_id = c.user_id
-      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY e.user_id)
-    SELECT (SELECT COUNT(*) FROM s) AS n_signup,
-           (SELECT COUNT(*) FROM c) AS n_click_after,
-           (SELECT COUNT(*) FROM p) AS n_purchase_after
+      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY e.user_id),
+    first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id),
+    ret AS (
+      SELECT cohort_day,
+        CAST(date_diff('day', cohort_day, CAST(e.ts AS DATE)) AS INTEGER)
+          AS day_offset,
+        COUNT(DISTINCT e.user_id) AS n
+      FROM events e JOIN first_seen f ON e.user_id = f.user_id
+      WHERE date_diff('day', cohort_day, CAST(e.ts AS DATE)) BETWEEN 0 AND 7
+      GROUP BY cohort_day, day_offset),
+    ft AS (
+      SELECT user_id, event_type AS first_touch FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events) WHERE rn = 1),
+    fta AS (
+      SELECT ft.first_touch,
+        COUNT(*) AS n_purchases,
+        COUNT(DISTINCT e.user_id) AS n_buyers
+      FROM events e JOIN ft ON e.user_id = ft.user_id
+      WHERE e.event_type = 'purchase'
+      GROUP BY ft.first_touch)
+    SELECT 'funnel' AS analysis, 'signup' AS k,
+           (SELECT COUNT(*) FROM s) AS n
+    UNION ALL SELECT 'funnel', 'click_after', (SELECT COUNT(*) FROM c)
+    UNION ALL SELECT 'funnel', 'purchase_after', (SELECT COUNT(*) FROM p)
+    UNION ALL SELECT 'retention',
+      concat(strftime(cohort_day, '%Y-%m-%d'), '+',
+             CAST(day_offset AS VARCHAR)), n
+    FROM ret
+    UNION ALL SELECT 'first_touch', first_touch, n_purchases FROM fta
+    UNION ALL SELECT 'first_touch_buyers', first_touch, n_buyers FROM fta
     """,
-    doc="Ordered 3-step funnel (signup → later click → later purchase), "
-    "counted per stage. Each stage folds to one row per qualifying user "
-    "before feeding the next, so the stage⋈events joins broadcast the "
-    "(shrinking) stage side; with extreme user cardinality AQE falls "
-    "back to SMJ on the shared user_id key.",
+    doc="Behavioral-analytics suite in long format (analysis, k, n): "
+    "(a) ordered 3-step funnel (signup → later click → later purchase) "
+    "— each stage folds to one row per qualifying user before feeding "
+    "the next, so the stage⋈events joins broadcast the shrinking stage "
+    "side (AQE falls back to SMJ on user_id at extreme cardinality); "
+    "(b) cohort retention — users bucketed by first-seen day, distinct "
+    "actives per (cohort '+' day-offset) for the first week; the "
+    "first_seen aggregate leaves its output hash-partitioned on "
+    "user_id, so the SMJ-regime join back to events adds no exchange "
+    "on that side; (c) first-touch attribution — every purchase "
+    "credited to the user's earliest event type (rn=1 is "
+    "q_latest_state's fold reversed; ties by event_id). Subsumes "
+    "round-1's q_funnel/q_retention/q_first_touch.",
 )
-def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_behavioral(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
 
+    def lab(analysis: str, k, n) -> list:
+        return [
+            F.lit(analysis).alias("analysis"),
+            (F.lit(k) if isinstance(k, str) else k).alias("k"),
+            n.alias("n"),
+        ]
+
+    # -- funnel ------------------------------------------------------------
     def stage(etype: str, prev: DataFrame | None, prev_ts: str, out: str):
         e = ev.filter(F.col("event_type") == etype)
         if prev is not None:
@@ -209,76 +189,45 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = stage("signup", None, "", "s_ts")
     c = stage("click", s, "s_ts", "c_ts")
     p = stage("purchase", c, "c_ts", "p_ts")
-    return (
-        s.agg(F.count(F.lit(1)).alias("n_signup"))
-        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after")))
-        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after")))
+    n = F.count(F.lit(1))
+    funnel = (
+        s.agg(*lab("funnel", "signup", n))
+        .unionByName(c.agg(*lab("funnel", "click_after", n)))
+        .unionByName(p.agg(*lab("funnel", "purchase_after", n)))
     )
 
-
-@register(
-    "q_retention",
-    """
-    WITH first_seen AS (
-      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
-      FROM events GROUP BY user_id)
-    SELECT cohort_day,
-      CAST(date_diff('day', cohort_day, CAST(e.ts AS DATE)) AS INTEGER)
-        AS day_offset,
-      COUNT(DISTINCT e.user_id) AS n_active
-    FROM events e JOIN first_seen f ON e.user_id = f.user_id
-    WHERE date_diff('day', cohort_day, CAST(e.ts AS DATE)) BETWEEN 0 AND 7
-    GROUP BY cohort_day, day_offset
-    """,
-    doc="Cohort retention: users bucketed by first-seen day, distinct "
-    "actives per (cohort, day-offset) for the first week. The first_seen "
-    "aggregate leaves its output hash-partitioned on user_id, so in the "
-    "SMJ regime the join back to events adds no exchange on that side "
-    "(at small SF Catalyst just broadcasts it).",
-)
-def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # -- retention ---------------------------------------------------------
     first_seen = ev.groupBy("user_id").agg(
         F.min(F.to_date("ts")).alias("cohort_day")
     )
     off = F.datediff(F.to_date("ts"), F.col("cohort_day"))
-    return (
+    retention = (
         ev.join(first_seen, "user_id")
         .withColumn("day_offset", off)
         .filter(F.col("day_offset").between(0, 7))
         .groupBy("cohort_day", "day_offset")
         .agg(F.countDistinct("user_id").alias("n_active"))
+        .select(
+            *lab(
+                "retention",
+                F.concat_ws(
+                    "+",
+                    F.date_format("cohort_day", "yyyy-MM-dd"),
+                    F.col("day_offset").cast("string"),
+                ),
+                F.col("n_active"),
+            )
+        )
     )
 
-
-@register(
-    "q_first_touch",
-    """
-    WITH ft AS (
-      SELECT user_id, event_type AS first_touch FROM (
-        SELECT *, row_number() OVER (
-          PARTITION BY user_id ORDER BY ts, event_id) AS rn
-        FROM events) WHERE rn = 1)
-    SELECT ft.first_touch,
-      COUNT(*) AS n_purchases,
-      COUNT(DISTINCT e.user_id) AS n_buyers
-    FROM events e JOIN ft ON e.user_id = ft.user_id
-    WHERE e.event_type = 'purchase'
-    GROUP BY ft.first_touch
-    """,
-    doc="First-touch attribution: every purchase credited to the user's "
-    "earliest event type (ties broken by event_id). The rn=1 window is "
-    "the same latest/earliest-per-key fold as q_latest_state, reversed.",
-)
-def q_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # -- first-touch attribution --------------------------------------------
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ft = (
         ev.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("user_id", F.col("event_type").alias("first_touch"))
     )
-    return (
+    fta = (
         ev.filter(F.col("event_type") == "purchase")
         .join(ft, "user_id")
         .groupBy("first_touch")
@@ -287,6 +236,15 @@ def q_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_buyers"),
         )
     )
+    first_touch = fta.select(
+        *lab("first_touch", F.col("first_touch"), F.col("n_purchases"))
+    ).unionByName(
+        fta.select(
+            *lab("first_touch_buyers", F.col("first_touch"), F.col("n_buyers"))
+        )
+    )
+
+    return funnel.unionByName(retention).unionByName(first_touch)
 
 
 # ---------------------------------------------------------------------------
@@ -359,84 +317,9 @@ def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_zscore_outliers",
-    f"""
-    WITH st AS (
-      SELECT event_type, COUNT(*) AS n,
-        SUM({CENTS.format(c='value')}) AS s1,
-        SUM({CENTS.format(c='value')}*{CENTS.format(c='value')}) AS s2
-      FROM events GROUP BY event_type)
-    SELECT e.event_type, MIN(st.n) AS n,
-      CAST(SUM(CASE WHEN
-        (st.n*{CENTS.format(c='e.value')} - st.s1)
-          * (st.n*{CENTS.format(c='e.value')} - st.s1)
-        > 4*(st.n*st.s2 - st.s1*st.s1)
-      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
-    FROM events e JOIN st ON e.event_type = st.event_type
-    GROUP BY e.event_type
-    """,
-    doc="Per-group 2-sigma outlier count with ZERO floating point: "
-    "|x-mean| > 2*sd is cross-multiplied into the integer-cents domain "
-    "((n*x-s1)^2 > 4*(n*s2-s1^2), population variance), so the flag is "
-    "exact on any engine and any partitioning. Magnitudes stay inside "
-    "int64 up to ~sf0.15 of this data (n*max_cents ~ 1.1e9, squared "
-    "~1.3e18 < 2^63); beyond that, lift s1/s2 to decimal(38,0). "
-    "Stats join is a broadcast (5 groups).",
-)
-def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    xc = cents("value")
-    st = ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(xc).alias("s1"),
-        F.sum(xc * xc).alias("s2"),
-    )
-    dev = F.col("n") * xc - F.col("s1")
-    is_out = dev * dev > 4 * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
-    return (
-        ev.join(F.broadcast(st), "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.min("n").alias("n"),
-            F.sum(F.when(is_out, 1).otherwise(0)).alias("n_outliers"),
-        )
-    )
-
-
 # ---------------------------------------------------------------------------
-# Wave 3: subquery / lateral / map-function / deterministic-sampling breadth
+# Wave 3: lateral / deterministic-sampling breadth
 # ---------------------------------------------------------------------------
-
-
-@register(
-    "q_exists_subquery",
-    """
-    SELECT o_orderkey, o_totalprice FROM orders o
-    WHERE EXISTS (SELECT 1 FROM lineitem l
-                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
-      AND NOT EXISTS (SELECT 1 FROM lineitem l
-                      WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.08)
-    """,
-    doc="Correlated EXISTS / NOT EXISTS through the SQL API — Catalyst "
-    "decorrelates both into left-semi and left-anti joins on l_orderkey "
-    "(same physical shape as q_semi_anti, arrived at by rewrite).",
-)
-def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from nexus_event_stream_spark.io import register_temp_views
-
-    register_temp_views(spark, sf_dir)
-    return spark.sql(
-        """
-        SELECT o_orderkey, o_totalprice FROM orders o
-        WHERE EXISTS (SELECT 1 FROM lineitem l
-                      WHERE l.l_orderkey = o.o_orderkey
-                        AND l.l_quantity >= 45)
-          AND NOT EXISTS (SELECT 1 FROM lineitem l
-                          WHERE l.l_orderkey = o.o_orderkey
-                            AND l.l_discount > 0.08)
-        """
-    )
 
 
 @register(
@@ -464,42 +347,6 @@ def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
         )
         .filter(F.col("pos") < 5)
-    )
-
-
-@register(
-    "q_map_funcs",
-    """
-    SELECT user_id,
-      CAST(COUNT(DISTINCT event_type) AS INTEGER) AS n_types,
-      CASE WHEN COUNT(CASE WHEN event_type='click' THEN 1 END) > 0
-           THEN COUNT(CASE WHEN event_type='click' THEN 1 END) END AS n_clicks,
-      COUNT(CASE WHEN event_type='purchase' THEN 1 END) > 0 AS has_purchase
-    FROM events GROUP BY user_id
-    """,
-    doc="Map-typed column surface: per-user event_type→count map built "
-    "with map_from_entries(collect_list(struct)), then size / "
-    "element_at (missing key → NULL) / map_contains_key. The oracle "
-    "computes the same scalars relationally — the map is an engine-side "
-    "representation, not a semantic.",
-)
-def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    m = (
-        ev.groupBy("user_id", "event_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .groupBy("user_id")
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("event_type", "n"))
-            ).alias("m")
-        )
-    )
-    return m.select(
-        "user_id",
-        F.size("m").alias("n_types"),
-        F.element_at("m", "click").alias("n_clicks"),
-        F.map_contains_key("m", "purchase").alias("has_purchase"),
     )
 
 

@@ -1,9 +1,16 @@
-"""Extended relational coverage: as-of join, sessionization, rollup, pivot,
-top-k per group, interval join, scalar-function breadth, approx distinct.
+"""Extended relational coverage: as-of join, sessionization, grouping-set
+breadth (subsumes rollup/cube), per-user pivot+map profile, top-k per
+group, interval join, scalar-function breadth (string/regex/math/date),
+subqueries (scalar + EXISTS), fuzzy join, array functions, aggregate
+breadth (percentiles/string-agg/null semantics), TPC-H Q3 shape.
 
 These go beyond the reference's surface (SURVEY.md §2 marks the categories
 absent) but round out what users of a general analytics engine run daily —
-each is a composition of built-in operators with a DuckDB oracle.
+each is a composition of built-in operators with a DuckDB oracle. Breadth
+queries are consolidated suites (one catalog slot covering several
+operator families) so the full catalog stays ≤ 50 entries and every query
+gets a driver correctness row each round; the round-1 → round-2 id mapping
+is recorded in SURVEY.md §2.11.
 """
 
 from __future__ import annotations
@@ -92,42 +99,80 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_rollup",
+    "q_grouping_breadth",
     f"""
-    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+    SELECT l_returnflag, l_linestatus,
+      CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+      CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+      COUNT(*) AS n_rows,
       CAST(SUM({CENTS.format(c='l_quantity')}) AS DOUBLE)/100 AS sum_qty
-    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), (l_linestatus), ())
     """,
-    doc="Hierarchical rollup aggregate (subtotals + grand total).",
+    doc="Multi-dimensional aggregate via explicit GROUPING SETS over all "
+    "four combos of (returnflag, linestatus) — the general form that "
+    "subsumes ROLLUP (its prefix sets) and CUBE (all combos), with "
+    "GROUPING() markers disambiguating subtotal rows from genuine NULL "
+    "groups. Spark plans ONE Expand + hash aggregate: a single shuffle "
+    "computes every grouping set (never a union of group-bys). The "
+    "rollup()/cube() API shorthands are pinned result-equivalent to "
+    "their grouping-set expansions in tests/test_relational.py. "
+    "Subsumes round-1's q_rollup/q_cube/q_grouping_sets.",
 )
-def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_grouping_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], ["l_linestatus"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.grouping("l_returnflag").cast("int").alias("g_rf"),
+        F.grouping("l_linestatus").cast("int").alias("g_ls"),
         F.count(F.lit(1)).alias("n_rows"),
         (F.sum(cents("l_quantity")).cast("double") / 100).alias("sum_qty"),
     )
 
 
 @register(
-    "q_pivot",
+    "q_user_profile",
     """
     SELECT user_id,
       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
-      CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+      CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+      CAST(COUNT(DISTINCT event_type) AS INTEGER) AS n_types,
+      CASE WHEN COUNT(CASE WHEN event_type='click' THEN 1 END) > 0
+           THEN COUNT(CASE WHEN event_type='click' THEN 1 END) END AS n_clicks,
+      COUNT(CASE WHEN event_type='purchase' THEN 1 END) > 0 AS has_purchase
     FROM events GROUP BY user_id
     """,
-    doc="Pivot event_type → per-user count columns (explicit value list "
-    "keeps the output schema static, as required for production pivots).",
+    doc="Per-user profile: pivot event_type → static count columns "
+    "(explicit value list keeps the schema static, as production pivots "
+    "require), then a map-typed view of the same counts exercises the "
+    "map surface — map_from_arrays + map_filter to present types, "
+    "size (n_types), element_at with missing-key→NULL (n_clicks), "
+    "map_contains_key (has_purchase). The map is an engine-side "
+    "representation; the oracle computes the same scalars relationally. "
+    "Subsumes round-1's q_pivot/q_map_funcs.",
 )
-def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     pivoted = (
         events.groupBy("user_id")
         .pivot("event_type", list(EVENT_TYPES))
         .agg(F.count(F.lit(1)))
+    )
+    m = F.map_filter(
+        F.map_from_arrays(
+            F.array(*[F.lit(t) for t in EVENT_TYPES]),
+            F.array(
+                *[F.coalesce(F.col(t), F.lit(0)).cast("long") for t in EVENT_TYPES]
+            ),
+        ),
+        lambda _, v: v > 0,
     )
     return pivoted.select(
         "user_id",
@@ -135,6 +180,9 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
             for t in EVENT_TYPES
         ],
+        F.size(m).alias("n_types"),
+        F.element_at(m, "click").alias("n_clicks"),
+        F.map_contains_key(m, "purchase").alias("has_purchase"),
     )
 
 
@@ -180,7 +228,7 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_scalar_funcs",
+    "q_scalar_breadth",
     """
     SELECT event_id,
       upper(event_type) AS type_upper,
@@ -189,6 +237,9 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       length(props) AS props_len,
       replace(event_type, 'e', '3') AS type_leet,
       lpad(CAST(user_id AS VARCHAR), 6, '0') AS user_padded,
+      regexp_extract(props, '[0-9]+') AS first_number,
+      regexp_matches(props, '[0-9]{2}') AS has_2digits,
+      regexp_replace(event_type, '[aeiou]', '_', 'g') AS type_devoweled,
       abs(value - 100.0) AS dist_from_100,
       floor(value) AS value_floor,
       ceil(value) AS value_ceil,
@@ -198,15 +249,27 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(month(ts) AS INTEGER) AS m,
       CAST(dayofmonth(ts) AS INTEGER) AS d,
       CAST(hour(ts) AS INTEGER) AS h,
+      CAST(quarter(ts) AS INTEGER) AS qtr,
+      CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+      CAST(dayofyear(ts) AS INTEGER) AS doy,
+      strftime(last_day(CAST(ts AS DATE)), '%Y-%m-%d') AS month_end,
+      strftime(ts, '%Y-%m') AS ym,
       date_diff('day', TIMESTAMP '2024-01-01 00:00:00', ts) AS days_since
     FROM events
     """,
-    doc="Scalar-function breadth: string/math/date built-ins with exact "
-    "cross-engine semantics (floor/ceil/round on positive 2-decimal "
-    "doubles, integer date parts).",
+    doc="Scalar-function breadth in one projection: string built-ins, "
+    "regex extract/match/global-replace (patterns inside the Java-regex "
+    "∩ RE2 common dialect), exact math on positive 2-decimal doubles "
+    "(floor/ceil/round), and the date library — extraction fields, "
+    "quarter/day-of-week/day-of-year, last_day, yyyy-MM bucketing, "
+    "datediff from an epoch anchor. DuckDB's dayofweek is 0-based "
+    "Sunday vs Spark's 1-based — normalized in the oracle, not the "
+    "engine. Pure map-side projection, no shuffle. Subsumes round-1's "
+    "q_scalar_funcs/q_regex/q_date_funcs.",
 )
-def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_scalar_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
+    d = F.to_date("ts")
     return events.select(
         "event_id",
         F.upper("event_type").alias("type_upper"),
@@ -217,6 +280,9 @@ def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("props").cast("long").alias("props_len"),
         F.replace(F.col("event_type"), F.lit("e"), F.lit("3")).alias("type_leet"),
         F.lpad(F.col("user_id").cast("string"), 6, "0").alias("user_padded"),
+        F.regexp_extract("props", "[0-9]+", 0).alias("first_number"),
+        F.col("props").rlike("[0-9]{2}").alias("has_2digits"),
+        F.regexp_replace("event_type", "[aeiou]", "_").alias("type_devoweled"),
         F.abs(F.col("value") - 100.0).alias("dist_from_100"),
         F.floor("value").cast("double").alias("value_floor"),
         F.ceil("value").cast("double").alias("value_ceil"),
@@ -226,38 +292,36 @@ def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("ts").alias("m"),
         F.dayofmonth("ts").alias("d"),
         F.hour("ts").alias("h"),
-        F.datediff(
-            F.to_date("ts"), F.to_date(F.lit("2024-01-01"))
-        ).cast("long").alias("days_since"),
+        F.quarter("ts").alias("qtr"),
+        F.dayofweek("ts").alias("dow"),
+        F.dayofyear("ts").alias("doy"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.date_format("ts", "yyyy-MM").alias("ym"),
+        F.datediff(d, F.to_date(F.lit("2024-01-01"))).cast("long").alias(
+            "days_since"
+        ),
     )
 
 
 @register(
-    "q_cube",
-    """
-    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows
-    FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
-    """,
-    doc="Full cube over two grouping columns (all grouping-set combos).",
-)
-def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n_rows")
-    )
-
-
-@register(
-    "q_scalar_subquery",
+    "q_subqueries",
     """
     SELECT o_orderkey, o_totalprice,
       (SELECT COUNT(*) FROM lineitem WHERE l_orderkey = o_orderkey) AS n_items
-    FROM orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.08)
     """,
-    doc="Correlated scalar subquery (decorrelated by Catalyst into an "
-    "aggregate + outer join) — exercised through the SQL API entry.",
+    doc="Subquery surface through the SQL API: a correlated scalar "
+    "subquery in the projection (decorrelated by Catalyst into an "
+    "aggregate + outer join) plus correlated EXISTS / NOT EXISTS "
+    "predicates (decorrelated into left-semi and left-anti joins on "
+    "l_orderkey — the same physical shape q_semi_anti reaches "
+    "directly). Subsumes round-1's q_scalar_subquery/q_exists_subquery.",
 )
-def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nexus_event_stream_spark.io import register_temp_views
 
     register_temp_views(spark, sf_dir)
@@ -266,7 +330,13 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderkey, o_totalprice,
           (SELECT COUNT(*) FROM lineitem WHERE l_orderkey = o_orderkey)
             AS n_items
-        FROM orders
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_quantity >= 45)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_discount > 0.08)
         """
     )
 
@@ -346,57 +416,6 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_string_agg",
-    """
-    SELECT event_type,
-      string_agg(DISTINCT CAST(user_id AS VARCHAR), ','
-                 ORDER BY CAST(user_id AS VARCHAR)) AS users
-    FROM events GROUP BY event_type
-    """,
-    doc="Ordered string aggregation (deterministic: distinct + sorted).",
-)
-def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
-        F.array_join(
-            F.array_sort(F.collect_set(F.col("user_id").cast("string"))), ","
-        ).alias("users")
-    )
-
-
-@register(
-    "q_window_range_frame",
-    f"""
-    SELECT event_id, user_id,
-      CAST(SUM({CENTS.format(c='value')}) OVER (
-        PARTITION BY user_id ORDER BY CAST(epoch_us(ts) AS BIGINT)
-        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT)
-        AS cents_last_hour
-    FROM events
-    """,
-    doc="RANGE-frame window: per-user trailing-1-hour sum keyed on event "
-    "time (vs the ROWS frame of q_window_analytics) — the batch twin of "
-    "a sliding stream aggregate. Frame bounds are exact microsecond "
-    "integers; whole-second truncation would shift boundary membership "
-    "on sub-second data.",
-)
-def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    events = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
-        .rangeBetween(-3_600_000_000, 0)
-    )
-    return events.select(
-        "event_id",
-        "user_id",
-        F.sum(cents("value")).over(w).alias("cents_last_hour"),
-    )
-
-
-@register(
     "q_shipping_priority",
     f"""
     SELECT o_orderkey, o_orderdate,
@@ -439,54 +458,14 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_percentiles",
+    "q_agg_breadth",
     """
     SELECT event_type,
       quantile_cont(value, 0.5) AS med,
       quantile_cont(value, 0.9) AS p90,
-      MIN(value) AS vmin, MAX(value) AS vmax
-    FROM events GROUP BY event_type
-    """,
-    doc="Exact interpolated percentiles per group (Spark percentile() ≡ "
-    "DuckDB quantile_cont, bit-identical on the same inputs). The "
-    "approximate-scale twin is percentile_approx (sketch, rows-only).",
-)
-def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
-        F.percentile("value", 0.5).alias("med"),
-        F.percentile("value", 0.9).alias("p90"),
-        F.min("value").alias("vmin"),
-        F.max("value").alias("vmax"),
-    )
-
-
-@register(
-    "q_regex",
-    """
-    SELECT event_id,
-      regexp_extract(props, '[0-9]+') AS first_number,
-      regexp_matches(props, '[0-9]{2}') AS has_2digits,
-      regexp_replace(event_type, '[aeiou]', '_', 'g') AS type_devoweled
-    FROM events
-    """,
-    doc="Regex surface: extract / match / global replace (patterns chosen "
-    "inside the Java-regex ∩ RE2 common dialect).",
-)
-def q_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    return events.select(
-        "event_id",
-        F.regexp_extract("props", "[0-9]+", 0).alias("first_number"),
-        F.col("props").rlike("[0-9]{2}").alias("has_2digits"),
-        F.regexp_replace("event_type", "[aeiou]", "_").alias("type_devoweled"),
-    )
-
-
-@register(
-    "q_null_handling",
-    """
-    SELECT event_type,
+      MIN(value) AS vmin, MAX(value) AS vmax,
+      string_agg(DISTINCT CAST(user_id AS VARCHAR), ','
+                 ORDER BY CAST(user_id AS VARCHAR)) AS users,
       COUNT(*) AS n_total,
       COUNT(CASE WHEN user_id % 3 = 0 THEN NULL ELSE value END) AS n_nonnull,
       CAST(SUM(CASE WHEN COALESCE(
@@ -494,31 +473,30 @@ def q_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         THEN 1 ELSE 0 END) AS BIGINT) AS n_defaulted
     FROM events GROUP BY event_type
     """,
-    doc="Null semantics: null-generating CASE, null-skipping COUNT, "
-    "COALESCE defaulting — the tolerant-reader value rules in aggregate "
-    "form.",
+    doc="Aggregate-function breadth in ONE hash aggregate per group: "
+    "exact interpolated percentiles (Spark percentile() ≡ DuckDB "
+    "quantile_cont, bit-identical on equal inputs; percentile_approx is "
+    "the sketch twin, pytest-only), ordered string aggregation "
+    "(deterministic: distinct + sorted), and null semantics — "
+    "null-generating CASE, null-skipping COUNT, COALESCE defaulting "
+    "(the tolerant-reader value rules in aggregate form). One shuffle "
+    "on event_type computes all nine aggregates. Subsumes round-1's "
+    "q_percentiles/q_string_agg/q_null_handling.",
 )
-def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_agg_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     v_null = F.when(F.col("user_id") % 3 == 0, F.lit(None)).otherwise(F.col("value"))
     return events.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("med"),
+        F.percentile("value", 0.9).alias("p90"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.array_join(
+            F.array_sort(F.collect_set(F.col("user_id").cast("string"))), ","
+        ).alias("users"),
         F.count(F.lit(1)).alias("n_total"),
         F.count(v_null).alias("n_nonnull"),
         F.sum(
             F.when(F.coalesce(v_null, F.lit(-1.0)) == -1.0, 1).otherwise(0)
         ).alias("n_defaulted"),
-    )
-
-
-@register(
-    "q_approx_distinct",
-    None,
-    doc="HyperLogLog++ approximate distinct users per event_type — "
-    "rows-only check (sketches are engine-specific by construction; the "
-    "exact twin is q_distinct).",
-)
-def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users")
     )

@@ -27,7 +27,6 @@ from nexus_event_stream_spark.operators.dedup import (
     minhash_coeffs,
     minhash_dedup,
     ngram_jaccard_pairs,
-    simhash,
 )
 from nexus_event_stream_spark.operators.multimodal import documents_as_media
 from nexus_event_stream_spark.operators.similarity import (
@@ -88,65 +87,30 @@ SQL_JACCARD = (
 
 @register(
     "q_text_analysis",
-    """
-    SELECT lang, COUNT(*) AS n_docs,
+    f"""
+    SELECT lang, source, COUNT(*) AS n_docs,
       CAST(SUM(n_chars) AS DOUBLE)/COUNT(*) AS avg_chars,
-      CAST(SUM(len(string_split(text,' '))) AS DOUBLE)/COUNT(*) AS avg_tokens
-    FROM documents GROUP BY lang
-    """,
-    doc="Per-language document stats (north-star text analysis).",
-)
-def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
-        (F.sum(F.size(tokens("text"))).cast("double") / F.count(F.lit(1))).alias(
-            "avg_tokens"
-        ),
-    )
-
-
-@register(
-    "q_lang_id",
-    f"""
-    SELECT lang,
-      CASE WHEN len(list_filter(string_split(text,' '),
-                     t -> t IN {tuple(STOPWORDS)}))*5
-                >= len(string_split(text,' '))
-           THEN 'en' ELSE 'other' END AS pred_lang,
-      COUNT(*) AS n_docs
-    FROM documents GROUP BY 1, 2
-    """,
-    doc="Heuristic language ID: stopword-density rule (n-gram heuristic "
-    "stand-in); grouped confusion counts vs the labeled lang column.",
-)
-def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    toks = tokens("text")
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
-    pred = F.when(n_stop * 5 >= F.size(toks), F.lit("en")).otherwise(F.lit("other"))
-    return docs.groupBy("lang", pred.alias("pred_lang")).agg(
-        F.count(F.lit(1)).alias("n_docs")
-    )
-
-
-@register(
-    "q_quality_score",
-    f"""
-    SELECT source, COUNT(*) AS n_docs,
       CAST(SUM(len(string_split(text,' '))) AS DOUBLE)/COUNT(*) AS avg_tokens,
       CAST(SUM(length(text) - length(regexp_replace(text,'[^a-zA-Z0-9 ]','','g')))
            AS DOUBLE)/SUM(length(text)) AS punct_ratio,
       CAST(SUM(len(list_filter(string_split(text,' '),
                     t -> t IN {tuple(STOPWORDS)})))
-           AS DOUBLE)/SUM(len(string_split(text,' '))) AS stopword_ratio
-    FROM documents GROUP BY source
+           AS DOUBLE)/SUM(len(string_split(text,' '))) AS stopword_ratio,
+      CAST(SUM(CASE WHEN len(list_filter(string_split(text,' '),
+                    t -> t IN {tuple(STOPWORDS)}))*5
+                    >= len(string_split(text,' '))
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_en
+    FROM documents GROUP BY GROUPING SETS ((lang), (source))
     """,
-    doc="Per-source quality signals: token/punctuation/stopword ratios — "
-    "all ratios are divisions of exactly-summed integers.",
+    doc="Text-analysis suite over documents: per-language AND per-source "
+    "stats in one Expand+aggregate pass (GROUPING SETS) — doc counts, "
+    "avg chars/tokens, punctuation and stopword ratios (quality "
+    "signals), and the stopword-density language-ID heuristic "
+    "(n_pred_en = docs the rule calls English). All ratios divide "
+    "exactly-summed integers. Subsumes round-1's q_lang_id and "
+    "q_quality_score.",
 )
-def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens("text")
     n_tok = F.size(toks)
@@ -154,47 +118,56 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace(F.col("text"), r"[^a-zA-Z0-9 ]", "")
     )
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
-    return docs.groupBy("source").agg(
+    return docs.groupingSets([["lang"], ["source"]], "lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
         (F.sum(n_tok).cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
         (F.sum(n_punct).cast("double") / F.sum(F.length("text"))).alias("punct_ratio"),
         (F.sum(n_stop).cast("double") / F.sum(n_tok)).alias("stopword_ratio"),
+        F.sum(F.when(n_stop * 5 >= n_tok, 1).otherwise(0)).alias("n_pred_en"),
     )
 
 
 @register(
-    "q_doc_fingerprint",
-    f"""
+    "q_doc_profile",
+    rf"""
     SELECT doc_id,
       list_reduce(list_prepend(CAST(0 AS BIGINT),
         list_transform(string_split(text,' '),
           t -> CAST(ascii(substring(t,1,1)) AS BIGINT)*131
                + CAST(length(t) AS BIGINT))),
-        (acc, x) -> (acc*31 + x) % {M}) AS fingerprint
+        (acc, x) -> (acc*31 + x) % {M}) AS fingerprint,
+      CAST(list_sum(list_transform(range(0,16), j -> CASE WHEN
+        list_sum(list_transform(
+          list_transform(list_distinct(string_split(text,' ')),
+                         t -> {SQL_STR_HASH.format(s='t')}),
+          h -> 2*(CAST(FLOOR(h / pow(2, j)) AS BIGINT) % 2) - 1)) >= 0
+        THEN CAST(pow(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
+      AS simhash,
+      CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+      CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+        AS BIGINT) AS bpe_ish_tokens
     FROM documents
     """,
-    doc="Rolling polynomial document fingerprint over tokens (north-star "
-    "document fingerprinting) — exact BIGINT fold, engine-portable.",
+    doc="Per-document profile in one narrow map: rolling polynomial "
+    "fingerprint (exact BIGINT fold), 16-bit SimHash (near-dups differ "
+    "in few bits; pair query in operators/dedup.py), and token counts "
+    "both ways — whitespace and a BPE-ish regex (letter-runs | "
+    "digit-runs | single punctuation, the GPT-style pre-tokenizer "
+    "shape). Subsumes round-1's q_doc_fingerprint/q_simhash/q_token_bpe.",
 )
-def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexus_event_stream_spark.operators.dedup import simhash_expr
 
-
-@register(
-    "q_token_stats",
-    """
-    SELECT COUNT(*) AS total_tokens, COUNT(DISTINCT tok) AS distinct_tokens
-    FROM (SELECT unnest(string_split(text,' ')) AS tok FROM documents)
-    """,
-    doc="Corpus token counting: explode + global count / count-distinct.",
-)
-def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(F.explode(tokens("text")).alias("tok"))
-    return tok.agg(
-        F.count(F.lit(1)).alias("total_tokens"),
-        F.countDistinct("tok").alias("distinct_tokens"),
+    return docs.select(
+        "doc_id",
+        doc_fingerprint("text").alias("fingerprint"),
+        simhash_expr("text", 16).alias("simhash"),
+        F.size(tokens("text")).cast("long").alias("ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"))
+        .cast("long")
+        .alias("bpe_ish_tokens"),
     )
 
 
@@ -224,31 +197,6 @@ def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
-
-
-@register(
-    "q_token_bpe",
-    r"""
-    SELECT doc_id,
-      CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
-      CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
-        AS BIGINT) AS bpe_ish_tokens
-    FROM documents
-    """,
-    doc="Token counting both ways: whitespace and a BPE-ish regex "
-    "(letter-runs | digit-runs | single punctuation), the pre-tokenizer "
-    "shape of GPT-style BPE vocabularies; pattern chosen inside the "
-    "Java-regex ∩ RE2 common dialect.",
-)
-def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.size(tokens("text")).cast("long").alias("ws_tokens"),
-        F.regexp_count(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"))
-        .cast("long")
-        .alias("bpe_ish_tokens"),
-    )
 
 
 @register(
@@ -332,31 +280,27 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup(docs, num_perm=16, shingle_n=3, bands=4, threshold=0.05)
 
 
-@register(
-    "q_simhash",
-    f"""
-    SELECT doc_id,
-      CAST(list_sum(list_transform(range(0,16), j -> CASE WHEN
-        list_sum(list_transform(
-          list_transform(list_distinct(string_split(text,' ')),
-                         t -> {SQL_STR_HASH.format(s='t')}),
-          h -> 2*(CAST(FLOOR(h / pow(2, j)) AS BIGINT) % 2) - 1)) >= 0
-        THEN CAST(pow(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
-      AS simhash
-    FROM documents
-    """,
-    doc="16-bit SimHash fingerprint per document (portable token hash; "
-    "near-dups differ in few bits — pair query in operators/dedup.py).",
-)
-def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return simhash(docs, bits=16)
+_CENTS_V = "CAST(ROUND({c}*100,0) AS BIGINT)"
 
 
 @register(
-    "q_kmv_distinct",
+    "q_sketch_stats",
     f"""
-    WITH h AS (
+    WITH st AS (
+      SELECT event_type, COUNT(*) AS n,
+        SUM({_CENTS_V.format(c='value')}) AS s1,
+        SUM({_CENTS_V.format(c='value')}*{_CENTS_V.format(c='value')}) AS s2
+      FROM events GROUP BY event_type),
+    outl AS (
+      SELECT e.event_type, MIN(st.n) AS n,
+        CAST(SUM(CASE WHEN
+          (st.n*{_CENTS_V.format(c='e.value')} - st.s1)
+            * (st.n*{_CENTS_V.format(c='e.value')} - st.s1)
+          > 4*(st.n*st.s2 - st.s1*st.s1)
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM events e JOIN st ON e.event_type = st.event_type
+      GROUP BY e.event_type),
+    h AS (
       SELECT DISTINCT event_type,
         {SQL_STR_HASH.format(s="CAST(user_id AS VARCHAR)")} AS hv
       FROM events),
@@ -364,26 +308,54 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, hv,
         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rk,
         COUNT(*) OVER (PARTITION BY event_type) AS n_distinct_hashes
-      FROM h)
-    SELECT event_type,
-      CAST(n_distinct_hashes AS BIGINT) AS exact_distinct,
-      CASE WHEN n_distinct_hashes >= 16
-           THEN (16 - 1) * {M}.0 / hv
-           ELSE CAST(n_distinct_hashes AS DOUBLE) END AS kmv_estimate
-    FROM r WHERE rk = LEAST(16, n_distinct_hashes)
+      FROM h),
+    kmv AS (
+      SELECT event_type,
+        CAST(n_distinct_hashes AS BIGINT) AS exact_distinct,
+        CASE WHEN n_distinct_hashes >= 16
+             THEN (16 - 1) * {M}.0 / hv
+             ELSE CAST(n_distinct_hashes AS DOUBLE) END AS kmv_estimate
+      FROM r WHERE rk = LEAST(16, n_distinct_hashes))
+    SELECT o.event_type, o.n, o.n_outliers, k.exact_distinct, k.kmv_estimate
+    FROM outl o JOIN kmv k ON o.event_type = k.event_type
     """,
-    doc="K-minimum-values distinct sketch (k=16) — the deterministic, "
-    "engine-portable alternative to HLL: estimate = (k-1)·M / h_(k) over "
-    "portable-hashed keys. Unlike q_approx_distinct this sketch is fully "
-    "value-verified; at scale the k smallest hashes per group come from "
-    "a partial top-k (no full shuffle of distinct values needed).",
+    doc="Per-group sketch/statistics suite: (a) 2-sigma outlier counts "
+    "with ZERO floating point — |x-mean| > 2·sd cross-multiplied into "
+    "integer cents ((n·x−s1)² > 4(n·s2−s1²), population variance), exact "
+    "on any engine/partitioning; magnitudes stay in int64 to ~sf0.15, "
+    "lift s1/s2 to decimal(38,0) beyond. (b) K-minimum-values distinct "
+    "sketch (k=16): estimate = (k−1)·M / h_(k) over portable-hashed keys "
+    "— the deterministic, value-verifiable alternative to HLL (HLL++ "
+    "itself is engine-specific; its behavior is pinned in pytest). The "
+    "5-row stats side broadcasts; at scale the k smallest hashes per "
+    "group come from a partial top-k, and the final 5×5 join is "
+    "broadcast. Subsumes round-1's q_zscore_outliers/q_kmv_distinct.",
 )
-def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
-    from nexus_event_stream_spark.functions.text import portable_string_hash
 
-    events = load_table(spark, sf_dir, "events")
-    h = events.select(
+    from nexus_event_stream_spark.functions.text import portable_string_hash
+    from nexus_event_stream_spark.plans.catalog import cents
+
+    ev = load_table(spark, sf_dir, "events")
+    xc = cents("value")
+    st = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xc).alias("s1"),
+        F.sum(xc * xc).alias("s2"),
+    )
+    dev = F.col("n") * xc - F.col("s1")
+    is_out = dev * dev > 4 * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+    outl = (
+        ev.join(F.broadcast(st), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("n").alias("n"),
+            F.sum(F.when(is_out, 1).otherwise(0)).alias("n_outliers"),
+        )
+    )
+
+    h = ev.select(
         "event_type",
         portable_string_hash(F.col("user_id").cast("string")).alias("hv"),
     ).distinct()
@@ -400,12 +372,15 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_distinct_hashes") >= k,
         (F.lit(k - 1) * F.lit(float(M))) / F.col("hv"),
     ).otherwise(F.col("n_distinct_hashes").cast("double"))
-    return r.filter(
+    kmv = r.filter(
         F.col("rk") == F.least(F.lit(k), F.col("n_distinct_hashes"))
     ).select(
         "event_type",
         F.col("n_distinct_hashes").cast("long").alias("exact_distinct"),
         est.alias("kmv_estimate"),
+    )
+    return outl.join(F.broadcast(kmv), "event_type").select(
+        "event_type", "n", "n_outliers", "exact_distinct", "kmv_estimate"
     )
 
 

@@ -84,9 +84,9 @@ def test_pagination_take_ordered_with_offset_no_window(spark, sf_dir):
 
 
 def test_grouping_sets_single_expand_single_shuffle(spark, sf_dir):
-    plan = physical_plan(CATALOG["q_grouping_sets"].build(spark, sf_dir))
-    # all three grouping sets computed in ONE pass: Expand + hash agg,
-    # one exchange — not a union of three separate group-bys
+    plan = physical_plan(CATALOG["q_grouping_breadth"].build(spark, sf_dir))
+    # all four grouping sets computed in ONE pass: Expand + hash agg,
+    # one exchange — not a union of four separate group-bys
     assert plan.count(") Expand") == 1
     assert plan.count(") Exchange") == 1
     assert "Union" not in plan
@@ -100,9 +100,16 @@ def test_window_ntile_shares_one_window_node(spark, sf_dir):
     assert plan.count(") Exchange") == 1
 
 
-def test_date_funcs_pure_projection_no_shuffle(spark, sf_dir):
-    plan = physical_plan(CATALOG["q_date_funcs"].build(spark, sf_dir))
+def test_scalar_breadth_pure_projection_no_shuffle(spark, sf_dir):
+    plan = physical_plan(CATALOG["q_scalar_breadth"].build(spark, sf_dir))
     assert "Exchange" not in plan  # scalar projection stays map-side
+
+
+def test_window_analytics_one_exchange_for_both_frames(spark, sf_dir):
+    plan = physical_plan(CATALOG["q_window_analytics"].build(spark, sf_dir))
+    # ROWS frame and trailing-hour RANGE frame share the user_id
+    # partitioning: one hash exchange feeds both Window nodes
+    assert plan.count(") Exchange") == 1
 
 
 def test_histogram_partial_aggregation(spark, sf_dir):
@@ -121,9 +128,10 @@ def test_salted_join_joins_on_salt(spark, sf_dir):
     assert "BroadcastHashJoin" not in plan
 
 
-def test_zscore_stats_join_broadcasts(spark, sf_dir):
-    plan = physical_plan(CATALOG["q_zscore_outliers"].build(spark, sf_dir))
-    # the 5-row per-group stats side must broadcast, never shuffle the facts
+def test_sketch_stats_joins_broadcast(spark, sf_dir):
+    plan = physical_plan(CATALOG["q_sketch_stats"].build(spark, sf_dir))
+    # the 5-row per-group stats side and the 5-row KMV side must
+    # broadcast, never sort-merge the facts
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
 

@@ -82,3 +82,38 @@ def test_band_join_boundaries(spark):
     bands = [("low", 0.0, 50.0), ("high", 50.0, 1000.0)]
     out = {r["id"]: r["band"] for r in band_join(df, bands).collect()}
     assert out == {1: "low", 2: "low", 3: "high", 4: "high", 5: None}
+
+
+def test_rollup_cube_equal_their_grouping_set_expansions(spark):
+    # The catalog's q_grouping_breadth uses explicit GROUPING SETS; pin the
+    # rollup()/cube() API shorthands to their documented expansions so the
+    # consolidated query really does subsume both.
+    df = spark.createDataFrame(
+        [("A", "x", 1), ("A", "y", 2), ("B", "x", 3), ("B", "x", 4)],
+        "f string, s string, v long",
+    )
+
+    def rows(d):
+        return {
+            (r["f"], r["s"], r["n"], r["sv"])
+            for r in d.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
+            ).collect()
+        }
+
+    cube = rows(df.cube("f", "s"))
+    rollup = rows(df.rollup("f", "s"))
+    gs_cube = rows(df.groupingSets([["f", "s"], ["f"], ["s"], []], "f", "s"))
+    gs_rollup = rows(df.groupingSets([["f", "s"], ["f"], []], "f", "s"))
+    assert cube == gs_cube
+    assert rollup == gs_rollup
+    assert rollup <= cube
+
+
+def test_approx_count_distinct_within_rsd(spark):
+    # HLL++ left the oracle catalog (sketches are engine-specific); its
+    # behavior contract lives here: estimate within the configured rsd of
+    # the exact count.
+    df = spark.range(0, 5000).select((F.col("id") % 1000).alias("k"))
+    est = df.agg(F.approx_count_distinct("k", rsd=0.02).alias("e")).first()["e"]
+    assert abs(est - 1000) <= 1000 * 0.06  # 3× rsd safety margin
