@@ -2,9 +2,11 @@
 X tier): dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash /
 embedding near-dup), similarity search, text analysis, multimodal metadata.
 
-Everything except the seeded-hyperplane ANN has a full DuckDB value oracle —
-including MinHash-LSH, which is possible only because the pipeline uses the
-engine-portable polynomial hash (functions/text.py) instead of xxhash64.
+EVERY query here has a full DuckDB value oracle — including MinHash-LSH
+(possible only because the pipeline uses the engine-portable polynomial
+hash of functions/text.py instead of xxhash64) and both ANN variants
+(seeded hyperplanes / seeded codebook enter the oracle as SQL literals
+with identical fold order).
 
 Registered into the same CATALOG as plans/catalog.py.
 """
@@ -33,8 +35,6 @@ from nexus_event_stream_spark.operators.similarity import (
     ann_topk_per_vector,
     brute_force_topk,
     exact_top1_per_vector_blocked,
-    ivf_topk,
-    ivf_train_centroids,
 )
 from nexus_event_stream_spark.plans.catalog import register
 
@@ -517,24 +517,140 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_per_vector(emb, dim=64, k=1, bits=6)
 
 
+def _sql_ann_ivf(
+    dim: int = 64,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    k: int = 5,
+    seed: int = 7,
+    n_queries: int = 3,
+) -> str:
+    """SQL twin of q_ann_ivf. The seeded codebook enters as literal arrays
+    (exactly like q_ann_lsh's hyperplanes) and every squared distance is
+    the same left-to-right fold Spark's ``aggregate`` performs, so the
+    argmin assignments, probe lists, candidates, and cosines are all
+    bit-identical across engines.
+    """
+    from nexus_event_stream_spark.operators.similarity import seeded_codebook
+
+    dots = []
+    for c in seeded_codebook(dim, n_centroids, seed):
+        arr = "[" + ", ".join(repr(x) for x in c) + "]"
+        dots.append(
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(list_zip(e, {arr}), "
+            "p -> CAST(p[1] AS DOUBLE) * p[2])), "
+            "(a, b) -> a + b)"
+        )
+    darr = "[" + ",\n        ".join(dots) + "]"
+    return f"""
+    WITH v AS (
+      SELECT vec_id, embedding AS e, {SQL_NORM.format(a='embedding')} AS nn
+      FROM embeddings),
+    d AS (
+      SELECT vec_id, e, nn, {darr} AS darr FROM v),
+    corpus AS (
+      SELECT vec_id, e, nn,
+        CAST(list_position(darr, list_max(darr)) AS INTEGER) AS centroid_id
+      FROM d),
+    qd AS (
+      SELECT vec_id AS query_id, e AS qe, nn AS qn, darr FROM d
+      WHERE vec_id < {n_queries}),
+    probe AS (
+      SELECT query_id, cid FROM (
+        SELECT query_id, u.cid AS cid,
+          row_number() OVER (
+            PARTITION BY query_id ORDER BY u.dot DESC, u.cid) AS rn
+        FROM (
+          SELECT query_id,
+            unnest(list_transform(range(1, {n_centroids + 1}),
+                   i -> struct_pack(cid := i, dot := darr[i]))) AS u
+          FROM qd))
+      WHERE rn <= {nprobe}),
+    cand AS (
+      SELECT q2.query_id, c.vec_id,
+        {sql_cosine('c.e', 'q2.qe', 'c.nn', 'q2.qn')} AS cosine
+      FROM corpus c
+        JOIN probe p ON c.centroid_id = p.cid
+        JOIN qd q2 ON p.query_id = q2.query_id
+      WHERE c.vec_id <> q2.query_id)
+    SELECT query_id, vec_id, cosine, CAST(rn AS INTEGER) AS rank FROM (
+      SELECT query_id, vec_id, cosine,
+        row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+      FROM cand) WHERE rn <= {k}
+    """
+
+
 @register(
     "q_ann_ivf",
-    None,
+    _sql_ann_ivf(),
     doc="IVF coarse-quantizer ANN (the other standard scale path next to "
-    "LSH): k-means centroids trained driver-side on a bounded sample "
-    "(seeded Lloyd, deterministic), every vector assigned to its inverted "
-    "list via an Arrow-batched numpy kernel, queries probe only the "
-    "nprobe nearest lists, exact cosine re-rank inside them. Iterative "
-    "training is not SQL-expressible → rows-only check.",
+    "LSH): every vector is assigned to its nearest inverted list, each "
+    "query probes only the nprobe nearest lists, exact quantized-cosine "
+    "re-rank inside them. The catalog variant uses a SEEDED unit-norm "
+    "codebook (data-independent, operators/similarity.py "
+    "seeded_codebook) so the whole query is one declarative Catalyst "
+    "plan — no training pass, no driver-side compute, and a full value "
+    "oracle with the codebook as SQL literals. The trained-codebook "
+    "path (distributed-Lloyd ivf_train_centroids + ivf_topk) is the "
+    "higher-recall production variant, pinned by tests/test_ivf.py. "
+    "Plan shape: one corpus scan; the 12-row probe map and 3-row query "
+    "side broadcast; candidates ≈ corpus·nprobe/n_centroids.",
 )
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    cents = ivf_train_centroids(emb, n_centroids=16, iters=5)
-    qrows = (
-        emb.filter(F.col("vec_id") < 3)
-        .select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .collect()
+    from pyspark.sql import Window
+
+    from nexus_event_stream_spark.functions.vectors import int_dot, quantize
+    from nexus_event_stream_spark.operators.similarity import (
+        centroid_dots,
+        seeded_codebook,
     )
-    qvecs = [(int(r[0]), [float(x) for x in r[1]]) for r in qrows]
-    return ivf_topk(emb, cents, qvecs, k=5, nprobe=4)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    book = seeded_codebook(64, 16, seed=7)
+    q = quantize("embedding")
+    base = emb.select(
+        "vec_id",
+        q.alias("__qv"),
+        int_dot(q, q).cast("double").alias("__nn"),
+        centroid_dots("embedding", book).alias("__d"),
+    )
+    corpus = base.select(
+        "vec_id",
+        "__qv",
+        "__nn",
+        F.array_position("__d", F.array_max("__d")).cast("int").alias("centroid_id"),
+    )
+    qside = base.filter(F.col("vec_id") < 3)
+    probes = (
+        qside.select(
+            F.col("vec_id").alias("query_id"),
+            F.posexplode("__d").alias("pos", "dot"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("dot"), F.asc("pos"))
+            ),
+        )
+        .filter(F.col("rn") <= 4)
+        .select("query_id", (F.col("pos") + 1).cast("int").alias("centroid_id"))
+    )
+    qvecs = qside.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("__qv").alias("__qqv"),
+        F.col("__nn").alias("__qn"),
+    )
+    cosine = int_dot(F.col("__qv"), F.col("__qqv")).cast("double") / F.sqrt(
+        F.col("__nn") * F.col("__qn")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        corpus.join(F.broadcast(probes), "centroid_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cosine.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )

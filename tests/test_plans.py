@@ -136,6 +136,15 @@ def test_sketch_stats_joins_broadcast(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_ann_ivf_pure_catalyst_broadcast_sides(spark, sf_dir):
+    plan = physical_plan(CATALOG["q_ann_ivf"].build(spark, sf_dir))
+    # probe map and query vectors broadcast onto the single corpus scan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # seeded-codebook assignment is pure Catalyst — no Python stage
+    assert "MapInPandas" not in plan and "EvalPython" not in plan
+
+
 def test_token_topk_take_ordered(spark, sf_dir):
     plan = physical_plan(CATALOG["q_token_topk"].build(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
