@@ -5,11 +5,14 @@ North-star extension. Image/audio/video payloads are carried as Spark
 (decode, feature-extract, resize, frame-sample) runs as Arrow-batched
 ``mapInPandas`` so each Python worker sees columnar batches, not rows.
 
-The actual codecs (PIL/ffmpeg/etc.) are NOT in this container, so the
-decode kernels are STUBBED: ``decode_image_stub`` produces a deterministic
-fake feature vector from the bytes. The Spark-side contract — schemas,
-batch iteration, partition sizing, column pruning — is real and tested;
-swapping a stub for a real codec changes one inner function only.
+Image decode/encode/resize are REAL: a pure-stdlib PNG codec
+(functions/png.py — full container parse, CRC validation, all five
+scanline filters, nearest-neighbor resample). Only the video path is a
+stand-in (``sample_frames`` windows bytes instead of seeking keyframes;
+ffmpeg is not in this container) — its 1→N Arrow fan-out contract is the
+real one. Malformed payloads follow the engine's tolerant-reader
+convention (consumer.go:39-44): decode failures emit null fields, never
+fail the batch.
 
 Scale notes: binary payloads dominate row size, so
 ``spark.sql.files.maxPartitionBytes`` (not row count) controls partition
@@ -27,6 +30,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from nexus_event_stream_spark.functions.png import (
+    CHANNELS,
+    decode_png,
+    encode_png,
+    resize_nearest,
+)
 
 #: Metadata schema carried beside every binary payload.
 MEDIA_META_SCHEMA = T.StructType(
@@ -52,28 +62,20 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 FEATURE_DIM = 8
 
 
-def decode_image_stub(payload: bytes) -> tuple[int, int, list[float]]:
-    """Deterministic fake decode: dims and an 8-dim feature from the bytes.
+def decode_image(payload: bytes) -> tuple[int, int, list[float]]:
+    """Real PNG decode → (width, height, 8-bin intensity histogram).
 
-    Replace with a real codec (PIL.Image.open etc.) when available —
-    NotImplementedError semantics are provided by ``decode_image_real``.
+    The feature is the fraction of pixel samples falling in each of 8
+    equal intensity bands — deterministic, and exactly reproducible from
+    the pixel rule when the payload was synthesized.
+    Raises ValueError on malformed payloads.
     """
-    if payload is None:
-        return 0, 0, [0.0] * FEATURE_DIM
-    n = len(payload)
-    width = 16 + n % 64
-    height = 16 + (n // 64) % 64
-    feat = [0.0] * FEATURE_DIM
-    for i, byte in enumerate(payload[:256]):
-        feat[i % FEATURE_DIM] += byte / 255.0
-    return width, height, [round(f, 6) for f in feat]
-
-
-def decode_image_real(payload: bytes):
-    raise NotImplementedError(
-        "image codecs are not available in this environment; "
-        "decode_image_stub provides the deterministic test double"
-    )
+    width, height, _color_type, pixels = decode_png(payload)
+    feat = [0] * FEATURE_DIM
+    for b in pixels:
+        feat[b >> 5] += 1  # 256 intensities / 8 bins = 32 per bin
+    n = len(pixels) or 1
+    return width, height, [round(f / n, 6) for f in feat]
 
 
 def extract_image_features(media: DataFrame) -> DataFrame:
@@ -81,17 +83,26 @@ def extract_image_features(media: DataFrame) -> DataFrame:
 
     Column pruning matters: select exactly (media_id, payload) before the
     Python stage so only the needed columns cross the Arrow boundary.
+    Malformed payloads yield null width/height/feature (tolerant reader).
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            decoded = [decode_image_stub(p) for p in pdf["payload"]]
+            ws, hs, feats = [], [], []
+            for p in pdf["payload"]:
+                try:
+                    w, h, f = decode_image(p)
+                except Exception:  # malformed → nulls, never fail the batch
+                    w = h = f = None
+                ws.append(w)
+                hs.append(h)
+                feats.append(f)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "width": [d[0] for d in decoded],
-                    "height": [d[1] for d in decoded],
-                    "feature": [d[2] for d in decoded],
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "feature": feats,
                 }
             )
 
@@ -110,30 +121,33 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
-def resize_image_stub(payload: bytes, target_w: int, target_h: int) -> bytes:
-    """Deterministic fake resize: proportionally subsample the byte stream
-    (a real kernel decodes → interpolates → re-encodes; same signature)."""
-    if not payload:
-        return b""
-    n = max(1, int(len(payload) * (target_w * target_h) / (64 * 64)))
-    step = max(1, len(payload) // n)
-    return payload[::step][:n]
+def resize_image(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """Real resize: PNG decode → nearest-neighbor resample → PNG encode."""
+    width, height, color_type, pixels = decode_png(payload)
+    resized = resize_nearest(
+        pixels, width, height, target_w, target_h, CHANNELS[color_type]
+    )
+    return encode_png(target_w, target_h, resized, color_type)
 
 
 def resize_images(media: DataFrame, target_w: int = 32, target_h: int = 32) -> DataFrame:
-    """Batch resize via mapInPandas (only media_id+payload cross Arrow)."""
+    """Batch resize via mapInPandas (only media_id+payload cross Arrow).
+    Malformed payloads yield a null output payload (tolerant reader)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            out = []
+            for p in pdf["payload"]:
+                try:
+                    out.append(resize_image(p, target_w, target_h))
+                except Exception:
+                    out.append(None)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "width": target_w,
                     "height": target_h,
-                    "payload": [
-                        resize_image_stub(p, target_w, target_h)
-                        for p in pdf["payload"]
-                    ],
+                    "payload": out,
                 }
             )
 
@@ -169,6 +183,107 @@ def sample_frames(media: DataFrame, n_frames: int = 4, frame_bytes: int = 16) ->
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
 
     return media.select("media_id", "payload").mapInPandas(batches, FRAMES_SCHEMA)
+
+
+#: Deterministic synthetic-image rule shared by the Spark kernels and the
+#: DuckDB oracle of q_binary_meta: an 8-bit grayscale image whose shape,
+#: scanline filter, and pixels are closed-form functions of doc_id.
+#:   width  = 4 + doc_id % 13          height = 3 + doc_id % 7
+#:   filter = doc_id % 5               pixel_i = (doc_id*31 + i) % 256
+#: Cycling the filter over doc_id means the corpus exercises ALL FIVE PNG
+#: filters on both encode and decode — any filter bug breaks the oracle's
+#: pixel-sum hash.
+DOC_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("size_class", T.StringType()),
+        T.StructField("png_filter", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+DECODED_DOC_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("size_class", T.StringType()),
+        T.StructField("png_filter", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sum_pixels", T.LongType()),
+    ]
+)
+
+
+def doc_image_dims(doc_id: int) -> tuple[int, int, int]:
+    return 4 + doc_id % 13, 3 + doc_id % 7, doc_id % 5
+
+
+def synthesize_doc_images(docs: DataFrame) -> DataFrame:
+    """Encode a real PNG per document from the deterministic rule above
+    (metadata columns ride through the Arrow boundary as passthroughs, so
+    no join is needed downstream)."""
+    meta = docs.select(
+        "doc_id",
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        F.when(F.octet_length("text") > 300, F.lit("large"))
+        .otherwise(F.lit("small"))
+        .alias("size_class"),
+    )
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            filts, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h, f = doc_image_dims(did)
+                px = bytes((did * 31 + i) % 256 for i in range(w * h))
+                filts.append(f)
+                payloads.append(encode_png(w, h, px, color_type=0, filter_type=f))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["n_bytes"],
+                    "size_class": pdf["size_class"],
+                    "png_filter": pd.array(filts, dtype="int32"),
+                    "payload": payloads,
+                }
+            )
+
+    return meta.mapInPandas(gen, DOC_IMAGE_SCHEMA)
+
+
+def decode_doc_images(media: DataFrame) -> DataFrame:
+    """Decode the synthesized PNGs back to dimensions + exact pixel sum —
+    the quantity the SQL oracle recomputes closed-form."""
+
+    def dec(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ws, hs, sums = [], [], []
+            for p in pdf["payload"]:
+                try:
+                    w, h, _ct, px = decode_png(p)
+                    ws.append(w)
+                    hs.append(h)
+                    sums.append(sum(px))
+                except Exception:
+                    ws.append(None)
+                    hs.append(None)
+                    sums.append(None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["n_bytes"],
+                    "size_class": pdf["size_class"],
+                    "png_filter": pdf["png_filter"],
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "sum_pixels": pd.array(sums, dtype="Int64"),
+                }
+            )
+
+    return media.mapInPandas(dec, DECODED_DOC_IMAGE_SCHEMA)
 
 
 def documents_as_media(docs: DataFrame) -> DataFrame:

@@ -174,23 +174,46 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_binary_meta",
     """
-    SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+    SELECT doc_id,
+      octet_length(encode(text)) AS n_bytes,
       CASE WHEN octet_length(encode(text)) > 300 THEN 'large' ELSE 'small' END
-        AS size_class
+        AS size_class,
+      CAST(doc_id % 5 AS INTEGER) AS png_filter,
+      CAST(4 + doc_id % 13 AS INTEGER) AS width,
+      CAST(3 + doc_id % 7 AS INTEGER) AS height,
+      CAST(list_sum(list_transform(
+        range(0, (4 + doc_id % 13) * (3 + doc_id % 7)),
+        i -> (doc_id * 31 + i) % 256)) AS BIGINT) AS sum_pixels
     FROM documents
     """,
-    doc="Multimodal metadata path: opaque binary payload (UTF-8 bytes of "
-    "text as the stand-in blob) + typed metadata; the decode kernels "
-    "live in operators/multimodal.py (stubbed, mapInPandas).",
+    doc="Multimodal pipeline, REAL codec end-to-end: per document, an "
+    "8-bit grayscale PNG is encoded from a closed-form pixel rule "
+    "(functions/png.py — real container, CRC'd chunks, zlib scanlines; "
+    "filter type cycles over all five PNG filters via doc_id % 5), "
+    "crosses the Arrow boundary as a binary column, and is then DECODED "
+    "by the same pure-stdlib codec back to dimensions + exact pixel sum "
+    "(operators/multimodal.py synthesize_doc_images/decode_doc_images). "
+    "The oracle recomputes width/height/sum_pixels closed-form, so any "
+    "encode- or decode-side filter bug breaks the value hash. Typed "
+    "metadata (n_bytes/size_class) rides through the two Python stages "
+    "as Arrow passthrough columns — no join. Only (doc_id, text-derived "
+    "meta) cross into Python; blob stays in its own column.",
 )
 def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = documents_as_media(load_table(spark, sf_dir, "documents"))
-    return media.select(
-        F.col("media_id").alias("doc_id"),
+    from nexus_event_stream_spark.operators.multimodal import (
+        decode_doc_images,
+        synthesize_doc_images,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_doc_images(synthesize_doc_images(docs)).select(
+        "doc_id",
         "n_bytes",
-        F.when(F.col("n_bytes") > 300, F.lit("large"))
-        .otherwise(F.lit("small"))
-        .alias("size_class"),
+        "size_class",
+        "png_filter",
+        "width",
+        "height",
+        "sum_pixels",
     )
 
 

@@ -1,17 +1,73 @@
-"""Multimodal plumbing: binary columns + Arrow-batched stub decode."""
+"""Multimodal plumbing: binary columns + Arrow-batched REAL PNG codec."""
 
 from __future__ import annotations
 
+import pytest
+
+from nexus_event_stream_spark.functions.png import (
+    decode_png,
+    encode_png,
+    resize_nearest,
+)
 from nexus_event_stream_spark.io import load_table
 from nexus_event_stream_spark.operators.multimodal import (
     FEATURE_DIM,
-    decode_image_real,
-    decode_image_stub,
+    decode_image,
+    decode_doc_images,
     documents_as_media,
     extract_image_features,
+    resize_images,
+    sample_frames,
+    synthesize_doc_images,
 )
 
-import pytest
+# golden 3×2 grayscale image (known pixels, asymmetric so filter bugs show)
+GOLD_W, GOLD_H = 3, 2
+GOLD_PIXELS = bytes([10, 200, 30, 120, 0, 255])
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_png_roundtrip_every_filter(ftype):
+    payload = encode_png(GOLD_W, GOLD_H, GOLD_PIXELS, filter_type=ftype)
+    assert payload.startswith(b"\x89PNG\r\n\x1a\n")
+    w, h, ct, px = decode_png(payload)
+    assert (w, h, ct) == (GOLD_W, GOLD_H, 0)
+    assert px == GOLD_PIXELS
+
+
+def test_png_rgb_roundtrip():
+    pixels = bytes(range(2 * 2 * 3))
+    payload = encode_png(2, 2, pixels, color_type=2, filter_type=4)
+    w, h, ct, px = decode_png(payload)
+    assert (w, h, ct) == (2, 2, 2)
+    assert px == pixels
+
+
+def test_png_rejects_malformed():
+    good = encode_png(GOLD_W, GOLD_H, GOLD_PIXELS)
+    with pytest.raises(ValueError):
+        decode_png(b"JFIF not a png")
+    corrupt = bytearray(good)
+    corrupt[-6] ^= 0xFF  # flip a bit inside IEND's CRC
+    with pytest.raises(ValueError):
+        decode_png(bytes(corrupt))
+
+
+def test_resize_nearest_identity_and_downsample():
+    assert (
+        resize_nearest(GOLD_PIXELS, GOLD_W, GOLD_H, GOLD_W, GOLD_H) == GOLD_PIXELS
+    )
+    small = resize_nearest(GOLD_PIXELS, GOLD_W, GOLD_H, 1, 1)
+    assert small == bytes([GOLD_PIXELS[0]])
+
+
+def test_decode_image_histogram_feature():
+    w, h, feat = decode_image(encode_png(GOLD_W, GOLD_H, GOLD_PIXELS))
+    assert (w, h) == (GOLD_W, GOLD_H)
+    assert len(feat) == FEATURE_DIM
+    assert abs(sum(feat) - 1.0) < 1e-4  # fractions (each rounded to 6dp)
+    # pixels 10,30,0 → bin 0; 120 → bin 3; 200 → bin 6; 255 → bin 7
+    assert feat[0] == round(3 / 6, 6) and feat[3] == round(1 / 6, 6)
 
 
 def test_media_schema_and_payload_roundtrip(spark, sf_dir):
@@ -22,34 +78,49 @@ def test_media_schema_and_payload_roundtrip(spark, sf_dir):
     assert set(media.columns) == {"media_id", "kind", "mime", "n_bytes", "payload"}
 
 
-def test_extract_features_mapinpandas(spark, sf_dir):
-    media = documents_as_media(load_table(spark, sf_dir, "documents")).limit(20)
-    feats = extract_image_features(media)
-    rows = feats.collect()
-    assert len(rows) == 20
+def png_media(spark, n=12):
+    rows = [
+        (i, bytes(encode_png(4 + i, 3 + i % 2, bytes((i * 7 + j) % 256 for j in range((4 + i) * (3 + i % 2))), filter_type=i % 5)))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+def test_extract_features_mapinpandas_real_decode(spark):
+    media = png_media(spark, 12)
+    rows = extract_image_features(media).collect()
+    assert len(rows) == 12
     for r in rows:
+        assert r["width"] == 4 + r["media_id"]
+        assert r["height"] == 3 + r["media_id"] % 2
         assert len(r["feature"]) == FEATURE_DIM
-        assert r["width"] >= 16 and r["height"] >= 16
-    # deterministic stub: same input → same features
-    again = {r["media_id"]: r["feature"] for r in extract_image_features(media).collect()}
+    # deterministic: same input → same features
+    again = {
+        r["media_id"]: r["feature"] for r in extract_image_features(media).collect()
+    }
     assert all(again[r["media_id"]] == r["feature"] for r in rows)
 
 
-def test_resize_changes_payload_proportionally(spark, sf_dir):
-    from nexus_event_stream_spark.operators.multimodal import resize_images
+def test_extract_features_malformed_yields_nulls(spark):
+    bad = spark.createDataFrame(
+        [(1, b"not a png"), (2, None)], "media_id long, payload binary"
+    )
+    rows = extract_image_features(bad).collect()
+    assert len(rows) == 2
+    assert all(r["width"] is None and r["feature"] is None for r in rows)
 
-    media = documents_as_media(load_table(spark, sf_dir, "documents")).limit(10)
-    out = resize_images(media, target_w=32, target_h=32).collect()
-    originals = {r["media_id"]: r["payload"] for r in media.collect()}
-    assert len(out) == 10
+
+def test_resize_real_roundtrip(spark):
+    media = png_media(spark, 6)
+    out = resize_images(media, target_w=2, target_h=2).collect()
+    assert len(out) == 6
     for r in out:
-        assert (r["width"], r["height"]) == (32, 32)
-        assert 0 < len(r["payload"]) <= len(originals[r["media_id"]])
+        w, h, ct, px = decode_png(r["payload"])
+        assert (w, h) == (2, 2)
+        assert len(px) == 4
 
 
 def test_sample_frames_fanout(spark, sf_dir):
-    from nexus_event_stream_spark.operators.multimodal import sample_frames
-
     media = documents_as_media(load_table(spark, sf_dir, "documents")).limit(5)
     out = sample_frames(media, n_frames=4, frame_bytes=8).collect()
     assert len(out) == 20  # 1→N fan-out
@@ -61,11 +132,14 @@ def test_sample_frames_fanout(spark, sf_dir):
         assert all(len(r["frame"]) <= 8 for r in rows)
 
 
-def test_real_decoder_is_explicitly_stubbed():
-    with pytest.raises(NotImplementedError):
-        decode_image_real(b"\x89PNG")
-
-
-def test_stub_decode_handles_empty():
-    w, h, f = decode_image_stub(b"")
-    assert (w, h) == (16, 16) and f == [0.0] * FEATURE_DIM
+def test_doc_image_pipeline_matches_rule(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(25)
+    out = decode_doc_images(synthesize_doc_images(docs)).collect()
+    assert len(out) == 25
+    for r in out:
+        did = r["doc_id"]
+        assert r["width"] == 4 + did % 13
+        assert r["height"] == 3 + did % 7
+        assert r["png_filter"] == did % 5
+        n = r["width"] * r["height"]
+        assert r["sum_pixels"] == sum((did * 31 + i) % 256 for i in range(n))
