@@ -96,7 +96,10 @@ def main() -> None:
     # LSH pipeline, star join.)
     from nexus_event_stream_spark.io import load_table
 
-    load_table(spark, sf_dir, "lineitem").write.format("noop").mode("overwrite").save()
+    # one cold read per table so footer/page-cache first-touch costs don't
+    # land on whichever query happens to scan that table first
+    for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
+        load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
     warm_sf = "/root/testdata/sf0.001"
     # q_mad_udaf warms the Python/Arrow worker pool for UDF-path queries.
     for warm_q in (

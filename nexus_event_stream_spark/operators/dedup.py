@@ -274,13 +274,25 @@ def minhash_dedup(
     )
 
 
-def simhash_expr(text_col: str = "text", bits: int = 16) -> Column:
-    """SimHash fingerprint as a column expression: bit j set iff the sum
-    over tokens of (2·bit_j(h(token)) − 1) is ≥ 0. Near-dups differ in few
-    bits. Exact integer arithmetic, portable hash → oracle-able.
+def token_hashes(text_col: str = "text") -> Column:
+    """Portable hashes of the distinct whitespace tokens of a text column.
+
+    Project this to a named column BEFORE feeding ``simhash_from_hashes``:
+    higher-order-function lambdas are evaluated without common-
+    subexpression elimination, so an inline expression would re-tokenize
+    and re-hash the document once per SimHash bit (16×).
     """
     toks = F.array_distinct(F.split(F.col(text_col), " "))
-    hashes = F.transform(toks, lambda t: portable_string_hash(t))
+    return F.transform(toks, lambda t: portable_string_hash(t))
+
+
+def simhash_from_hashes(hashes: Column | str, bits: int = 16) -> Column:
+    """SimHash fingerprint from a *pre-projected* token-hash array column:
+    bit j set iff the sum over tokens of (2·bit_j(h) − 1) is ≥ 0. Near-dups
+    differ in few bits. Exact integer arithmetic, portable hash →
+    oracle-able.
+    """
+    hs = F.col(hashes) if isinstance(hashes, str) else hashes
 
     def bit_of(h, j):
         # (h div 2^j) % 2 — division of <2^31 ints by powers of two is
@@ -291,7 +303,7 @@ def simhash_expr(text_col: str = "text", bits: int = 16) -> Column:
         F.sequence(F.lit(0), F.lit(bits - 1)),
         lambda j: F.when(
             F.aggregate(
-                hashes,
+                hs,
                 F.lit(0).cast("bigint"),
                 lambda acc, h: acc + (F.lit(2) * bit_of(h, j) - F.lit(1)),
             )
@@ -306,8 +318,8 @@ def simhash(docs: DataFrame, bits: int = 16, id_col: str = "doc_id", text_col: s
     """SimHash per document (narrow map). Output: doc_id, simhash."""
     docs = spread(docs)
     return docs.select(
-        F.col(id_col).alias("doc_id"), simhash_expr(text_col, bits).alias("simhash")
-    )
+        F.col(id_col).alias("doc_id"), token_hashes(text_col).alias("__hs")
+    ).select("doc_id", simhash_from_hashes("__hs", bits).alias("simhash"))
 
 
 def simhash_pairs(

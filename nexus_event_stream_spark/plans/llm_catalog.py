@@ -157,17 +157,29 @@ def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shape). Subsumes round-1's q_doc_fingerprint/q_simhash/q_token_bpe.",
 )
 def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from nexus_event_stream_spark.operators.dedup import simhash_expr
+    from nexus_event_stream_spark.operators.dedup import (
+        simhash_from_hashes,
+        token_hashes,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
+    # token hashes projected ONCE, then referenced by the 16 bit-folds —
+    # an inline expression would re-tokenize+re-hash per bit (HOF lambdas
+    # have no common-subexpression elimination; see token_hashes).
     return docs.select(
         "doc_id",
         doc_fingerprint("text").alias("fingerprint"),
-        simhash_expr("text", 16).alias("simhash"),
+        token_hashes("text").alias("__hs"),
         F.size(tokens("text")).cast("long").alias("ws_tokens"),
         F.regexp_count(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"))
         .cast("long")
         .alias("bpe_ish_tokens"),
+    ).select(
+        "doc_id",
+        "fingerprint",
+        simhash_from_hashes("__hs", 16).alias("simhash"),
+        "ws_tokens",
+        "bpe_ish_tokens",
     )
 
 
