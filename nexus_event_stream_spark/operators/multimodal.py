@@ -37,6 +37,7 @@ from nexus_event_stream_spark.functions.png import (
     encode_png,
     resize_nearest,
 )
+from nexus_event_stream_spark.functions.wav import decode_wav, encode_wav
 
 #: Metadata schema carried beside every binary payload.
 MEDIA_META_SCHEMA = T.StructType(
@@ -185,25 +186,28 @@ def sample_frames(media: DataFrame, n_frames: int = 4, frame_bytes: int = 16) ->
     return media.select("media_id", "payload").mapInPandas(batches, FRAMES_SCHEMA)
 
 
-#: Deterministic synthetic-image rule shared by the Spark kernels and the
-#: DuckDB oracle of q_binary_meta: an 8-bit grayscale image whose shape,
-#: scanline filter, and pixels are closed-form functions of doc_id.
+#: Deterministic synthetic-media rule shared by the Spark kernels and the
+#: DuckDB oracle of q_binary_meta. Image (8-bit grayscale PNG):
 #:   width  = 4 + doc_id % 13          height = 3 + doc_id % 7
 #:   filter = doc_id % 5               pixel_i = (doc_id*31 + i) % 256
 #: Cycling the filter over doc_id means the corpus exercises ALL FIVE PNG
 #: filters on both encode and decode — any filter bug breaks the oracle's
-#: pixel-sum hash.
-DOC_IMAGE_SCHEMA = T.StructType(
+#: pixel-sum hash. Audio (16-bit mono PCM WAV @ 8 kHz):
+#:   n_samples = 64 + doc_id % 129
+#:   sample_i  = ((doc_id*17 + i*i) % 65536) - 32768
+#: with |sample| summed on decode — any sample-unpack bug breaks the hash.
+DOC_MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
         T.StructField("n_bytes", T.LongType()),
         T.StructField("size_class", T.StringType()),
         T.StructField("png_filter", T.IntegerType()),
-        T.StructField("payload", T.BinaryType()),
+        T.StructField("image", T.BinaryType()),
+        T.StructField("audio", T.BinaryType()),
     ]
 )
 
-DECODED_DOC_IMAGE_SCHEMA = T.StructType(
+DECODED_DOC_MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
         T.StructField("n_bytes", T.LongType()),
@@ -212,6 +216,9 @@ DECODED_DOC_IMAGE_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("sum_pixels", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("sum_abs_samples", T.LongType()),
     ]
 )
 
@@ -220,10 +227,10 @@ def doc_image_dims(doc_id: int) -> tuple[int, int, int]:
     return 4 + doc_id % 13, 3 + doc_id % 7, doc_id % 5
 
 
-def synthesize_doc_images(docs: DataFrame) -> DataFrame:
-    """Encode a real PNG per document from the deterministic rule above
-    (metadata columns ride through the Arrow boundary as passthroughs, so
-    no join is needed downstream)."""
+def synthesize_doc_media(docs: DataFrame) -> DataFrame:
+    """Encode a real PNG and a real WAV per document from the
+    deterministic rules above (metadata columns ride through the Arrow
+    boundary as passthroughs, so no join is needed downstream)."""
     meta = docs.select(
         "doc_id",
         F.octet_length("text").cast("long").alias("n_bytes"),
@@ -234,34 +241,42 @@ def synthesize_doc_images(docs: DataFrame) -> DataFrame:
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            filts, payloads = [], []
+            filts, images, audios = [], [], []
             for did in pdf["doc_id"]:
                 did = int(did)
                 w, h, f = doc_image_dims(did)
                 px = bytes((did * 31 + i) % 256 for i in range(w * h))
                 filts.append(f)
-                payloads.append(encode_png(w, h, px, color_type=0, filter_type=f))
+                images.append(encode_png(w, h, px, color_type=0, filter_type=f))
+                n = 64 + did % 129
+                samples = [
+                    ((did * 17 + i * i) % 65536) - 32768 for i in range(n)
+                ]
+                audios.append(encode_wav(samples, sample_rate=8000))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": pdf["n_bytes"],
                     "size_class": pdf["size_class"],
                     "png_filter": pd.array(filts, dtype="int32"),
-                    "payload": payloads,
+                    "image": images,
+                    "audio": audios,
                 }
             )
 
-    return meta.mapInPandas(gen, DOC_IMAGE_SCHEMA)
+    return meta.mapInPandas(gen, DOC_MEDIA_SCHEMA)
 
 
-def decode_doc_images(media: DataFrame) -> DataFrame:
-    """Decode the synthesized PNGs back to dimensions + exact pixel sum —
-    the quantity the SQL oracle recomputes closed-form."""
+def decode_doc_media(media: DataFrame) -> DataFrame:
+    """Decode the synthesized PNGs and WAVs back to dimensions, exact
+    pixel sum, and exact absolute-sample energy — the quantities the SQL
+    oracle recomputes closed-form."""
 
     def dec(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ws, hs, sums = [], [], []
-            for p in pdf["payload"]:
+            rates, counts, energies = [], [], []
+            for p in pdf["image"]:
                 try:
                     w, h, _ct, px = decode_png(p)
                     ws.append(w)
@@ -271,6 +286,16 @@ def decode_doc_images(media: DataFrame) -> DataFrame:
                     ws.append(None)
                     hs.append(None)
                     sums.append(None)
+            for p in pdf["audio"]:
+                try:
+                    rate, _ch, samples = decode_wav(p)
+                    rates.append(rate)
+                    counts.append(len(samples))
+                    energies.append(sum(abs(s) for s in samples))
+                except Exception:
+                    rates.append(None)
+                    counts.append(None)
+                    energies.append(None)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -280,10 +305,13 @@ def decode_doc_images(media: DataFrame) -> DataFrame:
                     "width": pd.array(ws, dtype="Int32"),
                     "height": pd.array(hs, dtype="Int32"),
                     "sum_pixels": pd.array(sums, dtype="Int64"),
+                    "sample_rate": pd.array(rates, dtype="Int32"),
+                    "n_samples": pd.array(counts, dtype="Int32"),
+                    "sum_abs_samples": pd.array(energies, dtype="Int64"),
                 }
             )
 
-    return media.mapInPandas(dec, DECODED_DOC_IMAGE_SCHEMA)
+    return media.mapInPandas(dec, DECODED_DOC_MEDIA_SCHEMA)
 
 
 def documents_as_media(docs: DataFrame) -> DataFrame:

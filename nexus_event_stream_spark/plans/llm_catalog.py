@@ -195,30 +195,37 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(3 + doc_id % 7 AS INTEGER) AS height,
       CAST(list_sum(list_transform(
         range(0, (4 + doc_id % 13) * (3 + doc_id % 7)),
-        i -> (doc_id * 31 + i) % 256)) AS BIGINT) AS sum_pixels
+        i -> (doc_id * 31 + i) % 256)) AS BIGINT) AS sum_pixels,
+      CAST(8000 AS INTEGER) AS sample_rate,
+      CAST(64 + doc_id % 129 AS INTEGER) AS n_samples,
+      CAST(list_sum(list_transform(
+        range(0, 64 + doc_id % 129),
+        i -> abs(((doc_id * 17 + i * i) % 65536) - 32768))) AS BIGINT)
+        AS sum_abs_samples
     FROM documents
     """,
-    doc="Multimodal pipeline, REAL codec end-to-end: per document, an "
-    "8-bit grayscale PNG is encoded from a closed-form pixel rule "
-    "(functions/png.py — real container, CRC'd chunks, zlib scanlines; "
-    "filter type cycles over all five PNG filters via doc_id % 5), "
-    "crosses the Arrow boundary as a binary column, and is then DECODED "
-    "by the same pure-stdlib codec back to dimensions + exact pixel sum "
-    "(operators/multimodal.py synthesize_doc_images/decode_doc_images). "
-    "The oracle recomputes width/height/sum_pixels closed-form, so any "
-    "encode- or decode-side filter bug breaks the value hash. Typed "
-    "metadata (n_bytes/size_class) rides through the two Python stages "
-    "as Arrow passthrough columns — no join. Only (doc_id, text-derived "
-    "meta) cross into Python; blob stays in its own column.",
+    doc="Multimodal pipeline, REAL codecs end-to-end: per document an "
+    "8-bit grayscale PNG (functions/png.py — real container, CRC'd "
+    "chunks, zlib scanlines; filter type cycles over all five PNG "
+    "filters via doc_id % 5) AND a 16-bit PCM WAV (functions/wav.py — "
+    "real RIFF container) are encoded from closed-form rules, cross the "
+    "Arrow boundary as binary columns, and are DECODED by the same "
+    "pure-stdlib codecs back to dimensions + exact pixel sum + sample "
+    "rate/count + absolute-sample energy (operators/multimodal.py "
+    "synthesize_doc_media/decode_doc_media). The oracle recomputes "
+    "every decoded quantity closed-form, so any encode- or decode-side "
+    "bug (PNG filters, WAV sample unpack) breaks the value hash. Typed "
+    "metadata rides through the two Python stages as Arrow passthrough "
+    "columns — no join; blobs stay in their own columns.",
 )
 def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nexus_event_stream_spark.operators.multimodal import (
-        decode_doc_images,
-        synthesize_doc_images,
+        decode_doc_media,
+        synthesize_doc_media,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return decode_doc_images(synthesize_doc_images(docs)).select(
+    return decode_doc_media(synthesize_doc_media(docs)).select(
         "doc_id",
         "n_bytes",
         "size_class",
@@ -226,6 +233,9 @@ def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "width",
         "height",
         "sum_pixels",
+        "sample_rate",
+        "n_samples",
+        "sum_abs_samples",
     )
 
 

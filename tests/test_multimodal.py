@@ -10,15 +10,16 @@ from nexus_event_stream_spark.functions.png import (
     resize_nearest,
 )
 from nexus_event_stream_spark.io import load_table
+from nexus_event_stream_spark.functions.wav import decode_wav, encode_wav
 from nexus_event_stream_spark.operators.multimodal import (
     FEATURE_DIM,
     decode_image,
-    decode_doc_images,
+    decode_doc_media,
     documents_as_media,
     extract_image_features,
     resize_images,
     sample_frames,
-    synthesize_doc_images,
+    synthesize_doc_media,
 )
 
 # golden 3×2 grayscale image (known pixels, asymmetric so filter bugs show)
@@ -132,9 +133,26 @@ def test_sample_frames_fanout(spark, sf_dir):
         assert all(len(r["frame"]) <= 8 for r in rows)
 
 
-def test_doc_image_pipeline_matches_rule(spark, sf_dir):
+def test_wav_roundtrip_mono_and_stereo():
+    samples = [0, 32767, -32768, 123, -456, 7]
+    rate, ch, out = decode_wav(encode_wav(samples, sample_rate=8000))
+    assert (rate, ch) == (8000, 1) and out == samples
+    rate, ch, out = decode_wav(encode_wav(samples, sample_rate=44100, channels=2))
+    assert (rate, ch) == (44100, 2) and out == samples
+
+
+def test_wav_rejects_malformed():
+    with pytest.raises(ValueError):
+        decode_wav(b"ID3 not a wav")
+    good = bytearray(encode_wav([1, 2, 3]))
+    good[0:4] = b"RIFX"  # wrong magic
+    with pytest.raises(ValueError):
+        decode_wav(bytes(good))
+
+
+def test_doc_media_pipeline_matches_rules(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(25)
-    out = decode_doc_images(synthesize_doc_images(docs)).collect()
+    out = decode_doc_media(synthesize_doc_media(docs)).collect()
     assert len(out) == 25
     for r in out:
         did = r["doc_id"]
@@ -143,3 +161,8 @@ def test_doc_image_pipeline_matches_rule(spark, sf_dir):
         assert r["png_filter"] == did % 5
         n = r["width"] * r["height"]
         assert r["sum_pixels"] == sum((did * 31 + i) % 256 for i in range(n))
+        ns = 64 + did % 129
+        assert (r["sample_rate"], r["n_samples"]) == (8000, ns)
+        assert r["sum_abs_samples"] == sum(
+            abs(((did * 17 + i * i) % 65536) - 32768) for i in range(ns)
+        )
