@@ -149,37 +149,37 @@ def q_grouping_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
       COUNT(CASE WHEN event_type='purchase' THEN 1 END) > 0 AS has_purchase
     FROM events GROUP BY user_id
     """,
-    doc="Per-user profile: pivot event_type → static count columns "
-    "(explicit value list keeps the schema static, as production pivots "
-    "require), then a map-typed view of the same counts exercises the "
-    "map surface — map_from_arrays + map_filter to present types, "
-    "size (n_types), element_at with missing-key→NULL (n_clicks), "
-    "map_contains_key (has_purchase). The map is an engine-side "
-    "representation; the oracle computes the same scalars relationally. "
-    "Subsumes round-1's q_pivot/q_map_funcs.",
+    doc="Per-user profile: pivot event_type → static count columns via "
+    "conditional aggregation — the SINGLE-shuffle pivot plan (the "
+    "groupBy().pivot() shorthand plans two-phase aggregation with an "
+    "extra exchange; it is pinned result-equivalent to this form in "
+    "tests/test_relational.py) — then a map-typed view of the same "
+    "counts exercises the map surface: map_from_arrays + map_filter to "
+    "present types, size (n_types), element_at with missing-key→NULL "
+    "(n_clicks), map_contains_key (has_purchase). The map is an "
+    "engine-side representation; the oracle computes the same scalars "
+    "relationally. Subsumes round-1's q_pivot/q_map_funcs.",
 )
 def q_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    pivoted = (
-        events.groupBy("user_id")
-        .pivot("event_type", list(EVENT_TYPES))
-        .agg(F.count(F.lit(1)))
+    pivoted = events.groupBy("user_id").agg(
+        *[
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ]
     )
     m = F.map_filter(
         F.map_from_arrays(
             F.array(*[F.lit(t) for t in EVENT_TYPES]),
-            F.array(
-                *[F.coalesce(F.col(t), F.lit(0)).cast("long") for t in EVENT_TYPES]
-            ),
+            F.array(*[F.col(f"n_{t}") for t in EVENT_TYPES]),
         ),
         lambda _, v: v > 0,
     )
     return pivoted.select(
         "user_id",
-        *[
-            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
-            for t in EVENT_TYPES
-        ],
+        *[f"n_{t}" for t in EVENT_TYPES],
         F.size(m).alias("n_types"),
         F.element_at(m, "click").alias("n_clicks"),
         F.map_contains_key(m, "purchase").alias("has_purchase"),

@@ -149,3 +149,36 @@ def test_token_topk_take_ordered(spark, sf_dir):
     plan = physical_plan(CATALOG["q_token_topk"].build(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_user_profile_single_shuffle(spark, sf_dir):
+    plan = physical_plan(CATALOG["q_user_profile"].build(spark, sf_dir))
+    # conditional-aggregation pivot: ONE exchange on user_id (the
+    # groupBy().pivot() shorthand would plan two-phase agg = 2 exchanges)
+    assert plan.count(") Exchange") == 1
+
+
+def test_agg_breadth_single_shuffle(spark, sf_dir):
+    plan = physical_plan(CATALOG["q_agg_breadth"].build(spark, sf_dir))
+    # percentiles + collect_set + counts all in one aggregate pass
+    assert plan.count(") Exchange") == 1
+
+
+def test_text_analysis_one_expand_one_shuffle(spark, sf_dir):
+    plan = physical_plan(CATALOG["q_text_analysis"].build(spark, sf_dir))
+    # both grouping sets (lang)/(source) in one Expand + one exchange
+    assert plan.count(") Expand") == 1
+    assert plan.count(") Exchange") == 1
+
+
+def test_doc_profile_pure_projection(spark, sf_dir):
+    plan = physical_plan(CATALOG["q_doc_profile"].build(spark, sf_dir))
+    assert "Exchange" not in plan
+    # token hashes are projected once, not inlined per SimHash bit
+    assert plan.count("array_distinct") == 1
+
+
+def test_binary_meta_two_python_stages_no_shuffle(spark, sf_dir):
+    plan = physical_plan(CATALOG["q_binary_meta"].build(spark, sf_dir))
+    assert plan.count(") MapInPandas") == 2  # synthesize + decode
+    assert "Exchange" not in plan

@@ -117,3 +117,29 @@ def test_approx_count_distinct_within_rsd(spark):
     df = spark.range(0, 5000).select((F.col("id") % 1000).alias("k"))
     est = df.agg(F.approx_count_distinct("k", rsd=0.02).alias("e")).first()["e"]
     assert abs(est - 1000) <= 1000 * 0.06  # 3× rsd safety margin
+
+
+def test_pivot_api_equals_conditional_aggregation(spark):
+    # q_user_profile uses conditional aggregation (one shuffle); pin the
+    # groupBy().pivot() shorthand to the same results so the API surface
+    # stays covered even though the catalog takes the cheaper plan.
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "b"), (2, "b"), (3, "c")], "k long, t string"
+    )
+    types = ["a", "b", "c"]
+    via_pivot = {
+        (r["k"], *[r[t] or 0 for t in types])
+        for r in df.groupBy("k").pivot("t", types).count().collect()
+    }
+    via_case = {
+        tuple(r)
+        for r in df.groupBy("k")
+        .agg(
+            *[
+                F.sum(F.when(F.col("t") == t, 1).otherwise(0)).alias(t)
+                for t in types
+            ]
+        )
+        .collect()
+    }
+    assert via_pivot == via_case
