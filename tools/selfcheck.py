@@ -5,7 +5,12 @@ DuckDB over the same parquet tables, then compares row count, column names,
 and an order-insensitive multiset of stringified rows (stricter than a
 hash — it pinpoints the first differing row).
 
-Usage: python tools/selfcheck.py [sf_dir] [query ...]
+Usage: python tools/selfcheck.py [--vanilla] [sf_dir] [query ...]
+
+``--vanilla`` builds a PLAIN SparkSession (no engine confs — no AQE
+tuning, no pinned session timezone), exactly like the driver does; a
+query that only passes under ``session.get_spark`` confs is a latent
+driver failure.
 """
 
 from __future__ import annotations
@@ -81,15 +86,28 @@ def row_multiset(rows, colnames_sorted, colnames) -> Counter:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    vanilla = "--vanilla" in args
+    if vanilla:
+        args.remove("--vanilla")
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
 
-    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark(master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.sql(
