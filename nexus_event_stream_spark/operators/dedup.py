@@ -350,3 +350,95 @@ def simhash_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components of an undirected pair graph — the step that
+    turns near-dup PAIRS (minhash_dedup / simhash_pairs /
+    ngram_jaccard_pairs output) into dedup CLUSTERS.
+
+    Iterative min-label propagation: every node starts labeled with its
+    own id; each round every node takes the minimum label among itself and
+    its neighbors; converges when no label changes. Rounds needed =
+    graph diameter — near-dup graphs are unions of small cliques (often
+    diameter ≤ 2), so this terminates in a few shuffles. Each round is one
+    join + one groupBy, all DataFrame ops; ``localCheckpoint`` truncates
+    the growing lineage each round (at production scale point
+    ``spark.sparkContext.setCheckpointDir`` at durable storage and swap in
+    ``checkpoint``). Raises if not converged within ``max_iter``.
+
+    Output: (node, component) with component = min node id reachable.
+    """
+    edges = pairs.select(
+        F.col(a_col).cast("long").alias("src"),
+        F.col(b_col).cast("long").alias("dst"),
+    )
+    edges = (
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor = edges.join(
+            labels, edges.dst == labels.node
+        ).select(F.col("src").alias("node"), F.col("comp"))
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.withColumnRenamed("comp", "old_comp"), "node")
+            .filter(F.col("comp") != F.col("old_comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            edges.unpersist()
+            return labels
+    edges.unpersist()
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds"
+    )
+
+
+def dedup_groups(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Canonical-representative mapping from near-dup pairs: every doc maps
+    to keep_id = the smallest id in its connected component (docs in no
+    pair map to themselves). ``docs.filter(doc_id == keep_id)`` is the
+    deduplicated corpus; the mapping itself is the provenance record a
+    training pipeline keeps.
+
+    One components run + one left join on id — the join is key-aligned
+    with the ids, and the components side is usually tiny relative to the
+    corpus (only docs that appear in some pair).
+    Output: (doc_id, keep_id).
+    """
+    comp = connected_components(pairs, a_col=a_col, b_col=b_col).select(
+        F.col("node").alias(id_col), F.col("comp").alias("keep_id")
+    )
+    return docs.select(id_col).join(comp, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("keep_id"), F.col(id_col)).alias("keep_id"),
+    )

@@ -116,3 +116,30 @@ def test_ann_lsh_self_consistent(embs):
     # determinism: re-running yields identical results (seeded hyperplanes)
     out2 = ann_topk_per_vector(embs, dim=4, k=1, bits=2).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_connected_components_chain_and_clique(spark):
+    from nexus_event_stream_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4 (diameter 3), clique {10,11,12}, pair {20,21}
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (21, 20)],
+        "doc_a long, doc_b long",
+    )
+    comp = {r["node"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dedup_groups_from_minhash_pairs(docs):
+    from nexus_event_stream_spark.operators.dedup import dedup_groups
+
+    pairs = minhash_dedup(docs, num_perm=16, shingle_n=3, bands=4, threshold=0.3)
+    mapping = {r["doc_id"]: r["keep_id"] for r in dedup_groups(docs, pairs).collect()}
+    # docs 1,2,3,5 are exact/near dups of each other (same or near text);
+    # 4 is unrelated and must map to itself
+    assert mapping[4] == 4
+    cluster = {mapping[i] for i in (1, 2, 3, 5)}
+    assert cluster == {1}
+    # dedup'd corpus = one representative per cluster + the singleton
+    kept = sorted({v for v in mapping.values()})
+    assert kept == [1, 4]
