@@ -180,13 +180,19 @@ def ann_topk_per_vector(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate top-k neighbors for EVERY vector: bucket by SRP, exact
     cosine re-rank within buckets only.
 
     One shuffle on the bucket id; pair space is Σ bucket² instead of n².
-    Recall improves with multi-probe (union of neighbor buckets) — not
-    needed at current scales. Output: vec_id, neighbor_id, cosine, rank.
+    ``multiprobe`` is the standard recall dial: each vector additionally
+    probes every bucket at Hamming distance 1 (the buckets a near-miss
+    sign bit would have landed it in) — candidate sets grow ≤ (bits+1)×,
+    recall strictly improves (candidate supersets), and the plan shape is
+    unchanged: the probe side explodes its bucket list, the build side
+    still holds one bucket per vector, so the join stays a single
+    equi-join on the bucket id. Output: vec_id, neighbor_id, cosine, rank.
     """
     q = quantize(vec_col)
     # Both self-join sides consume this relation; AQE broadcasts the join,
@@ -202,7 +208,23 @@ def ann_topk_per_vector(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    lhs, rhs = b.alias("l"), b.alias("r")
+    if multiprobe:
+        probes = F.array(
+            F.col("__bucket"),
+            *[
+                F.col("__bucket").bitwiseXOR(F.lit(2**j)).cast("bigint")
+                for j in range(bits)
+            ],
+        )
+        lhs = b.select(
+            F.col(id_col),
+            "__qv",
+            "__nn",
+            F.explode(probes).alias("__bucket"),
+        ).alias("l")
+    else:
+        lhs = b.alias("l")
+    rhs = b.alias("r")
     pairs = lhs.join(
         rhs,
         (F.col("l.__bucket") == F.col("r.__bucket"))

@@ -143,3 +143,26 @@ def test_dedup_groups_from_minhash_pairs(docs):
     # dedup'd corpus = one representative per cluster + the singleton
     kept = sorted({v for v in mapping.values()})
     assert kept == [1, 4]
+
+
+def test_ann_multiprobe_improves_recall(spark):
+    from nexus_event_stream_spark.io import load_table
+    from nexus_event_stream_spark.operators.similarity import ann_topk_per_vector
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    plain = {
+        r["vec_id"]: r["cosine"]
+        for r in ann_topk_per_vector(emb, dim=64, k=1, bits=6).collect()
+    }
+    multi = {
+        r["vec_id"]: r["cosine"]
+        for r in ann_topk_per_vector(
+            emb, dim=64, k=1, bits=6, multiprobe=True
+        ).collect()
+    }
+    # candidate sets are supersets: every vector keeps or improves its
+    # best neighbor, and at least as many vectors find one at all
+    assert len(multi) >= len(plain)
+    assert all(multi[v] >= c - 1e-12 for v, c in plain.items())
+    # with 6 bits over 500 vectors, hamming-1 probing should actually help
+    assert sum(multi[v] > plain[v] + 1e-12 for v in plain) > 0
