@@ -1,0 +1,67 @@
+"""Deterministic sampling operators for large-scale training pipelines.
+
+Random (``rand()``-based) sampling is non-replayable: a retried task
+resamples differently, breaking exactly-once sinks and cross-run
+comparisons. Everything here derives membership from a multiplicative
+(Knuth) hash of a unique key, so samples are stable across engines,
+retries, partitionings, and runs — the property the catalog pins with
+q_hash_sample's DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Knuth's multiplicative constant (2^32 / phi), the same one the
+#: q_hash_sample oracle uses.
+KNUTH = 2654435761
+M32 = 4294967296
+
+
+def hash_bucket(key_col: str | Column, buckets: int = 100) -> Column:
+    """Deterministic bucket 0..buckets-1 from an integer key — pure int64
+    arithmetic, evaluated map-side, identical in ANSI SQL."""
+    k = F.col(key_col) if isinstance(key_col, str) else key_col
+    return F.pmod(F.pmod(k * F.lit(KNUTH), F.lit(M32)), F.lit(buckets))
+
+
+def hash_sample(df: DataFrame, key_col: str, percent: int = 10) -> DataFrame:
+    """Keep ~percent% of rows, deterministically (replayable TABLESAMPLE).
+
+    The predicate is a map-side filter — at 100 TB this is the primitive
+    that lets a pipeline iterate on 10 TB and then rerun on the full
+    corpus with the sampled subset guaranteed to be a subset of itself.
+    """
+    return df.filter(hash_bucket(key_col, 100) < percent)
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    strata_cols: str | Sequence[str],
+    n_per_stratum: int,
+    key_col: str,
+) -> DataFrame:
+    """EXACTLY min(n, |stratum|) rows per stratum ("10k docs per
+    language"), chosen deterministically: rows rank by the Knuth hash of
+    their unique key within each stratum and the n smallest win (hash
+    ties broken by the key itself, so the order is total).
+
+    Plan shape: one hash exchange on the strata + a ranking window whose
+    rank<=n predicate is pushed below the shuffle (WindowGroupLimit,
+    Spark 3.5+) — each map task pre-drops rows that cannot make the
+    per-stratum cut, so shuffle bytes are bounded by n·strata·tasks, not
+    the corpus. Growing the sample later (n → n') keeps the old sample a
+    strict subset — hash-rank order is stable.
+    """
+    strata = [strata_cols] if isinstance(strata_cols, str) else list(strata_cols)
+    w = Window.partitionBy(*strata).orderBy(
+        hash_bucket(key_col, M32), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )

@@ -366,15 +366,10 @@ def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "primitive a 100 TB pipeline uses to iterate on 10 TB.",
 )
 def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexus_event_stream_spark.operators.sampling import hash_sample
+
     ev = load_table(spark, sf_dir, "events")
-    keep = (
-        F.pmod(
-            F.pmod(F.col("event_id") * F.lit(2654435761), F.lit(4294967296)),
-            F.lit(100),
-        )
-        < 10
-    )
-    return ev.filter(keep).agg(
+    return hash_sample(ev, "event_id", percent=10).agg(
         F.count(F.lit(1)).alias("n_sampled"),
         F.sum(cents("value")).alias("sum_cents"),
         F.countDistinct("user_id").alias("n_users"),
