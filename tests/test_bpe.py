@@ -1,0 +1,79 @@
+"""Distributed BPE training: exact agreement with a single-machine
+reference implementation on the same histogram, and encoder round-trip."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from nexus_event_stream_spark.operators.bpe import (
+    EOW,
+    _merge_symbols,
+    bpe_encode,
+    train_bpe,
+)
+
+CORPUS = [
+    "low low low low low",
+    "lower lower newest newest",
+    "newest newest newest newest",
+    "widest widest widest",
+    "low lower newest",
+]
+
+
+def reference_bpe(texts: list[str], n_merges: int, min_freq: int = 2):
+    """Pure-Python Sennrich BPE on the word histogram — the ground truth
+    the distributed trainer must reproduce merge-for-merge."""
+    hist = Counter(w for t in texts for w in t.split(" ") if w)
+    vocab = {tuple(list(w) + [EOW]): f for w, f in hist.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += f
+        if not pairs:
+            break
+        # max count, ties broken lexicographically — same rule as Spark's
+        # orderBy(desc(cnt), asc(pair))
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pairs[best] < min_freq:
+            break
+        merges.append(best)
+        vocab = {
+            tuple(_merge_symbols(list(s), best[0], best[1])): f
+            for s, f in vocab.items()
+        }
+    return merges
+
+
+def test_train_bpe_matches_reference(spark):
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string")
+    got = train_bpe(docs, n_merges=12, min_freq=2)
+    want = reference_bpe(CORPUS, n_merges=12, min_freq=2)
+    assert got == want
+    assert len(got) > 3  # the corpus supports a non-trivial merge list
+
+
+def test_bpe_encode_roundtrip_and_compression(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string"
+    )
+    merges = train_bpe(docs, n_merges=12, min_freq=2)
+    enc = {r["doc_id"]: r["bpe_tokens"] for r in bpe_encode(docs, merges).collect()}
+    for i, text in enumerate(CORPUS):
+        toks = enc[i]
+        # lossless: stripping EOW markers reconstructs the text
+        rebuilt = "".join(toks).replace(EOW, " ").strip()
+        assert rebuilt == text
+        # learned merges compress: fewer symbols than raw chars
+        n_chars = sum(len(w) + 1 for w in text.split(" "))
+        assert len(toks) < n_chars
+
+
+def test_bpe_encode_unseen_words_fall_back_to_chars(spark):
+    train = spark.createDataFrame([(0, "aa aa aa aa")], "doc_id long, text string")
+    merges = train_bpe(train, n_merges=3, min_freq=2)
+    test = spark.createDataFrame([(1, "zq")], "doc_id long, text string")
+    (row,) = bpe_encode(test, merges).collect()
+    assert row["bpe_tokens"] == ["z", "q", EOW]
