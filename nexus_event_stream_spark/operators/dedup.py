@@ -166,7 +166,11 @@ def minhash_signatures(
 
     Pure narrow map (transform/aggregate HOFs) — no shuffle, no UDF.
     Empty shingle sets get sig[i] = p (sentinel > any hash) so they never
-    collide with real signatures. Output: id, n_shingles, sig array.
+    collide with real signatures. Single pass over the shingle set with an
+    array-of-mins accumulator: each shingle hash is visited once and
+    updates all ``num_perm`` slots via zip_with/least (min is commutative
+    — exactly the per-permutation minima, same values the SQL oracle
+    computes with per-permutation list_min). Output: id, n_shingles, sig.
     """
     coeffs = minhash_coeffs(num_perm, seed)
     # Staged projections: tokens → shingles → hashed shingle set. Each
@@ -186,19 +190,16 @@ def minhash_signatures(
             F.transform(F.col("__sh"), lambda s: portable_string_hash(s))
         ).alias("__shingles"),  # hashed shingle set (verify + sig input)
     )
-    sig = F.array(
-        *[
-            F.coalesce(
-                F.array_min(
-                    F.transform(
-                        F.col("__shingles"),
-                        lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(HASH_MOD),
-                    )
-                ),
-                F.lit(HASH_MOD),
-            )
-            for a, b in coeffs
-        ]
+    a_arr = F.array(*[F.lit(a) for a, _ in coeffs])
+    b_arr = F.array(*[F.lit(b) for _, b in coeffs])
+    sig = F.aggregate(
+        F.col("__shingles"),
+        F.array_repeat(F.lit(HASH_MOD).cast("bigint"), num_perm),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.zip_with(a_arr, b_arr, lambda a, b: (a * h + b) % F.lit(HASH_MOD)),
+            lambda cur, cand: F.least(cur, cand),
+        ),
     )
     return hashed.select("doc_id", "__shingles", sig.alias("sig"))
 
