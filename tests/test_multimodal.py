@@ -166,3 +166,40 @@ def test_doc_media_pipeline_matches_rules(spark, sf_dir):
         assert r["sum_abs_samples"] == sum(
             abs(((did * 17 + i * i) % 65536) - 32768) for i in range(ns)
         )
+
+
+# -- property-based codec round-trips (hypothesis) --------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 8),
+    h=st.integers(1, 8),
+    ct=st.sampled_from([0, 2, 6]),
+    ftype=st.integers(0, 4),
+    data=st.data(),
+)
+def test_png_roundtrip_property(w, h, ct, ftype, data):
+    from nexus_event_stream_spark.functions.png import CHANNELS
+
+    n = w * h * CHANNELS[ct]
+    pixels = bytes(
+        data.draw(st.lists(st.integers(0, 255), min_size=n, max_size=n))
+    )
+    got = decode_png(encode_png(w, h, pixels, color_type=ct, filter_type=ftype))
+    assert got == (w, h, ct, pixels)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    samples=st.lists(st.integers(-32768, 32767), min_size=0, max_size=64),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_roundtrip_property(samples, rate):
+    assert decode_wav(encode_wav(samples, sample_rate=rate)) == (
+        rate,
+        1,
+        samples,
+    )
