@@ -389,6 +389,13 @@ def connected_components(
     ``spark.sparkContext.setCheckpointDir`` at durable storage and swap in
     ``checkpoint``). Raises if not converged within ``max_iter``.
 
+    Convergence detection is O(labels) with no extra join: labels are
+    monotonically non-increasing under min-propagation (the union keeps
+    every node's current label as a candidate), so the label SUM strictly
+    decreases until the fixpoint and is constant exactly at convergence.
+    The sum runs in decimal(38,0) so it stays exact for any node-id ×
+    node-count product an int64 would overflow on.
+
     Output: (node, component) with component = min node id reachable.
     """
     edges = pairs.select(
@@ -408,26 +415,26 @@ def connected_components(
         .select("node", F.col("node").alias("comp"))
         .localCheckpoint()
     )
+
+    def label_sum(df: DataFrame):
+        return df.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
+
+    cur_sum = label_sum(labels)
     for _ in range(max_iter):
         neighbor = edges.join(
             labels, edges.dst == labels.node
         ).select(F.col("src").alias("node"), F.col("comp"))
-        new_labels = (
+        labels = (
             labels.unionByName(neighbor)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.withColumnRenamed("comp", "old_comp"), "node")
-            .filter(F.col("comp") != F.col("old_comp"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_sum = label_sum(labels)
+        if new_sum == cur_sum:
             edges.unpersist()
             return labels
+        cur_sum = new_sum
     edges.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"

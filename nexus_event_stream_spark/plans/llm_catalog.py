@@ -25,6 +25,7 @@ from nexus_event_stream_spark.functions.text import (
 )
 from nexus_event_stream_spark.io import load_table
 from nexus_event_stream_spark.operators.dedup import (
+    dedup_groups,
     exact_dedup,
     minhash_coeffs,
     minhash_dedup,
@@ -323,6 +324,38 @@ def _sql_minhash(num_perm: int = 16, bands: int = 4) -> str:
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return minhash_dedup(docs, num_perm=16, shingle_n=3, bands=4, threshold=0.05)
+
+
+@register(
+    "q_dedup_groups",
+    f"""
+    WITH RECURSIVE pairs AS ({_sql_minhash()}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    reach AS (
+      SELECT src AS node, src AS comp FROM edges
+      UNION
+      SELECT e.src AS node, r.comp FROM edges e JOIN reach r ON e.dst = r.node),
+    comps AS (SELECT node, MIN(comp) AS comp FROM reach GROUP BY node)
+    SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS keep_id
+    FROM documents d LEFT JOIN comps c ON d.doc_id = c.node
+    """,
+    doc="Near-dup CLUSTERING — the step that actually drops duplicates from "
+    "a training corpus: MinHash-LSH verified pairs (same parameters as "
+    "q_minhash_lsh) → connected components (iterative min-label "
+    "propagation, operators/dedup.py) → every doc mapped to the smallest "
+    "doc_id in its component (singleton docs map to themselves). The "
+    "DuckDB oracle computes the same transitive closure with a recursive "
+    "CTE (cheap at sf0.01: pairs are tiny); Spark's label-propagation "
+    "rounds = clique diameter, one join+groupBy per round — the shape "
+    "that survives 100 TB where a recursive CTE cannot.",
+)
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup(docs, num_perm=16, shingle_n=3, bands=4, threshold=0.05)
+    return dedup_groups(docs, pairs)
 
 
 _CENTS_V = "CAST(ROUND({c}*100,0) AS BIGINT)"
