@@ -74,11 +74,15 @@ def word_histogram(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _pair_counts(vocab: DataFrame) -> DataFrame:
+    # The pair is a struct<left,right>, NOT a delimited string: symbols are
+    # arbitrary (a token may legitimately contain any delimiter byte,
+    # including NUL), and struct equality/ordering is exactly tuple
+    # equality/ordering — same semantics the single-machine reference uses.
     n = F.size("symbols")
     pairs = F.zip_with(
         F.slice("symbols", 1, n - 1),
         F.slice("symbols", 2, n - 1),
-        lambda x, y: F.concat(x, F.lit("\x00"), y),
+        lambda x, y: F.struct(x.alias("left"), y.alias("right")),
     )
     return (
         vocab.select(F.explode(pairs).alias("pair"), "freq")
@@ -112,7 +116,7 @@ def train_bpe(
         )
         if not top or top[0]["cnt"] < min_freq:
             break
-        a, b = top[0]["pair"].split("\x00", 1)
+        a, b = top[0]["pair"]["left"], top[0]["pair"]["right"]
         merges.append((a, b))
 
         def apply_merge(

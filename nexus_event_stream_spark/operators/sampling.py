@@ -19,13 +19,23 @@ from pyspark.sql import functions as F
 #: q_hash_sample oracle uses.
 KNUTH = 2654435761
 M32 = 4294967296
+#: Keys are folded mod 2^31 before the Knuth multiply so the int64
+#: product can never overflow: (2^31−1)·KNUTH ≈ 5.7e18 < 2^63−1, whereas
+#: a raw key above ~3.5e9 would silently wrap in Spark's non-ANSI
+#: arithmetic while an ANSI engine (or the DuckDB oracle's HUGEINT
+#: arithmetic) diverges. The fold is the identity for keys < 2^31, so it
+#: only redistributes (uniformly) the buckets of astronomically large ids.
+M31 = 2147483648
 
 
 def hash_bucket(key_col: str | Column, buckets: int = 100) -> Column:
     """Deterministic bucket 0..buckets-1 from an integer key — pure int64
-    arithmetic, evaluated map-side, identical in ANSI SQL."""
+    arithmetic (overflow-free for ANY int64 key: the key is folded mod
+    2^31 before the multiply), evaluated map-side, identical in ANSI SQL.
+    """
     k = F.col(key_col) if isinstance(key_col, str) else key_col
-    return F.pmod(F.pmod(k * F.lit(KNUTH), F.lit(M32)), F.lit(buckets))
+    folded = F.pmod(k, F.lit(M31))
+    return F.pmod(F.pmod(folded * F.lit(KNUTH), F.lit(M32)), F.lit(buckets))
 
 
 def hash_sample(df: DataFrame, key_col: str, percent: int = 10) -> DataFrame:

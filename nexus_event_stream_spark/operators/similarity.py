@@ -340,6 +340,17 @@ def ivf_train_centroids(
     bounded, but the only driver-side compute in the repo and its worst
     bench entry).
 
+    Trained centroids are BIT-DETERMINISTIC across runs, partitionings,
+    and Arrow batch sizes (the repo's identical-fold-order convention):
+    each coordinate is quantized to int64 fixed-point (scale 2^24) per
+    ELEMENT before any summation, so every partial/final sum is exact
+    integer arithmetic — associative and commutative, immune to combine
+    order — and the float division back happens once, on the driver, from
+    identical integers. Assignment is per-row float math against the same
+    frozen centroid matrix, also partition-independent. Quantization error
+    (≤2^-25 per coordinate) is far below Lloyd's convergence tolerance;
+    headroom: |coord|≤2^9 and n≤2^30 rows/cluster stay within int64.
+
     Init is evenly spaced rows of a bounded prefix (≤ init_cap rows, one
     short-circuiting CollectLimit scan) — deterministic, no RNG; ``seed``
     kept for call-site stability. Empty clusters keep their previous
@@ -347,6 +358,7 @@ def ivf_train_centroids(
     """
     import numpy as np
 
+    fp_scale = float(1 << 24)
     x0 = np.array(
         [r[0] for r in embeddings.select(vec_col).limit(init_cap).collect()],
         dtype=np.float64,
@@ -358,7 +370,7 @@ def ivf_train_centroids(
         [
             T.StructField("c", T.IntegerType()),
             T.StructField("dim", T.IntegerType()),
-            T.StructField("s", T.DoubleType()),
+            T.StructField("s", T.LongType()),
             T.StructField("cnt", T.LongType()),
         ]
     )
@@ -377,12 +389,13 @@ def ivf_train_centroids(
                 assign = (
                     ((m[:, None, :] - cc[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
                 )
+                mq = np.rint(m * fp_scale).astype(np.int64)
                 rows: dict[str, list] = {"c": [], "dim": [], "s": [], "cnt": []}
                 for c in range(k):
-                    members = m[assign == c]
+                    members = mq[assign == c]
                     if not len(members):
                         continue
-                    s = members.sum(axis=0)
+                    s = members.sum(axis=0, dtype=np.int64)
                     rows["c"].extend([c] * d)
                     rows["dim"].extend(dims)
                     rows["s"].extend(s.tolist())
@@ -397,7 +410,7 @@ def ivf_train_centroids(
         )
         for r in agg:
             if r["cnt"]:
-                cents[r["c"], r["dim"]] = r["s"] / r["cnt"]
+                cents[r["c"], r["dim"]] = r["s"] / fp_scale / r["cnt"]
     return cents
 
 

@@ -357,13 +357,15 @@ def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(SUM(CAST(ROUND(value*100,0) AS BIGINT)) AS BIGINT) AS sum_cents,
       COUNT(DISTINCT user_id) AS n_users
     FROM events
-    WHERE ((event_id * 2654435761) % 4294967296) % 100 < 10
+    WHERE (((event_id % 2147483648) * 2654435761) % 4294967296) % 100 < 10
     """,
     doc="Deterministic ~10% sample via multiplicative (Knuth) hashing of "
     "the unique key — replayable across engines, retries, and restarts, "
     "unlike rand()-based TABLESAMPLE. The predicate is pure int64 "
-    "arithmetic, evaluated map-side; this is the debugging/sampling "
-    "primitive a 100 TB pipeline uses to iterate on 10 TB.",
+    "arithmetic, evaluated map-side (the key folds mod 2^31 first so the "
+    "multiply can never overflow int64 — see operators/sampling.py); "
+    "this is the debugging/sampling primitive a 100 TB pipeline uses to "
+    "iterate on 10 TB.",
 )
 def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nexus_event_stream_spark.operators.sampling import hash_sample
