@@ -204,6 +204,27 @@ def minhash_signatures(
     return hashed.select("doc_id", "__shingles", sig.alias("sig"))
 
 
+def band_key_array(
+    bands: int = 4, rows_per_band: int = 4, sig_col: str = "sig"
+) -> Column:
+    """Array of LSH band bucket keys (band index ++ the signature slice) —
+    the shared primitive of batch LSH (minhash_lsh_candidates) and
+    streaming suppression (streaming/dedup.py)."""
+    return F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(i),
+                *[
+                    F.col(sig_col)[i * rows_per_band + r]
+                    for r in range(rows_per_band)
+                ],
+            )
+            for i in range(bands)
+        ]
+    )
+
+
 def minhash_lsh_candidates(
     sigs: DataFrame, bands: int = 4, rows_per_band: int = 4
 ) -> DataFrame:
@@ -214,17 +235,9 @@ def minhash_lsh_candidates(
     bucket key; bucket sizes are the skew knob (salt or cap pathological
     buckets at extreme scale). Output: doc_a, doc_b.
     """
-    band_keys = F.array(
-        *[
-            F.concat_ws(
-                ":",
-                F.lit(i),
-                *[F.col("sig")[i * rows_per_band + r] for r in range(rows_per_band)],
-            )
-            for i in range(bands)
-        ]
+    keyed = sigs.select(
+        "doc_id", F.explode(band_key_array(bands, rows_per_band)).alias("bucket")
     )
-    keyed = sigs.select("doc_id", F.explode(band_keys).alias("bucket"))
     a = keyed.alias("a")
     b = keyed.alias("b")
     return (

@@ -1,0 +1,375 @@
+"""Streaming near-dup suppression — cross-batch MinHash-LSH in the
+projection path.
+
+A 100 TB training-data ingest cannot dedup after the fact: near-duplicate
+documents must be suppressed AS THEY ARRIVE, against everything already
+accepted, at per-batch cost O(|batch|) — never a rescan of the
+accumulated corpus. This module composes the batch dedup operators
+(operators/dedup.py) with the store/commit discipline of the projection
+path (streaming/projection.py):
+
+- beside the accepted corpus lives a ``SignatureStore``: the LSH posting
+  relation (band-bucket key → doc, with the doc's hashed shingle set for
+  exact-Jaccard verification), laid out in ``n_buckets`` key-hash bucket
+  directories exactly like ``BucketedViewStore`` — a micro-batch probes
+  ONLY the bucket directories its own band keys hash into;
+- each ``foreachBatch``: signatures for the batch (narrow map) →
+  within-batch LSH self-join (earlier id wins) → bucket-pruned equi-join
+  against the store's touched buckets → exact-Jaccard verify → survivors
+  registered back into the store (append-only bucket write + atomic
+  pointer commit);
+- the (run_token, epoch) guard from the projection path makes replayed
+  micro-batches no-ops on the store, and the suppression decision itself
+  is a deterministic recompute (same batch + same visible postings →
+  same survivors), mirroring the reference's idempotent-apply contract
+  (data-plane/internal/projection/signal_test.go:132-151) extended to
+  near-duplicates.
+
+Scale notes: the posting row carries the shingle set once per band
+(bands× write amplification) so the verify join needs no second hop back
+to a shingle table; at extreme scale store shingles once per doc and
+verify via a doc-keyed join instead — the probe shape is unchanged.
+Bucket directories accumulate one file per epoch; compact() folds a
+bucket's history into a single file when the manifest grows long.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nexus_event_stream_spark.operators.dedup import (
+    band_key_array,
+    jaccard,
+    minhash_lsh_candidates,
+    minhash_signatures,
+)
+
+POINTER = "_CURRENT"
+
+#: On-disk posting schema. ``shingles`` is the doc's hashed shingle set
+#: (the exact-Jaccard verify input); ``run``/``epoch`` scope replay.
+POSTING_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket_key", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("epoch", T.LongType()),
+        T.StructField("run", T.StringType()),
+        T.StructField("shingles", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _bucket_of(key_col, n_buckets: int):
+    """Stable bucket-key → directory bucket (same recipe as the view
+    store's key bucketing)."""
+    return F.coalesce(
+        F.pmod(F.xxhash64(key_col), F.lit(n_buckets)), F.lit(0)
+    ).cast("int")
+
+
+class SignatureStore:
+    """Append-only bucketed LSH posting store with an atomic pointer.
+
+    Layout: ``v={version}/__bucket={k}/*.parquet``. The pointer maps each
+    bucket to the LIST of versions holding its postings (append-only: a
+    bucket accumulates one entry per epoch that touched it); reading a
+    bucket unions those directories and nothing else. Commit is a single
+    atomic pointer rename; a crash between data write and commit leaves
+    an unreferenced directory, never a corrupt store.
+    """
+
+    def __init__(self, path: str, n_buckets: int = 64):
+        self.path = path
+        self.n_buckets = n_buckets
+        os.makedirs(path, exist_ok=True)
+        #: paths touched by the most recent probe — lets tests pin the
+        #: "no full rescan" contract.
+        self.last_probe_paths: list[str] | None = None
+
+    # -- pointer ------------------------------------------------------------
+
+    def _pointer_path(self) -> str:
+        return os.path.join(self.path, POINTER)
+
+    def current(self) -> dict | None:
+        try:
+            with open(self._pointer_path()) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return None
+
+    def _commit(self, pointer: dict) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.path, prefix="._ptr")
+        with os.fdopen(fd, "w") as fh:
+            json.dump(pointer, fh)
+        os.replace(tmp, self._pointer_path())  # atomic on POSIX
+
+    # -- read ---------------------------------------------------------------
+
+    def read_buckets(self, spark: SparkSession, buckets) -> DataFrame | None:
+        """Postings of ``buckets`` only — the probe path; never the whole
+        store."""
+        cur = self.current()
+        if cur is None:
+            self.last_probe_paths = []
+            return None
+        paths = [
+            os.path.join(self.path, f"v={ver}", f"__bucket={b}")
+            for b in buckets
+            for ver in cur["buckets"].get(str(b), [])
+        ]
+        self.last_probe_paths = paths
+        if not paths:
+            return None
+        return spark.read.schema(POSTING_SCHEMA).parquet(*paths)
+
+    # -- write --------------------------------------------------------------
+
+    def append(
+        self,
+        postings: DataFrame,
+        epoch: int | None = None,
+        run_token: str | None = None,
+    ) -> int:
+        """Append posting rows as a new version of their buckets and
+        commit. Epoch metadata is recorded even when the batch produced
+        no survivors, so the replay guard still engages."""
+        cur = self.current()
+        version = (cur["version"] + 1) if cur else 0
+        out = os.path.join(self.path, f"v={version}")
+        (
+            postings.withColumn(
+                "__bucket", _bucket_of(F.col("bucket_key"), self.n_buckets)
+            )
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(out)
+        )
+        buckets = dict(cur["buckets"]) if cur else {}
+        written = [
+            name.split("=", 1)[1]
+            for name in os.listdir(out)
+            if name.startswith("__bucket=")
+        ]
+        for b in written:
+            buckets[b] = buckets.get(b, []) + [version]
+        self._commit(
+            {
+                "version": version,
+                "epoch": epoch,
+                "run_token": run_token,
+                "buckets": buckets,
+            }
+        )
+        return version
+
+    def compact(self, spark: SparkSession) -> int | None:
+        """Fold every bucket's version history into one directory (bounds
+        per-bucket file counts after many epochs). Single-writer, like
+        view-store compaction; returns the new version or None if empty.
+        """
+        cur = self.current()
+        if cur is None or not cur["buckets"]:
+            return None
+        all_buckets = sorted(cur["buckets"], key=int)
+        df = self.read_buckets(spark, all_buckets)
+        if df is None:
+            return None
+        version = cur["version"] + 1
+        out = os.path.join(self.path, f"v={version}")
+        (
+            df.withColumn("__bucket", _bucket_of(F.col("bucket_key"), self.n_buckets))
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(out)
+        )
+        written = [
+            name.split("=", 1)[1]
+            for name in os.listdir(out)
+            if name.startswith("__bucket=")
+        ]
+        self._commit(
+            {
+                "version": version,
+                "epoch": cur.get("epoch"),
+                "run_token": cur.get("run_token"),
+                "buckets": {b: [version] for b in written},
+            }
+        )
+        for name in os.listdir(self.path):
+            if name.startswith("v=") and name != f"v={version}":
+                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+        return version
+
+
+def suppress_and_register(
+    spark: SparkSession,
+    store: SignatureStore,
+    docs: DataFrame,
+    epoch: int | None = None,
+    run_token: str | None = None,
+    num_perm: int = 16,
+    shingle_n: int = 3,
+    bands: int = 4,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One micro-batch of near-dup suppression: returns the surviving rows
+    of ``docs`` and registers their signatures in the store.
+
+    Suppression rule (greedy, arrival-order): a doc is dropped iff a
+    verified near-match (exact Jaccard of hashed shingle sets ≥
+    ``threshold``) exists among (a) already-accepted docs in the store or
+    (b) same-batch docs with a smaller ``id_col`` — the earliest-accepted
+    copy wins, the streaming analogue of dedup_groups' min-id
+    representative. An exact replay (same text, any id) has Jaccard 1 and
+    is always suppressed.
+
+    Replayed epochs (same run_token, epoch ≤ last committed) recompute the
+    same survivor set — postings the replayed epoch itself wrote are
+    filtered out of the probe — and skip the store append, so replay is a
+    pure no-op on state. Per-batch cost: a narrow signature map + LSH
+    self-join over the batch, plus a probe of only the store buckets the
+    batch's band keys hash into (``store.last_probe_paths`` pins that).
+    """
+    cur = store.current()
+    replay = (
+        cur is not None
+        and cur.get("epoch") is not None
+        and run_token is not None
+        and cur.get("run_token") == run_token
+        and epoch is not None
+        and epoch <= cur["epoch"]
+    )
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(
+        docs, num_perm, shingle_n, id_col, text_col
+    ).persist()
+    shing = sigs.select("doc_id", "__shingles")
+
+    # (a) within-batch: LSH candidates + verify; the larger id loses.
+    cands = minhash_lsh_candidates(sigs, bands, rows_per_band)
+    intra = (
+        cands.join(shing.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(shing.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(
+            jaccard(F.col("sa.__shingles"), F.col("sb.__shingles"))
+            >= F.lit(threshold)
+        )
+        .select(F.col("doc_b").alias("doc_id"))
+    )
+
+    # (b) cross-batch: probe ONLY the store buckets this batch touches.
+    posts = sigs.select(
+        "doc_id",
+        F.explode(band_key_array(bands, rows_per_band)).alias("bucket_key"),
+        F.col("__shingles"),
+    )
+    touched = sorted(
+        r[0]
+        for r in posts.select(
+            _bucket_of(F.col("bucket_key"), store.n_buckets).alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    stored = store.read_buckets(spark, touched)
+    if stored is not None and replay:
+        # postings this very epoch wrote must not suppress its own docs
+        stored = stored.filter(
+            ~((F.col("run") == F.lit(run_token)) & (F.col("epoch") >= F.lit(epoch)))
+        )
+    if stored is not None:
+        cross = (
+            posts.join(
+                stored.select(
+                    "bucket_key", F.col("shingles").alias("__stored_sh")
+                ),
+                "bucket_key",
+            )
+            .filter(
+                jaccard(F.col("__shingles"), F.col("__stored_sh"))
+                >= F.lit(threshold)
+            )
+            .select("doc_id")
+        )
+        suppressed = intra.union(cross).distinct()
+    else:
+        suppressed = intra.distinct()
+
+    survivors = docs.join(
+        suppressed.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
+    )
+    if not replay:
+        surv_posts = posts.join(suppressed, "doc_id", "left_anti").select(
+            "bucket_key",
+            "doc_id",
+            F.lit(epoch).cast("long").alias("epoch"),
+            F.lit(run_token).cast("string").alias("run"),
+            F.col("__shingles").alias("shingles"),
+        )
+        store.append(surv_posts, epoch, run_token)
+    return survivors
+
+
+def start_dedup_ingest(
+    spark: SparkSession,
+    doc_stream: DataFrame,
+    store_path: str,
+    corpus_path: str,
+    checkpoint_path: str,
+    n_buckets: int = 64,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Wire a document stream into a dedup-suppressed corpus sink.
+
+    Each micro-batch: suppress near-dups (within-batch + against all
+    accepted history) → append survivors to the parquet corpus. Replayed
+    epochs are no-ops on the signature store; the corpus append is
+    at-least-once (a crash between corpus write and store commit can
+    double-append one batch — readers dedupe by ``id_col``, the same
+    tolerant-reader stance the reference takes for redelivered events).
+    Returns the StreamingQuery.
+    """
+    import uuid
+
+    run_token = uuid.uuid4().hex
+    store = SignatureStore(store_path, n_buckets=n_buckets)
+
+    def _apply(batch: DataFrame, epoch: int) -> None:
+        cur = store.current()
+        if (
+            cur is not None
+            and cur.get("epoch") is not None
+            and cur.get("run_token") == run_token
+            and epoch <= cur["epoch"]
+        ):
+            return
+        survivors = suppress_and_register(
+            spark,
+            store,
+            batch,
+            epoch,
+            run_token,
+            threshold=threshold,
+            id_col=id_col,
+            text_col=text_col,
+        )
+        survivors.write.mode("append").parquet(corpus_path)
+
+    return (
+        doc_stream.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(_apply)
+        .start()
+    )

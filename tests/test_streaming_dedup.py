@@ -1,0 +1,157 @@
+"""Streaming near-dup suppression (streaming/dedup.py): the projection
+path's idempotent-apply contract extended to near-duplicates.
+
+Mirrors the reference's redelivery tests
+(data-plane/internal/projection/signal_test.go:132-151): replayed work is
+a no-op, and here additionally a near-duplicate document arriving in a
+LATER micro-batch is suppressed against everything already accepted —
+at probe cost bounded by the batch's own LSH buckets, never a store scan.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from nexus_event_stream_spark.streaming.dedup import (
+    SignatureStore,
+    suppress_and_register,
+)
+
+# Long enough that a one-word edit keeps shingle-Jaccard ≈ 0.83 and the
+# 4×4 LSH bands are guaranteed to collide (deterministic for fixed text;
+# verified: minhash_dedup pairs (A, A_NEAR) at jaccard 0.833).
+A_TEXT = (
+    "the quick brown fox jumps over the lazy dog while the old river bank "
+    "slowly erodes under heavy spring rain and the village children watch "
+    "from the wooden bridge every single morning before school begins"
+)
+A_NEAR = A_TEXT.replace("wooden", "stone")
+B_TEXT = "colorless green ideas sleep furiously under a pale winter moon tonight"
+C_TEXT = "completely different content about distributed query engines and columnar formats"
+
+
+@pytest.fixture()
+def store_dir():
+    d = tempfile.mkdtemp(prefix="sigstore_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def surviving_ids(spark, store, rows, epoch, run="run1"):
+    out = suppress_and_register(
+        spark, store, docs_df(spark, rows), epoch=epoch, run_token=run
+    )
+    return sorted(r.doc_id for r in out.collect())
+
+
+def stored_doc_ids(spark, store):
+    cur = store.current()
+    if cur is None:
+        return set()
+    df = store.read_buckets(spark, sorted(cur["buckets"], key=int))
+    if df is None:
+        return set()
+    return {r.doc_id for r in df.select("doc_id").distinct().collect()}
+
+
+def test_within_batch_and_cross_batch_suppression(spark, store_dir):
+    store = SignatureStore(store_dir, n_buckets=16)
+
+    # epoch 0: A and B are distinct — both survive and are registered
+    assert surviving_ids(spark, store, [(1, A_TEXT), (2, B_TEXT)], 0) == [1, 2]
+    assert stored_doc_ids(spark, store) == {1, 2}
+
+    # epoch 1: near-dup of A (one word changed) is suppressed against the
+    # ACCEPTED history; C is novel and survives.
+    assert surviving_ids(spark, store, [(3, A_NEAR), (4, C_TEXT)], 1) == [4]
+    assert stored_doc_ids(spark, store) == {1, 2, 4}
+
+    # epoch 2: exact replay of A's text under a fresh id → Jaccard 1 →
+    # suppressed; within-batch exact dups resolve to the smallest id.
+    novel = "a genuinely novel paragraph describing watermark semantics in stateful stream processing"
+    got = surviving_ids(spark, store, [(5, A_TEXT), (6, novel), (7, novel)], 2)
+    assert got == [6]
+    assert stored_doc_ids(spark, store) == {1, 2, 4, 6}
+
+
+def test_replayed_epoch_is_noop_on_state_and_deterministic(spark, store_dir):
+    store = SignatureStore(store_dir, n_buckets=16)
+    assert surviving_ids(spark, store, [(1, A_TEXT)], 0) == [1]
+    assert surviving_ids(spark, store, [(2, B_TEXT)], 1) == [2]
+    ver_before = store.current()["version"]
+
+    # replay epoch 1 (same run token): same survivors, NO new store version
+    # — in particular doc 2's own epoch-1 postings must not suppress it.
+    assert surviving_ids(spark, store, [(2, B_TEXT)], 1) == [2]
+    assert store.current()["version"] == ver_before
+    assert stored_doc_ids(spark, store) == {1, 2}
+
+
+def test_probe_reads_only_touched_buckets(spark, store_dir):
+    store = SignatureStore(store_dir, n_buckets=64)
+    surviving_ids(spark, store, [(1, A_TEXT), (2, B_TEXT), (3, C_TEXT)], 0)
+    n_store_buckets = len(store.current()["buckets"])
+
+    # a one-doc batch probes ≤ bands (=4) bucket directories, not the store
+    surviving_ids(spark, store, [(9, "tiny single document probe text here")], 1)
+    assert store.last_probe_paths is not None
+    probed_buckets = {p.split("__bucket=")[1] for p in store.last_probe_paths}
+    assert len(probed_buckets) <= 4
+    assert n_store_buckets >= 9  # 3 docs × 4 bands mostly distinct buckets
+
+
+def test_compact_preserves_postings_and_suppression(spark, store_dir):
+    store = SignatureStore(store_dir, n_buckets=8)
+    surviving_ids(spark, store, [(1, A_TEXT)], 0)
+    surviving_ids(spark, store, [(2, B_TEXT)], 1)
+    before = stored_doc_ids(spark, store)
+    store.compact(spark)
+    assert stored_doc_ids(spark, store) == before
+    # every bucket now lives in exactly one version
+    assert all(len(v) == 1 for v in store.current()["buckets"].values())
+    # suppression still works against compacted history
+    assert surviving_ids(spark, store, [(5, A_NEAR)], 2) == []
+
+
+def test_streaming_integration_end_to_end(spark, store_dir):
+    """Real readStream → foreachBatch → corpus sink: a near-dup arriving in
+    a later file-source batch never reaches the corpus."""
+    from nexus_event_stream_spark.streaming.dedup import start_dedup_ingest
+
+    base = tempfile.mkdtemp(prefix="dedup_stream_")
+    src = os.path.join(base, "src")
+    corpus = os.path.join(base, "corpus")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(src)
+    try:
+        docs_df(spark, [(1, A_TEXT), (2, B_TEXT)]).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src, "b0"))
+        stream = spark.readStream.schema("doc_id long, text string").option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src + "/*")
+        q = start_dedup_ingest(
+            spark, stream, store_dir, corpus, ckpt, n_buckets=16
+        )
+        try:
+            q.processAllAvailable()
+            docs_df(spark, [(3, A_NEAR), (4, C_TEXT)]).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(src, "b1"))
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = sorted(
+            r.doc_id for r in spark.read.parquet(corpus).select("doc_id").collect()
+        )
+        assert got == [1, 2, 4]  # 3 (near-dup of 1) suppressed cross-batch
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
