@@ -7,12 +7,13 @@ North-star extension. Image/audio/video payloads are carried as Spark
 
 Image decode/encode/resize are REAL: a pure-stdlib PNG codec
 (functions/png.py — full container parse, CRC validation, all five
-scanline filters, nearest-neighbor resample). Only the video path is a
-stand-in (``sample_frames`` windows bytes instead of seeking keyframes;
-ffmpeg is not in this container) — its 1→N Arrow fan-out contract is the
-real one. Malformed payloads follow the engine's tolerant-reader
-convention (consumer.go:39-44): decode failures emit null fields, never
-fail the batch.
+scanline filters, nearest-neighbor resample). Video is REAL for the
+APNG container (animated PNG: acTL/fcTL/fdAT chunks, same codec):
+``sample_frames`` decodes the animation and emits evenly spaced real
+frames, each re-encoded as a standalone PNG; payloads that are not
+PNG-family (ffmpeg containers aren't decodable in this box) fall back
+to deterministic byte windows — the tolerant-reader convention
+(consumer.go:39-44): decode failures degrade, never fail the batch.
 
 Scale notes: binary payloads dominate row size, so
 ``spark.sql.files.maxPartitionBytes`` (not row count) controls partition
@@ -33,7 +34,9 @@ from pyspark.sql import types as T
 
 from nexus_event_stream_spark.functions.png import (
     CHANNELS,
+    decode_apng,
     decode_png,
+    encode_apng,
     encode_png,
     resize_nearest,
 )
@@ -165,10 +168,16 @@ FRAMES_SCHEMA = T.StructType(
 
 
 def sample_frames(media: DataFrame, n_frames: int = 4, frame_bytes: int = 16) -> DataFrame:
-    """Uniform frame sampling from a video-like payload: n_frames evenly
-    spaced byte windows per payload, one output row per frame (explode
-    shape). A real kernel seeks keyframes; the Spark-side contract —
-    1→N row fan-out through Arrow — is identical.
+    """Uniform frame sampling from a video payload, one output row per
+    sampled frame (1→N Arrow fan-out).
+
+    PNG-family payloads (APNG animations and plain PNGs) get REAL frames:
+    the animation is decoded (functions/png.py decode_apng) and
+    ``n_frames`` evenly spaced frames are re-encoded as standalone PNGs —
+    each output row is itself a decodable image, which is what a
+    downstream vision featurizer wants. Non-PNG payloads (no ffmpeg in
+    this container) degrade to evenly spaced ``frame_bytes`` byte windows
+    — the tolerant-reader fallback, same row shape.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -176,11 +185,24 @@ def sample_frames(media: DataFrame, n_frames: int = 4, frame_bytes: int = 16) ->
             ids, idxs, frames = [], [], []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 p = p or b""
-                for i in range(n_frames):
-                    off = (i * max(len(p) - frame_bytes, 0)) // max(n_frames - 1, 1)
-                    ids.append(mid)
-                    idxs.append(i)
-                    frames.append(p[off : off + frame_bytes])
+                try:
+                    w, h, ct, fx = decode_apng(p)
+                    picks = [
+                        (i * (len(fx) - 1)) // max(n_frames - 1, 1)
+                        for i in range(n_frames)
+                    ]
+                    for i, k in enumerate(picks):
+                        ids.append(mid)
+                        idxs.append(i)
+                        frames.append(encode_png(w, h, fx[k], ct))
+                except Exception:
+                    for i in range(n_frames):
+                        off = (i * max(len(p) - frame_bytes, 0)) // max(
+                            n_frames - 1, 1
+                        )
+                        ids.append(mid)
+                        idxs.append(i)
+                        frames.append(p[off : off + frame_bytes])
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
 
     return media.select("media_id", "payload").mapInPandas(batches, FRAMES_SCHEMA)
@@ -196,6 +218,11 @@ def sample_frames(media: DataFrame, n_frames: int = 4, frame_bytes: int = 16) ->
 #:   n_samples = 64 + doc_id % 129
 #:   sample_i  = ((doc_id*17 + i*i) % 65536) - 32768
 #: with |sample| summed on decode — any sample-unpack bug breaks the hash.
+#: Video (APNG, same canvas as the image):
+#:   n_frames  = 2 + doc_id % 3        frame filter = (doc_id + f) % 5
+#:   pixel_{f,i} = (doc_id*31 + f*97 + i) % 256
+#: decoded to frame count + total pixel sum across frames — any
+#: acTL/fcTL/fdAT or per-frame filter bug breaks the hash.
 DOC_MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -204,6 +231,7 @@ DOC_MEDIA_SCHEMA = T.StructType(
         T.StructField("png_filter", T.IntegerType()),
         T.StructField("image", T.BinaryType()),
         T.StructField("audio", T.BinaryType()),
+        T.StructField("video", T.BinaryType()),
     ]
 )
 
@@ -219,6 +247,8 @@ DECODED_DOC_MEDIA_SCHEMA = T.StructType(
         T.StructField("sample_rate", T.IntegerType()),
         T.StructField("n_samples", T.IntegerType()),
         T.StructField("sum_abs_samples", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("sum_frame_pixels", T.LongType()),
     ]
 )
 
@@ -241,7 +271,7 @@ def synthesize_doc_media(docs: DataFrame) -> DataFrame:
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            filts, images, audios = [], [], []
+            filts, images, audios, videos = [], [], [], []
             for did in pdf["doc_id"]:
                 did = int(did)
                 w, h, f = doc_image_dims(did)
@@ -253,6 +283,20 @@ def synthesize_doc_media(docs: DataFrame) -> DataFrame:
                     ((did * 17 + i * i) % 65536) - 32768 for i in range(n)
                 ]
                 audios.append(encode_wav(samples, sample_rate=8000))
+                nf = 2 + did % 3
+                frames = [
+                    bytes((did * 31 + fi * 97 + i) % 256 for i in range(w * h))
+                    for fi in range(nf)
+                ]
+                videos.append(
+                    encode_apng(
+                        w,
+                        h,
+                        frames,
+                        color_type=0,
+                        filter_type=[(did + fi) % 5 for fi in range(nf)],
+                    )
+                )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -261,6 +305,7 @@ def synthesize_doc_media(docs: DataFrame) -> DataFrame:
                     "png_filter": pd.array(filts, dtype="int32"),
                     "image": images,
                     "audio": audios,
+                    "video": videos,
                 }
             )
 
@@ -276,6 +321,7 @@ def decode_doc_media(media: DataFrame) -> DataFrame:
         for pdf in it:
             ws, hs, sums = [], [], []
             rates, counts, energies = [], [], []
+            nframes, fsums = [], []
             for p in pdf["image"]:
                 try:
                     w, h, _ct, px = decode_png(p)
@@ -296,6 +342,14 @@ def decode_doc_media(media: DataFrame) -> DataFrame:
                     rates.append(None)
                     counts.append(None)
                     energies.append(None)
+            for p in pdf["video"]:
+                try:
+                    _w, _h, _ct, frames = decode_apng(p)
+                    nframes.append(len(frames))
+                    fsums.append(sum(sum(fr) for fr in frames))
+                except Exception:
+                    nframes.append(None)
+                    fsums.append(None)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -308,6 +362,8 @@ def decode_doc_media(media: DataFrame) -> DataFrame:
                     "sample_rate": pd.array(rates, dtype="Int32"),
                     "n_samples": pd.array(counts, dtype="Int32"),
                     "sum_abs_samples": pd.array(energies, dtype="Int64"),
+                    "n_frames": pd.array(nframes, dtype="Int32"),
+                    "sum_frame_pixels": pd.array(fsums, dtype="Int64"),
                 }
             )
 

@@ -202,22 +202,31 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(list_sum(list_transform(
         range(0, 64 + doc_id % 129),
         i -> abs(((doc_id * 17 + i * i) % 65536) - 32768))) AS BIGINT)
-        AS sum_abs_samples
+        AS sum_abs_samples,
+      CAST(2 + doc_id % 3 AS INTEGER) AS n_frames,
+      CAST(list_sum(list_transform(range(0, 2 + doc_id % 3), f ->
+        list_sum(list_transform(
+          range(0, (4 + doc_id % 13) * (3 + doc_id % 7)),
+          i -> (doc_id * 31 + f * 97 + i) % 256)))) AS BIGINT)
+        AS sum_frame_pixels
     FROM documents
     """,
     doc="Multimodal pipeline, REAL codecs end-to-end: per document an "
     "8-bit grayscale PNG (functions/png.py — real container, CRC'd "
     "chunks, zlib scanlines; filter type cycles over all five PNG "
-    "filters via doc_id % 5) AND a 16-bit PCM WAV (functions/wav.py — "
-    "real RIFF container) are encoded from closed-form rules, cross the "
-    "Arrow boundary as binary columns, and are DECODED by the same "
-    "pure-stdlib codecs back to dimensions + exact pixel sum + sample "
-    "rate/count + absolute-sample energy (operators/multimodal.py "
+    "filters via doc_id % 5), a 16-bit PCM WAV (functions/wav.py — "
+    "real RIFF container), AND an APNG video (acTL/fcTL/fdAT chunks, "
+    "2-4 full-canvas frames, per-frame filter cycling) are encoded from "
+    "closed-form rules, cross the Arrow boundary as binary columns, and "
+    "are DECODED by the same pure-stdlib codecs back to dimensions + "
+    "exact pixel sum + sample rate/count + absolute-sample energy + "
+    "frame count + cross-frame pixel sum (operators/multimodal.py "
     "synthesize_doc_media/decode_doc_media). The oracle recomputes "
     "every decoded quantity closed-form, so any encode- or decode-side "
-    "bug (PNG filters, WAV sample unpack) breaks the value hash. Typed "
-    "metadata rides through the two Python stages as Arrow passthrough "
-    "columns — no join; blobs stay in their own columns.",
+    "bug (PNG filters, WAV sample unpack, APNG sequencing) breaks the "
+    "value hash. Typed metadata rides through the two Python stages as "
+    "Arrow passthrough columns — no join; blobs stay in their own "
+    "columns.",
 )
 def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nexus_event_stream_spark.operators.multimodal import (
@@ -237,6 +246,8 @@ def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sample_rate",
         "n_samples",
         "sum_abs_samples",
+        "n_frames",
+        "sum_frame_pixels",
     )
 
 

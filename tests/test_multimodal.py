@@ -166,6 +166,97 @@ def test_doc_media_pipeline_matches_rules(spark, sf_dir):
         assert r["sum_abs_samples"] == sum(
             abs(((did * 17 + i * i) % 65536) - 32768) for i in range(ns)
         )
+        nf = 2 + did % 3
+        assert r["n_frames"] == nf
+        assert r["sum_frame_pixels"] == sum(
+            (did * 31 + f * 97 + i) % 256 for f in range(nf) for i in range(n)
+        )
+
+
+# -- APNG: real video frames -------------------------------------------------
+
+
+def _frames(w, h, nf, salt=0):
+    return [
+        bytes((salt + f * 97 + i) % 256 for i in range(w * h))
+        for f in range(nf)
+    ]
+
+
+def test_apng_roundtrip_multi_frame_filters():
+    from nexus_event_stream_spark.functions.png import decode_apng, encode_apng
+
+    w, h, nf = 6, 4, 5
+    frames = _frames(w, h, nf, salt=11)
+    payload = encode_apng(w, h, frames, filter_type=[f % 5 for f in range(nf)])
+    gw, gh, ct, got = decode_apng(payload)
+    assert (gw, gh, ct) == (w, h, 0)
+    assert got == frames
+
+
+def test_apng_plain_png_is_single_frame():
+    from nexus_event_stream_spark.functions.png import decode_apng
+
+    px = bytes(range(12))
+    w, h, ct, frames = decode_apng(encode_png(4, 3, px))
+    assert (w, h, ct) == (4, 3, 0)
+    assert frames == [px]
+
+
+def test_apng_rejects_malformed():
+    from nexus_event_stream_spark.functions.png import decode_apng, encode_apng
+
+    with pytest.raises(ValueError):
+        decode_apng(b"\x00" * 40)
+    good = bytearray(encode_apng(3, 2, _frames(3, 2, 2)))
+    good[40] ^= 0xFF  # corrupt a byte inside a chunk → CRC failure
+    with pytest.raises(ValueError):
+        decode_apng(bytes(good))
+
+
+def test_sample_frames_real_apng_pixel_exact(spark):
+    """encode N frames → sample_frames → each output is a standalone PNG
+    whose pixels are EXACTLY the source frame at the evenly spaced index."""
+    from nexus_event_stream_spark.functions.png import encode_apng
+
+    w, h, nf = 5, 4, 7
+    frames = _frames(w, h, nf, salt=3)
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_apng(w, h, frames, filter_type=2)))],
+        "media_id long, payload binary",
+    )
+    out = sorted(
+        sample_frames(media, n_frames=4).collect(), key=lambda r: r["frame_idx"]
+    )
+    assert [r["frame_idx"] for r in out] == [0, 1, 2, 3]
+    expect_idx = [(i * (nf - 1)) // 3 for i in range(4)]  # 0, 2, 4, 6
+    for r, k in zip(out, expect_idx):
+        gw, gh, _ct, px = decode_png(bytes(r["frame"]))
+        assert (gw, gh) == (w, h)
+        assert px == frames[k]
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 6),
+    h=st.integers(1, 6),
+    nf=st.integers(1, 5),
+    data=st.data(),
+)
+def test_apng_roundtrip_property(w, h, nf, data):
+    from nexus_event_stream_spark.functions.png import decode_apng, encode_apng
+
+    n = w * h
+    frames = [
+        bytes(data.draw(st.lists(st.integers(0, 255), min_size=n, max_size=n)))
+        for _ in range(nf)
+    ]
+    filts = data.draw(st.lists(st.integers(0, 4), min_size=nf, max_size=nf))
+    got = decode_apng(encode_apng(w, h, frames, filter_type=filts))
+    assert got == (w, h, 0, frames)
 
 
 # -- property-based codec round-trips (hypothesis) --------------------------
