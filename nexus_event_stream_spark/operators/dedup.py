@@ -415,17 +415,20 @@ def connected_components(
         F.col(a_col).cast("long").alias("src"),
         F.col(b_col).cast("long").alias("dst"),
     )
+    # Both directions; duplicates are harmless (min is idempotent), so no
+    # distinct — one shuffle saved.
     edges = (
         edges.union(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Seed with the FIRST hop for free: comp₀(v) = min(v, min neighbor) is
+    # one groupBy over the edge list — no join, and it both enumerates the
+    # node set and completes propagation round 1 in the same shuffle.
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("comp"))
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.min(F.least("src", "dst")).alias("comp"))
         .localCheckpoint()
     )
 
@@ -434,6 +437,11 @@ def connected_components(
 
     cur_sum = label_sum(labels)
     for _ in range(max_iter):
+        # One propagation hop per materialization. (A fused two-hop round
+        # was measured SLOWER: the un-checkpointed first hop's subtree
+        # appears in both branches of the second hop — join input and
+        # union input — and DataFrame branches get no cross-branch CSE, so
+        # the first hop executed twice per round.)
         neighbor = edges.join(
             labels, edges.dst == labels.node
         ).select(F.col("src").alias("node"), F.col("comp"))
