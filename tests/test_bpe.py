@@ -71,6 +71,27 @@ def test_bpe_encode_roundtrip_and_compression(spark):
         assert len(toks) < n_chars
 
 
+def test_train_bpe_matches_golden_fixture(spark, sf_dir):
+    """Golden-corpus pin: the merge list learned from the sf0.001
+    ``documents`` table must equal the frozen fixture committed in
+    tests/fixtures/bpe_golden.json. Unlike the reference-twin test above,
+    this catches a refactor that moves BOTH implementations in lockstep —
+    the expected output is a committed artifact, not recomputed."""
+    import json
+    from pathlib import Path
+
+    from nexus_event_stream_spark.io import load_table
+
+    golden = json.loads(
+        (Path(__file__).parent / "fixtures" / "bpe_golden.json").read_text()
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    got = train_bpe(
+        docs, n_merges=golden["n_merges"], min_freq=golden["min_freq"]
+    )
+    assert got == [tuple(m) for m in golden["merges"]]
+
+
 def test_bpe_encode_unseen_words_fall_back_to_chars(spark):
     train = spark.createDataFrame([(0, "aa aa aa aa")], "doc_id long, text string")
     merges = train_bpe(train, n_merges=3, min_freq=2)
