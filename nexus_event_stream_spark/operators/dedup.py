@@ -426,16 +426,22 @@ def connected_components(
     # Seed with the FIRST hop for free: comp₀(v) = min(v, min neighbor) is
     # one groupBy over the edge list — no join, and it both enumerates the
     # node set and completes propagation round 1 in the same shuffle.
-    labels = (
-        edges.groupBy(F.col("src").alias("node"))
-        .agg(F.min(F.least("src", "dst")).alias("comp"))
-        .localCheckpoint()
+    # Each round's labels are persisted and materialized BY the label-sum
+    # aggregate — one action per round, not a localCheckpoint + a sum job;
+    # subsequent rounds read the in-memory relation, so lineage stays one
+    # level deep just like the checkpoint variant.
+    def materialize_sum(df: DataFrame):
+        cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+        total = cached.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)"))
+        ).first()[0]
+        return cached, total
+
+    labels, cur_sum = materialize_sum(
+        edges.groupBy(F.col("src").alias("node")).agg(
+            F.min(F.least("src", "dst")).alias("comp")
+        )
     )
-
-    def label_sum(df: DataFrame):
-        return df.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
-
-    cur_sum = label_sum(labels)
     for _ in range(max_iter):
         # One propagation hop per materialization. (A fused two-hop round
         # was measured SLOWER: the un-checkpointed first hop's subtree
@@ -445,13 +451,13 @@ def connected_components(
         neighbor = edges.join(
             labels, edges.dst == labels.node
         ).select(F.col("src").alias("node"), F.col("comp"))
-        labels = (
+        new_labels, new_sum = materialize_sum(
             labels.unionByName(neighbor)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint()
         )
-        new_sum = label_sum(labels)
+        labels.unpersist()
+        labels = new_labels
         if new_sum == cur_sum:
             edges.unpersist()
             return labels

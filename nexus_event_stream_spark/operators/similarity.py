@@ -127,6 +127,22 @@ def seeded_codebook(dim: int, n_centroids: int = 16, seed: int = 7) -> list[list
     return out
 
 
+def lit_matrix(rows: list[list[float]]) -> Column:
+    """A 2-D double literal (array<array<double>>) shipped as ONE parsed
+    SQL expression instead of rows×dim individual ``F.lit`` py4j calls —
+    measured ~1 s of driver time per query build at 16×64. Values
+    round-trip exactly: Python ``repr`` emits the shortest digits that
+    re-parse to the same IEEE double, and Spark's ``...D`` literal parses
+    with Java ``Double.parseDouble`` (same rounding rule)."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{x!r}D" for x in row) + ")" for row in rows
+        )
+        + ")"
+    )
+
+
 def dot_to_literal(vec_col: Column | str, centroid: list[float]) -> Column:
     """Dot product of a vector column with a literal centroid, as a
     left-to-right ``aggregate`` fold — the same association order as the
@@ -157,7 +173,7 @@ def centroid_dots(vec_col: Column | str, codebook: list[list[float]]) -> Column:
     lambdas get no common-subexpression elimination, so an inline
     expression would re-evaluate once per centroid."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    book2d = F.array(*[F.array(*[F.lit(x) for x in c]) for c in codebook])
+    book2d = lit_matrix(codebook)
     return F.transform(
         book2d,
         lambda c: F.aggregate(
@@ -178,16 +194,33 @@ def srp_bucket(
     """
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     planes = _hyperplanes(dim, bits, seed)
-    acc = F.lit(0).cast("bigint")
-    for j, plane in enumerate(planes):
-        plane_arr = F.array(*[F.lit(x) for x in plane])
-        dot = F.aggregate(
-            F.zip_with(v, plane_arr, lambda x, y: x.cast("double") * y),
+    # One nested HOF over the 2-D literal plane matrix (identical inner
+    # fold as the per-plane formulation → bit-identical dots). The bit
+    # packing stays INSIDE one zip_with/aggregate chain so the dots array
+    # is evaluated exactly once (HOF lambdas get no CSE — reading it once
+    # per bit would redo all bits·d work per bit). Summing the disjoint
+    # powers of two is exact integer math → same bucket id as the
+    # per-bit when-chain.
+    dots = F.transform(
+        lit_matrix(planes),
+        lambda p: F.aggregate(
+            F.zip_with(v, p, lambda x, y: x.cast("double") * y),
             F.lit(0.0),
             lambda a, b: a + b,
-        )
-        acc = acc + F.when(dot >= 0, F.lit(2**j).cast("bigint")).otherwise(F.lit(0))
-    return acc
+        ),
+    )
+    powers = F.expr(
+        "array(" + ",".join(f"{2**j}L" for j in range(bits)) + ")"
+    )
+    return F.aggregate(
+        F.zip_with(
+            dots,
+            powers,
+            lambda d, p: F.when(d >= 0, p).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda a, b: a + b,
+    )
 
 
 def ann_topk_per_vector(
