@@ -11,6 +11,10 @@ Scale design:
   an unblocked self-join is O(n²) and is refused. At 100 TB the scale path
   is MinHash-LSH: cost is O(n · num_perm) for signatures plus a shuffle per
   band on the band-bucket key, and only bucket-colliding pairs are verified.
+- skew defense is code, not prose: ``max_gram_df`` (stop-gram posting cap
+  in ngram_jaccard_pairs) and ``max_bucket_size`` (hot-bucket star
+  fallback in minhash_lsh_candidates) bound the worst join key so one
+  boilerplate gram/bucket cannot make the pair join quadratic.
 - hashing is the engine-portable polynomial hash (functions/text.py), so
   every stage remains verifiable against a SQL oracle — swap in xxhash64
   for marginally better mixing once cross-engine verification isn't needed.
@@ -79,6 +83,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.05,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_gram_df: int | None = None,
 ) -> DataFrame:
     """All-pairs word-n-gram Jaccard within blocks, posting-list style.
 
@@ -87,8 +92,19 @@ def ngram_jaccard_pairs(
     self-joined on (block, gram): |A∩B| falls out as a count per pair, and
     pairs sharing NO gram never exist. This is the formulation that
     survives scale — join traffic is Σ_g freq(g)², concentrated exactly
-    where near-dups are, and a hot-gram cap (drop grams with pathological
-    document frequency, standard trick) bounds the worst key if needed.
+    where near-dups are.
+
+    ``max_gram_df`` is the hot-gram skew cap: a STOP-GRAM (boilerplate
+    shared by thousands of in-block docs — headers, licenses, navigation
+    chrome) makes freq(g)² quadratic on that one join key. With the cap
+    set, postings for any gram whose in-block document frequency exceeds
+    it are dropped BEFORE the self-join, so join traffic is bounded by
+    cap·|postings|. Semantics: intersections count only surviving grams
+    while set sizes stay full, so the reported jaccard is a LOWER BOUND —
+    a pair sharing nothing but stop-grams (the textbook false positive)
+    disappears, and genuinely near-identical docs still share plenty of
+    discriminative grams. Default None = exact (what the value-oracled
+    catalog query runs).
 
     Sets are xxhash64-hashed: set sizes equal string-set sizes
     (collisions ~2^-64·|g|² improbable) and the join key is a cheap int.
@@ -128,6 +144,16 @@ def ngram_jaccard_pairs(
     t = t.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = t.select(*block_cols, "__id", F.size("__g").alias("__n"))
     posts = t.select(*block_cols, "__id", F.explode("__g").alias("__h"))
+    if max_gram_df is not None:
+        # Document frequency per (block, gram) via a window on the SAME
+        # key the self-join shuffles on — co-partitioned, no extra
+        # exchange shape. Postings of stop-grams never reach the join.
+        wg = Window.partitionBy(*block_cols, "__h")
+        posts = (
+            posts.withColumn("__df", F.count(F.lit(1)).over(wg))
+            .filter(F.col("__df") <= max_gram_df)
+            .drop("__df")
+        )
     a, b = posts.alias("a"), posts.alias("b")
     cond = (F.col("a.__h") == F.col("b.__h")) & (F.col("a.__id") < F.col("b.__id"))
     for c in block_cols:
@@ -226,29 +252,65 @@ def band_key_array(
 
 
 def minhash_lsh_candidates(
-    sigs: DataFrame, bands: int = 4, rows_per_band: int = 4
+    sigs: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding: explode signatures into (band, bucket-key) and
     self-join per bucket → candidate pairs (distinct).
 
     The bucket key is the concatenated signature slice. One shuffle on the
-    bucket key; bucket sizes are the skew knob (salt or cap pathological
-    buckets at extreme scale). Output: doc_a, doc_b.
+    bucket key; bucket sizes are the skew knob — ``max_bucket_size`` is
+    that knob made real. A web corpus full of boilerplate produces
+    DEGENERATE buckets (thousands of near-identical docs sharing one band
+    key), and an unguarded self-join goes quadratic on exactly that
+    bucket. With the cap set, buckets of size ≤ cap keep the exact
+    all-pairs join, while every hot bucket degrades to a STAR centered on
+    its smallest doc_id: size−1 pairs instead of size·(size−1)/2, and —
+    because every member stays connected through the hub — the connected
+    components (what dedup_groups consumes) are unchanged for the
+    mutually-similar boilerplate case the cap exists for. Pairs that the
+    star skips and no other band recovers can only be hot-bucket members
+    dissimilar to the hub yet similar to each other — the Jaccard verify
+    downstream guards precision either way. Total pair bound:
+    Σ_normal size²/2 + Σ_hot (size−1), i.e. ≤ cap·|postings| overall.
+
+    Default None = exact (every in-bucket pair), which is what the
+    value-oracled catalog queries run at test scale. Output: doc_a, doc_b.
     """
     keyed = sigs.select(
         "doc_id", F.explode(band_key_array(bands, rows_per_band)).alias("bucket")
     )
+    if max_bucket_size is not None:
+        # One window over the same key the join shuffles on (co-partitioned
+        # — AQE reuses the exchange): bucket size + hub in a single pass.
+        wb = Window.partitionBy("bucket")
+        sized = keyed.select(
+            "doc_id",
+            "bucket",
+            F.count(F.lit(1)).over(wb).alias("__bsz"),
+            F.min("doc_id").over(wb).alias("__hub"),
+        )
+        normal = sized.filter(F.col("__bsz") <= max_bucket_size).select(
+            "doc_id", "bucket"
+        )
+        # Hot buckets NEVER enter the self-join — the quadratic blowup is
+        # structurally impossible, not just mitigated.
+        star = sized.filter(
+            (F.col("__bsz") > max_bucket_size) & (F.col("doc_id") != F.col("__hub"))
+        ).select(F.col("__hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        keyed = normal
     a = keyed.alias("a")
     b = keyed.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    if max_bucket_size is not None:
+        pairs = pairs.union(star)
+    return pairs.distinct()
 
 
 def minhash_dedup(
@@ -259,6 +321,7 @@ def minhash_dedup(
     threshold: float = 0.05,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
     exact-Jaccard verification of candidates only.
@@ -266,6 +329,9 @@ def minhash_dedup(
     Output: doc_a, doc_b, jaccard for verified pairs. Unlike
     ``ngram_jaccard_pairs`` this never materializes the O(n²) pair space —
     the verify join touches only bucket-colliding pairs.
+    ``max_bucket_size`` is the hot-bucket skew cap (see
+    minhash_lsh_candidates) — the knob to set on boilerplate-heavy web
+    corpora where one degenerate bucket would otherwise go quadratic.
     """
     rows = num_perm // bands
     # The signature relation feeds the band self-join (2 sides) and the
@@ -277,7 +343,7 @@ def minhash_dedup(
     sigs = minhash_signatures(docs, num_perm, shingle_n, id_col, text_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    cands = minhash_lsh_candidates(sigs, bands, rows)
+    cands = minhash_lsh_candidates(sigs, bands, rows, max_bucket_size)
     shing = sigs.select("doc_id", "__shingles")
     j = jaccard(F.col("sa.__shingles"), F.col("sb.__shingles"))
     return (

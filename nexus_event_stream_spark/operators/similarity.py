@@ -232,6 +232,7 @@ def ann_topk_per_vector(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     multiprobe: bool = False,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Approximate top-k neighbors for EVERY vector: bucket by SRP, exact
     cosine re-rank within buckets only.
@@ -243,7 +244,19 @@ def ann_topk_per_vector(
     recall strictly improves (candidate supersets), and the plan shape is
     unchanged: the probe side explodes its bucket list, the build side
     still holds one bucket per vector, so the join stays a single
-    equi-join on the bucket id. Output: vec_id, neighbor_id, cosine, rank.
+    equi-join on the bucket id.
+
+    ``max_bucket_size`` is the hot-bucket skew cap: a near-duplicate-heavy
+    corpus (or any dense cluster) piles thousands of vectors into one SRP
+    bucket, and the bucket self-join goes quadratic on exactly that key.
+    With the cap set, the BUILD side of the join keeps only the
+    ``max_bucket_size`` smallest ids per bucket (deterministic
+    truncation); the probe side is untouched, so every vector still gets
+    ranked — against ≤ cap candidates per probed bucket instead of the
+    whole bucket. Candidate bound: n·(probes)·cap; recall inside hot
+    buckets degrades gracefully (near-dup members score ≈ identically).
+    Default None = exact in-bucket ranking (the value-oracled catalog
+    path). Output: vec_id, neighbor_id, cosine, rank.
     """
     q = quantize(vec_col)
     # Both self-join sides consume this relation; AQE broadcasts the join,
@@ -275,7 +288,19 @@ def ann_topk_per_vector(
         ).alias("l")
     else:
         lhs = b.alias("l")
-    rhs = b.alias("r")
+    if max_bucket_size is not None:
+        # Truncate only the build side: per bucket keep the cap smallest
+        # ids (row_number over the join key — co-partitioned with the
+        # join's own shuffle). Hot buckets can no longer multiply.
+        wb = Window.partitionBy("__bucket").orderBy(F.asc(id_col))
+        rhs = (
+            b.withColumn("__rn", F.row_number().over(wb))
+            .filter(F.col("__rn") <= max_bucket_size)
+            .drop("__rn")
+            .alias("r")
+        )
+    else:
+        rhs = b.alias("r")
     pairs = lhs.join(
         rhs,
         (F.col("l.__bucket") == F.col("r.__bucket"))
