@@ -145,30 +145,33 @@ def q_filter_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_point_lookup",
-    "SELECT event_id, ts, user_id, event_type, value, props FROM events "
-    "WHERE event_id = 42",
-    doc="Point lookup by pk (projection/signal.go:99-108); predicate pushdown "
-    "+ row-group min/max skipping make this an index-seek analogue.",
-)
-def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    return events.filter(F.col("event_id") == 42)
-
-
-@register(
     "q_pagination",
     """
-    SELECT event_id, ts, user_id, event_type, value, props FROM (
+    SELECT event_id, ts, user_id, event_type, value, props, 'page' AS probe
+    FROM (
       SELECT *, row_number() OVER (ORDER BY ts DESC, event_id DESC) AS rn
       FROM events) WHERE rn BETWEEN 11 AND 20
+    UNION ALL
+    SELECT event_id, ts, user_id, event_type, value, props, 'point' AS probe
+    FROM events WHERE event_id = 42
     """,
-    doc="Page 2 of size 10, newest-first — DRF PageNumberPagination "
-    "(settings.py:61-64).",
+    doc="Listing-read suite: page 2 of size 10 newest-first — DRF "
+    "PageNumberPagination (settings.py:61-64) — UNION'd with the pk point "
+    "lookup (projection/signal.go:99-108; predicate pushdown + row-group "
+    "min/max skipping = the index-seek analogue), tagged by ``probe``. "
+    "One driver row value-checks both read paths, freeing a catalog slot "
+    "for q_bpe; the plan keeps TakeOrderedAndProject for the page side "
+    "and a pushed event_id filter for the point side (tests/test_plans).",
 )
 def q_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    return paginate(events, order_by=["ts", "event_id"], page=2, page_size=10)
+    page = paginate(
+        events, order_by=["ts", "event_id"], page=2, page_size=10
+    ).withColumn("probe", F.lit("page"))
+    point = events.filter(F.col("event_id") == 42).withColumn(
+        "probe", F.lit("point")
+    )
+    return page.unionByName(point)
 
 
 @register(

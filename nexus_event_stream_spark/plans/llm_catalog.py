@@ -251,6 +251,77 @@ def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _golden_merges() -> list[tuple[str, str]]:
+    """The pinned BPE merge list (tests/fixtures/bpe_golden.json) — trained
+    once by operators/bpe.train_bpe on the sf0.001 corpus and frozen, so
+    the catalog query is a deterministic encode pass, not a training run."""
+    import json
+    import os
+
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    with open(os.path.join(root, "tests", "fixtures", "bpe_golden.json")) as fh:
+        return [tuple(m) for m in json.load(fh)["merges"]]
+
+
+def _sql_bpe(merges: list[tuple[str, str]]) -> str:
+    """DuckDB twin of operators/bpe.bpe_encode for a FIXED merge list.
+
+    Each word's symbol sequence is a ``{sym}{sym}…`` wrapped string (the
+    corpus charset is lowercase+space, so braces never occur in a symbol);
+    one merge = one ``replace()`` — SQL replace scans left-to-right,
+    non-overlapping, exactly ``_merge_symbols``'s semantics, and wrapping
+    every symbol in its own brace pair means adjacent matches share no
+    characters, so consecutive merges chain correctly. Applying the
+    merges as a rank-ordered replace chain is equivalent to the greedy
+    lowest-rank-first encoder because a merge's constituents are always
+    products of strictly earlier merges (training order), so no later
+    merge can ever re-enable an earlier pair.
+    """
+    expr = "'{' || array_to_string(string_split(w,''), '}{') || '}{</w>}'"
+    for a, b in merges:
+        expr = f"replace({expr}, '{{{a}}}{{{b}}}', '{{{a}{b}}}')"
+    return f"""
+    WITH enc AS (
+      SELECT doc_id,
+        flatten(list_transform(
+          list_filter(string_split(text, ' '), w -> w <> ''),
+          w -> string_split(trim({expr}, '{{}}'), '}}{{')
+        )) AS toks
+      FROM documents)
+    SELECT doc_id,
+      CAST(len(toks) AS BIGINT) AS n_bpe,
+      array_to_string(toks, ' ') AS bpe_text
+    FROM enc
+    """
+
+
+@register(
+    "q_bpe",
+    _sql_bpe(_golden_merges()),
+    doc="BPE encode of the corpus with the golden merge list "
+    "(tests/fixtures/bpe_golden.json — trained by the distributed "
+    "word-histogram trainer, operators/bpe.py): per document the token "
+    "count and the full space-joined token string (symbols never contain "
+    "spaces — words are split on space — so the join is unambiguous). "
+    "One Arrow-batched mapInPandas pass; the merge table ships in the "
+    "closure. The oracle replays the same greedy encoder as a "
+    "rank-ordered replace() chain over brace-wrapped symbol strings, so "
+    "every token boundary is value-checked, not just counts.",
+)
+def q_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexus_event_stream_spark.operators.bpe import bpe_encode
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    enc = bpe_encode(docs, _golden_merges())
+    return enc.select(
+        "doc_id",
+        F.size("bpe_tokens").cast("long").alias("n_bpe"),
+        F.concat_ws(" ", "bpe_tokens").alias("bpe_text"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
