@@ -29,8 +29,19 @@ Scale notes: the posting row carries the shingle set once per band
 (bands× write amplification) so the verify join needs no second hop back
 to a shingle table; at extreme scale store shingles once per doc and
 verify via a doc-keyed join instead — the probe shape is unchanged.
-Bucket directories accumulate one file per epoch; compact() folds a
-bucket's history into a single file when the manifest grows long.
+Bucket directories accumulate one file per epoch; ``append`` schedules
+``compact()`` automatically once any bucket's version list exceeds
+``compact_threshold``, folding the history back to one directory per
+bucket.
+
+Exactly-once corpus: the survivor append shares the store's pointer
+commit — survivors are written to ``corpus_root/v={version}`` BEFORE the
+single atomic pointer rename that also publishes the postings, and
+readers (``read_corpus``) union only pointer-referenced directories. A
+crash between the data writes and the commit leaves unreferenced
+directories that the replayed epoch deterministically overwrites; a
+crash after the commit makes the replay a pure no-op — so a batch lands
+in the corpus exactly once, never zero or two times.
 """
 
 from __future__ import annotations
@@ -83,11 +94,24 @@ class SignatureStore:
     bucket unions those directories and nothing else. Commit is a single
     atomic pointer rename; a crash between data write and commit leaves
     an unreferenced directory, never a corrupt store.
+
+    The same pointer also publishes the survivor CORPUS (when ``append``
+    is given one): corpus directories live under a caller-supplied root
+    as ``v={version}`` and only pointer-listed versions are visible —
+    that one rename is what makes the corpus append exactly-once.
+
+    ``compact_threshold`` bounds manifest growth: once any bucket's
+    version list exceeds it, ``append`` triggers ``compact()`` (mirroring
+    BucketedViewStore's fold-and-vacuum policy), so per-bucket file
+    counts stay O(threshold) over unbounded epochs.
     """
 
-    def __init__(self, path: str, n_buckets: int = 64):
+    def __init__(
+        self, path: str, n_buckets: int = 64, compact_threshold: int | None = 8
+    ):
         self.path = path
         self.n_buckets = n_buckets
+        self.compact_threshold = compact_threshold
         os.makedirs(path, exist_ok=True)
         #: paths touched by the most recent probe — lets tests pin the
         #: "no full rescan" contract.
@@ -137,10 +161,20 @@ class SignatureStore:
         postings: DataFrame,
         epoch: int | None = None,
         run_token: str | None = None,
+        corpus: DataFrame | None = None,
+        corpus_root: str | None = None,
     ) -> int:
-        """Append posting rows as a new version of their buckets and
-        commit. Epoch metadata is recorded even when the batch produced
-        no survivors, so the replay guard still engages."""
+        """Append posting rows as a new version of their buckets — and,
+        when ``corpus``/``corpus_root`` are given, the epoch's survivor
+        rows as ``corpus_root/v={version}`` — then commit BOTH with one
+        atomic pointer rename. Epoch metadata is recorded even when the
+        batch produced no survivors, so the replay guard still engages.
+
+        Exactly-once: every data write targets a directory named by the
+        not-yet-committed version with ``mode("overwrite")``, so a replay
+        after a crash-before-commit rewrites the identical directories
+        instead of appending beside them.
+        """
         cur = self.current()
         version = (cur["version"] + 1) if cur else 0
         out = os.path.join(self.path, f"v={version}")
@@ -152,6 +186,14 @@ class SignatureStore:
             .partitionBy("__bucket")
             .parquet(out)
         )
+        corpus_versions = list(cur.get("corpus_versions", [])) if cur else []
+        if corpus is not None and corpus_root is not None:
+            cdir = os.path.join(corpus_root, f"v={version}")
+            corpus.write.mode("overwrite").parquet(cdir)
+            # an all-suppressed batch writes no row groups; don't make
+            # readers open an empty directory
+            if any(n.endswith(".parquet") for n in os.listdir(cdir)):
+                corpus_versions.append(version)
         buckets = dict(cur["buckets"]) if cur else {}
         written = [
             name.split("=", 1)[1]
@@ -166,9 +208,27 @@ class SignatureStore:
                 "epoch": epoch,
                 "run_token": run_token,
                 "buckets": buckets,
+                "corpus_versions": corpus_versions,
             }
         )
+        if self.compact_threshold is not None and any(
+            len(v) > self.compact_threshold for v in buckets.values()
+        ):
+            self.compact(postings.sparkSession)
         return version
+
+    def read_corpus(self, spark: SparkSession, corpus_root: str) -> DataFrame | None:
+        """The committed survivor corpus — pointer-listed versions only,
+        so uncommitted crash leftovers are invisible."""
+        cur = self.current()
+        if cur is None or not cur.get("corpus_versions"):
+            return None
+        return spark.read.parquet(
+            *[
+                os.path.join(corpus_root, f"v={v}")
+                for v in cur["corpus_versions"]
+            ]
+        )
 
     def compact(self, spark: SparkSession) -> int | None:
         """Fold every bucket's version history into one directory (bounds
@@ -201,6 +261,9 @@ class SignatureStore:
                 "epoch": cur.get("epoch"),
                 "run_token": cur.get("run_token"),
                 "buckets": {b: [version] for b in written},
+                # corpus dirs live under their own root and are NOT part
+                # of posting compaction — carry the references through
+                "corpus_versions": cur.get("corpus_versions", []),
             }
         )
         for name in os.listdir(self.path):
@@ -221,9 +284,12 @@ def suppress_and_register(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    corpus_path: str | None = None,
 ) -> DataFrame:
     """One micro-batch of near-dup suppression: returns the surviving rows
-    of ``docs`` and registers their signatures in the store.
+    of ``docs`` and registers their signatures in the store. When
+    ``corpus_path`` is given, the survivors are ALSO written there under
+    the store's pointer commit — the exactly-once corpus append.
 
     Suppression rule (greedy, arrival-order): a doc is dropped iff a
     verified near-match (exact Jaccard of hashed shingle sets ≥
@@ -316,8 +382,38 @@ def suppress_and_register(
             F.lit(run_token).cast("string").alias("run"),
             F.col("__shingles").alias("shingles"),
         )
-        store.append(surv_posts, epoch, run_token)
+        store.append(
+            surv_posts,
+            epoch,
+            run_token,
+            corpus=survivors if corpus_path is not None else None,
+            corpus_root=corpus_path,
+        )
     return survivors
+
+
+def run_token_for(checkpoint_path: str) -> str:
+    """Deterministic run token from the checkpoint location.
+
+    A restart from the same checkpoint REDELIVERS the last possibly-
+    uncommitted epoch with the same batch id; the replay guard only
+    engages if the restarted run presents the same token, so the token
+    must be a function of the checkpoint, not a fresh uuid per process
+    (a fresh token would let the crashed epoch's own committed postings
+    suppress its redelivered docs — permanent data loss)."""
+    import hashlib
+
+    return hashlib.sha256(
+        os.path.abspath(checkpoint_path).encode("utf-8")
+    ).hexdigest()[:16]
+
+
+def read_dedup_corpus(
+    spark: SparkSession, store_path: str, corpus_path: str
+) -> DataFrame | None:
+    """Committed view of a ``start_dedup_ingest`` corpus (pointer-listed
+    versions only; crash leftovers invisible)."""
+    return SignatureStore(store_path).read_corpus(spark, corpus_path)
 
 
 def start_dedup_ingest(
@@ -334,16 +430,17 @@ def start_dedup_ingest(
     """Wire a document stream into a dedup-suppressed corpus sink.
 
     Each micro-batch: suppress near-dups (within-batch + against all
-    accepted history) → append survivors to the parquet corpus. Replayed
-    epochs are no-ops on the signature store; the corpus append is
-    at-least-once (a crash between corpus write and store commit can
-    double-append one batch — readers dedupe by ``id_col``, the same
-    tolerant-reader stance the reference takes for redelivered events).
+    accepted history) → survivors land in ``corpus_path`` under the
+    signature store's atomic pointer commit, so the corpus append is
+    EXACTLY-ONCE across crashes and restarts: a replayed epoch either
+    deterministically overwrites the uncommitted ``v={n}`` directory
+    (crash before commit) or is skipped entirely (crash after). Read the
+    corpus with ``read_dedup_corpus`` — only committed versions are
+    visible. The run token derives from the checkpoint path so a restart
+    presents the same identity to the replay guard (see run_token_for).
     Returns the StreamingQuery.
     """
-    import uuid
-
-    run_token = uuid.uuid4().hex
+    run_token = run_token_for(checkpoint_path)
     store = SignatureStore(store_path, n_buckets=n_buckets)
 
     def _apply(batch: DataFrame, epoch: int) -> None:
@@ -355,7 +452,9 @@ def start_dedup_ingest(
             and epoch <= cur["epoch"]
         ):
             return
-        survivors = suppress_and_register(
+        # the corpus write inside store.append materializes the survivors;
+        # nothing further to execute here
+        suppress_and_register(
             spark,
             store,
             batch,
@@ -364,8 +463,8 @@ def start_dedup_ingest(
             threshold=threshold,
             id_col=id_col,
             text_col=text_col,
+            corpus_path=corpus_path,
         )
-        survivors.write.mode("append").parquet(corpus_path)
 
     return (
         doc_stream.writeStream.outputMode("update")

@@ -124,7 +124,10 @@ def test_compact_preserves_postings_and_suppression(spark, store_dir):
 def test_streaming_integration_end_to_end(spark, store_dir):
     """Real readStream → foreachBatch → corpus sink: a near-dup arriving in
     a later file-source batch never reaches the corpus."""
-    from nexus_event_stream_spark.streaming.dedup import start_dedup_ingest
+    from nexus_event_stream_spark.streaming.dedup import (
+        read_dedup_corpus,
+        start_dedup_ingest,
+    )
 
     base = tempfile.mkdtemp(prefix="dedup_stream_")
     src = os.path.join(base, "src")
@@ -150,8 +153,118 @@ def test_streaming_integration_end_to_end(spark, store_dir):
         finally:
             q.stop()
         got = sorted(
-            r.doc_id for r in spark.read.parquet(corpus).select("doc_id").collect()
+            r.doc_id
+            for r in read_dedup_corpus(spark, store_dir, corpus)
+            .select("doc_id")
+            .collect()
         )
         assert got == [1, 2, 4]  # 3 (near-dup of 1) suppressed cross-batch
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Exactly-once corpus + scheduled compaction
+# ---------------------------------------------------------------------------
+
+
+def committed_corpus_ids(spark, store, corpus):
+    df = store.read_corpus(spark, corpus)
+    return sorted(r.doc_id for r in df.collect()) if df is not None else []
+
+
+def test_corpus_append_exactly_once_across_crash(spark, store_dir):
+    """Crash injected between the corpus data write and the pointer
+    commit: the replayed epoch overwrites the orphan directory and
+    commits once — no duplicate rows, no lost batch."""
+    store = SignatureStore(store_dir, n_buckets=16)
+    corpus = tempfile.mkdtemp(prefix="dedup_corpus_")
+    try:
+        suppress_and_register(
+            spark, store, docs_df(spark, [(1, A_TEXT)]), 0, "run1",
+            corpus_path=corpus,
+        )
+        assert committed_corpus_ids(spark, store, corpus) == [1]
+
+        # epoch 1 crashes at commit time: data dirs written, pointer not
+        real_commit = store._commit
+        store._commit = lambda ptr: (_ for _ in ()).throw(
+            OSError("injected crash before pointer rename")
+        )
+        with pytest.raises(Exception):
+            suppress_and_register(
+                spark, store, docs_df(spark, [(2, B_TEXT)]), 1, "run1",
+                corpus_path=corpus,
+            )
+        store._commit = real_commit
+        # the orphan v=1 corpus dir exists on disk but is invisible
+        assert os.path.isdir(os.path.join(corpus, "v=1"))
+        assert committed_corpus_ids(spark, store, corpus) == [1]
+
+        # replay of epoch 1 (same run token — restart keeps it): the
+        # pointer still says epoch 0, so this is NOT treated as a replay
+        # no-op; it recomputes, overwrites v=1, and commits exactly once
+        suppress_and_register(
+            spark, store, docs_df(spark, [(2, B_TEXT)]), 1, "run1",
+            corpus_path=corpus,
+        )
+        assert committed_corpus_ids(spark, store, corpus) == [1, 2]
+
+        # a second replay after the successful commit is a pure no-op
+        suppress_and_register(
+            spark, store, docs_df(spark, [(2, B_TEXT)]), 1, "run1",
+            corpus_path=corpus,
+        )
+        assert committed_corpus_ids(spark, store, corpus) == [1, 2]
+        assert store.current()["corpus_versions"] == [0, 1]
+    finally:
+        shutil.rmtree(corpus, ignore_errors=True)
+
+
+def test_run_token_is_stable_across_restarts(tmp_path):
+    from nexus_event_stream_spark.streaming.dedup import run_token_for
+
+    ckpt = str(tmp_path / "ckpt")
+    assert run_token_for(ckpt) == run_token_for(ckpt)
+    assert run_token_for(ckpt) != run_token_for(str(tmp_path / "other"))
+
+
+def test_append_schedules_compaction_bounding_manifest(spark, store_dir):
+    """Version lists stay bounded over many epochs touching the same
+    buckets, and probe results are unchanged by the folds."""
+    from nexus_event_stream_spark.streaming.dedup import POSTING_SCHEMA
+
+    store = SignatureStore(store_dir, n_buckets=4, compact_threshold=3)
+    for e in range(10):
+        posts = spark.createDataFrame(
+            [("bucket-x", 100 + e, e, "run1", [1, 2, 3 + e])], POSTING_SCHEMA
+        )
+        store.append(posts, epoch=e, run_token="run1")
+        cur = store.current()
+        assert all(
+            len(v) <= store.compact_threshold for v in cur["buckets"].values()
+        )
+    # all ten epochs' postings remain probe-able after repeated folds
+    df = store.read_buckets(spark, sorted(store.current()["buckets"], key=int))
+    assert {r.doc_id for r in df.select("doc_id").collect()} == set(
+        range(100, 110)
+    )
+
+
+def test_compact_preserves_corpus_pointer(spark, store_dir):
+    store = SignatureStore(store_dir, n_buckets=8)
+    corpus = tempfile.mkdtemp(prefix="dedup_corpus_")
+    try:
+        suppress_and_register(
+            spark, store, docs_df(spark, [(1, A_TEXT)]), 0, "run1",
+            corpus_path=corpus,
+        )
+        suppress_and_register(
+            spark, store, docs_df(spark, [(2, B_TEXT)]), 1, "run1",
+            corpus_path=corpus,
+        )
+        before = committed_corpus_ids(spark, store, corpus)
+        store.compact(spark)
+        assert committed_corpus_ids(spark, store, corpus) == before == [1, 2]
+    finally:
+        shutil.rmtree(corpus, ignore_errors=True)
