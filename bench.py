@@ -78,6 +78,60 @@ def _stream_projection_replay(
         shutil.rmtree(d, ignore_errors=True)
 
 
+def _skew_join_bench(
+    spark, n_rows: int = 4_000_000, n_keys: int = 1000, alpha: float = 6.0,
+    n_salt: int = 16,
+) -> tuple[float, float]:
+    """Zipf-skewed fact⋈dim join, with and without salting.
+
+    The fact table is synthesized deterministically (no RNG — the key is
+    an inverse-CDF transform of xxhash64(id), so every run measures the
+    same data): key = floor(n_keys · u^alpha) puts ~32 % of all rows on
+    key 0 at alpha=6 — the pathological single-hot-key case AQE's
+    skew-split handles for joins and `skew_salted_join` exists for in
+    general. The dim is hinted shuffle_hash on both variants: at the
+    100 TB design point the dim is not broadcast-size, and a broadcast
+    would dissolve the skew being measured. Returns (unsalted_sec,
+    salted_sec), each min-of-2 (same de-noise policy as the catalog).
+    """
+    from pyspark.sql import functions as F
+
+    from nexus_event_stream_spark.operators.partitioning import skew_salted_join
+
+    u = (
+        F.pmod(F.xxhash64(F.col("id")), F.lit(1_000_000)).cast("double") + 0.5
+    ) / 1_000_000.0
+    fact = spark.range(n_rows).select(
+        "id",
+        F.floor(F.lit(n_keys) * F.pow(u, F.lit(alpha))).cast("long").alias("key"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+    dim = (
+        spark.range(n_keys)
+        .select(F.col("id").alias("key"), (F.col("id") % 7).alias("grp"))
+        .hint("shuffle_hash")
+    )
+    unsalted = (
+        fact.join(dim, "key")
+        .groupBy("grp")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    salted = (
+        skew_salted_join(fact, dim, on="key", unique_col="id", n=n_salt)
+        .groupBy("grp")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+
+    def run(df) -> float:
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    t_un = min(run(unsalted), run(unsalted))
+    t_sa = min(run(salted), run(salted))
+    return t_un, t_sa
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -150,6 +204,13 @@ def main() -> None:
     )
     per_query["stream_projection_replay"] = round(dt, 3)
     total += dt
+
+    # Skew-robustness: the zipf-keyed synthetic join (VERDICT r4 #6) —
+    # measures the engine under a pathological hot key, salted vs not.
+    t_un, t_sa = _skew_join_bench(spark)
+    per_query["skew_join_unsalted"] = round(t_un, 3)
+    per_query["skew_join_salted"] = round(t_sa, 3)
+    total += t_un + t_sa
 
     print(
         json.dumps(
