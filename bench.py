@@ -135,6 +135,31 @@ def _skew_join_bench(
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    # Pre-step (VERDICT r4 #7): refresh the committed multi-SF oracle
+    # sweep summary (sf0.01, sf0.01 vanilla, sf0.1 → SELFCHECK.json).
+    # Best-effort subprocess — the sweep needs fresh JVMs per config
+    # (session confs are fixed at creation), and a sweep hiccup must
+    # never break the bench contract. Skip with SPARK_GRAFT_SKIP_SELFCHECK=1.
+    if not os.environ.get("SPARK_GRAFT_SKIP_SELFCHECK"):
+        import subprocess
+
+        root = os.path.dirname(os.path.abspath(__file__))
+        try:
+            subprocess.run(
+                [
+                    sys.executable,
+                    os.path.join(root, "tools", "selfcheck.py"),
+                    "--all-sf",
+                    os.path.join(root, "SELFCHECK.json"),
+                ],
+                timeout=1800,
+                check=False,
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            )
+        except Exception:
+            pass
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 

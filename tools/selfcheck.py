@@ -6,22 +6,33 @@ and an order-insensitive multiset of stringified rows (stricter than a
 hash — it pinpoints the first differing row).
 
 Usage: python tools/selfcheck.py [--vanilla] [sf_dir] [query ...]
+       python tools/selfcheck.py --all-sf [summary_json]
 
 ``--vanilla`` builds a PLAIN SparkSession (no engine confs — no AQE
 tuning, no pinned session timezone), exactly like the driver does; a
 query that only passes under ``session.get_spark`` confs is a latent
 driver failure.
+
+``--all-sf`` is the per-round sweep (VERDICT r4 #7): sf0.01 engine-conf,
+sf0.01 vanilla, and sf0.1 engine-conf — each in a fresh SparkSession
+(confs cannot be swapped on a live session) — writing a committed
+summary (default ``SELFCHECK.json``) that records per-config pass/fail
+so scale-dependent divergence (float fold order, int overflow,
+tie-break density) is caught before the driver ever scales up.
+bench.py runs this sweep as its pre-step.
 """
 
 from __future__ import annotations
 
+import json
+import os
 import sys
 import time
 from collections import Counter
 
 import duckdb
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from nexus_event_stream_spark.schemas import TABLE_NAMES  # noqa: E402
 from nexus_event_stream_spark.session import get_spark  # noqa: E402
@@ -85,36 +96,36 @@ def row_multiset(rows, colnames_sorted, colnames) -> Counter:
     return Counter("|".join(norm_cell(r[i]) for i in idx) for r in rows)
 
 
-def main() -> int:
-    args = sys.argv[1:]
-    vanilla = "--vanilla" in args
-    if vanilla:
-        args.remove("--vanilla")
-    sf_dir = args[0] if args else "/root/testdata/sf0.01"
-    only = set(args[1:])
-
-    import __spark_entry__ as entrymod
-
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
-
+def _make_spark(vanilla: bool):
     if vanilla:
         from pyspark.sql import SparkSession
 
-        spark = (
+        return (
             SparkSession.builder.master("local[8]")
             .config("spark.ui.enabled", "false")
             .getOrCreate()
         )
-    else:
-        spark = get_spark(master="local[8]", shuffle_partitions=8)
+    return get_spark(master="local[8]", shuffle_partitions=8)
+
+
+def run_sweep(sf_dir: str, vanilla: bool = False, only: set[str] | None = None) -> dict:
+    """Run every catalog query against its oracle at ``sf_dir``; returns
+    ``{n_checked, n_rows_only, failures, spark_sec, duck_sec}``. Prints
+    per-query lines as it goes (same output as the CLI always had)."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    spark = _make_spark(vanilla)
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.sql(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
-    failures = []
+    failures: list[str] = []
+    n_checked = n_rows_only = 0
+    tot_spark = tot_duck = 0.0
     for name, build in qs.items():
         if only and name not in only:
             continue
@@ -124,7 +135,9 @@ def main() -> int:
         sdtypes = [t for _, t in sdf.dtypes]
         srows = sdf.collect()
         dt_spark = time.time() - t0
+        tot_spark += dt_spark
         if name not in oracles:
+            n_rows_only += 1
             print(f"  {name:<24} rows-only: {len(srows)} rows  [{dt_spark:.1f}s]")
             continue
         t0 = time.time()
@@ -132,6 +145,8 @@ def main() -> int:
         dcols = rel.columns
         drows = rel.fetchall()
         dt_duck = time.time() - t0
+        tot_duck += dt_duck
+        n_checked += 1
         status = "OK"
         detail = ""
         bad_types = type_mismatches(scols, sdtypes, dcols, [t for t in rel.types])
@@ -155,10 +170,62 @@ def main() -> int:
         )
         if status != "OK":
             failures.append(name)
+    return {
+        "n_checked": n_checked,
+        "n_rows_only": n_rows_only,
+        "failures": failures,
+        "spark_sec": round(tot_spark, 1),
+        "duck_sec": round(tot_duck, 1),
+    }
 
+
+#: the per-round sweep matrix: driver scale (engine + driver-faithful
+#: vanilla session) plus the bench scale.
+SWEEP_CONFIGS = [
+    {"sf_dir": "/root/testdata/sf0.01", "vanilla": False},
+    {"sf_dir": "/root/testdata/sf0.01", "vanilla": True},
+    {"sf_dir": "/root/testdata/sf0.1", "vanilla": False},
+]
+
+
+def run_all_sf(summary_path: str = "SELFCHECK.json") -> int:
+    results = []
+    ok = True
+    for cfg in SWEEP_CONFIGS:
+        label = f"{cfg['sf_dir']}{' (vanilla)' if cfg['vanilla'] else ''}"
+        print(f"== sweep: {label}")
+        res = run_sweep(cfg["sf_dir"], cfg["vanilla"])
+        # fresh JVM per config: session confs (AQE/TZ/vanilla-ness) are
+        # fixed at creation, so the next config must not inherit them
+        from pyspark.sql import SparkSession
+
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            active.stop()
+        results.append({**cfg, **res})
+        ok = ok and not res["failures"]
+        print()
+    summary = {"pass": ok, "configs": results}
+    with open(summary_path, "w") as fh:
+        json.dump(summary, fh, indent=1)
+    print(f"sweep {'PASS' if ok else 'FAIL'} -> {summary_path}")
+    return 0 if ok else 1
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    if "--all-sf" in args:
+        args.remove("--all-sf")
+        return run_all_sf(*args[:1])
+    vanilla = "--vanilla" in args
+    if vanilla:
+        args.remove("--vanilla")
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    res = run_sweep(sf_dir, vanilla, only)
     print()
-    if failures:
-        print(f"FAILED: {failures}")
+    if res["failures"]:
+        print(f"FAILED: {res['failures']}")
         return 1
     print("all queries match")
     return 0
