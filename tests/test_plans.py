@@ -184,3 +184,58 @@ def test_binary_meta_two_python_stages_no_shuffle(spark, sf_dir):
     plan = physical_plan(CATALOG["q_binary_meta"].build(spark, sf_dir))
     assert plan.count(") MapInPandas") == 2  # synthesize + decode
     assert "Exchange" not in plan
+
+
+def test_bpe_single_python_stage_no_shuffle(spark, sf_dir):
+    plan = physical_plan(CATALOG["q_bpe"].build(spark, sf_dir))
+    # encode is ONE Arrow-batched stage over the corpus scan; the merge
+    # table rides in the closure, so no join and no exchange anywhere
+    assert plan.count(") MapInPandas") == 1
+    assert "Exchange" not in plan
+
+
+def test_connected_components_one_action_per_round_and_cached_labels(
+    spark, monkeypatch
+):
+    """The scale shape of q_dedup_groups' closure step: exactly ONE driver
+    action (the label-sum materialization) per propagation round — a
+    refactor that sneaks in a second action (e.g. a separate
+    localCheckpoint job or a change-count) doubles the per-round cost at
+    100 TB. Counted at the DataFrame-API level so AQE's per-stage jobs
+    can't skew the number."""
+    from nexus_event_stream_spark.operators.dedup import connected_components
+
+    # a 4-node chain: diameter forces exactly 3 propagation rounds
+    # (labels: seed → r1 → r2 reach the fixpoint, r3 confirms it)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "doc_a long, doc_b long"
+    )
+    # patch the CONCRETE DataFrame class (pyspark 4: pyspark.sql.DataFrame
+    # is an ABC; instance methods resolve on the classic subclass)
+    cls = type(pairs)
+    counts = {"first": 0, "collect": 0, "count": 0}
+    for meth in counts:
+        orig = getattr(cls, meth)
+        monkeypatch.setattr(
+            cls,
+            meth,
+            (
+                lambda orig, meth: lambda self: (
+                    counts.__setitem__(meth, counts[meth] + 1),
+                    orig(self),
+                )[1]
+            )(orig, meth),
+        )
+    labels = connected_components(pairs)
+
+    # 1 seed materialization + 3 rounds — and nothing else runs actions
+    # (each first() delegates to exactly one internal collect(), so a
+    # collect count above `first` would expose an extra hidden action)
+    assert counts["first"] == 4
+    assert counts["collect"] == counts["first"] and counts["count"] == 0
+    # the returned labels are the persisted (already-materialized)
+    # relation: downstream consumers (the dedup_groups join) read the
+    # cache, not a replay of every round's lineage
+    assert "InMemoryTableScan" in physical_plan(labels)
+    got = {r["node"]: r["comp"] for r in labels.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
