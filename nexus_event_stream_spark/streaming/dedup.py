@@ -285,6 +285,7 @@ def suppress_and_register(
     id_col: str = "doc_id",
     text_col: str = "text",
     corpus_path: str | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """One micro-batch of near-dup suppression: returns the surviving rows
     of ``docs`` and registers their signatures in the store. When
@@ -305,6 +306,15 @@ def suppress_and_register(
     pure no-op on state. Per-batch cost: a narrow signature map + LSH
     self-join over the batch, plus a probe of only the store buckets the
     batch's band keys hash into (``store.last_probe_paths`` pins that).
+
+    ``max_bucket_size`` caps the within-batch LSH self-join exactly like
+    the batch operator (hot buckets → star on the min id; see
+    operators/dedup.minhash_lsh_candidates) — a boilerplate-heavy
+    micro-batch has the same quadratic risk as a batch corpus, and the
+    star's suppression decisions are identical for mutually-similar
+    copies (every non-hub member still pairs with the hub and loses).
+    The cross-batch probe needs no cap: its traffic is |batch postings| ×
+    |stored bucket|, linear in the batch.
     """
     cur = store.current()
     replay = (
@@ -322,7 +332,7 @@ def suppress_and_register(
     shing = sigs.select("doc_id", "__shingles")
 
     # (a) within-batch: LSH candidates + verify; the larger id loses.
-    cands = minhash_lsh_candidates(sigs, bands, rows_per_band)
+    cands = minhash_lsh_candidates(sigs, bands, rows_per_band, max_bucket_size)
     intra = (
         cands.join(shing.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
         .join(shing.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
@@ -426,6 +436,7 @@ def start_dedup_ingest(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket_size: int | None = None,
 ):
     """Wire a document stream into a dedup-suppressed corpus sink.
 
@@ -464,6 +475,7 @@ def start_dedup_ingest(
             id_col=id_col,
             text_col=text_col,
             corpus_path=corpus_path,
+            max_bucket_size=max_bucket_size,
         )
 
     return (

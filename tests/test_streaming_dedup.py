@@ -251,6 +251,36 @@ def test_append_schedules_compaction_bounding_manifest(spark, store_dir):
     )
 
 
+def test_suppression_with_hot_bucket_cap_matches_uncapped(spark, store_dir):
+    """A boilerplate-heavy micro-batch: the capped within-batch self-join
+    (star fallback) suppresses exactly the same docs as the exact
+    all-pairs join — every non-hub copy pairs with the hub and loses."""
+    boiler_rows = [(i, A_TEXT) for i in range(30)] + [(40, B_TEXT)]
+    capped_store = SignatureStore(store_dir + "_cap", n_buckets=16)
+    try:
+        got_capped = sorted(
+            r.doc_id
+            for r in suppress_and_register(
+                spark,
+                capped_store,
+                docs_df(spark, boiler_rows),
+                0,
+                "run1",
+                max_bucket_size=5,
+            ).collect()
+        )
+        store = SignatureStore(store_dir, n_buckets=16)
+        got_exact = sorted(
+            r.doc_id
+            for r in suppress_and_register(
+                spark, store, docs_df(spark, boiler_rows), 0, "run1"
+            ).collect()
+        )
+        assert got_capped == got_exact == [0, 40]
+    finally:
+        shutil.rmtree(store_dir + "_cap", ignore_errors=True)
+
+
 def test_compact_preserves_corpus_pointer(spark, store_dir):
     store = SignatureStore(store_dir, n_buckets=8)
     corpus = tempfile.mkdtemp(prefix="dedup_corpus_")
