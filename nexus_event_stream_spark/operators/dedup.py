@@ -425,27 +425,50 @@ def simhash_pairs(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup candidates: pairs within a block whose fingerprints
     differ in ≤ max_hamming bits. Output: doc_a, doc_b, hamming.
+
+    ``max_block_size`` is the hot-block skew cap (same recipe as the SRP
+    build-side cap): the build side of the self-join keeps only the cap
+    smallest ids per block, bounding pair traffic at |block|·cap instead
+    of |block|² when one block degenerates. Every doc is still probed
+    against the block's cap smallest-id members (the join flips to
+    ``!=`` + canonical (min,max) output in capped mode — a plain ``<``
+    against a truncated build side would silently drop every pair whose
+    larger id is outside the cap set). Default None = exact.
     """
     fps = simhash(docs, bits, id_col, text_col).join(
         docs.select(F.col(id_col).alias("doc_id"), *block_cols), "doc_id"
     )
-    a, b = fps.alias("a"), fps.alias("b")
-    cond = F.col("a.doc_id") < F.col("b.doc_id")
+    a = fps.alias("a")
+    capped = max_block_size is not None
+    if capped:
+        wb = Window.partitionBy(*block_cols).orderBy(F.asc("doc_id"))
+        b = (
+            fps.withColumn("__rn", F.row_number().over(wb))
+            .filter(F.col("__rn") <= max_block_size)
+            .drop("__rn")
+            .alias("b")
+        )
+        cond = F.col("a.doc_id") != F.col("b.doc_id")
+    else:
+        b = fps.alias("b")
+        cond = F.col("a.doc_id") < F.col("b.doc_id")
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
+    pairs = (
         a.join(b, cond)
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+    return pairs.distinct() if capped else pairs
 
 
 def connected_components(

@@ -603,9 +603,18 @@ def exact_top1_per_vector_blocked(
     block_col: str = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """Exact nearest neighbor per vector within a blocking column —
     embedding-cosine near-dup building block (quantized → oracle-able).
+
+    ``max_block_size`` is the hot-block skew cap (same recipe as the SRP
+    bucket cap): the build side of the self-join keeps only the cap
+    smallest ids per block, so one degenerate block cannot go quadratic
+    — every vector still gets a neighbor, ranked against ≤ cap
+    candidates (exact within blocks of size ≤ cap; approximate inside
+    hot blocks — there, switch to ann_topk_per_vector when exactness
+    matters). Default None = exact (the value-oracled catalog path).
     Output: vec_id, nn_id, cosine.
     """
     # Persist: the quantized relation feeds both self-join sides (see
@@ -613,7 +622,17 @@ def exact_top1_per_vector_blocked(
     t = _quantized(embeddings, id_col, vec_col, block_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    a, b = t.alias("a"), t.alias("b")
+    a = t.alias("a")
+    if max_block_size is not None:
+        wb = Window.partitionBy(block_col).orderBy(F.asc(id_col))
+        b = (
+            t.withColumn("__rn", F.row_number().over(wb))
+            .filter(F.col("__rn") <= max_block_size)
+            .drop("__rn")
+            .alias("b")
+        )
+    else:
+        b = t.alias("b")
     pairs = a.join(
         b,
         (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))

@@ -210,6 +210,74 @@ def test_srp_cap_bounds_candidates_and_keeps_every_probe(spark, clustered_vecs):
             assert r["neighbor_id"] < 5
 
 
+def test_blocked_nn_cap_bounds_build_side(spark, clustered_vecs):
+    """exact_top1_per_vector_blocked with one degenerate block: every
+    vector still gets a neighbor, chosen among the cap smallest ids."""
+    from nexus_event_stream_spark.operators.similarity import (
+        exact_top1_per_vector_blocked,
+    )
+
+    vecs = clustered_vecs.withColumn(
+        "label", F.when(F.col("vec_id") < 60, "hot").otherwise("cold")
+    )
+    out = exact_top1_per_vector_blocked(
+        vecs, block_col="label", max_block_size=5
+    ).collect()
+    got = {r["vec_id"]: r["nn_id"] for r in out}
+    assert set(range(60)) <= set(got)  # every hot-block vector ranked
+    for v, nn in got.items():
+        if v < 60:
+            assert nn < 5  # build side = 5 smallest ids of the hot block
+
+    # identity on the small block regardless of the cap
+    uncapped = {
+        r["vec_id"]: r["nn_id"]
+        for r in exact_top1_per_vector_blocked(vecs, block_col="label").collect()
+    }
+    assert all(got[100 + j] == uncapped[100 + j] for j in range(4))
+
+
+def test_simhash_pairs_cap_bounds_and_keeps_every_doc_probed(
+    spark, pathological
+):
+    from nexus_event_stream_spark.operators.dedup import simhash_pairs
+
+    uncapped = simhash_pairs(
+        pathological, ["source"], max_hamming=0
+    ).count()
+    capped = simhash_pairs(
+        pathological, ["source"], max_hamming=0, max_block_size=5
+    ).collect()
+    assert uncapped >= N_BOILER * (N_BOILER - 1) // 2  # the quadratic trap
+    # bounded: every pair involves one of the 5 smallest ids
+    assert len(capped) < 5 * (N_BOILER + len(DISTINCT_TEXTS))
+    assert all(r["doc_a"] < 5 or r["doc_b"] < 5 for r in capped)
+    # every boilerplate copy still appears in some pair (probed vs hub set)
+    seen = {r["doc_a"] for r in capped} | {r["doc_b"] for r in capped}
+    assert set(range(N_BOILER)) <= seen
+
+
+def test_simhash_pairs_cap_identity_when_no_block_hot(spark):
+    from nexus_event_stream_spark.operators.dedup import simhash_pairs
+
+    docs = spark.createDataFrame(
+        [(i, t, "s1") for i, t in enumerate(DISTINCT_TEXTS)]
+        + [(9, DISTINCT_TEXTS[0] + " tail", "s1")],
+        DOC_SCHEMA,
+    )
+    exact = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_pairs(docs, ["source"], max_hamming=6).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_pairs(
+            docs, ["source"], max_hamming=6, max_block_size=50
+        ).collect()
+    }
+    assert exact == capped and exact
+
+
 def test_srp_cap_identity_when_bucket_small(spark, clustered_vecs):
     spread = clustered_vecs.filter(F.col("vec_id") >= 100)
     exact = {
