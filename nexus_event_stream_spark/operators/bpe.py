@@ -139,6 +139,27 @@ def train_bpe(
     return merges
 
 
+def encode_word(word: str, rank: dict[tuple[str, str], int]) -> list:
+    """Greedy BPE encode of one word: repeatedly apply the lowest-rank
+    merge present (leftmost on ties) — the standard encoder. Equivalent
+    to applying the merges in rank order each exhaustively left-to-right
+    (what q_bpe's SQL oracle replays as a replace() chain): a merge's
+    constituents are always products of strictly earlier merges, so no
+    later merge can ever re-enable an earlier pair — pinned by the
+    property test in tests/test_bpe.py."""
+    symbols = list(word) + [EOW]
+    while len(symbols) > 1:
+        best_i, best_r = -1, None
+        for i in range(len(symbols) - 1):
+            r = rank.get((symbols[i], symbols[i + 1]))
+            if r is not None and (best_r is None or r < best_r):
+                best_i, best_r = i, r
+        if best_r is None:
+            break
+        symbols[best_i : best_i + 2] = [symbols[best_i] + symbols[best_i + 1]]
+    return symbols
+
+
 def bpe_encode(
     docs: DataFrame,
     merges: list[tuple[str, str]],
@@ -156,21 +177,6 @@ def bpe_encode(
         + [T.StructField(out_col, T.ArrayType(T.StringType()))]
     )
 
-    def encode_word(word: str) -> list:
-        symbols = list(word) + [EOW]
-        while len(symbols) > 1:
-            best_i, best_r = -1, None
-            for i in range(len(symbols) - 1):
-                r = rank.get((symbols[i], symbols[i + 1]))
-                if r is not None and (best_r is None or r < best_r):
-                    best_i, best_r = i, r
-            if best_r is None:
-                break
-            symbols[best_i : best_i + 2] = [
-                symbols[best_i] + symbols[best_i + 1]
-            ]
-        return symbols
-
     def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cache: dict[str, list] = {}
         for pdf in it:
@@ -181,7 +187,7 @@ def bpe_encode(
                     if not w:
                         continue
                     if w not in cache:
-                        cache[w] = encode_word(w)
+                        cache[w] = encode_word(w, rank)
                     row.extend(cache[w])
                 toks.append(row)
             out = pdf.copy()

@@ -5,6 +5,9 @@ from __future__ import annotations
 
 from collections import Counter
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
 from nexus_event_stream_spark.operators.bpe import (
     EOW,
     _merge_symbols,
@@ -98,3 +101,68 @@ def test_bpe_encode_unseen_words_fall_back_to_chars(spark):
     test = spark.createDataFrame([(1, "zq")], "doc_id long, text string")
     (row,) = bpe_encode(test, merges).collect()
     assert row["bpe_tokens"] == ["z", "q", EOW]
+
+
+# ---------------------------------------------------------------------------
+# Oracle-equivalence property: greedy encoder == rank-ordered replace chain
+# ---------------------------------------------------------------------------
+
+
+def _replace_chain_encode(word: str, merges) -> list:
+    """Python twin of q_bpe's SQL oracle: symbols as a brace-wrapped
+    string, one str.replace per merge in rank order (str.replace scans
+    left-to-right, non-overlapping — the same semantics as DuckDB's
+    replace())."""
+    s = "{" + "}{".join(list(word)) + "}{" + EOW + "}"
+    for a, b in merges:
+        s = s.replace("{" + a + "}{" + b + "}", "{" + a + b + "}")
+    return s[1:-1].split("}{")
+
+
+def _golden_merges():
+    import json
+    from pathlib import Path
+
+    data = json.loads(
+        (Path(__file__).parent / "fixtures" / "bpe_golden.json").read_text()
+    )
+    return [tuple(m) for m in data["merges"]]
+
+
+# merge lists respecting the training invariant (every constituent is a
+# single char or the product of a strictly earlier merge) — including the
+# adversarial overlap/chain shapes where greedy-vs-sequential could
+# plausibly diverge if the equivalence argument were wrong
+_MERGE_LISTS = [
+    _golden_merges(),
+    [("a", "a"), ("aa", "a"), ("aa", "aa"), ("a", "b"), ("ab", EOW)],
+    [("b", "a"), ("ba", "ba"), ("a", "ba"), ("b", "aba")],
+    [("a", EOW), ("b", "a</w>"), ("b", "b"), ("bb", "ba</w>")],
+]
+
+
+@given(
+    st.text(alphabet="ab", min_size=1, max_size=12),
+    st.integers(min_value=0, max_value=len(_MERGE_LISTS) - 1),
+)
+@settings(max_examples=300, deadline=None)
+def test_greedy_encoder_equals_replace_chain(word, merge_idx):
+    """The equivalence q_bpe's value oracle rests on, checked on
+    arbitrary words: the greedy lowest-rank-first encoder (the Spark
+    side) produces exactly the sequence the rank-ordered exhaustive
+    replace chain (the DuckDB side) produces."""
+    from nexus_event_stream_spark.operators.bpe import encode_word
+
+    merges = _MERGE_LISTS[merge_idx]
+    rank = {pair: i for i, pair in enumerate(merges)}
+    assert encode_word(word, rank) == _replace_chain_encode(word, merges)
+
+
+@given(st.text(alphabet="abcdefgh", min_size=1, max_size=10))
+@settings(max_examples=200, deadline=None)
+def test_greedy_encoder_equals_replace_chain_golden(word):
+    from nexus_event_stream_spark.operators.bpe import encode_word
+
+    merges = _golden_merges()
+    rank = {pair: i for i, pair in enumerate(merges)}
+    assert encode_word(word, rank) == _replace_chain_encode(word, merges)
