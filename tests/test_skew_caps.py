@@ -101,6 +101,37 @@ def test_hot_bucket_cap_identity_when_no_bucket_hot(spark):
     assert exact == capped and exact  # non-trivial and identical
 
 
+def test_caps_result_identical_on_real_corpus(spark, sf_dir):
+    """On the driver's documents table (no degenerate buckets at this
+    scale), capped and uncapped pipelines produce IDENTICAL verified
+    pairs — the 'proven result-identical' face of the skew knobs: turning
+    them on in production costs nothing when data is clean."""
+    from nexus_event_stream_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in minhash_dedup(docs, threshold=0.05).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in minhash_dedup(docs, threshold=0.05, max_bucket_size=64).collect()
+    }
+    assert exact == capped and exact
+
+    exact_ng = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(docs, ["source"], threshold=0.05).collect()
+    }
+    capped_ng = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(
+            docs, ["source"], threshold=0.05, max_gram_df=200
+        ).collect()
+    }
+    assert exact_ng == capped_ng
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard hot-gram cap
 # ---------------------------------------------------------------------------
