@@ -153,7 +153,7 @@ def main() -> None:
         import subprocess
 
         try:
-            subprocess.run(
+            proc = subprocess.run(
                 [
                     sys.executable,
                     os.path.join(root, "tools", "selfcheck.py"),
@@ -165,8 +165,19 @@ def main() -> None:
                 stdout=subprocess.DEVNULL,
                 stderr=subprocess.DEVNULL,
             )
-        except Exception:
-            pass
+            # bench's stdout is the one-JSON-line contract; status goes to
+            # stderr so a failed sweep is visible, not silently swallowed
+            print(
+                f"selfcheck sweep {'PASS' if proc.returncode == 0 else 'FAIL'}"
+                f" -> {summary}",
+                file=sys.stderr,
+            )
+        except Exception as exc:
+            print(f"selfcheck sweep error: {exc}", file=sys.stderr)
+    elif fresh:
+        print(
+            f"selfcheck sweep skipped ({summary} is fresh)", file=sys.stderr
+        )
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 

@@ -102,9 +102,14 @@ def ngram_jaccard_pairs(
     cap·|postings|. Semantics: intersections count only surviving grams
     while set sizes stay full, so the reported jaccard is a LOWER BOUND —
     a pair sharing nothing but stop-grams (the textbook false positive)
-    disappears, and genuinely near-identical docs still share plenty of
-    discriminative grams. Default None = exact (what the value-oracled
-    catalog query runs).
+    disappears, while near-dup pairs connected by discriminative grams
+    survive. CAVEAT: if a text is mass-duplicated beyond the cap itself
+    (every one of its grams has df > cap), those copies share no
+    surviving gram and emit NO pair — run ``exact_dedup`` first (exact
+    copies are its job, one cheap shuffle) and size the cap above the
+    expected near-dup multiplicity; the LSH path's ``max_bucket_size``
+    star keeps such clusters connected if they must be caught here.
+    Default None = exact (what the value-oracled catalog query runs).
 
     Sets are xxhash64-hashed: set sizes equal string-set sizes
     (collisions ~2^-64·|g|² improbable) and the join key is a cheap int.
@@ -430,45 +435,65 @@ def simhash_pairs(
     """SimHash near-dup candidates: pairs within a block whose fingerprints
     differ in ≤ max_hamming bits. Output: doc_a, doc_b, hamming.
 
-    ``max_block_size`` is the hot-block skew cap (same recipe as the SRP
-    build-side cap): the build side of the self-join keeps only the cap
-    smallest ids per block, bounding pair traffic at |block|·cap instead
-    of |block|² when one block degenerates. Every doc is still probed
-    against the block's cap smallest-id members (the join flips to
-    ``!=`` + canonical (min,max) output in capped mode — a plain ``<``
-    against a truncated build side would silently drop every pair whose
-    larger id is outside the cap set). Default None = exact.
+    ``max_block_size`` is the hot-block skew cap, split exactly like
+    minhash_lsh_candidates' normal/star paths so small blocks pay no
+    penalty: blocks of size ≤ cap keep the exact ``<`` all-pairs join
+    untouched, while HOT blocks alone degrade to a probe of their cap
+    smallest-id members — a ``!=`` join with canonical (min,max) output
+    plus a distinct over just those pairs (a plain ``<`` against a
+    truncated build side would silently drop every pair whose larger id
+    is outside the cap set). Pair traffic per hot block is |block|·cap
+    instead of |block|², and every doc is still probed.
+    Default None = exact everywhere.
     """
     fps = simhash(docs, bits, id_col, text_col).join(
         docs.select(F.col(id_col).alias("doc_id"), *block_cols), "doc_id"
     )
-    a = fps.alias("a")
-    capped = max_block_size is not None
-    if capped:
-        wb = Window.partitionBy(*block_cols).orderBy(F.asc("doc_id"))
-        b = (
-            fps.withColumn("__rn", F.row_number().over(wb))
-            .filter(F.col("__rn") <= max_block_size)
-            .drop("__rn")
-            .alias("b")
-        )
-        cond = F.col("a.doc_id") != F.col("b.doc_id")
-    else:
-        b = fps.alias("b")
-        cond = F.col("a.doc_id") < F.col("b.doc_id")
-    for c in block_cols:
-        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    pairs = (
-        a.join(b, cond)
-        .select(
+
+    def block_eq(cond):
+        for c in block_cols:
+            cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+        return cond
+
+    def emit(joined):
+        return joined.select(
             F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
             F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
             ham.alias("hamming"),
+        ).filter(F.col("hamming") <= max_hamming)
+
+    if max_block_size is None:
+        return emit(
+            fps.alias("a").join(
+                fps.alias("b"), block_eq(F.col("a.doc_id") < F.col("b.doc_id"))
+            )
         )
-        .filter(F.col("hamming") <= max_hamming)
+    wb = Window.partitionBy(*block_cols)
+    sized = fps.withColumn("__bsz", F.count(F.lit(1)).over(wb)).withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy(*block_cols).orderBy(F.asc("doc_id"))
+        ),
     )
-    return pairs.distinct() if capped else pairs
+    normal = sized.filter(F.col("__bsz") <= max_block_size).drop("__bsz", "__rn")
+    hot = sized.filter(F.col("__bsz") > max_block_size)
+    exact_pairs = emit(
+        normal.alias("a").join(
+            normal.alias("b"), block_eq(F.col("a.doc_id") < F.col("b.doc_id"))
+        )
+    )
+    hot_pairs = emit(
+        hot.drop("__bsz", "__rn")
+        .alias("a")
+        .join(
+            hot.filter(F.col("__rn") <= max_block_size)
+            .drop("__bsz", "__rn")
+            .alias("b"),
+            block_eq(F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+    ).distinct()
+    return exact_pairs.unionByName(hot_pairs)
 
 
 def connected_components(

@@ -251,18 +251,23 @@ def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _golden_merges() -> list[tuple[str, str]]:
-    """The pinned BPE merge list (tests/fixtures/bpe_golden.json) — trained
-    once by operators/bpe.train_bpe on the sf0.001 corpus and frozen, so
-    the catalog query is a deterministic encode pass, not a training run."""
-    import json
-    import os
+#: The pinned BPE merge list — trained once by operators/bpe.train_bpe on
+#: the sf0.001 corpus and frozen, so the catalog query is a deterministic
+#: encode pass, not a training run. Embedded (not read from the test
+#: fixture) so the package has no import-time dependency on the tests/
+#: tree; tests/test_bpe.py asserts this list, the fixture, AND a fresh
+#: training run all agree.
+GOLDEN_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("o", "r"), ("t", "</w>"),
+    ("er", "</w>"), ("o", "w"), ("ow", "</w>"), ("l", "u"), ("i", "n"),
+    ("y", "</w>"), ("a", "r"), ("p", "ar"), ("g", "</w>"), ("a", "s"),
+    ("h", "</w>"), ("a", "</w>"), ("s", "t"), ("a", "t"), ("a", "n</w>"),
+    ("c", "an</w>"), ("s", "can</w>"), ("c", "o"), ("co", "lu"),
+]
 
-    root = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
-    with open(os.path.join(root, "tests", "fixtures", "bpe_golden.json")) as fh:
-        return [tuple(m) for m in json.load(fh)["merges"]]
+
+def _golden_merges() -> list[tuple[str, str]]:
+    return list(GOLDEN_MERGES)
 
 
 def _sql_bpe(merges: list[tuple[str, str]]) -> str:

@@ -100,10 +100,11 @@ class SignatureStore:
     as ``v={version}`` and only pointer-listed versions are visible —
     that one rename is what makes the corpus append exactly-once.
 
-    ``compact_threshold`` bounds manifest growth: once any bucket's
-    version list exceeds it, ``append`` triggers ``compact()`` (mirroring
-    BucketedViewStore's fold-and-vacuum policy), so per-bucket file
-    counts stay O(threshold) over unbounded epochs.
+    ``compact_threshold`` bounds manifest growth: once a bucket's version
+    list exceeds it, ``append`` triggers a PARTIAL ``compact()`` of just
+    the offending buckets (mirroring BucketedViewStore's fold-and-vacuum
+    policy), so per-bucket file counts stay O(threshold) over unbounded
+    epochs while compaction cost tracks the hot buckets, not the store.
     """
 
     def __init__(
@@ -211,10 +212,15 @@ class SignatureStore:
                 "corpus_versions": corpus_versions,
             }
         )
-        if self.compact_threshold is not None and any(
-            len(v) > self.compact_threshold for v in buckets.values()
-        ):
-            self.compact(postings.sparkSession)
+        if self.compact_threshold is not None:
+            over = [
+                b for b, v in buckets.items() if len(v) > self.compact_threshold
+            ]
+            if over:
+                # fold ONLY the offending buckets: scheduled compaction
+                # cost tracks the hot buckets' data, not the whole store,
+                # keeping the per-epoch contract O(batch + touched)
+                self.compact(postings.sparkSession, buckets=over)
         return version
 
     def read_corpus(self, spark: SparkSession, corpus_root: str) -> DataFrame | None:
@@ -230,16 +236,32 @@ class SignatureStore:
             ]
         )
 
-    def compact(self, spark: SparkSession) -> int | None:
-        """Fold every bucket's version history into one directory (bounds
-        per-bucket file counts after many epochs). Single-writer, like
-        view-store compaction; returns the new version or None if empty.
+    def compact(self, spark: SparkSession, buckets=None) -> int | None:
+        """Fold the version history of ``buckets`` (default: all) into one
+        directory each (bounds per-bucket file counts after many epochs).
+
+        Partial compaction is what ``append`` schedules: only buckets
+        whose version list exceeded the threshold fold, so the cost is
+        proportional to THOSE buckets' data — the store is never rescanned
+        wholesale inside a micro-batch. Version directories are vacuumed
+        only once no bucket references them. ``last_probe_paths`` (the
+        batch-probe test pin) is preserved across the internal read.
+        Single-writer, like view-store compaction; returns the new
+        version or None if nothing to fold.
         """
         cur = self.current()
         if cur is None or not cur["buckets"]:
             return None
-        all_buckets = sorted(cur["buckets"], key=int)
-        df = self.read_buckets(spark, all_buckets)
+        targets = sorted(
+            cur["buckets"] if buckets is None else
+            [b for b in buckets if b in cur["buckets"]],
+            key=int,
+        )
+        if not targets:
+            return None
+        saved_probe = self.last_probe_paths
+        df = self.read_buckets(spark, targets)
+        self.last_probe_paths = saved_probe
         if df is None:
             return None
         version = cur["version"] + 1
@@ -250,24 +272,30 @@ class SignatureStore:
             .partitionBy("__bucket")
             .parquet(out)
         )
-        written = [
+        written = {
             name.split("=", 1)[1]
             for name in os.listdir(out)
             if name.startswith("__bucket=")
-        ]
+        }
+        new_buckets = dict(cur["buckets"])
+        for b in targets:
+            # folded buckets now live solely in the new version; a target
+            # whose postings were all empty keeps an empty list
+            new_buckets[b] = [version] if b in written else []
         self._commit(
             {
                 "version": version,
                 "epoch": cur.get("epoch"),
                 "run_token": cur.get("run_token"),
-                "buckets": {b: [version] for b in written},
+                "buckets": new_buckets,
                 # corpus dirs live under their own root and are NOT part
                 # of posting compaction — carry the references through
                 "corpus_versions": cur.get("corpus_versions", []),
             }
         )
+        referenced = {ver for vs in new_buckets.values() for ver in vs} | {version}
         for name in os.listdir(self.path):
-            if name.startswith("v=") and name != f"v={version}":
+            if name.startswith("v=") and int(name.split("=", 1)[1]) not in referenced:
                 shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
         return version
 
@@ -403,19 +431,35 @@ def suppress_and_register(
 
 
 def run_token_for(checkpoint_path: str) -> str:
-    """Deterministic run token from the checkpoint location.
+    """Run token tied to the checkpoint's LIFETIME, not just its path.
 
     A restart from the same checkpoint REDELIVERS the last possibly-
     uncommitted epoch with the same batch id; the replay guard only
     engages if the restarted run presents the same token, so the token
-    must be a function of the checkpoint, not a fresh uuid per process
-    (a fresh token would let the crashed epoch's own committed postings
-    suppress its redelivered docs — permanent data loss)."""
-    import hashlib
+    must survive process restarts (a fresh uuid per process would let
+    the crashed epoch's own committed postings suppress its redelivered
+    docs — permanent data loss). But it must NOT survive a checkpoint
+    RESET: wiping the checkpoint restarts epoch numbering at 0, and a
+    path-derived token would make the guard discard every new batch as
+    a "replay" until the counter caught up. So the token is a uuid
+    minted once per checkpoint generation and persisted INSIDE the
+    checkpoint directory — restart reuses it, reset mints a new one.
+    """
+    import uuid
 
-    return hashlib.sha256(
-        os.path.abspath(checkpoint_path).encode("utf-8")
-    ).hexdigest()[:16]
+    os.makedirs(checkpoint_path, exist_ok=True)
+    marker = os.path.join(checkpoint_path, "__dedup_run_token")
+    try:
+        with open(marker) as fh:
+            return fh.read().strip()
+    except FileNotFoundError:
+        pass
+    token = uuid.uuid4().hex[:16]
+    fd, tmp = tempfile.mkstemp(dir=checkpoint_path, prefix="._tok")
+    with os.fdopen(fd, "w") as fh:
+        fh.write(token)
+    os.replace(tmp, marker)
+    return token
 
 
 def read_dedup_corpus(

@@ -129,6 +129,14 @@ def _golden_merges():
     return [tuple(m) for m in data["merges"]]
 
 
+def test_catalog_golden_merges_match_fixture():
+    """The merge list embedded in the catalog (so the package never
+    imports from tests/) is byte-identical to the pinned fixture."""
+    from nexus_event_stream_spark.plans.llm_catalog import GOLDEN_MERGES
+
+    assert GOLDEN_MERGES == _golden_merges()
+
+
 # merge lists respecting the training invariant (every constituent is a
 # single char or the product of a strictly earlier merge) — including the
 # adversarial overlap/chain shapes where greedy-vs-sequential could

@@ -221,12 +221,19 @@ def test_corpus_append_exactly_once_across_crash(spark, store_dir):
         shutil.rmtree(corpus, ignore_errors=True)
 
 
-def test_run_token_is_stable_across_restarts(tmp_path):
+def test_run_token_stable_across_restarts_fresh_after_reset(tmp_path):
+    """Restart (same checkpoint) keeps the token so the replay guard
+    engages on redelivered epochs; a checkpoint RESET mints a new token
+    so restarted epoch numbering is not misread as replay (which would
+    silently discard every new batch until the counter caught up)."""
     from nexus_event_stream_spark.streaming.dedup import run_token_for
 
     ckpt = str(tmp_path / "ckpt")
-    assert run_token_for(ckpt) == run_token_for(ckpt)
-    assert run_token_for(ckpt) != run_token_for(str(tmp_path / "other"))
+    tok = run_token_for(ckpt)
+    assert run_token_for(ckpt) == tok  # restart: stable
+    assert run_token_for(str(tmp_path / "other")) != tok
+    shutil.rmtree(ckpt)  # operator resets the checkpoint to reprocess
+    assert run_token_for(ckpt) != tok  # new generation, guard disarmed
 
 
 def test_append_schedules_compaction_bounding_manifest(spark, store_dir):

@@ -189,23 +189,54 @@ SWEEP_CONFIGS = [
 
 
 def run_all_sf(summary_path: str = "SELFCHECK.json") -> int:
+    """Each config runs in its OWN subprocess: a vanilla pass sharing the
+    JVM that just ran engine confs would not be driver-faithful (JVM-side
+    state can survive a SparkContext stop/start), and that isolation is
+    the whole point of the vanilla row."""
+    import subprocess
+    import tempfile
+
+    git_head = None
+    try:
+        cwd = os.path.dirname(os.path.abspath(__file__))
+        git_head = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10, cwd=cwd,
+        ).stdout.strip() or None
+        if git_head and subprocess.run(
+            ["git", "status", "--porcelain"],
+            capture_output=True, text=True, timeout=10, cwd=cwd,
+        ).stdout.strip():
+            git_head += "-dirty"
+    except Exception:
+        pass
+
     results = []
     ok = True
     for cfg in SWEEP_CONFIGS:
         label = f"{cfg['sf_dir']}{' (vanilla)' if cfg['vanilla'] else ''}"
-        print(f"== sweep: {label}")
-        res = run_sweep(cfg["sf_dir"], cfg["vanilla"])
-        # fresh JVM per config: session confs (AQE/TZ/vanilla-ness) are
-        # fixed at creation, so the next config must not inherit them
-        from pyspark.sql import SparkSession
-
-        active = SparkSession.getActiveSession()
-        if active is not None:
-            active.stop()
+        print(f"== sweep: {label}", flush=True)
+        fd, out = tempfile.mkstemp(suffix=".json")
+        os.close(fd)
+        cmd = [sys.executable, os.path.abspath(__file__)]
+        if cfg["vanilla"]:
+            cmd.append("--vanilla")
+        cmd += ["--json-out", out, cfg["sf_dir"]]
+        try:
+            proc = subprocess.run(cmd, timeout=900)
+            with open(out) as fh:
+                res = json.load(fh)
+        except Exception as exc:
+            res = {"failures": [f"<sweep-config-error: {exc}>"]}
+        finally:
+            try:
+                os.unlink(out)
+            except OSError:
+                pass
         results.append({**cfg, **res})
-        ok = ok and not res["failures"]
+        ok = ok and not res.get("failures")
         print()
-    summary = {"pass": ok, "configs": results}
+    summary = {"pass": ok, "git_head": git_head, "configs": results}
     with open(summary_path, "w") as fh:
         json.dump(summary, fh, indent=1)
     print(f"sweep {'PASS' if ok else 'FAIL'} -> {summary_path}")
@@ -214,8 +245,17 @@ def run_all_sf(summary_path: str = "SELFCHECK.json") -> int:
 
 def main() -> int:
     args = sys.argv[1:]
+    json_out = None
+    if "--json-out" in args:
+        i = args.index("--json-out")
+        json_out = args[i + 1]
+        del args[i : i + 2]
     if "--all-sf" in args:
         args.remove("--all-sf")
+        flags = [a for a in args if a.startswith("--")]
+        if flags:
+            print(f"unknown flags with --all-sf: {flags}")
+            return 2
         return run_all_sf(*args[:1])
     vanilla = "--vanilla" in args
     if vanilla:
@@ -223,6 +263,9 @@ def main() -> int:
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
     res = run_sweep(sf_dir, vanilla, only)
+    if json_out:
+        with open(json_out, "w") as fh:
+            json.dump(res, fh)
     print()
     if res["failures"]:
         print(f"FAILED: {res['failures']}")
