@@ -163,6 +163,61 @@ def test_streaming_integration_end_to_end(spark, store_dir):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_streaming_restart_same_checkpoint_no_loss_no_dupes(spark, store_dir):
+    """Stop the query and start a NEW one on the same checkpoint (process
+    restart): the persisted run token keeps the replay guard armed, the
+    already-committed batch is not reprocessed, and the post-restart
+    batch lands exactly once — no loss, no duplicates."""
+    from nexus_event_stream_spark.streaming.dedup import (
+        read_dedup_corpus,
+        start_dedup_ingest,
+    )
+
+    base = tempfile.mkdtemp(prefix="dedup_restart_")
+    src = os.path.join(base, "src")
+    corpus = os.path.join(base, "corpus")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(src)
+    try:
+        def make_stream():
+            return spark.readStream.schema("doc_id long, text string").option(
+                "maxFilesPerTrigger", "1"
+            ).parquet(src + "/*")
+
+        docs_df(spark, [(1, A_TEXT), (2, B_TEXT)]).coalesce(1).write.parquet(
+            os.path.join(src, "b0")
+        )
+        q = start_dedup_ingest(
+            spark, make_stream(), store_dir, corpus, ckpt, n_buckets=16
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        # restart: near-dup of 1 must be suppressed against history, the
+        # novel doc accepted, and batch b0 must not re-append
+        docs_df(spark, [(3, A_NEAR), (4, C_TEXT)]).coalesce(1).write.parquet(
+            os.path.join(src, "b1")
+        )
+        q2 = start_dedup_ingest(
+            spark, make_stream(), store_dir, corpus, ckpt, n_buckets=16
+        )
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+        got = sorted(
+            r.doc_id
+            for r in read_dedup_corpus(spark, store_dir, corpus)
+            .select("doc_id")
+            .collect()
+        )
+        assert got == [1, 2, 4]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # Exactly-once corpus + scheduled compaction
 # ---------------------------------------------------------------------------
