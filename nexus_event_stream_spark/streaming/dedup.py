@@ -427,6 +427,12 @@ def suppress_and_register(
             corpus=survivors if corpus_path is not None else None,
             corpus_root=corpus_path,
         )
+    if corpus_path is not None:
+        # everything this epoch needed is materialized (postings + corpus
+        # land inside the append commit) — release the per-batch cache,
+        # or a long-running stream accumulates one pinned relation per
+        # epoch. Collecting the returned survivors afterwards recomputes.
+        sigs.unpersist()
     return survivors
 
 
