@@ -7,13 +7,16 @@ North-star extension. Image/audio/video payloads are carried as Spark
 
 Image decode/encode/resize are REAL: a pure-stdlib PNG codec
 (functions/png.py — full container parse, CRC validation, all five
-scanline filters, nearest-neighbor resample). Video is REAL for the
-APNG container (animated PNG: acTL/fcTL/fdAT chunks, same codec):
-``sample_frames`` decodes the animation and emits evenly spaced real
-frames, each re-encoded as a standalone PNG; payloads that are not
-PNG-family (ffmpeg containers aren't decodable in this box) fall back
-to deterministic byte windows — the tolerant-reader convention
-(consumer.go:39-44): decode failures degrade, never fail the batch.
+scanline filters, nearest-neighbor resample). Video is REAL at two
+levels: the APNG container (animated PNG: acTL/fcTL/fdAT chunks, same
+codec) decodes to actual pixel frames, and MP4/ISO-BMFF containers
+(functions/mp4.py — box walk, stts/stsc/stsz/stco sample-table
+resolution) demux to exact encoded-frame byte ranges + timestamps, the
+real demuxer algorithm; only the codec-payload decode (H.264 etc.) is
+environment-capped (no media libraries in this box). Payloads that are
+neither fall back to deterministic byte windows — the tolerant-reader
+convention (consumer.go:39-44): decode failures degrade, never fail
+the batch.
 
 Scale notes: binary payloads dominate row size, so
 ``spark.sql.files.maxPartitionBytes`` (not row count) controls partition
@@ -171,38 +174,58 @@ def sample_frames(media: DataFrame, n_frames: int = 4, frame_bytes: int = 16) ->
     """Uniform frame sampling from a video payload, one output row per
     sampled frame (1→N Arrow fan-out).
 
-    PNG-family payloads (APNG animations and plain PNGs) get REAL frames:
-    the animation is decoded (functions/png.py decode_apng) and
-    ``n_frames`` evenly spaced frames are re-encoded as standalone PNGs —
-    each output row is itself a decodable image, which is what a
-    downstream vision featurizer wants. Non-PNG payloads (no ffmpeg in
-    this container) degrade to evenly spaced ``frame_bytes`` byte windows
-    — the tolerant-reader fallback, same row shape.
+    Three tiers, most-real first:
+    - PNG-family payloads (APNG animations and plain PNGs): REAL decoded
+      frames — the animation is decoded (functions/png.py decode_apng)
+      and ``n_frames`` evenly spaced frames are re-encoded as standalone
+      PNGs, each output row itself a decodable image.
+    - MP4 (ISO BMFF) payloads: REAL container demux — the sample tables
+      (stts/stsc/stsz/stco, functions/mp4.py) resolve every frame's
+      exact byte range, and ``n_frames`` evenly spaced ENCODED frames
+      are sliced out. Codec decode of those payloads (H.264 etc.) is the
+      one environment-capped step — no media libraries in this box — so
+      rows carry the encoded-frame bytes a downstream decoder wants.
+    - anything else: evenly spaced ``frame_bytes`` byte windows — the
+      tolerant-reader fallback (consumer.go:39-44), same row shape.
     """
+    from nexus_event_stream_spark.functions.mp4 import extract_samples
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def picks(count: int) -> list[int]:
+            return [
+                (i * (count - 1)) // max(n_frames - 1, 1)
+                for i in range(n_frames)
+            ]
+
         for pdf in it:
             ids, idxs, frames = [], [], []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 p = p or b""
                 try:
                     w, h, ct, fx = decode_apng(p)
-                    picks = [
-                        (i * (len(fx) - 1)) // max(n_frames - 1, 1)
-                        for i in range(n_frames)
-                    ]
-                    for i, k in enumerate(picks):
+                    for i, k in enumerate(picks(len(fx))):
                         ids.append(mid)
                         idxs.append(i)
                         frames.append(encode_png(w, h, fx[k], ct))
+                    continue
                 except Exception:
-                    for i in range(n_frames):
-                        off = (i * max(len(p) - frame_bytes, 0)) // max(
-                            n_frames - 1, 1
-                        )
+                    pass
+                try:
+                    samples = extract_samples(p)
+                    for i, k in enumerate(picks(len(samples))):
                         ids.append(mid)
                         idxs.append(i)
-                        frames.append(p[off : off + frame_bytes])
+                        frames.append(samples[k])
+                    continue
+                except Exception:
+                    pass
+                for i in range(n_frames):
+                    off = (i * max(len(p) - frame_bytes, 0)) // max(
+                        n_frames - 1, 1
+                    )
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(p[off : off + frame_bytes])
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
 
     return media.select("media_id", "payload").mapInPandas(batches, FRAMES_SCHEMA)

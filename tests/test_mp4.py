@@ -1,0 +1,127 @@
+"""ISO BMFF (MP4) container codec: sample-table round-trips, demuxer
+resolution (stsc/stco chunk math, stts timing), malformed-input guards,
+and the sample_frames integration tier."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from nexus_event_stream_spark.functions.mp4 import (
+    encode_mp4,
+    extract_samples,
+    parse_mp4,
+)
+
+
+def synth_frames(n: int, seed: int = 7) -> list[bytes]:
+    """Deterministic opaque 'encoded frame' payloads of varying size —
+    stand-ins for coded pictures (codec decode is environment-capped)."""
+    return [
+        bytes((seed * 31 + f * 97 + i) % 256 for i in range(10 + (f * 13) % 37))
+        for f in range(n)
+    ]
+
+
+def test_round_trip_offsets_sizes_times():
+    frames = synth_frames(7)  # odd count → short final chunk
+    data = encode_mp4(frames, width=64, height=48, frame_duration=40)
+    info = parse_mp4(data)
+    assert info["brand"] == "isom"
+    assert info["codec"] == "mp4v"
+    assert info["timescale"] == 1000
+    assert info["n_samples"] == 7
+    assert info["duration"] == 7 * 40
+    assert info["sample_sizes"] == [len(f) for f in frames]
+    assert info["sample_times"] == [i * 40 for i in range(7)]
+    # offsets resolve to the exact payload bytes
+    assert extract_samples(data, info) == frames
+    # offsets are strictly increasing and contiguous within the mdat
+    offs = info["sample_offsets"]
+    assert all(b > a for a, b in zip(offs, offs[1:]))
+
+
+def test_chunk_runs_exercised():
+    """7 samples at 2 per chunk → 4 chunks, final chunk holds 1 sample —
+    the stsc run table must carry two entries and resolve correctly."""
+    frames = synth_frames(7)
+    data = encode_mp4(frames, samples_per_chunk=2)
+    info = parse_mp4(data)
+    # chunk 4 starts exactly at the last sample's offset
+    assert info["sample_offsets"][-1] + info["sample_sizes"][-1] <= len(data)
+    assert extract_samples(data) == frames
+
+
+def test_single_frame_and_single_chunk():
+    frames = synth_frames(1)
+    data = encode_mp4(frames)
+    assert extract_samples(data) == frames
+    data2 = encode_mp4(synth_frames(4), samples_per_chunk=100)
+    assert extract_samples(data2) == synth_frames(4)
+
+
+def test_codec_and_dims_round_trip():
+    data = encode_mp4(synth_frames(3), width=320, height=240, codec="avc1")
+    assert parse_mp4(data)["codec"] == "avc1"
+
+
+def test_malformed_inputs_raise():
+    frames = synth_frames(3)
+    data = encode_mp4(frames)
+    with pytest.raises(ValueError):
+        parse_mp4(b"")
+    with pytest.raises(ValueError):
+        parse_mp4(b"\x00" * 64)  # size-0 boxes / no ftyp
+    with pytest.raises(ValueError):
+        parse_mp4(data[: len(data) // 2])  # truncated moov
+    # corrupt a box size field inside moov → bounded-walk failure
+    bad = bytearray(data)
+    moov_at = data.rfind(b"moov") - 4
+    struct.pack_into(">I", bad, moov_at, 2**31)
+    with pytest.raises(ValueError):
+        parse_mp4(bytes(bad))
+    with pytest.raises(ValueError):
+        encode_mp4([])
+
+
+@given(
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=1, max_value=5),
+    st.integers(min_value=1, max_value=200),
+)
+@settings(max_examples=60, deadline=None)
+def test_round_trip_property(n, spc, duration):
+    frames = synth_frames(n, seed=n * 7 + spc)
+    data = encode_mp4(
+        frames, samples_per_chunk=spc, frame_duration=duration
+    )
+    info = parse_mp4(data)
+    assert extract_samples(data, info) == frames
+    assert info["sample_times"] == [i * duration for i in range(n)]
+
+
+def test_sample_frames_mp4_tier(spark):
+    """The integration tier: an MP4 payload yields the EXACT encoded
+    frame payloads via the sample tables (not byte windows), evenly
+    spaced; a non-media payload still degrades to byte windows."""
+    from nexus_event_stream_spark.operators.multimodal import sample_frames
+
+    frames = synth_frames(10)
+    mp4 = encode_mp4(frames)
+    media = spark.createDataFrame(
+        [(1, mp4), (2, b"not a video at all, just some bytes")],
+        "media_id long, payload binary",
+    )
+    out = sample_frames(media, n_frames=4).collect()
+    mp4_rows = sorted(
+        (r["frame_idx"], bytes(r["frame"])) for r in out if r["media_id"] == 1
+    )
+    # picks for 10 frames, 4 samples: indices 0, 3, 6, 9
+    assert mp4_rows == [
+        (0, frames[0]), (1, frames[3]), (2, frames[6]), (3, frames[9])
+    ]
+    fallback = [r for r in out if r["media_id"] == 2]
+    assert len(fallback) == 4  # same row shape, byte-window tier
