@@ -309,6 +309,19 @@ def test_simhash_pairs_cap_identity_when_no_block_hot(spark):
     assert exact == capped and exact
 
 
+def test_srp_cap_composes_with_multiprobe(spark, clustered_vecs):
+    """The two dials are orthogonal: multiprobe widens the probe side,
+    the cap truncates the build side — together every vector still gets
+    ranked and every neighbor comes from a cap set."""
+    rows = ann_topk_per_vector(
+        clustered_vecs, dim=8, k=1, bits=4, multiprobe=True, max_bucket_size=5
+    ).collect()
+    assert set(range(60)) <= {r["vec_id"] for r in rows}
+    for r in rows:
+        if r["vec_id"] < 60:
+            assert r["neighbor_id"] < 5
+
+
 def test_srp_cap_identity_when_bucket_small(spark, clustered_vecs):
     spread = clustered_vecs.filter(F.col("vec_id") >= 100)
     exact = {
