@@ -246,6 +246,14 @@ def sample_frames(media: DataFrame, n_frames: int = 4, frame_bytes: int = 16) ->
 #:   pixel_{f,i} = (doc_id*31 + f*97 + i) % 256
 #: decoded to frame count + total pixel sum across frames — any
 #: acTL/fcTL/fdAT or per-frame filter bug breaks the hash.
+#: MP4 container (functions/mp4.py; opaque synthetic coded frames —
+#: codec decode is environment-capped, the container demux is real):
+#:   n_mp4     = 2 + doc_id % 4        frame_duration = 40
+#:   len(frame_f)   = 8 + (doc_id + f) % 9
+#:   frame_f byte_i = (doc_id*13 + f*41 + i) % 256
+#: demuxed (stts/stsc/stsz/stco resolution) to sample count, byte total,
+#: last decode timestamp, and the byte-value sum over every extracted
+#: sample — any box-walk, chunk-math, or slicing bug breaks the hash.
 DOC_MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -255,6 +263,7 @@ DOC_MEDIA_SCHEMA = T.StructType(
         T.StructField("image", T.BinaryType()),
         T.StructField("audio", T.BinaryType()),
         T.StructField("video", T.BinaryType()),
+        T.StructField("mp4video", T.BinaryType()),
     ]
 )
 
@@ -272,6 +281,10 @@ DECODED_DOC_MEDIA_SCHEMA = T.StructType(
         T.StructField("sum_abs_samples", T.LongType()),
         T.StructField("n_frames", T.IntegerType()),
         T.StructField("sum_frame_pixels", T.LongType()),
+        T.StructField("n_mp4_samples", T.IntegerType()),
+        T.StructField("mp4_sample_bytes", T.LongType()),
+        T.StructField("mp4_last_time", T.LongType()),
+        T.StructField("mp4_byte_sum", T.LongType()),
     ]
 )
 
@@ -292,9 +305,11 @@ def synthesize_doc_media(docs: DataFrame) -> DataFrame:
         .alias("size_class"),
     )
 
+    from nexus_event_stream_spark.functions.mp4 import encode_mp4
+
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            filts, images, audios, videos = [], [], [], []
+            filts, images, audios, videos, mp4s = [], [], [], [], []
             for did in pdf["doc_id"]:
                 did = int(did)
                 w, h, f = doc_image_dims(did)
@@ -320,6 +335,20 @@ def synthesize_doc_media(docs: DataFrame) -> DataFrame:
                         filter_type=[(did + fi) % 5 for fi in range(nf)],
                     )
                 )
+                nm = 2 + did % 4
+                mp4s.append(
+                    encode_mp4(
+                        [
+                            bytes(
+                                (did * 13 + fi * 41 + i) % 256
+                                for i in range(8 + (did + fi) % 9)
+                            )
+                            for fi in range(nm)
+                        ],
+                        width=w,
+                        height=h,
+                    )
+                )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -329,6 +358,7 @@ def synthesize_doc_media(docs: DataFrame) -> DataFrame:
                     "image": images,
                     "audio": audios,
                     "video": videos,
+                    "mp4video": mp4s,
                 }
             )
 
@@ -340,11 +370,17 @@ def decode_doc_media(media: DataFrame) -> DataFrame:
     pixel sum, and exact absolute-sample energy — the quantities the SQL
     oracle recomputes closed-form."""
 
+    from nexus_event_stream_spark.functions.mp4 import (
+        extract_samples,
+        parse_mp4,
+    )
+
     def dec(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ws, hs, sums = [], [], []
             rates, counts, energies = [], [], []
             nframes, fsums = [], []
+            m_ns, m_bytes, m_last, m_sum = [], [], [], []
             for p in pdf["image"]:
                 try:
                     w, h, _ct, px = decode_png(p)
@@ -373,6 +409,19 @@ def decode_doc_media(media: DataFrame) -> DataFrame:
                 except Exception:
                     nframes.append(None)
                     fsums.append(None)
+            for p in pdf["mp4video"]:
+                try:
+                    info = parse_mp4(p)
+                    chunks = extract_samples(p, info)
+                    m_ns.append(info["n_samples"])
+                    m_bytes.append(sum(info["sample_sizes"]))
+                    m_last.append(info["sample_times"][-1])
+                    m_sum.append(sum(sum(c) for c in chunks))
+                except Exception:
+                    m_ns.append(None)
+                    m_bytes.append(None)
+                    m_last.append(None)
+                    m_sum.append(None)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -387,6 +436,10 @@ def decode_doc_media(media: DataFrame) -> DataFrame:
                     "sum_abs_samples": pd.array(energies, dtype="Int64"),
                     "n_frames": pd.array(nframes, dtype="Int32"),
                     "sum_frame_pixels": pd.array(fsums, dtype="Int64"),
+                    "n_mp4_samples": pd.array(m_ns, dtype="Int32"),
+                    "mp4_sample_bytes": pd.array(m_bytes, dtype="Int64"),
+                    "mp4_last_time": pd.array(m_last, dtype="Int64"),
+                    "mp4_byte_sum": pd.array(m_sum, dtype="Int64"),
                 }
             )
 

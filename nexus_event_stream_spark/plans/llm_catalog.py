@@ -208,7 +208,15 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         list_sum(list_transform(
           range(0, (4 + doc_id % 13) * (3 + doc_id % 7)),
           i -> (doc_id * 31 + f * 97 + i) % 256)))) AS BIGINT)
-        AS sum_frame_pixels
+        AS sum_frame_pixels,
+      CAST(2 + doc_id % 4 AS INTEGER) AS n_mp4_samples,
+      CAST(list_sum(list_transform(range(0, 2 + doc_id % 4),
+        f -> 8 + (doc_id + f) % 9)) AS BIGINT) AS mp4_sample_bytes,
+      CAST((2 + doc_id % 4 - 1) * 40 AS BIGINT) AS mp4_last_time,
+      CAST(list_sum(list_transform(range(0, 2 + doc_id % 4), f ->
+        list_sum(list_transform(range(0, 8 + (doc_id + f) % 9),
+          i -> (doc_id * 13 + f * 41 + i) % 256)))) AS BIGINT)
+        AS mp4_byte_sum
     FROM documents
     """,
     doc="Multimodal pipeline, REAL codecs end-to-end: per document an "
@@ -221,12 +229,18 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "are DECODED by the same pure-stdlib codecs back to dimensions + "
     "exact pixel sum + sample rate/count + absolute-sample energy + "
     "frame count + cross-frame pixel sum (operators/multimodal.py "
-    "synthesize_doc_media/decode_doc_media). The oracle recomputes "
+    "synthesize_doc_media/decode_doc_media), PLUS an MP4 (ISO BMFF) "
+    "container per doc — real box structure with full sample tables, "
+    "functions/mp4.py — demuxed back via stts/stsc/stsz/stco "
+    "resolution to sample count, byte total, last decode timestamp, "
+    "and the byte-value sum over every extracted sample (proving the "
+    "resolved offsets slice exactly the right bytes; codec-payload "
+    "decode is the one environment-capped step). The oracle recomputes "
     "every decoded quantity closed-form, so any encode- or decode-side "
-    "bug (PNG filters, WAV sample unpack, APNG sequencing) breaks the "
-    "value hash. Typed metadata rides through the two Python stages as "
-    "Arrow passthrough columns — no join; blobs stay in their own "
-    "columns.",
+    "bug (PNG filters, WAV sample unpack, APNG sequencing, MP4 chunk "
+    "math) breaks the value hash. Typed metadata rides through the two "
+    "Python stages as Arrow passthrough columns — no join; blobs stay "
+    "in their own columns.",
 )
 def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nexus_event_stream_spark.operators.multimodal import (
@@ -248,6 +262,10 @@ def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_abs_samples",
         "n_frames",
         "sum_frame_pixels",
+        "n_mp4_samples",
+        "mp4_sample_bytes",
+        "mp4_last_time",
+        "mp4_byte_sum",
     )
 
 
