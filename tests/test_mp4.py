@@ -125,3 +125,29 @@ def test_sample_frames_mp4_tier(spark):
     ]
     fallback = [r for r in out if r["media_id"] == 2]
     assert len(fallback) == 4  # same row shape, byte-window tier
+
+
+def test_decode_doc_media_malformed_mp4_yields_nulls(spark):
+    """Tolerant reader on the driver-checked path: a corrupted mp4video
+    column nulls only the mp4 quantities; the other codecs' outputs and
+    the batch itself survive."""
+    from nexus_event_stream_spark.operators.multimodal import (
+        decode_doc_media,
+        synthesize_doc_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(7, "some text"), (8, "other words")], "doc_id long, text string"
+    )
+    from pyspark.sql import functions as F
+
+    media = synthesize_doc_media(docs).withColumn(
+        "mp4video",
+        F.when(F.col("doc_id") == 7, F.lit(b"corrupted")).otherwise(
+            F.col("mp4video")
+        ),
+    )
+    rows = {r["doc_id"]: r for r in decode_doc_media(media).collect()}
+    assert rows[7]["n_mp4_samples"] is None and rows[7]["mp4_byte_sum"] is None
+    assert rows[7]["sum_pixels"] is not None  # other codecs unaffected
+    assert rows[8]["n_mp4_samples"] == 2 + 8 % 4
