@@ -60,6 +60,8 @@ def encode_mp4(
         raise ValueError("encode_mp4 requires at least one frame")
     if len(codec) != 4:
         raise ValueError("codec must be a 4CC")
+    if samples_per_chunk < 1:
+        raise ValueError("samples_per_chunk must be >= 1")
     n = len(frames)
     duration = n * frame_duration
 
@@ -195,6 +197,9 @@ def _walk(data: bytes, start: int, end: int):
                 raise ValueError("truncated largesize box")
             size = struct.unpack_from(">Q", data, pos + 8)[0]
             hdr = 16
+        elif size == 0:  # spec: box extends to the end of the enclosure
+            size = end - pos
+            hdr = 8
         else:
             hdr = 8
         if size < hdr or pos + size > end:
@@ -218,8 +223,16 @@ def parse_mp4(data: bytes) -> dict:
     absolute byte positions of each encoded frame (stsc runs expanded to
     chunks, sizes accumulated within chunks — the standard demuxer
     algorithm) and times are decode timestamps in timescale units from
-    the stts runs. Raises ValueError on malformed structure.
+    the stts runs. Raises ValueError on malformed structure (struct
+    underflows included — the documented contract is ValueError only).
     """
+    try:
+        return _parse_mp4(data)
+    except struct.error as exc:
+        raise ValueError(f"malformed MP4: {exc}") from exc
+
+
+def _parse_mp4(data: bytes) -> dict:
     if len(data) < 8:
         raise ValueError("not an MP4: too short")
     boxes = {t: (s, e) for t, s, e in _walk(data, 0, len(data))}
@@ -248,6 +261,11 @@ def parse_mp4(data: bytes) -> dict:
     zs, ze = _find(data, bs, be, b"stsz")
     fixed, n = struct.unpack_from(">II", data, zs + 4)
     if fixed:
+        # bound BEFORE allocating: a malicious count of 2^32-1 would
+        # otherwise build a multi-GB list and OOM the Python worker —
+        # the opposite of the tolerant-reader contract
+        if fixed * n > len(data):
+            raise ValueError("stsz fixed-size total exceeds file size")
         sizes = [fixed] * n
     else:
         if zs + 12 + 4 * n > ze:
@@ -264,11 +282,15 @@ def parse_mp4(data: bytes) -> dict:
     except ValueError:
         cs, ce = _find(data, bs, be, b"co64")
         cn = struct.unpack_from(">I", data, cs + 4)[0]
+        if cs + 8 + 8 * cn > ce:
+            raise ValueError("co64 table truncated")
         chunks = list(struct.unpack_from(f">{cn}Q", data, cs + 8))
 
     # stsc runs → samples-per-chunk for every chunk
     xs, xe = _find(data, bs, be, b"stsc")
     en = struct.unpack_from(">I", data, xs + 4)[0]
+    if xs + 8 + 12 * en > xe:
+        raise ValueError("stsc table truncated")
     runs = [
         struct.unpack_from(">III", data, xs + 8 + 12 * i) for i in range(en)
     ]
@@ -299,6 +321,8 @@ def parse_mp4(data: bytes) -> dict:
     # stts runs → decode timestamps
     tts, tte = _find(data, bs, be, b"stts")
     tn = struct.unpack_from(">I", data, tts + 4)[0]
+    if tts + 8 + 8 * tn > tte:
+        raise ValueError("stts table truncated")
     times: list[int] = []
     t = 0
     for i in range(tn):

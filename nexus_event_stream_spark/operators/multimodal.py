@@ -188,7 +188,7 @@ def sample_frames(media: DataFrame, n_frames: int = 4, frame_bytes: int = 16) ->
     - anything else: evenly spaced ``frame_bytes`` byte windows — the
       tolerant-reader fallback (consumer.go:39-44), same row shape.
     """
-    from nexus_event_stream_spark.functions.mp4 import extract_samples
+    from nexus_event_stream_spark.functions.mp4 import parse_mp4
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def picks(count: int) -> list[int]:
@@ -211,11 +211,17 @@ def sample_frames(media: DataFrame, n_frames: int = 4, frame_bytes: int = 16) ->
                 except Exception:
                     pass
                 try:
-                    samples = extract_samples(p)
-                    for i, k in enumerate(picks(len(samples))):
+                    info = parse_mp4(p)
+                    offs, szs = info["sample_offsets"], info["sample_sizes"]
+                    if not offs:
+                        raise ValueError("no samples")
+                    # slice ONLY the picked frames — copying every sample
+                    # of a large file to keep n_frames of them would
+                    # double per-payload memory in this hot path
+                    for i, k in enumerate(picks(len(offs))):
                         ids.append(mid)
                         idxs.append(i)
-                        frames.append(samples[k])
+                        frames.append(p[offs[k] : offs[k] + szs[k]])
                     continue
                 except Exception:
                     pass
@@ -410,18 +416,24 @@ def decode_doc_media(media: DataFrame) -> DataFrame:
                     nframes.append(None)
                     fsums.append(None)
             for p in pdf["mp4video"]:
+                # compute every value BEFORE appending any: a partial
+                # append followed by the except-branch appends would
+                # leave the four lists at unequal lengths and fail the
+                # whole Arrow batch (e.g. a valid zero-sample container,
+                # where sample_times[-1] raises)
                 try:
                     info = parse_mp4(p)
                     chunks = extract_samples(p, info)
-                    m_ns.append(info["n_samples"])
-                    m_bytes.append(sum(info["sample_sizes"]))
-                    m_last.append(info["sample_times"][-1])
-                    m_sum.append(sum(sum(c) for c in chunks))
+                    ns = info["n_samples"]
+                    nb = sum(info["sample_sizes"])
+                    lt = info["sample_times"][-1] if info["sample_times"] else None
+                    bs = sum(sum(c) for c in chunks)
                 except Exception:
-                    m_ns.append(None)
-                    m_bytes.append(None)
-                    m_last.append(None)
-                    m_sum.append(None)
+                    ns = nb = lt = bs = None
+                m_ns.append(ns)
+                m_bytes.append(nb)
+                m_last.append(lt)
+                m_sum.append(bs)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

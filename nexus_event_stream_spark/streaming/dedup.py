@@ -427,12 +427,14 @@ def suppress_and_register(
             corpus=survivors if corpus_path is not None else None,
             corpus_root=corpus_path,
         )
-    if corpus_path is not None:
-        # everything this epoch needed is materialized (postings + corpus
-        # land inside the append commit) — release the per-batch cache,
-        # or a long-running stream accumulates one pinned relation per
-        # epoch. Collecting the returned survivors afterwards recomputes.
-        sigs.unpersist()
+    # Release the per-batch cache unconditionally, or a long-running
+    # caller accumulates one pinned relation per epoch. The posting
+    # append (and corpus write, when configured) already materialized
+    # everything this epoch commits; collecting the returned survivors
+    # afterwards recomputes deterministically — the probe relation was
+    # built from an explicit version-dir path list, so the recompute
+    # cannot see this epoch's own postings.
+    sigs.unpersist()
     return survivors
 
 

@@ -151,3 +151,70 @@ def test_decode_doc_media_malformed_mp4_yields_nulls(spark):
     assert rows[7]["n_mp4_samples"] is None and rows[7]["mp4_byte_sum"] is None
     assert rows[7]["sum_pixels"] is not None  # other codecs unaffected
     assert rows[8]["n_mp4_samples"] == 2 + 8 % 4
+
+
+def test_hostile_tables_raise_valueerror_fast():
+    """The reproduced hostile-input cases: huge fixed-size stsz count
+    must not allocate, truncated tables and struct underflows must raise
+    ValueError (the documented contract), samples_per_chunk=0 must not
+    hang, and a zero-sample container must not crash decode_doc_media's
+    list bookkeeping (covered via parse returning empty tables)."""
+    frames = synth_frames(3)
+    data = encode_mp4(frames)
+
+    with pytest.raises(ValueError):
+        encode_mp4(frames, samples_per_chunk=0)
+
+    def patch_box(payload: bytes, typ: bytes, rel_off: int, value: bytes) -> bytes:
+        at = payload.rfind(typ) + 4 + rel_off
+        return payload[:at] + value + payload[at + len(value) :]
+
+    # stsz fixed-size path with sample_count 0xFFFFFFFF: bounded rejection
+    bad = patch_box(data, b"stsz", 4, struct.pack(">II", 1, 0xFFFFFFFF))
+    with pytest.raises(ValueError):
+        parse_mp4(bad)
+    # co64-sized hostile counts on stco / stsc / stts: truncation errors
+    for typ, off in ((b"stco", 4), (b"stsc", 4), (b"stts", 4)):
+        bad = patch_box(data, typ, off, struct.pack(">I", 0x00FFFFFF))
+        with pytest.raises(ValueError):
+            parse_mp4(bad)
+
+
+def test_size_zero_box_extends_to_eof():
+    """ISO BMFF allows the final box to declare size 0 = 'to end of
+    file' (common for streamed mdat); the walker must accept it."""
+    frames = synth_frames(4)
+    data = encode_mp4(frames)
+    # rewrite the LAST top-level box's (moov) size field to 0
+    moov_at = data.rfind(b"moov") - 4
+    patched = data[:moov_at] + struct.pack(">I", 0) + data[moov_at + 4 :]
+    assert extract_samples(patched) == frames
+
+
+def test_zero_sample_container_yields_nulls_not_batch_failure(spark):
+    """A valid container whose stsz declares zero samples must null the
+    mp4 columns for that row only (reproduced: unequal result-list
+    lengths used to fail the entire Arrow batch)."""
+    from pyspark.sql import functions as F
+
+    from nexus_event_stream_spark.operators.multimodal import (
+        decode_doc_media,
+        synthesize_doc_media,
+    )
+
+    base = encode_mp4(synth_frames(2))
+    at = base.rfind(b"stsz") + 4 + 4
+    zero_sample = base[:at] + struct.pack(">II", 0, 0) + base[at + 8 :]
+    docs = spark.createDataFrame(
+        [(3, "words here"), (4, "more words")], "doc_id long, text string"
+    )
+    media = synthesize_doc_media(docs).withColumn(
+        "mp4video",
+        F.when(F.col("doc_id") == 3, F.lit(zero_sample)).otherwise(
+            F.col("mp4video")
+        ),
+    )
+    rows = {r["doc_id"]: r for r in decode_doc_media(media).collect()}
+    assert rows[3]["mp4_last_time"] is None  # zero samples → no timestamp
+    assert rows[3]["sum_pixels"] is not None
+    assert rows[4]["n_mp4_samples"] == 2 + 4 % 4
