@@ -228,7 +228,10 @@ def parse_mp4(data: bytes) -> dict:
     """
     try:
         return _parse_mp4(data)
-    except struct.error as exc:
+    except (struct.error, IndexError) as exc:
+        # struct underflows AND bare indexing past end-of-payload (e.g. an
+        # mdhd box whose payload is empty at EOF) both mean "malformed
+        # container" — the documented contract is ValueError only.
         raise ValueError(f"malformed MP4: {exc}") from exc
 
 
@@ -294,6 +297,18 @@ def _parse_mp4(data: bytes) -> dict:
     runs = [
         struct.unpack_from(">III", data, xs + 8 + 12 * i) for i in range(en)
     ]
+    # validate the run starts BEFORE expanding: first_chunk values are
+    # unvalidated 32-bit ints from the file, and `[spc] * (last - first + 1)`
+    # with a hostile first_chunk near 2^32 would allocate a multi-GB list
+    # (the same OOM class the stsz fixed-size guard blocks) before the
+    # coverage check below ever runs.
+    for i, (first, _spc, _sdi) in enumerate(runs):
+        if first < 1 or first > len(chunks):
+            raise ValueError("stsc first_chunk out of chunk-list range")
+        if i > 0 and first <= runs[i - 1][0]:
+            raise ValueError("stsc first_chunk values not strictly increasing")
+    if runs and runs[0][0] != 1:
+        raise ValueError("stsc runs do not start at chunk 1")
     spc_by_chunk: list[int] = []
     for i, (first, spc, _sdi) in enumerate(runs):
         last = runs[i + 1][0] - 1 if i + 1 < len(runs) else len(chunks)

@@ -179,6 +179,36 @@ def test_hostile_tables_raise_valueerror_fast():
         with pytest.raises(ValueError):
             parse_mp4(bad)
 
+    # hostile stsc first_chunk values: the run-expansion
+    # `[spc] * (last - first + 1)` must NEVER see an unvalidated
+    # first_chunk — a 654-byte file with first_chunk=5M used to allocate
+    # an 80 MB list before the coverage check ran. 3 frames at
+    # samples_per_chunk=2 gives a genuine 2-entry stsc (entry1 at
+    # rel-offset 8, entry2 at rel-offset 20 inside the full-box payload).
+    for rel, val in (
+        (20, 5_000_000),  # second run's first_chunk way past chunk list
+        (20, 0),          # first_chunk below 1
+        (20, 1),          # not strictly increasing (== first run's)
+        (8, 2),           # first run does not start at chunk 1
+    ):
+        bad = patch_box(data, b"stsc", rel, struct.pack(">I", val))
+        with pytest.raises(ValueError):
+            parse_mp4(bad)
+
+
+def test_empty_mdhd_payload_at_eof_raises_valueerror():
+    """An mdhd box with an empty payload ending exactly at EOF used to
+    leak IndexError from `data[hs]`; the contract is ValueError only."""
+
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    data = box(b"ftyp", b"isom") + box(
+        b"moov", box(b"trak", box(b"mdia", box(b"mdhd", b"")))
+    )
+    with pytest.raises(ValueError):
+        parse_mp4(data)
+
 
 def test_size_zero_box_extends_to_eof():
     """ISO BMFF allows the final box to declare size 0 = 'to end of
