@@ -7,6 +7,13 @@ on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 Each query is materialized through the noop sink — full execution, no
 driver-side collect cost, so the number measures the engine not the
 serializer.
+
+De-noise policy: after a full-catalog warmup pass at sf0.001 (uniform
+codegen/worker-pool state), every query is measured k=3 times in
+interleaved round-robin order; ``queries`` carries the per-query MEDIAN
+and ``spread`` the min/max/runs, so a transient host-load spike is both
+discarded (median) and visible (max≫median). A real 2× regression shows
+in ≥2 of 3 interleaved runs and therefore in the median.
 """
 
 from __future__ import annotations
@@ -197,39 +204,61 @@ def main() -> None:
     # land on whichever query happens to scan that table first
     for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
         load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
+    # Full warmup pass at the smallest SF: every query shape gets its
+    # codegen compiled and its Python/Arrow worker pool spun up BEFORE
+    # any measured run, so pass-1 numbers are not "first ever run of this
+    # plan" numbers. (Round-5 verdict: untouched queries oscillated
+    # 0.6↔1.9 s between rounds purely from non-uniform warm state.)
     warm_sf = "/root/testdata/sf0.001"
-    # q_mad_udaf warms the Python/Arrow worker pool for UDF-path queries.
-    for warm_q in (
-        "q_latest_state",
-        "q_join_star",
-        "q_embed_neardup",
-        "q_minhash_lsh",
-        "q_mad_udaf",
-    ):
-        if warm_q in qs:
-            try:
-                qs[warm_q](spark, warm_sf).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-            except Exception:
-                pass
-
-    per_query: dict[str, float] = {}
     for name, build in qs.items():
-        t0 = time.perf_counter()
-        build(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        per_query[name] = round(time.perf_counter() - t0, 3)
+        try:
+            build(spark, warm_sf).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass
 
-    # De-noise the slow tail: single-shot wall clock on a shared host
-    # swings several× under transient load (observed 50s→135s full-run
-    # totals with identical code). Re-measure every entry above 2s once
-    # and keep the minimum — min-over-repeats is the standard estimator
-    # for true cost under noisy-neighbor interference; fast entries are
-    # not worth the extra wall time.
-    for name in [n for n, dt in per_query.items() if dt > 2.0]:
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        per_query[name] = min(per_query[name], round(time.perf_counter() - t0, 3))
+    # Measured runs: k passes over the WHOLE catalog, interleaved
+    # round-robin (q1..qN, q1..qN, ...) rather than k back-to-back runs
+    # of each query — a transient host-load spike then lands on one pass
+    # of many queries instead of all repeats of one query, and the
+    # per-query median discards it. Median (not min) is the headline so
+    # a real regression shows in 2 of 3 runs; min/max are recorded so a
+    # noisy entry is visibly noisy in BENCH_r{N}.json.
+    import statistics
+
+    k_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_K", "3")))
+    samples: dict[str, list[float]] = {name: [] for name in qs}
+    for _ in range(k_runs):
+        for name, build in qs.items():
+            t0 = time.perf_counter()
+            build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples[name].append(time.perf_counter() - t0)
+
+    # Adaptive top-up: a query whose own k runs disagree by >25 % is
+    # noisy THIS session — two more interleaved runs give its median 5
+    # points to settle on instead of 3. Bounded extra cost: only the
+    # noisy subset re-runs.
+    noisy = [
+        n
+        for n, runs in samples.items()
+        if max(runs) / max(min(runs), 1e-9) > 1.25
+    ]
+    for _ in range(2):
+        for name in noisy:
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples[name].append(time.perf_counter() - t0)
+
+    per_query: dict[str, float] = {
+        name: round(statistics.median(runs), 3) for name, runs in samples.items()
+    }
+    spread: dict[str, dict] = {
+        name: {
+            "min": round(min(runs), 3),
+            "max": round(max(runs), 3),
+            "runs": [round(r, 3) for r in runs],
+        }
+        for name, runs in samples.items()
+    }
     total = sum(per_query.values())
 
     # Streaming-path headline: replay the events table through the LWW
@@ -241,11 +270,16 @@ def main() -> None:
     # cannot win — it pays off when |batch keys| << |view keys|. Its
     # contract is pinned by tests/test_bucketed_store.py instead; pass
     # bucketed=True above to measure it manually.)
-    dt = min(
-        _stream_projection_replay(spark, sf_dir),
-        _stream_projection_replay(spark, sf_dir),
-    )
+    replay_runs = [
+        _stream_projection_replay(spark, sf_dir) for _ in range(3)
+    ]
+    dt = statistics.median(replay_runs)
     per_query["stream_projection_replay"] = round(dt, 3)
+    spread["stream_projection_replay"] = {
+        "min": round(min(replay_runs), 3),
+        "max": round(max(replay_runs), 3),
+        "runs": [round(r, 3) for r in replay_runs],
+    }
     total += dt
 
     # Skew-robustness: the zipf-keyed synthetic join (VERDICT r4 #6) —
@@ -262,6 +296,8 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": per_query,
+                "spread": spread,
+                "k": k_runs,
                 "sf": sf,
             }
         )
