@@ -95,6 +95,65 @@ def test_train_bpe_matches_golden_fixture(spark, sf_dir):
     assert got == [tuple(m) for m in golden["merges"]]
 
 
+def test_distributed_trainer_matches_local(spark, sf_dir):
+    """The Spark-job merge loop and the collected-histogram driver-local
+    loop must agree merge-for-merge — on the tie-heavy toy corpus AND on
+    the golden documents corpus (so the fixture pin transitively covers
+    both paths)."""
+    from nexus_event_stream_spark.operators.bpe import train_bpe_distributed
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string"
+    )
+    assert train_bpe_distributed(docs, n_merges=12, min_freq=2) == train_bpe(
+        docs, n_merges=12, min_freq=2
+    )
+
+    from nexus_event_stream_spark.io import load_table
+
+    real = load_table(spark, sf_dir, "documents")
+    assert train_bpe_distributed(real, n_merges=8, min_freq=2) == train_bpe(
+        real, n_merges=8, min_freq=2
+    )
+
+
+def test_local_trainer_per_merge_speedup(spark):
+    """The reason train_bpe collects the histogram: per-merge cost must
+    be >=10x cheaper driver-local than as Spark jobs (a 32k-merge vocab
+    is 32k scheduler round-trips otherwise). Compared per-merge so the
+    test stays fast: 1000 local merges vs 20 distributed merges on the
+    same synthetic vocab, prefix equality asserted too."""
+    import random
+    import time
+
+    from nexus_event_stream_spark.operators.bpe import train_bpe_distributed
+
+    rng = random.Random(42)
+    words = {
+        "".join(rng.choice("abcdefghij") for _ in range(6))
+        for _ in range(3000)
+    }
+    text = " ".join(sorted(words))
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+
+    t0 = time.perf_counter()
+    local = train_bpe(docs, n_merges=1000, min_freq=1)
+    t_local = time.perf_counter() - t0
+    assert len(local) == 1000  # vocab genuinely supports the merge count
+
+    t0 = time.perf_counter()
+    dist = train_bpe_distributed(docs, n_merges=20, min_freq=1)
+    t_dist = time.perf_counter() - t0
+
+    assert local[:20] == dist
+    per_merge_local = t_local / 1000
+    per_merge_dist = t_dist / 20
+    assert per_merge_dist / per_merge_local >= 10, (
+        f"local {per_merge_local:.4f}s/merge vs "
+        f"distributed {per_merge_dist:.4f}s/merge"
+    )
+
+
 def test_bpe_encode_unseen_words_fall_back_to_chars(spark):
     train = spark.createDataFrame([(0, "aa aa aa aa")], "doc_id long, text string")
     merges = train_bpe(train, n_merges=3, min_freq=2)
