@@ -46,7 +46,6 @@ in the corpus exactly once, never zero or two times.
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
 import tempfile
@@ -55,6 +54,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from nexus_event_stream_spark.streaming.commit import PosixRenameBackend
 from nexus_event_stream_spark.operators.dedup import (
     band_key_array,
     jaccard,
@@ -108,11 +108,16 @@ class SignatureStore:
     """
 
     def __init__(
-        self, path: str, n_buckets: int = 64, compact_threshold: int | None = 8
+        self,
+        path: str,
+        n_buckets: int = 64,
+        compact_threshold: int | None = 8,
+        backend=None,
     ):
         self.path = path
         self.n_buckets = n_buckets
         self.compact_threshold = compact_threshold
+        self.backend = backend or PosixRenameBackend()
         os.makedirs(path, exist_ok=True)
         #: paths touched by the most recent probe — lets tests pin the
         #: "no full rescan" contract.
@@ -124,17 +129,10 @@ class SignatureStore:
         return os.path.join(self.path, POINTER)
 
     def current(self) -> dict | None:
-        try:
-            with open(self._pointer_path()) as fh:
-                return json.load(fh)
-        except FileNotFoundError:
-            return None
+        return self.backend.read(self._pointer_path())
 
-    def _commit(self, pointer: dict) -> None:
-        fd, tmp = tempfile.mkstemp(dir=self.path, prefix="._ptr")
-        with os.fdopen(fd, "w") as fh:
-            json.dump(pointer, fh)
-        os.replace(tmp, self._pointer_path())  # atomic on POSIX
+    def _commit(self, pointer: dict, expected: dict | None = None) -> None:
+        self.backend.commit(self._pointer_path(), pointer, expected)
 
     # -- read ---------------------------------------------------------------
 
@@ -210,7 +208,8 @@ class SignatureStore:
                 "run_token": run_token,
                 "buckets": buckets,
                 "corpus_versions": corpus_versions,
-            }
+            },
+            expected=cur,
         )
         if self.compact_threshold is not None:
             over = [
@@ -291,7 +290,8 @@ class SignatureStore:
                 # corpus dirs live under their own root and are NOT part
                 # of posting compaction — carry the references through
                 "corpus_versions": cur.get("corpus_versions", []),
-            }
+            },
+            expected=cur,
         )
         referenced = {ver for vs in new_buckets.values() for ver in vs} | {version}
         for name in os.listdir(self.path):

@@ -29,10 +29,8 @@ partitioned by a stable hash of the key to keep per-file sizes bounded.
 from __future__ import annotations
 
 import datetime as dt
-import json
 import os
 import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -42,6 +40,7 @@ from nexus_event_stream_spark.operators.lww import (
     lww_merge_batch,
 )
 from nexus_event_stream_spark.schemas import STATE_SCHEMA
+from nexus_event_stream_spark.streaming.commit import PosixRenameBackend
 
 POINTER = "_CURRENT"
 
@@ -56,11 +55,18 @@ class ParquetViewStore:
     ``priority``: 3 values → serving-side equality filters prune to one
     directory, the Spark analogue of the reference's priority ZSet index).
     Only low-cardinality columns belong here.
+
+    ``backend`` is the pointer-commit strategy (streaming/commit.py):
+    default POSIX rename; inject ConditionalPutBackend for object-store
+    deployments where rename is not atomic.
     """
 
-    def __init__(self, path: str, partition_by: str | None = None):
+    def __init__(
+        self, path: str, partition_by: str | None = None, backend=None
+    ):
         self.path = path
         self.partition_by = partition_by
+        self.backend = backend or PosixRenameBackend()
         os.makedirs(path, exist_ok=True)
 
     # -- pointer ------------------------------------------------------------
@@ -69,19 +75,20 @@ class ParquetViewStore:
         return os.path.join(self.path, POINTER)
 
     def current(self) -> dict | None:
-        try:
-            with open(self._pointer_path()) as fh:
-                return json.load(fh)
-        except FileNotFoundError:
-            return None
+        return self.backend.read(self._pointer_path())
 
-    def _commit(self, version: int, epoch: int | None, run_token: str | None) -> None:
-        fd, tmp = tempfile.mkstemp(dir=self.path, prefix="._ptr")
-        with os.fdopen(fd, "w") as fh:
-            json.dump(
-                {"version": version, "epoch": epoch, "run_token": run_token}, fh
-            )
-        os.replace(tmp, self._pointer_path())  # atomic on POSIX
+    def _commit(
+        self,
+        version: int,
+        epoch: int | None,
+        run_token: str | None,
+        expected: dict | None = None,
+    ) -> None:
+        self.backend.commit(
+            self._pointer_path(),
+            {"version": version, "epoch": epoch, "run_token": run_token},
+            expected,
+        )
 
     # -- read/write ---------------------------------------------------------
 
@@ -109,7 +116,9 @@ class ParquetViewStore:
         if self.partition_by:
             writer = writer.partitionBy(self.partition_by)
         writer.parquet(out)
-        self._commit(version, epoch, run_token)
+        # `expected=cur`: under a CAS backend a concurrent commit since
+        # our read surfaces as CommitConflictError, not a lost update
+        self._commit(version, epoch, run_token, expected=cur)
         self._vacuum(keep=(version, version - 1))
         return version
 
@@ -241,9 +250,10 @@ class BucketedViewStore:
     committed snapshot.
     """
 
-    def __init__(self, path: str, n_buckets: int = 64):
+    def __init__(self, path: str, n_buckets: int = 64, backend=None):
         self.path = path
         self.n_buckets = n_buckets
+        self.backend = backend or PosixRenameBackend()
         os.makedirs(path, exist_ok=True)
 
     # -- pointer ------------------------------------------------------------
@@ -252,17 +262,10 @@ class BucketedViewStore:
         return os.path.join(self.path, POINTER)
 
     def current(self) -> dict | None:
-        try:
-            with open(self._pointer_path()) as fh:
-                return json.load(fh)
-        except FileNotFoundError:
-            return None
+        return self.backend.read(self._pointer_path())
 
-    def _commit(self, pointer: dict) -> None:
-        fd, tmp = tempfile.mkstemp(dir=self.path, prefix="._ptr")
-        with os.fdopen(fd, "w") as fh:
-            json.dump(pointer, fh)
-        os.replace(tmp, self._pointer_path())  # atomic on POSIX
+    def _commit(self, pointer: dict, expected: dict | None = None) -> None:
+        self.backend.commit(self._pointer_path(), pointer, expected)
 
     # -- read ---------------------------------------------------------------
 
@@ -332,7 +335,8 @@ class BucketedViewStore:
                 "run_token": run_token,
                 "manifest": manifest,
                 "prev_refs": prev_refs,
-            }
+            },
+            expected=cur,
         )
         self._vacuum(manifest, prev_refs, version)
         return version

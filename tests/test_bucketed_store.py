@@ -43,9 +43,22 @@ def collect_view(spark, store):
     )
 
 
-@pytest.fixture()
-def store(tmp_path):
-    return BucketedViewStore(str(tmp_path / "view"), n_buckets=8)
+@pytest.fixture(params=["rename", "cas"])
+def store(tmp_path, request):
+    """Every bucketed-store contract runs under BOTH commit backends:
+    POSIX rename (the sandbox default) and the conditional-put twin of
+    an object-store deployment (streaming/commit.py)."""
+    from nexus_event_stream_spark.streaming.commit import (
+        ConditionalPutBackend,
+        PosixRenameBackend,
+    )
+
+    backend = (
+        PosixRenameBackend()
+        if request.param == "rename"
+        else ConditionalPutBackend()
+    )
+    return BucketedViewStore(str(tmp_path / "view"), n_buckets=8, backend=backend)
 
 
 def test_matches_full_refold_across_batches(spark, store):

@@ -16,6 +16,10 @@ import tempfile
 
 import pytest
 
+from nexus_event_stream_spark.streaming.commit import (
+    ConditionalPutBackend,
+    PosixRenameBackend,
+)
 from nexus_event_stream_spark.streaming.dedup import (
     SignatureStore,
     suppress_and_register,
@@ -39,6 +43,15 @@ def store_dir():
     d = tempfile.mkdtemp(prefix="sigstore_")
     yield d
     shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(params=["rename", "cas"])
+def backend(request):
+    """The exactly-once pins run under BOTH pointer-commit backends: the
+    POSIX-rename default and the object-store conditional-put twin."""
+    if request.param == "rename":
+        return PosixRenameBackend()
+    return ConditionalPutBackend()
 
 
 def docs_df(spark, rows):
@@ -82,8 +95,10 @@ def test_within_batch_and_cross_batch_suppression(spark, store_dir):
     assert stored_doc_ids(spark, store) == {1, 2, 4, 6}
 
 
-def test_replayed_epoch_is_noop_on_state_and_deterministic(spark, store_dir):
-    store = SignatureStore(store_dir, n_buckets=16)
+def test_replayed_epoch_is_noop_on_state_and_deterministic(
+    spark, store_dir, backend
+):
+    store = SignatureStore(store_dir, n_buckets=16, backend=backend)
     assert surviving_ids(spark, store, [(1, A_TEXT)], 0) == [1]
     assert surviving_ids(spark, store, [(2, B_TEXT)], 1) == [2]
     ver_before = store.current()["version"]
@@ -228,11 +243,11 @@ def committed_corpus_ids(spark, store, corpus):
     return sorted(r.doc_id for r in df.collect()) if df is not None else []
 
 
-def test_corpus_append_exactly_once_across_crash(spark, store_dir):
+def test_corpus_append_exactly_once_across_crash(spark, store_dir, backend):
     """Crash injected between the corpus data write and the pointer
     commit: the replayed epoch overwrites the orphan directory and
     commits once — no duplicate rows, no lost batch."""
-    store = SignatureStore(store_dir, n_buckets=16)
+    store = SignatureStore(store_dir, n_buckets=16, backend=backend)
     corpus = tempfile.mkdtemp(prefix="dedup_corpus_")
     try:
         suppress_and_register(
@@ -243,7 +258,7 @@ def test_corpus_append_exactly_once_across_crash(spark, store_dir):
 
         # epoch 1 crashes at commit time: data dirs written, pointer not
         real_commit = store._commit
-        store._commit = lambda ptr: (_ for _ in ()).throw(
+        store._commit = lambda ptr, expected=None: (_ for _ in ()).throw(
             OSError("injected crash before pointer rename")
         )
         with pytest.raises(Exception):
