@@ -183,9 +183,153 @@ def encode_mp4(
     return ftyp + mdat + moov
 
 
-def _walk(data: bytes, start: int, end: int):
-    """Yield (type, payload_start, payload_end) for each box in a range,
-    validating size fields (the malformed-container guard)."""
+def encode_fmp4(
+    frames: list[bytes],
+    width: int = 0,
+    height: int = 0,
+    timescale: int = 1000,
+    frame_duration: int = 40,
+    codec: str = "mp4v",
+    frames_per_fragment: int = 2,
+) -> bytes:
+    """Write ``frames`` as a FRAGMENTED MP4 (fMP4/CMAF segment shape):
+    ftyp + moov (empty sample tables + ``mvex``/``trex`` defaults) +
+    one ``moof``+``mdat`` pair per fragment. Each ``traf`` carries
+    tfhd (default-base-is-moof), tfdt (base decode time) and a trun
+    whose data_offset is relative to the moof box start — the layout
+    streaming pipelines actually ingest (DASH/HLS segments), where
+    sample metadata arrives per-fragment instead of in one up-front
+    stbl."""
+    if not frames:
+        raise ValueError("encode_fmp4 requires at least one frame")
+    if len(codec) != 4:
+        raise ValueError("codec must be a 4CC")
+    if frames_per_fragment < 1:
+        raise ValueError("frames_per_fragment must be >= 1")
+    n = len(frames)
+
+    ftyp = _box(
+        b"ftyp", b"iso5" + struct.pack(">I", 0x200) + b"iso5" + b"isom" + b"cmfc"
+    )
+    stsd_entry = (
+        struct.pack(">I", 86)
+        + codec.encode("ascii")
+        + b"\x00" * 6
+        + struct.pack(">H", 1)
+        + b"\x00" * 16
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)
+        + struct.pack(">I", 0)
+        + struct.pack(">H", 1)
+        + b"\x00" * 32
+        + struct.pack(">Hh", 0x0018, -1)
+    )
+    # empty sample tables: every sample is described by the fragments
+    stbl = _box(
+        b"stbl",
+        _full(b"stsd", 0, 0, struct.pack(">I", 1) + stsd_entry)
+        + _full(b"stts", 0, 0, struct.pack(">I", 0))
+        + _full(b"stsc", 0, 0, struct.pack(">I", 0))
+        + _full(b"stsz", 0, 0, struct.pack(">II", 0, 0))
+        + _full(b"stco", 0, 0, struct.pack(">I", 0)),
+    )
+    minf = _box(
+        b"minf",
+        _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+        + _box(
+            b"dinf",
+            _full(b"dref", 0, 0, struct.pack(">I", 1) + _full(b"url ", 0, 1, b"")),
+        )
+        + stbl,
+    )
+    mdia = _box(
+        b"mdia",
+        _full(
+            b"mdhd",
+            0,
+            0,
+            struct.pack(">IIIIHH", 0, 0, timescale, 0, 0x55C4, 0),
+        )
+        + _full(
+            b"hdlr",
+            0,
+            0,
+            struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"nexus\x00",
+        )
+        + minf,
+    )
+    tkhd = _full(
+        b"tkhd",
+        0,
+        7,
+        struct.pack(">IIII", 0, 0, 1, 0)
+        + struct.pack(">I", 0)  # duration unknown up front in fMP4
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + _UNITY_MATRIX
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    mvhd = _full(
+        b"mvhd",
+        0,
+        0,
+        struct.pack(">IIII", 0, 0, timescale, 0)
+        + struct.pack(">IHH", 0x10000, 0x0100, 0)
+        + b"\x00" * 8
+        + _UNITY_MATRIX
+        + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    trex = _full(
+        b"trex",
+        0,
+        0,
+        struct.pack(">IIIII", 1, 1, frame_duration, 0, 0),
+    )
+    moov = _box(
+        b"moov", mvhd + _box(b"trak", tkhd + mdia) + _box(b"mvex", trex)
+    )
+
+    out = [ftyp, moov]
+    seq = 0
+    for i in range(0, n, frames_per_fragment):
+        group = frames[i : i + frames_per_fragment]
+        seq += 1
+
+        def _traf(data_offset: int) -> bytes:
+            tfhd = _full(
+                b"tfhd", 0, 0x020000, struct.pack(">I", 1)
+            )  # default-base-is-moof, track 1
+            tfdt = _full(
+                b"tfdt", 0, 0, struct.pack(">I", i * frame_duration)
+            )
+            trun = _full(
+                b"trun",
+                0,
+                0x1 | 0x200,  # data-offset + sample-size present
+                struct.pack(">Ii", len(group), data_offset)
+                + b"".join(struct.pack(">I", len(f)) for f in group),
+            )
+            return _box(b"traf", tfhd + tfdt + trun)
+
+        def _moof(data_offset: int) -> bytes:
+            mfhd = _full(b"mfhd", 0, 0, struct.pack(">I", seq))
+            return _box(b"moof", mfhd + _traf(data_offset))
+
+        # data_offset is moof-relative; the field is fixed-width so the
+        # size of moof does not depend on its value — build once with a
+        # placeholder to learn the size, then rebuild with the real one
+        moof_size = len(_moof(0))
+        out.append(_moof(moof_size + 8))  # samples start after mdat header
+        out.append(_box(b"mdat", b"".join(group)))
+    return b"".join(out)
+
+
+def _walk_boxes(data: bytes, start: int, end: int):
+    """Yield (type, box_start, payload_start, payload_end) for each box
+    in a range, validating size fields (the malformed-container guard).
+    ``box_start`` includes the header — it is the anchor fMP4's
+    default-base-is-moof addressing is relative to."""
     pos = start
     while pos < end:
         if pos + 8 > end:
@@ -204,8 +348,14 @@ def _walk(data: bytes, start: int, end: int):
             hdr = 8
         if size < hdr or pos + size > end:
             raise ValueError(f"bad box size {size} for {typ!r}")
-        yield typ, pos + hdr, pos + size
+        yield typ, pos, pos + hdr, pos + size
         pos += size
+
+
+def _walk(data: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for each box in a range."""
+    for typ, _bs, ps, pe in _walk_boxes(data, start, end):
+        yield typ, ps, pe
 
 
 def _find(data: bytes, start: int, end: int, typ: bytes):
@@ -235,10 +385,136 @@ def parse_mp4(data: bytes) -> dict:
         raise ValueError(f"malformed MP4: {exc}") from exc
 
 
+def _trex_defaults(data: bytes, ms: int, me: int) -> tuple[int | None, int | None]:
+    """(default_sample_duration, default_sample_size) from moov/mvex/trex,
+    or (None, None) when the movie has no fragment defaults."""
+    try:
+        vs, ve = _find(data, ms, me, b"mvex")
+        ts, te = _find(data, vs, ve, b"trex")
+    except ValueError:
+        return None, None
+    if ts + 24 > te:
+        raise ValueError("trex truncated")
+    _tid, _sdi, dur, size, _fl = struct.unpack_from(">IIIII", data, ts + 4)
+    return dur, size
+
+
+def _resolve_fragments(
+    data: bytes,
+    moofs: list[tuple[int, int, int]],
+    default_dur: int | None,
+    default_size: int | None,
+) -> tuple[list[int], list[int], list[int], int]:
+    """Resolve every moof/traf/trun to absolute sample byte ranges and
+    decode timestamps — the fMP4 twin of the stbl resolution. Returns
+    (offsets, sizes, times, end_time)."""
+    offsets: list[int] = []
+    sizes: list[int] = []
+    times: list[int] = []
+    t = 0
+    for box_start, ps, pe in moofs:
+        trafs = [(s, e) for typ, s, e in _walk(data, ps, pe) if typ == b"traf"]
+        if not trafs:
+            raise ValueError("moof without traf")
+        for tfs, tfe in trafs:
+            base = box_start  # default-base-is-moof / first-traf default
+            tf_dur, tf_size = default_dur, default_size
+            truns: list[tuple[int, int]] = []
+            for typ, s, e in _walk(data, tfs, tfe):
+                if typ == b"tfhd":
+                    if s + 8 > e:
+                        raise ValueError("tfhd truncated")
+                    flags = struct.unpack_from(">I", data, s)[0] & 0xFFFFFF
+                    p = s + 8  # after verflags + track_id
+                    if flags & 0x1:  # explicit base_data_offset
+                        if p + 8 > e:
+                            raise ValueError("tfhd truncated")
+                        base = struct.unpack_from(">Q", data, p)[0]
+                        p += 8
+                    if flags & 0x2:
+                        p += 4
+                    if flags & 0x8:
+                        if p + 4 > e:
+                            raise ValueError("tfhd truncated")
+                        tf_dur = struct.unpack_from(">I", data, p)[0]
+                        p += 4
+                    if flags & 0x10:
+                        if p + 4 > e:
+                            raise ValueError("tfhd truncated")
+                        tf_size = struct.unpack_from(">I", data, p)[0]
+                        p += 4
+                    if flags & 0x20:
+                        p += 4
+                    if p > e:
+                        raise ValueError("tfhd truncated")
+                elif typ == b"tfdt":
+                    if s + 8 > e:
+                        raise ValueError("tfdt truncated")
+                    if data[s] == 1:
+                        if s + 12 > e:
+                            raise ValueError("tfdt truncated")
+                        t = struct.unpack_from(">Q", data, s + 4)[0]
+                    else:
+                        t = struct.unpack_from(">I", data, s + 4)[0]
+                elif typ == b"trun":
+                    truns.append((s, e))
+            pos: int | None = None
+            for s, e in truns:
+                if s + 8 > e:
+                    raise ValueError("trun truncated")
+                flags = struct.unpack_from(">I", data, s)[0] & 0xFFFFFF
+                cnt = struct.unpack_from(">I", data, s + 4)[0]
+                entry = 4 * (
+                    bool(flags & 0x100)
+                    + bool(flags & 0x200)
+                    + bool(flags & 0x400)
+                    + bool(flags & 0x800)
+                )
+                fixed = (4 if flags & 0x1 else 0) + (4 if flags & 0x4 else 0)
+                # bound BEFORE iterating: a hostile sample_count near 2^32
+                # must not drive the append loop (same OOM class as the
+                # stsz/stsc guards)
+                if cnt > len(data) or s + 8 + fixed + cnt * entry > e:
+                    raise ValueError("trun truncated or sample count hostile")
+                p = s + 8
+                if flags & 0x1:
+                    doff = struct.unpack_from(">i", data, p)[0]
+                    p += 4
+                    pos = base + doff
+                elif pos is None:
+                    pos = base
+                if flags & 0x4:
+                    p += 4
+                for _ in range(cnt):
+                    dur, sz = tf_dur, tf_size
+                    if flags & 0x100:
+                        dur = struct.unpack_from(">I", data, p)[0]
+                        p += 4
+                    if flags & 0x200:
+                        sz = struct.unpack_from(">I", data, p)[0]
+                        p += 4
+                    if flags & 0x400:
+                        p += 4
+                    if flags & 0x800:
+                        p += 4
+                    if sz is None or dur is None:
+                        raise ValueError(
+                            "trun sample lacks size/duration and no "
+                            "tfhd/trex default exists"
+                        )
+                    offsets.append(pos)
+                    sizes.append(sz)
+                    times.append(t)
+                    pos += sz
+                    t += dur
+    return offsets, sizes, times, t
+
+
 def _parse_mp4(data: bytes) -> dict:
     if len(data) < 8:
         raise ValueError("not an MP4: too short")
-    boxes = {t: (s, e) for t, s, e in _walk(data, 0, len(data))}
+    tops = list(_walk_boxes(data, 0, len(data)))
+    boxes = {t: (s, e) for t, _b0, s, e in tops}
     if b"ftyp" not in boxes or b"moov" not in boxes:
         raise ValueError("not an MP4: missing ftyp/moov")
     fs, _fe = boxes[b"ftyp"]
@@ -259,6 +535,31 @@ def _parse_mp4(data: bytes) -> dict:
     # stsd → codec 4CC of the first sample entry
     ss, se = _find(data, bs, be, b"stsd")
     codec = data[ss + 8 + 4 : ss + 8 + 8].decode("ascii", "replace")
+
+    moofs = [(b0, s, e) for t, b0, s, e in tops if t == b"moof"]
+    if moofs:
+        # fragmented: samples are described per-fragment (moof/traf/trun),
+        # the stbl is empty by construction
+        offsets, sizes, times, end_t = _resolve_fragments(
+            data, moofs, *_trex_defaults(data, ms, me)
+        )
+        n = len(sizes)
+        for off, size in zip(offsets, sizes):
+            if off + size > len(data):
+                raise ValueError("sample range beyond end of file")
+        return {
+            "brand": brand,
+            "codec": codec,
+            "timescale": timescale,
+            # fMP4 declares duration 0 up front; the fragments know it
+            "duration": duration if duration else end_t,
+            "n_samples": n,
+            "sample_offsets": offsets,
+            "sample_sizes": sizes,
+            "sample_times": times,
+            "fragmented": True,
+            "n_fragments": len(moofs),
+        }
 
     # stsz → sizes
     zs, ze = _find(data, bs, be, b"stsz")
@@ -359,6 +660,8 @@ def _parse_mp4(data: bytes) -> dict:
         "sample_offsets": offsets,
         "sample_sizes": sizes,
         "sample_times": times,
+        "fragmented": False,
+        "n_fragments": 0,
     }
 
 

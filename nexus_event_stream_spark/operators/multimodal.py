@@ -260,6 +260,15 @@ def sample_frames(media: DataFrame, n_frames: int = 4, frame_bytes: int = 16) ->
 #: demuxed (stts/stsc/stsz/stco resolution) to sample count, byte total,
 #: last decode timestamp, and the byte-value sum over every extracted
 #: sample — any box-walk, chunk-math, or slicing bug breaks the hash.
+#: Fragmented MP4 (fMP4/CMAF: moov carries only mvex/trex defaults;
+#: samples arrive per-fragment in moof/traf/trun — the DASH/HLS segment
+#: shape real ingest sees):
+#:   n_fmp4    = 3 + doc_id % 5        frames_per_fragment = 2
+#:   len(frame_f)   = 6 + (doc_id*3 + f) % 7
+#:   frame_f byte_i = (doc_id*7 + f*29 + i) % 256
+#: demuxed via trun data-offset/size resolution (default-base-is-moof)
+#: to fragment count, sample count, last tfdt-anchored timestamp and the
+#: byte-value sum — any traf/trun bug breaks the hash.
 DOC_MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -270,6 +279,7 @@ DOC_MEDIA_SCHEMA = T.StructType(
         T.StructField("audio", T.BinaryType()),
         T.StructField("video", T.BinaryType()),
         T.StructField("mp4video", T.BinaryType()),
+        T.StructField("fmp4video", T.BinaryType()),
     ]
 )
 
@@ -291,6 +301,10 @@ DECODED_DOC_MEDIA_SCHEMA = T.StructType(
         T.StructField("mp4_sample_bytes", T.LongType()),
         T.StructField("mp4_last_time", T.LongType()),
         T.StructField("mp4_byte_sum", T.LongType()),
+        T.StructField("n_fmp4_fragments", T.IntegerType()),
+        T.StructField("n_fmp4_samples", T.IntegerType()),
+        T.StructField("fmp4_last_time", T.LongType()),
+        T.StructField("fmp4_byte_sum", T.LongType()),
     ]
 )
 
@@ -311,11 +325,11 @@ def synthesize_doc_media(docs: DataFrame) -> DataFrame:
         .alias("size_class"),
     )
 
-    from nexus_event_stream_spark.functions.mp4 import encode_mp4
+    from nexus_event_stream_spark.functions.mp4 import encode_fmp4, encode_mp4
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            filts, images, audios, videos, mp4s = [], [], [], [], []
+            filts, images, audios, videos, mp4s, fmp4s = [], [], [], [], [], []
             for did in pdf["doc_id"]:
                 did = int(did)
                 w, h, f = doc_image_dims(did)
@@ -355,6 +369,21 @@ def synthesize_doc_media(docs: DataFrame) -> DataFrame:
                         height=h,
                     )
                 )
+                nm2 = 3 + did % 5
+                fmp4s.append(
+                    encode_fmp4(
+                        [
+                            bytes(
+                                (did * 7 + fi * 29 + i) % 256
+                                for i in range(6 + (did * 3 + fi) % 7)
+                            )
+                            for fi in range(nm2)
+                        ],
+                        width=w,
+                        height=h,
+                        frames_per_fragment=2,
+                    )
+                )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -365,6 +394,7 @@ def synthesize_doc_media(docs: DataFrame) -> DataFrame:
                     "audio": audios,
                     "video": videos,
                     "mp4video": mp4s,
+                    "fmp4video": fmp4s,
                 }
             )
 
@@ -387,6 +417,7 @@ def decode_doc_media(media: DataFrame) -> DataFrame:
             rates, counts, energies = [], [], []
             nframes, fsums = [], []
             m_ns, m_bytes, m_last, m_sum = [], [], [], []
+            f_nf, f_ns, f_last, f_sum = [], [], [], []
             for p in pdf["image"]:
                 try:
                     w, h, _ct, px = decode_png(p)
@@ -434,6 +465,22 @@ def decode_doc_media(media: DataFrame) -> DataFrame:
                 m_bytes.append(nb)
                 m_last.append(lt)
                 m_sum.append(bs)
+            for p in pdf["fmp4video"]:
+                try:
+                    info = parse_mp4(p)
+                    if not info["fragmented"]:
+                        raise ValueError("expected a fragmented container")
+                    chunks = extract_samples(p, info)
+                    nf = info["n_fragments"]
+                    ns = info["n_samples"]
+                    lt = info["sample_times"][-1] if info["sample_times"] else None
+                    bs = sum(sum(c) for c in chunks)
+                except Exception:
+                    nf = ns = lt = bs = None
+                f_nf.append(nf)
+                f_ns.append(ns)
+                f_last.append(lt)
+                f_sum.append(bs)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -452,6 +499,10 @@ def decode_doc_media(media: DataFrame) -> DataFrame:
                     "mp4_sample_bytes": pd.array(m_bytes, dtype="Int64"),
                     "mp4_last_time": pd.array(m_last, dtype="Int64"),
                     "mp4_byte_sum": pd.array(m_sum, dtype="Int64"),
+                    "n_fmp4_fragments": pd.array(f_nf, dtype="Int32"),
+                    "n_fmp4_samples": pd.array(f_ns, dtype="Int32"),
+                    "fmp4_last_time": pd.array(f_last, dtype="Int64"),
+                    "fmp4_byte_sum": pd.array(f_sum, dtype="Int64"),
                 }
             )
 

@@ -216,7 +216,14 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(list_sum(list_transform(range(0, 2 + doc_id % 4), f ->
         list_sum(list_transform(range(0, 8 + (doc_id + f) % 9),
           i -> (doc_id * 13 + f * 41 + i) % 256)))) AS BIGINT)
-        AS mp4_byte_sum
+        AS mp4_byte_sum,
+      CAST((3 + doc_id % 5 + 1) // 2 AS INTEGER) AS n_fmp4_fragments,
+      CAST(3 + doc_id % 5 AS INTEGER) AS n_fmp4_samples,
+      CAST((3 + doc_id % 5 - 1) * 40 AS BIGINT) AS fmp4_last_time,
+      CAST(list_sum(list_transform(range(0, 3 + doc_id % 5), f ->
+        list_sum(list_transform(range(0, 6 + (doc_id * 3 + f) % 7),
+          i -> (doc_id * 7 + f * 29 + i) % 256)))) AS BIGINT)
+        AS fmp4_byte_sum
     FROM documents
     """,
     doc="Multimodal pipeline, REAL codecs end-to-end: per document an "
@@ -235,7 +242,11 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "resolution to sample count, byte total, last decode timestamp, "
     "and the byte-value sum over every extracted sample (proving the "
     "resolved offsets slice exactly the right bytes; codec-payload "
-    "decode is the one environment-capped step). The oracle recomputes "
+    "decode is the one environment-capped step), AND a FRAGMENTED MP4 "
+    "(fMP4/CMAF segment shape: empty stbl + mvex/trex defaults, samples "
+    "described per-fragment in moof/traf/trun with default-base-is-moof "
+    "addressing) demuxed back to fragment count, sample count, "
+    "tfdt-anchored last timestamp and byte-value sum. The oracle recomputes "
     "every decoded quantity closed-form, so any encode- or decode-side "
     "bug (PNG filters, WAV sample unpack, APNG sequencing, MP4 chunk "
     "math) breaks the value hash. Typed metadata rides through the two "
@@ -266,6 +277,10 @@ def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mp4_sample_bytes",
         "mp4_last_time",
         "mp4_byte_sum",
+        "n_fmp4_fragments",
+        "n_fmp4_samples",
+        "fmp4_last_time",
+        "fmp4_byte_sum",
     )
 
 

@@ -196,6 +196,61 @@ def test_hostile_tables_raise_valueerror_fast():
             parse_mp4(bad)
 
 
+def test_fmp4_roundtrip_and_fragment_resolution():
+    """Fragmented layout: moov has EMPTY sample tables; every sample must
+    be recovered from moof/traf/trun with default-base-is-moof
+    addressing, timestamps anchored by each fragment's tfdt."""
+    from nexus_event_stream_spark.functions.mp4 import encode_fmp4
+
+    frames = [bytes((i * 7 + j) % 256 for j in range(8 + i)) for i in range(5)]
+    data = encode_fmp4(frames, width=4, height=3, frames_per_fragment=2)
+    info = parse_mp4(data)
+    assert info["fragmented"] is True
+    assert info["n_fragments"] == 3  # 2+2+1
+    assert info["n_samples"] == 5
+    assert info["sample_times"] == [0, 40, 80, 120, 160]
+    assert info["duration"] == 200  # fragments know what moov declares as 0
+    assert info["brand"] == "iso5"
+    assert extract_samples(data, info) == frames
+
+    # one frame per fragment: the degenerate CMAF-chunk shape
+    solo = encode_fmp4(frames, frames_per_fragment=1)
+    si = parse_mp4(solo)
+    assert si["n_fragments"] == 5 and extract_samples(solo, si) == frames
+
+    # progressive files keep reporting unfragmented
+    assert parse_mp4(encode_mp4(frames))["fragmented"] is False
+
+
+def test_fmp4_hostile_inputs_raise_valueerror_fast():
+    """trun is attacker-controlled per-fragment metadata: hostile sample
+    counts must be rejected BEFORE the resolution loop runs, truncation
+    and missing traf must surface as ValueError."""
+    from nexus_event_stream_spark.functions.mp4 import encode_fmp4
+
+    frames = synth_frames(4)
+    data = encode_fmp4(frames, frames_per_fragment=2)
+
+    def patch_box(payload: bytes, typ: bytes, rel_off: int, value: bytes) -> bytes:
+        at = payload.rfind(typ) + 4 + rel_off
+        return payload[:at] + value + payload[at + len(value) :]
+
+    # trun sample_count 0xFFFFFFFF (full-box payload: verflags at rel 0,
+    # sample_count at rel 4): bounded rejection, no allocation
+    bad = patch_box(data, b"trun", 4, struct.pack(">I", 0xFFFFFFFF))
+    with pytest.raises(ValueError):
+        parse_mp4(bad)
+
+    # truncated mid-mdat: the box walk must reject the bad size
+    with pytest.raises(ValueError):
+        parse_mp4(data[:-3])
+
+    # a moof whose traf 4CC is mangled carries no sample description
+    at = data.rfind(b"traf")
+    with pytest.raises(ValueError):
+        parse_mp4(data[:at] + b"trXf" + data[at + 4 :])
+
+
 def test_empty_mdhd_payload_at_eof_raises_valueerror():
     """An mdhd box with an empty payload ending exactly at EOF used to
     leak IndexError from `data[hs]`; the contract is ValueError only."""
