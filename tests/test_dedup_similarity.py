@@ -130,6 +130,69 @@ def test_connected_components_chain_and_clique(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_merge_edges_matches_full_recompute_on_random_streams(spark):
+    """Incremental CC: folding delta-edge batches into an existing
+    labeling must label-match a full recompute over the union of every
+    edge seen — including batches that BRIDGE two existing components
+    and batches introducing brand-new nodes."""
+    import random
+
+    from nexus_event_stream_spark.operators.dedup import (
+        connected_components,
+        merge_edges,
+    )
+
+    def df_pairs(rows):
+        return spark.createDataFrame(rows, "doc_a long, doc_b long")
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n_nodes = 30
+        all_edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes)) for _ in range(40)
+        ]
+        all_edges = [(a, b) for a, b in all_edges if a != b]
+        cut = len(all_edges) // 3
+        base, deltas = all_edges[:cut], all_edges[cut:]
+
+        labels = connected_components(df_pairs(base)) if base else None
+        # fold the remaining edges in two delta batches
+        mid = len(deltas) // 2
+        for chunk in (deltas[:mid], deltas[mid:]):
+            if not chunk:
+                continue
+            if labels is None:
+                labels = connected_components(df_pairs(chunk))
+            else:
+                labels = merge_edges(labels, df_pairs(chunk))
+        got = {r["node"]: r["comp"] for r in labels.collect()}
+        want = {
+            r["node"]: r["comp"]
+            for r in connected_components(df_pairs(all_edges)).collect()
+        }
+        assert got == want, f"trial {trial} diverged"
+
+
+def test_merge_edges_bridges_components_and_adds_nodes(spark):
+    """The two interesting deltas, pinned explicitly: an edge bridging
+    two settled components relabels the LARGER-labeled one wholesale;
+    never-seen nodes join with min-id semantics intact."""
+    from nexus_event_stream_spark.operators.dedup import (
+        connected_components,
+        merge_edges,
+    )
+
+    base = spark.createDataFrame(
+        [(1, 2), (10, 11)], "doc_a long, doc_b long"
+    )
+    labels = connected_components(base)
+    delta = spark.createDataFrame(
+        [(2, 10), (50, 51)], "doc_a long, doc_b long"
+    )
+    got = {r["node"]: r["comp"] for r in merge_edges(labels, delta).collect()}
+    assert got == {1: 1, 2: 1, 10: 1, 11: 1, 50: 50, 51: 50}
+
+
 def test_dedup_groups_from_minhash_pairs(docs):
     from nexus_event_stream_spark.operators.dedup import dedup_groups
 

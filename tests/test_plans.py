@@ -233,9 +233,9 @@ def test_connected_components_one_action_per_round_and_cached_labels(
     # collect count above `first` would expose an extra hidden action)
     assert counts["first"] == 4
     assert counts["collect"] == counts["first"] and counts["count"] == 0
-    # the returned labels are the persisted (already-materialized)
+    # the returned labels are the checkpointed (already-materialized)
     # relation: downstream consumers (the dedup_groups join) read the
-    # cache, not a replay of every round's lineage
-    assert "InMemoryTableScan" in physical_plan(labels)
+    # truncated ExistingRDD scan, not a replay of every round's lineage
+    assert "ExistingRDD" in physical_plan(labels)
     got = {r["node"]: r["comp"] for r in labels.collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1}
