@@ -650,3 +650,283 @@ def exact_top1_per_vector_blocked(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product-quantized ANN for corpora whose float vectors don't fit
+# ---------------------------------------------------------------------------
+
+
+def pq_train_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 8,
+    init_cap: int = 1024,
+    vec_col: str = "embedding",
+):
+    """Train product-quantization codebooks: the vector space is split
+    into ``m`` subspaces of d/m dims and each subspace gets its own
+    ``ksub``-centroid quantizer (Jégou et al., "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011 — the public formulation every
+    PQ implementation follows). A vector then compresses to m small codes
+    (m bytes at ksub≤256): the representation that lets a 100 TB float
+    corpus's ANN index live in executor memory.
+
+    Distributed Lloyd over ALL subspaces in one pass per iteration —
+    executors emit quantized-integer partial sums keyed
+    (subspace, centroid, dim), exactly the ivf_train_centroids recipe, so
+    codebooks are bit-deterministic across partitionings. Driver state is
+    O(m·ksub·d/m) = O(ksub·d). Vectors are L2-normalized first (cosine
+    search: squared L2 on the unit sphere is 2−2·cos, so PQ's natural
+    L2 machinery ranks by cosine).
+
+    Returns an (m, ksub, d/m) float64 ndarray.
+    """
+    import numpy as np
+
+    fp_scale = float(1 << 24)
+    x0 = np.array(
+        [r[0] for r in embeddings.select(vec_col).limit(init_cap).collect()],
+        dtype=np.float64,
+    )
+    x0 = x0 / np.maximum(np.linalg.norm(x0, axis=1, keepdims=True), 1e-12)
+    d = x0.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    dsub = d // m
+    idx = np.linspace(0, len(x0) - 1, ksub).astype(int)
+    books = np.stack(
+        [x0[idx, s * dsub : (s + 1) * dsub].copy() for s in range(m)]
+    )  # (m, ksub, dsub)
+
+    partial_schema = T.StructType(
+        [
+            T.StructField("sub", T.IntegerType()),
+            T.StructField("c", T.IntegerType()),
+            T.StructField("dim", T.IntegerType()),
+            T.StructField("s", T.LongType()),
+            T.StructField("cnt", T.LongType()),
+        ]
+    )
+    src = spread(embeddings).select(vec_col)
+    for _ in range(iters):
+        bb = books.copy()
+
+        def partials(batches, bb=bb):
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                x = x / np.maximum(
+                    np.linalg.norm(x, axis=1, keepdims=True), 1e-12
+                )
+                rows: dict[str, list] = {
+                    "sub": [], "c": [], "dim": [], "s": [], "cnt": []
+                }
+                for s_i in range(m):
+                    xs = x[:, s_i * dsub : (s_i + 1) * dsub]
+                    d2 = ((xs[:, None, :] - bb[s_i][None, :, :]) ** 2).sum(
+                        axis=2
+                    )
+                    assign = d2.argmin(axis=1)
+                    xq = np.rint(xs * fp_scale).astype(np.int64)
+                    for c in range(ksub):
+                        members = xq[assign == c]
+                        if not len(members):
+                            continue
+                        sums = members.sum(axis=0, dtype=np.int64)
+                        rows["sub"].extend([s_i] * dsub)
+                        rows["c"].extend([c] * dsub)
+                        rows["dim"].extend(range(dsub))
+                        rows["s"].extend(sums.tolist())
+                        rows["cnt"].extend([len(members)] * dsub)
+                yield pd.DataFrame(rows)
+
+        agg = (
+            src.mapInPandas(partials, partial_schema)
+            .groupBy("sub", "c", "dim")
+            .agg(F.sum("s").alias("s"), F.sum("cnt").alias("cnt"))
+            .collect()
+        )
+        for r in agg:
+            if r["cnt"]:
+                books[r["sub"], r["c"], r["dim"]] = r["s"] / fp_scale / r["cnt"]
+    return books
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    centroids,
+    codebooks,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ search: probe nprobe inverted lists, scan them by ADC over
+    the PQ codes, exact-cosine re-rank only the shortlist.
+
+    The memory-bounded ANN tier: between the coarse probe and the exact
+    re-rank sits the asymmetric-distance scan — each query precomputes an
+    (m × ksub) table of squared distances from its subvectors to every
+    codebook entry, and a candidate's approximate distance is m table
+    lookups summed, touching only its m-byte code, never its floats. The
+    full float vectors are fetched (one join by id) for the
+    shortlist·|queries| survivors ONLY — so executor memory holds codes,
+    not the corpus.
+
+    Shape: one Python stage builds the PQ index rows (centroid_id +
+    codes), the tiny probe map broadcast-joins candidates, one Arrow ADC
+    stage scores them, a per-query window keeps the shortlist, and the
+    broadcast shortlist joins back to the corpus scan for the exact
+    quantized-integer cosine — deterministic ties (adc, then id; cosine,
+    then id) end to end.
+    Output: query_id, vec_id, cosine, rank (1 = best).
+    """
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    cents = np.asarray(centroids, dtype=np.float64)
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = books.shape
+    qmat = np.array([q[1] for q in queries], dtype=np.float64)
+    qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    # per-query ADC tables: (nq, m, ksub)
+    tables = np.stack(
+        [
+            ((qn[:, s * dsub : (s + 1) * dsub][:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+            for s in range(m)
+        ],
+        axis=1,
+    )
+    qids = [int(q[0]) for q in queries]
+    qid_pos = {qid: i for i, qid in enumerate(qids)}
+
+    d2q = ((qmat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    probe_df = F.broadcast(
+        spark.createDataFrame(
+            [
+                (qid, int(c))
+                for qid, row in zip(qids, d2q)
+                for c in row.argsort()[:nprobe]
+            ],
+            "query_id long, centroid_id int",
+        )
+    )
+
+    # stage 1: the PQ index relation — what a deployment would persist
+    index_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("centroid_id", T.IntegerType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def build_index(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            cid = (
+                ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+                .argmin(axis=1)
+                .astype("int32")
+            )
+            codes = np.stack(
+                [
+                    ((xn[:, s * dsub : (s + 1) * dsub][:, None, :] - books[s][None, :, :]) ** 2)
+                    .sum(axis=2)
+                    .argmin(axis=1)
+                    for s in range(m)
+                ],
+                axis=1,
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "centroid_id": cid,
+                    "codes": list(codes.astype("int32")),
+                }
+            )
+
+    index = (
+        spread(embeddings)
+        .select(id_col, vec_col)
+        .mapInPandas(build_index, index_schema)
+    )
+    cand = index.join(probe_df, "centroid_id")
+
+    # stage 2: ADC scan — m table lookups per candidate, fully vectorized
+    adc_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField(id_col, T.LongType()),
+            T.StructField("adc", T.DoubleType()),
+        ]
+    )
+
+    def adc_scan(batches):
+        import pandas as pd
+
+        subs = np.arange(m)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            qpos = np.array(
+                [qid_pos[q] for q in pdf["query_id"]], dtype=np.int64
+            )
+            dist = tables[qpos[:, None], subs[None, :], codes].sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    id_col: pdf[id_col],
+                    "adc": dist,
+                }
+            )
+
+    wa = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc(id_col))
+    short = (
+        cand.mapInPandas(adc_scan, adc_schema)
+        .filter(F.col("query_id") != F.col(id_col))
+        .withColumn("__ar", F.row_number().over(wa))
+        .filter(F.col("__ar") <= shortlist)
+        .select("query_id", id_col)
+    )
+
+    # stage 3: exact re-rank of shortlist·|queries| rows only
+    qvec_df = F.broadcast(
+        spark.createDataFrame(
+            [(qid, [float(x) for x in vec]) for qid, vec in queries],
+            "query_id long, __qvec array<double>",
+        )
+    )
+    rerank = (
+        embeddings.select(id_col, vec_col)
+        .join(F.broadcast(short), id_col)
+        .join(qvec_df, "query_id")
+    )
+    qv, qq = quantize(vec_col), quantize("__qvec")
+    scored = rerank.select(
+        "query_id",
+        id_col,
+        _pair_cosine(
+            qv,
+            qq,
+            int_dot(qv, qv).cast("double"),
+            int_dot(qq, qq).cast("double"),
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
