@@ -8,6 +8,15 @@ Reference contracts (data-plane/internal/handler/signal.go:24-81):
 - ``GET /health``               → 200/503 with status body
 - errors use the ``{"error": msg}`` envelope; Content-Type is JSON
 
+Auth parity: the reference gates every endpoint with ``IsAuthenticated``
+(control-plane/nexus/core/views.py:10,15,19) and mounts DRF's
+``api-auth/`` (control-plane/nexus/urls.py:35). The analogue here is a
+thin bearer-token hook: pass ``auth_token`` to require
+``Authorization: Bearer <token>`` on every data endpoint — missing/wrong
+credentials get the 401 ``{"error": ...}`` envelope. ``/health`` stays
+open (liveness probes don't carry credentials). Default is open, matching
+the data plane's public read handler (handler/signal.go).
+
 Built on the stdlib server — the API tier is deliberately thin: every
 endpoint is one DataFrame query (serving.py); a production deployment
 would put the same three calls behind any ASGI framework.
@@ -37,7 +46,11 @@ def _row_to_dict(row) -> dict:
     return d
 
 
-def make_handler(service: SignalService, directory: DirectoryService | None = None):
+def make_handler(
+    service: SignalService,
+    directory: DirectoryService | None = None,
+    auth_token: str | None = None,
+):
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, payload) -> None:
             body = json.dumps(payload).encode()
@@ -47,6 +60,16 @@ def make_handler(service: SignalService, directory: DirectoryService | None = No
             self.end_headers()
             self.wfile.write(body)
 
+        def _authorized(self) -> bool:
+            if auth_token is None:
+                return True
+            import hmac
+
+            got = self.headers.get("Authorization", "")
+            # constant-time compare: a timing oracle on the token would
+            # defeat the point of requiring one
+            return hmac.compare_digest(got, f"Bearer {auth_token}")
+
         def do_GET(self):  # noqa: N802 (stdlib naming)
             url = urlparse(self.path)
             parts = [p for p in url.path.split("/") if p]
@@ -54,6 +77,8 @@ def make_handler(service: SignalService, directory: DirectoryService | None = No
                 if parts == ["health"]:
                     h = service.health()
                     self._send(200 if h["view_exists"] else 503, h)
+                elif not self._authorized():
+                    self._send(401, {"error": "authentication required"})
                 elif parts == ["signals"]:
                     prio = parse_qs(url.query).get("priority", [None])[0]
                     rows = service.list(priority=prio)
@@ -82,15 +107,17 @@ def serve(
     service: SignalService,
     port: int = 0,
     directory: DirectoryService | None = None,
+    auth_token: str | None = None,
 ) -> ThreadingHTTPServer:
     """Start the read API on a daemon thread; returns the server (use
     ``server.server_address[1]`` for the bound port, ``shutdown()`` to stop).
 
     ``directory`` optionally mounts the control-plane users/groups listings
-    (views.py:7-15) at ``/users`` and ``/groups``.
+    (views.py:7-15) at ``/users`` and ``/groups``. ``auth_token`` arms the
+    bearer-token gate (401 envelope on every data endpoint; /health open).
     """
     server = ThreadingHTTPServer(
-        ("127.0.0.1", port), make_handler(service, directory)
+        ("127.0.0.1", port), make_handler(service, directory, auth_token)
     )
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()

@@ -95,6 +95,38 @@ def test_users_groups_endpoints(spark, service):
         server.shutdown()
 
 
+def test_bearer_token_gate_401_envelope_and_open_health(service):
+    """Auth parity with the reference's IsAuthenticated gate
+    (control-plane/nexus/core/views.py:10,15,19): with auth_token armed,
+    every data endpoint returns the 401 {"error": ...} envelope unless
+    the exact bearer token is presented; /health stays open for probes."""
+    server = serve(service, auth_token="sekret")
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        def status_of(path, token=None):
+            req = urllib.request.Request(base + path)
+            if token is not None:
+                req.add_header("Authorization", f"Bearer {token}")
+            try:
+                with urllib.request.urlopen(req) as resp:
+                    return resp.status, json.load(resp)
+            except urllib.error.HTTPError as e:
+                return e.code, json.load(e)
+
+        code, body = status_of("/signals")
+        assert code == 401 and body == {"error": "authentication required"}
+        code, body = status_of("/signals/s1", token="wrong")
+        assert code == 401 and "error" in body
+        code, body = status_of("/signals", token="sekret")
+        assert code == 200 and [r["id"] for r in body] == ["s1", "s2"]
+        code, body = status_of("/signals/s1", token="sekret")
+        assert code == 200 and body["id"] == "s1"
+        code, _body = status_of("/health")  # no credentials
+        assert code == 200
+    finally:
+        server.shutdown()
+
+
 def test_cli_list_truncation_and_exit_codes(service, capsys):
     long_title = "x" * 60
     assert cli_main(service, ["list"]) == 0
