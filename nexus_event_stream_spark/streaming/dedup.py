@@ -536,3 +536,67 @@ def start_dedup_ingest(
         .foreachBatch(_apply)
         .start()
     )
+
+
+#: (node, comp) labeling relation — comp = min doc_id reachable through
+#: verified near-dup pairs, the provenance record a training pipeline
+#: keeps alongside the deduped corpus.
+LABEL_SCHEMA = T.StructType(
+    [
+        T.StructField("node", T.LongType()),
+        T.StructField("comp", T.LongType()),
+    ]
+)
+
+
+def label_store(path: str, backend=None):
+    """A ParquetViewStore carrying the cluster labeling instead of the
+    LWW state — same versioned snapshots, pointer commit, replay guard
+    and backend injection, different schema."""
+    from nexus_event_stream_spark.streaming.projection import ParquetViewStore
+
+    return ParquetViewStore(path, backend=backend, schema=LABEL_SCHEMA)
+
+
+def update_cluster_labels(
+    spark: SparkSession,
+    store,
+    pairs: DataFrame,
+    epoch: int | None = None,
+    run_token: str | None = None,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> None:
+    """Maintain near-dup cluster labels ACROSS micro-batches: fold the
+    epoch's verified pairs into the committed ``(node, comp)`` relation
+    with ``operators.dedup.merge_edges`` — per-epoch cost scales with
+    the DELTA (component-contracted CC + one relabel join), never a
+    recompute over the accumulated pair graph — then commit a new
+    snapshot under the projection path's replay guard (same
+    (run_token, epoch) contract as ``apply_batch``; a redelivered epoch
+    is a no-op, and labels are min-id so re-merging is idempotent
+    anyway). Label-equivalence of the folded stream to a full
+    ``connected_components`` over every pair ever seen is pinned in
+    tests/test_streaming_dedup.py.
+    """
+    from nexus_event_stream_spark.operators.dedup import (
+        connected_components,
+        merge_edges,
+    )
+
+    cur = store.current()
+    if (
+        cur is not None
+        and cur.get("epoch") is not None
+        and run_token is not None
+        and cur.get("run_token") == run_token
+        and epoch is not None
+        and epoch <= cur["epoch"]
+    ):
+        return  # already applied within this run
+    labels = store.read(spark)
+    if labels is None:
+        new = connected_components(pairs, a_col, b_col)
+    else:
+        new = merge_edges(labels, pairs, a_col, b_col)
+    store.write(new.select("node", "comp"), epoch, run_token)

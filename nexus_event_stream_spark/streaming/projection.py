@@ -59,14 +59,24 @@ class ParquetViewStore:
     ``backend`` is the pointer-commit strategy (streaming/commit.py):
     default POSIX rename; inject ConditionalPutBackend for object-store
     deployments where rename is not atomic.
+
+    ``schema`` pins what ``read`` decodes — STATE_SCHEMA for the LWW view
+    (the default); other snapshot relations (e.g. the near-dup cluster
+    labeling) reuse the store's versioning/commit/vacuum discipline with
+    their own schema.
     """
 
     def __init__(
-        self, path: str, partition_by: str | None = None, backend=None
+        self,
+        path: str,
+        partition_by: str | None = None,
+        backend=None,
+        schema=None,
     ):
         self.path = path
         self.partition_by = partition_by
         self.backend = backend or PosixRenameBackend()
+        self.schema = schema or STATE_SCHEMA
         os.makedirs(path, exist_ok=True)
 
     # -- pointer ------------------------------------------------------------
@@ -97,7 +107,7 @@ class ParquetViewStore:
         cur = self.current()
         if cur is None:
             return None
-        return spark.read.schema(STATE_SCHEMA).parquet(
+        return spark.read.schema(self.schema).parquet(
             os.path.join(self.path, f"v={cur['version']}")
         )
 

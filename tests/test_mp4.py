@@ -251,6 +251,34 @@ def test_fmp4_hostile_inputs_raise_valueerror_fast():
         parse_mp4(data[:at] + b"trXf" + data[at + 4 :])
 
 
+def test_fmp4_roundtrip_property():
+    """Any frame-count / frame-size / fragment-packing combination must
+    demux back exactly (the progressive twin of this property already
+    guards encode_mp4)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from nexus_event_stream_spark.functions.mp4 import encode_fmp4
+
+    @given(
+        st.lists(st.binary(min_size=1, max_size=24), min_size=1, max_size=9),
+        st.integers(min_value=1, max_value=4),
+        st.integers(min_value=1, max_value=90),
+    )
+    @settings(max_examples=60, deadline=None)
+    def check(frames, fpf, dur):
+        data = encode_fmp4(frames, frames_per_fragment=fpf, frame_duration=dur)
+        info = parse_mp4(data)
+        n = len(frames)
+        assert extract_samples(data, info) == frames
+        assert info["n_samples"] == n
+        assert info["n_fragments"] == (n + fpf - 1) // fpf
+        assert info["sample_times"] == [i * dur for i in range(n)]
+        assert info["duration"] == n * dur
+
+    check()
+
+
 def test_empty_mdhd_payload_at_eof_raises_valueerror():
     """An mdhd box with an empty payload ending exactly at EOF used to
     leak IndexError from `data[hs]`; the contract is ValueError only."""

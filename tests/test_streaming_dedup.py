@@ -375,3 +375,43 @@ def test_compact_preserves_corpus_pointer(spark, store_dir):
         assert committed_corpus_ids(spark, store, corpus) == before == [1, 2]
     finally:
         shutil.rmtree(corpus, ignore_errors=True)
+
+
+def test_update_cluster_labels_stream_matches_full_recompute(
+    spark, tmp_path, backend
+):
+    """Cluster labels maintained across micro-batches (merge_edges folds
+    under the store's replay guard) must equal one connected_components
+    run over every pair ever seen; a redelivered epoch is a no-op."""
+    from nexus_event_stream_spark.operators.dedup import connected_components
+    from nexus_event_stream_spark.streaming.dedup import (
+        label_store,
+        update_cluster_labels,
+    )
+
+    def pairs_df(rows):
+        return spark.createDataFrame(rows, "doc_a long, doc_b long")
+
+    store = label_store(str(tmp_path / "labels"), backend=backend)
+    batches = [
+        [(1, 2), (3, 4)],
+        [(2, 3), (10, 11)],        # bridges {1,2} and {3,4}
+        [(11, 12), (50, 51)],      # extends a cluster + a brand-new one
+    ]
+    for e, rows in enumerate(batches):
+        update_cluster_labels(spark, store, pairs_df(rows), e, "run1")
+    ver = store.current()["version"]
+
+    # replay of the last epoch: no new snapshot
+    update_cluster_labels(spark, store, pairs_df(batches[-1]), 2, "run1")
+    assert store.current()["version"] == ver
+
+    got = {r["node"]: r["comp"] for r in store.read(spark).collect()}
+    want = {
+        r["node"]: r["comp"]
+        for r in connected_components(
+            pairs_df([p for b in batches for p in b])
+        ).collect()
+    }
+    assert got == want
+    assert got[4] == 1 and got[12] == 10 and got[51] == 50
