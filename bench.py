@@ -139,6 +139,35 @@ def _skew_join_bench(
     return t_un, t_sa
 
 
+def _ivf_pq_bench(spark, sf_dir: str) -> float:
+    """Seconds for an IVF-PQ search (ADC shortlist + exact re-rank) over
+    the embeddings table, 3 queries, nprobe=4 — the memory-bounded ANN
+    tier. Training (coarse centroids + PQ codebooks) happens OUTSIDE the
+    clock: a deployment trains once and searches forever; what perf
+    tracking must catch is a regression in the search path. Min-of-2."""
+    from nexus_event_stream_spark.io import load_table
+    from nexus_event_stream_spark.operators.similarity import (
+        ivf_pq_topk,
+        ivf_train_centroids,
+        pq_train_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_train_centroids(emb, n_centroids=16, iters=3)
+    books = pq_train_codebooks(emb, m=8, ksub=16, iters=3)
+    rows = emb.select("vec_id", "embedding").filter("vec_id < 3").collect()
+    queries = [(int(r.vec_id), list(r.embedding)) for r in rows]
+
+    def run() -> float:
+        t0 = time.perf_counter()
+        ivf_pq_topk(
+            emb, cents, books, queries, k=10, nprobe=4, shortlist=50
+        ).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    return min(run(), run())
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -288,6 +317,11 @@ def main() -> None:
     per_query["skew_join_unsalted"] = round(t_un, 3)
     per_query["skew_join_salted"] = round(t_sa, 3)
     total += t_un + t_sa
+
+    # Memory-bounded ANN: IVF-PQ search wall clock (training excluded).
+    t_pq = _ivf_pq_bench(spark, sf_dir)
+    per_query["ivf_pq_search"] = round(t_pq, 3)
+    total += t_pq
 
     print(
         json.dumps(

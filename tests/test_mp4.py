@@ -153,6 +153,26 @@ def test_decode_doc_media_malformed_mp4_yields_nulls(spark):
     assert rows[8]["n_mp4_samples"] == 2 + 8 % 4
 
 
+def test_sample_frames_demuxes_fragmented_mp4(spark):
+    """The frame-sampling tier needs no fMP4 special-casing: the parser
+    resolves fragments to the same sample tables, so evenly-spaced
+    encoded frames slice straight out of a CMAF-style payload."""
+    from nexus_event_stream_spark.functions.mp4 import encode_fmp4
+    from nexus_event_stream_spark.operators.multimodal import sample_frames
+
+    frames = synth_frames(6)
+    media = spark.createDataFrame(
+        [(1, encode_fmp4(frames, frames_per_fragment=2))],
+        "media_id long, payload binary",
+    )
+    out = sorted(
+        (r["frame_idx"], bytes(r["frame"]))
+        for r in sample_frames(media, n_frames=3).collect()
+    )
+    # picks for 6 frames, 3 samples: indices 0, 2, 5
+    assert out == [(0, frames[0]), (1, frames[2]), (2, frames[5])]
+
+
 def test_hostile_tables_raise_valueerror_fast():
     """The reproduced hostile-input cases: huge fixed-size stsz count
     must not allocate, truncated tables and struct underflows must raise
