@@ -239,3 +239,31 @@ def test_connected_components_one_action_per_round_and_cached_labels(
     assert "ExistingRDD" in physical_plan(labels)
     got = {r["node"]: r["comp"] for r in labels.collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_ivf_pq_plan_broadcasts_and_prunes(spark, sf_dir):
+    """IVF-PQ's scale shape, pinned: exactly two Arrow stages (index
+    build + ADC scan), every join broadcast (probe map, shortlist,
+    query vectors — never a sort-merge of the corpus), and both
+    per-query windows WindowGroupLimit-pruned map-side before their
+    shuffles, so shuffle bytes are bounded by shortlist·queries, not
+    candidates."""
+    from nexus_event_stream_spark.io import load_table
+    from nexus_event_stream_spark.operators.similarity import (
+        ivf_pq_topk,
+        ivf_train_centroids,
+        pq_train_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_train_centroids(emb, n_centroids=8, iters=1)
+    books = pq_train_codebooks(emb, m=8, ksub=8, iters=1)
+    rows = emb.select("vec_id", "embedding").filter("vec_id < 2").collect()
+    queries = [(int(r.vec_id), list(r.embedding)) for r in rows]
+    plan = physical_plan(
+        ivf_pq_topk(emb, cents, books, queries, k=5, nprobe=2, shortlist=20)
+    )
+    assert plan.count(") MapInPandas") == 2
+    assert plan.count(") BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+    assert "WindowGroupLimit" in plan
