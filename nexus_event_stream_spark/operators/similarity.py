@@ -757,69 +757,24 @@ def pq_train_codebooks(
     return books
 
 
-def ivf_pq_topk(
+def pq_build_index(
     embeddings: DataFrame,
     centroids,
     codebooks,
-    queries: list[tuple[int, list[float]]],
-    k: int = 10,
-    nprobe: int = 4,
-    shortlist: int = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF-PQ search: probe nprobe inverted lists, scan them by ADC over
-    the PQ codes, exact-cosine re-rank only the shortlist.
-
-    The memory-bounded ANN tier: between the coarse probe and the exact
-    re-rank sits the asymmetric-distance scan — each query precomputes an
-    (m × ksub) table of squared distances from its subvectors to every
-    codebook entry, and a candidate's approximate distance is m table
-    lookups summed, touching only its m-byte code, never its floats. The
-    full float vectors are fetched (one join by id) for the
-    shortlist·|queries| survivors ONLY — so executor memory holds codes,
-    not the corpus.
-
-    Shape: one Python stage builds the PQ index rows (centroid_id +
-    codes), the tiny probe map broadcast-joins candidates, one Arrow ADC
-    stage scores them, a per-query window keeps the shortlist, and the
-    broadcast shortlist joins back to the corpus scan for the exact
-    quantized-integer cosine — deterministic ties (adc, then id; cosine,
-    then id) end to end.
-    Output: query_id, vec_id, cosine, rank (1 = best).
-    """
+    """The persistent IVF-PQ index relation: one Arrow stage mapping each
+    vector to (id, coarse centroid_id, m PQ codes) — m small ints per
+    vector, the thing a deployment writes once (partitioned by
+    centroid_id for list-pruned scans) and searches forever. Passing the
+    persisted result as ``ivf_pq_topk(index=...)`` skips the rebuild on
+    every search."""
     import numpy as np
 
-    spark = embeddings.sparkSession
     cents = np.asarray(centroids, dtype=np.float64)
     books = np.asarray(codebooks, dtype=np.float64)
-    m, ksub, dsub = books.shape
-    qmat = np.array([q[1] for q in queries], dtype=np.float64)
-    qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
-    # per-query ADC tables: (nq, m, ksub)
-    tables = np.stack(
-        [
-            ((qn[:, s * dsub : (s + 1) * dsub][:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
-            for s in range(m)
-        ],
-        axis=1,
-    )
-    qids = [int(q[0]) for q in queries]
-    qid_pos = {qid: i for i, qid in enumerate(qids)}
-
-    d2q = ((qmat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-    probe_df = F.broadcast(
-        spark.createDataFrame(
-            [
-                (qid, int(c))
-                for qid, row in zip(qids, d2q)
-                for c in row.argsort()[:nprobe]
-            ],
-            "query_id long, centroid_id int",
-        )
-    )
-
-    # stage 1: the PQ index relation — what a deployment would persist
+    m, _ksub, dsub = books.shape
     index_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -858,11 +813,81 @@ def ivf_pq_topk(
                 }
             )
 
-    index = (
+    return (
         spread(embeddings)
         .select(id_col, vec_col)
         .mapInPandas(build_index, index_schema)
     )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    centroids,
+    codebooks,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ search: probe nprobe inverted lists, scan them by ADC over
+    the PQ codes, exact-cosine re-rank only the shortlist.
+
+    The memory-bounded ANN tier: between the coarse probe and the exact
+    re-rank sits the asymmetric-distance scan — each query precomputes an
+    (m × ksub) table of squared distances from its subvectors to every
+    codebook entry, and a candidate's approximate distance is m table
+    lookups summed, touching only its m-byte code, never its floats. The
+    full float vectors are fetched (one join by id) for the
+    shortlist·|queries| survivors ONLY — so executor memory holds codes,
+    not the corpus.
+
+    Shape: one Python stage builds the PQ index rows (centroid_id +
+    codes) — or ``index`` supplies a prebuilt/persisted ``pq_build_index``
+    relation and the rebuild is skipped — the tiny probe map
+    broadcast-joins candidates, one Arrow ADC stage scores them, a
+    per-query window keeps the shortlist, and the broadcast shortlist
+    joins back to the corpus scan for the exact quantized-integer
+    cosine — deterministic ties (adc, then id; cosine, then id) end to
+    end.
+    Output: query_id, vec_id, cosine, rank (1 = best).
+    """
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    cents = np.asarray(centroids, dtype=np.float64)
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = books.shape
+    qmat = np.array([q[1] for q in queries], dtype=np.float64)
+    qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    # per-query ADC tables: (nq, m, ksub)
+    tables = np.stack(
+        [
+            ((qn[:, s * dsub : (s + 1) * dsub][:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+            for s in range(m)
+        ],
+        axis=1,
+    )
+    qids = [int(q[0]) for q in queries]
+    qid_pos = {qid: i for i, qid in enumerate(qids)}
+
+    d2q = ((qmat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    probe_df = F.broadcast(
+        spark.createDataFrame(
+            [
+                (qid, int(c))
+                for qid, row in zip(qids, d2q)
+                for c in row.argsort()[:nprobe]
+            ],
+            "query_id long, centroid_id int",
+        )
+    )
+
+    # stage 1: the PQ index relation — what a deployment would persist
+    if index is None:
+        index = pq_build_index(embeddings, cents, books, id_col, vec_col)
     cand = index.join(probe_df, "centroid_id")
 
     # stage 2: ADC scan — m table lookups per candidate, fully vectorized
