@@ -299,6 +299,42 @@ def test_fmp4_roundtrip_property():
     check()
 
 
+def test_parse_mp4_fuzz_never_leaks_other_exceptions():
+    """The tolerant-reader contract under fuzz: arbitrary bytes — pure
+    noise, and mutations of VALID progressive/fragmented files (the
+    adversarial case: plausible box structure, corrupt tables) — either
+    parse or raise ValueError. Any other exception type would escape the
+    decode kernels' per-payload guards as a batch-failing bug."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from nexus_event_stream_spark.functions.mp4 import encode_fmp4
+
+    base_p = encode_mp4(synth_frames(3))
+    base_f = encode_fmp4(synth_frames(3))
+
+    @given(
+        st.integers(min_value=0, max_value=2),
+        st.binary(min_size=0, max_size=64),
+        st.integers(min_value=0, max_value=10_000),
+    )
+    @settings(max_examples=300, deadline=None)
+    def check(mode, blob, pos):
+        if mode == 0:
+            data = blob  # pure noise
+        else:
+            base = base_p if mode == 1 else base_f
+            pos %= max(len(base), 1)
+            data = base[:pos] + blob + base[pos + len(blob) :]
+        try:
+            info = parse_mp4(data)
+            assert isinstance(info, dict)
+        except ValueError:
+            pass  # the documented contract
+
+    check()
+
+
 def test_empty_mdhd_payload_at_eof_raises_valueerror():
     """An mdhd box with an empty payload ending exactly at EOF used to
     leak IndexError from `data[hs]`; the contract is ValueError only."""
