@@ -600,3 +600,144 @@ def update_cluster_labels(
     else:
         new = merge_edges(labels, pairs, a_col, b_col)
     store.write(new.select("node", "comp"), epoch, run_token)
+
+
+def bucketed_label_store(path: str, n_buckets: int = 64, backend=None):
+    """Labels bucketed BY COMPONENT LABEL (``comp``): a relabel rewrites
+    only the buckets housing affected components — the write-cost shape
+    ``update_cluster_labels_bucketed`` needs at scale."""
+    from nexus_event_stream_spark.streaming.projection import BucketedViewStore
+
+    return BucketedViewStore(
+        path, n_buckets=n_buckets, backend=backend,
+        schema=LABEL_SCHEMA, key_col="comp",
+    )
+
+
+def update_cluster_labels_bucketed(
+    spark: SparkSession,
+    store,
+    pairs: DataFrame,
+    epoch: int | None = None,
+    run_token: str | None = None,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> None:
+    """The at-scale shape of cluster-label maintenance: per-epoch WRITE
+    cost is O(affected components), not O(all labels).
+
+    ``update_cluster_labels`` computes the fold in O(delta) but rewrites
+    the whole labels snapshot each epoch — fine for a small labeling,
+    wrong at corpus scale. Here the labels live comp-bucketed
+    (``bucketed_label_store``), and an epoch:
+
+    1. looks up comp(node) for the delta's nodes with one broadcast join
+       of the (tiny) node set against the label scan — a filter-scan,
+       never a shuffle of the labels;
+    2. runs the contracted CC (O(delta) rows, as merge_edges);
+    3. rewrites ONLY the buckets of components whose label changes —
+       rows move from bucket(old comp) to bucket(new comp), both of
+       which are in the touched set; unchanged components' buckets are
+       not read or written. A mega-merge epoch rewrites exactly the
+       components it merges — unavoidable, their values changed.
+
+    Same (run_token, epoch) replay guard as the other foreachBatch
+    bodies; label-equivalence to full recompute pinned in
+    tests/test_streaming_dedup.py alongside an untouched-bucket pin.
+    """
+    from nexus_event_stream_spark.operators.dedup import (
+        connected_components,
+        merge_edges,
+    )
+    from nexus_event_stream_spark.streaming.projection import _bucket_expr
+
+    cur = store.current()
+    if (
+        cur is not None
+        and cur.get("epoch") is not None
+        and run_token is not None
+        and cur.get("run_token") == run_token
+        and epoch is not None
+        and epoch <= cur["epoch"]
+    ):
+        return  # already applied within this run
+
+    edges = pairs.select(
+        F.col(a_col).cast("long").alias("src"),
+        F.col(b_col).cast("long").alias("dst"),
+    ).localCheckpoint()
+    delta_nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+
+    labels_all = store.read(spark) if cur else None
+    if labels_all is None:
+        new = connected_components(pairs, a_col, b_col)
+        touched = [
+            r[0]
+            for r in new.select(
+                _bucket_expr(store.n_buckets, "comp").alias("b")
+            ).distinct().collect()
+        ]
+        store.write_buckets(new.select("node", "comp"), touched, epoch, run_token)
+        return
+
+    # 1. contraction lookup: broadcast the delta's node set onto the label
+    # scan — comp(node) for delta nodes only, no label shuffle
+    node_comp = labels_all.join(F.broadcast(delta_nodes), "node").localCheckpoint()
+    # 2. contracted CC over O(delta) rows (merge_edges recipe, against the
+    # delta-restricted lookup instead of the full labeling)
+    lab_a = node_comp.select(F.col("node").alias("__na"), F.col("comp").alias("__ca"))
+    lab_b = node_comp.select(F.col("node").alias("__nb"), F.col("comp").alias("__cb"))
+    contracted = (
+        edges.join(lab_a, edges.src == lab_a.__na, "left")
+        .join(lab_b, edges.dst == lab_b.__nb, "left")
+        .select(
+            F.coalesce("__ca", "src").alias("ca"),
+            F.coalesce("__cb", "dst").alias("cb"),
+        )
+        .localCheckpoint()
+    )
+    groups = connected_components(contracted, "ca", "cb").select(
+        F.col("node").alias("__gnode"), F.col("comp").alias("__gcomp")
+    )
+    # only genuinely-moving components force a rewrite
+    changed = groups.filter(F.col("__gnode") != F.col("__gcomp")).localCheckpoint()
+    known = {r["node"] for r in node_comp.select("node").collect()}
+    new_nodes = delta_nodes.filter(~F.col("node").isin(known)) if known else delta_nodes
+    new_rows = (
+        new_nodes.join(groups, new_nodes.node == groups.__gnode, "left")
+        .select("node", F.coalesce("__gcomp", "node").alias("comp"))
+        .localCheckpoint()
+    )
+    # 3. touched buckets: old comps being renamed + their new labels +
+    # new nodes' labels (rows MOVE between comp buckets)
+    touched = [
+        r[0]
+        for r in changed.select(
+            _bucket_expr(store.n_buckets, "__gnode").alias("b")
+        )
+        .unionByName(
+            changed.select(_bucket_expr(store.n_buckets, "__gcomp").alias("b"))
+        )
+        .unionByName(
+            new_rows.select(_bucket_expr(store.n_buckets, "comp").alias("b"))
+        )
+        .distinct()
+        .collect()
+    ]
+    # touched can be empty (every delta edge lands inside an existing
+    # component): still commit the epoch marker so the replay guard
+    # engages — same contract as SignatureStore.append on an
+    # all-suppressed batch
+    slice_ = store.read(spark, buckets=touched) if touched else None
+    if slice_ is None:
+        updated = new_rows
+    else:
+        relabeled = slice_.join(
+            F.broadcast(changed), slice_.comp == changed.__gnode, "left"
+        ).select("node", F.coalesce("__gcomp", "comp").alias("comp"))
+        updated = relabeled.unionByName(new_rows)
+    store.write_buckets(updated, touched, epoch, run_token)

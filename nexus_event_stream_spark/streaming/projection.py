@@ -260,10 +260,22 @@ class BucketedViewStore:
     committed snapshot.
     """
 
-    def __init__(self, path: str, n_buckets: int = 64, backend=None):
+    def __init__(
+        self,
+        path: str,
+        n_buckets: int = 64,
+        backend=None,
+        schema=None,
+        key_col: str = "id",
+    ):
         self.path = path
         self.n_buckets = n_buckets
         self.backend = backend or PosixRenameBackend()
+        #: schema/key_col generalize the store beyond the LWW state —
+        #: e.g. the near-dup label relation buckets by ``comp`` so a
+        #: relabel rewrite touches only affected components' buckets.
+        self.schema = schema or STATE_SCHEMA
+        self.key_col = key_col
         os.makedirs(path, exist_ok=True)
 
     # -- pointer ------------------------------------------------------------
@@ -298,7 +310,7 @@ class BucketedViewStore:
         paths = self._bucket_paths(cur["manifest"], buckets)
         if not paths:
             return None
-        return spark.read.schema(STATE_SCHEMA).parquet(*paths)
+        return spark.read.schema(self.schema).parquet(*paths)
 
     def read_live(self, spark: SparkSession) -> DataFrame | None:
         state = self.read(spark)
@@ -319,7 +331,7 @@ class BucketedViewStore:
         version = (cur["version"] + 1) if cur else 0
         out = os.path.join(self.path, f"v={version}")
         (
-            df.withColumn("__bucket", _bucket_expr(self.n_buckets))
+            df.withColumn("__bucket", _bucket_expr(self.n_buckets, self.key_col))
             .write.mode("overwrite")
             .partitionBy("__bucket")
             .parquet(out)
@@ -394,7 +406,7 @@ def apply_batch_bucketed(
     touched = [
         r[0]
         for r in batch_latest.select(
-            _bucket_expr(store.n_buckets).alias("b")
+            _bucket_expr(store.n_buckets, store.key_col).alias("b")
         )
         .distinct()
         .collect()
@@ -448,7 +460,7 @@ def compact_tombstones_bucketed(
     dirty = [
         r[0]
         for r in state.filter(stale)
-        .select(_bucket_expr(store.n_buckets).alias("b"))
+        .select(_bucket_expr(store.n_buckets, store.key_col).alias("b"))
         .distinct()
         .collect()
     ]

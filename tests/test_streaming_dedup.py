@@ -415,3 +415,72 @@ def test_update_cluster_labels_stream_matches_full_recompute(
     }
     assert got == want
     assert got[4] == 1 and got[12] == 10 and got[51] == 50
+
+
+def test_update_cluster_labels_bucketed_locality_and_equivalence(
+    spark, tmp_path
+):
+    """The at-scale labels path: per-epoch rewrite touches ONLY the
+    buckets of affected components (manifest versions elsewhere do not
+    move), while the folded labeling stays equal to a full recompute."""
+    from nexus_event_stream_spark.operators.dedup import connected_components
+    from nexus_event_stream_spark.streaming.dedup import (
+        bucketed_label_store,
+        update_cluster_labels_bucketed,
+    )
+
+    def pairs_df(rows):
+        return spark.createDataFrame(rows, "doc_a long, doc_b long")
+
+    store = bucketed_label_store(str(tmp_path / "labels"), n_buckets=32)
+    batches = [
+        # epoch 0 seeds many separate components (spread across buckets)
+        [(i, i + 100) for i in range(0, 20, 2)],
+        # epoch 1 bridges exactly one pair of them + adds a new cluster
+        [(0, 2), (900, 901)],
+        # epoch 2 is pure replay-shaped no-op input for locality check
+        [(4, 104)],  # edge already implied: same component, no relabel
+    ]
+    for e, rows in enumerate(batches):
+        update_cluster_labels_bucketed(spark, store, pairs_df(rows), e, "run1")
+
+    got = {r["node"]: r["comp"] for r in store.read(spark).collect()}
+    want = {
+        r["node"]: r["comp"]
+        for r in connected_components(
+            pairs_df([p for b in batches for p in b])
+        ).collect()
+    }
+    assert got == want
+    assert got[102] == 0 and got[2] == 0 and got[901] == 900
+
+    # locality: epoch 2's edge joins two nodes already in one component —
+    # no component label changed, so NO bucket moved to the head version
+    # (the epoch marker still committed for the replay guard)
+    manifest = store.current()["manifest"]
+    head = store.current()["version"]
+    assert store.current()["epoch"] == 2
+    assert all(v < head for v in manifest.values())
+    # and the epoch-1 bridge (merging two of ten components) left the
+    # untouched components' buckets at their epoch-0 version — an O(view)
+    # rewrite would have moved every bucket every epoch
+    assert 0 in set(manifest.values())
+
+
+def test_update_cluster_labels_bucketed_replay_noop(spark, tmp_path):
+    from nexus_event_stream_spark.streaming.dedup import (
+        bucketed_label_store,
+        update_cluster_labels_bucketed,
+    )
+
+    def pairs_df(rows):
+        return spark.createDataFrame(rows, "doc_a long, doc_b long")
+
+    store = bucketed_label_store(str(tmp_path / "labels"), n_buckets=8)
+    update_cluster_labels_bucketed(spark, store, pairs_df([(1, 2)]), 0, "r")
+    update_cluster_labels_bucketed(spark, store, pairs_df([(2, 3)]), 1, "r")
+    ver = store.current()["version"]
+    update_cluster_labels_bucketed(spark, store, pairs_df([(2, 3)]), 1, "r")
+    assert store.current()["version"] == ver
+    got = {r["node"]: r["comp"] for r in store.read(spark).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
