@@ -705,8 +705,7 @@ def update_cluster_labels_bucketed(
     )
     # only genuinely-moving components force a rewrite
     changed = groups.filter(F.col("__gnode") != F.col("__gcomp")).localCheckpoint()
-    known = {r["node"] for r in node_comp.select("node").collect()}
-    new_nodes = delta_nodes.filter(~F.col("node").isin(known)) if known else delta_nodes
+    new_nodes = delta_nodes.join(node_comp.select("node"), "node", "left_anti")
     new_rows = (
         new_nodes.join(groups, new_nodes.node == groups.__gnode, "left")
         .select("node", F.coalesce("__gcomp", "node").alias("comp"))
