@@ -1,0 +1,294 @@
+"""Corpus-hygiene operators for LLM training-data pipelines.
+
+The reference engine's pipeline ends at the materialized LWW view
+(data-plane/internal/projection/signal.go) — it has no corpus-quality
+surface. These are the north-star extensions SURVEY.md §2 declares for a
+100 TB training corpus, the standard pre-training data hygiene passes:
+
+- **Quality signals** — C4/Gopher-style per-document heuristics
+  (Raffel et al. 2020; Rae et al. 2021 appendix A): word counts, mean
+  word length, word-repetition fraction, most-common-bigram fraction,
+  stopword density, alphabetic-word fraction, and a composite pass flag.
+- **PII redaction** — regex detection + replacement of email / IPv4 /
+  phone spans (the scrub every published corpus pipeline runs).
+- **Passage-level exact dedup** — C4's "any N-word span occurring more
+  than once in the corpus is removed once" rule, at segment grain.
+- **Benchmark decontamination** — GPT-3-appendix-C-style n-gram overlap
+  between corpus documents and a benchmark/eval set.
+
+Everything is pure Catalyst expressions (split / transform / filter /
+aggregate / regexp / window) — no Python UDFs, so the hot path stays
+JVM-side and the driver's DuckDB oracle can value-check each signal.
+
+Scale notes (100 TB):
+- ``quality_signals`` and ``pii_redact`` are pure projections: zero
+  shuffle, embarrassingly parallel, cost linear in corpus bytes.
+- The most-common-bigram count is O(distinct·total) per document via a
+  filter-count over the distinct bigram list — fine for web documents
+  (KBs); for megabyte-scale documents switch to the explode + groupBy
+  formulation so the quadratic term never materializes.
+- ``segment_dedup`` shuffles once on the segment hash (md5 → uniform,
+  no skew) and once on doc_id for the per-doc rollup; both are partial-
+  aggregated map-side first.
+- ``decontaminate`` broadcasts the benchmark gram set (eval suites are
+  MBs, corpora are TBs) — the probe is a map-side broadcast semi-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from nexus_event_stream_spark.functions.text import (
+    STOPWORDS,
+    ngrams_from_tokens,
+    tokens,
+)
+
+# ---------------------------------------------------------------------------
+# PII patterns — RE2-safe (no lookaround/backrefs) so the same pattern
+# string runs identically under Java regex (Spark) and RE2 (DuckDB).
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    "phone": (r"\+[0-9][0-9 ()./-]{6,}[0-9]", "<PHONE>"),
+}
+
+#: Gopher-style default thresholds (Rae et al. 2021 appendix A, adapted to
+#: word grain). All checks are integer cross-multiplications — no float
+#: comparisons — so the pass flag is bit-identical on any engine.
+QUALITY_THRESHOLDS = {
+    "min_words": 3,
+    "max_words": 100_000,
+    "min_mean_word_len": 2,  # mean_word_len >= 2  ⇔  sum_chars >= 2·n_words
+    "max_mean_word_len": 12,
+    "max_dup_word_frac_pct": 90,  # (n−distinct)/n ≤ 0.90
+    "min_alpha_word_frac_pct": 80,  # words containing a letter ≥ 0.80
+    "max_top_bigram_frac_pct": 25,  # mode bigram ≤ 0.25 of all bigrams
+}
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def top_bigram_count(toks: Column) -> Column:
+    """Occurrences of the most common word bigram (0 for <2-word docs).
+
+    ``toks`` must be a bound column reference (see ``ngrams_from_tokens``'s
+    lambda-CSE warning). Filter-count over the distinct bigram list —
+    O(distinct·total) per doc, which is the right trade for web-scale
+    documents because it needs no shuffle at all.
+    """
+    bg = ngrams_from_tokens(toks, 2)
+    counts = F.transform(
+        F.array_distinct(bg), lambda g: F.size(F.filter(bg, lambda x: x == g))
+    )
+    return F.coalesce(F.array_max(counts), F.lit(0)).cast("bigint")
+
+
+def quality_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    thresholds: dict | None = None,
+) -> DataFrame:
+    """Append per-document C4/Gopher quality-signal columns.
+
+    Adds: ``n_words, sum_word_chars, n_distinct_words, top_bigram_n,
+    n_bigrams, n_stopwords, n_alpha_words, mean_word_len, dup_word_frac,
+    top_bigram_frac, quality_pass``. Ratios are a single IEEE division of
+    exactly-computed integers; ``quality_pass`` is evaluated entirely in
+    integer arithmetic (see ``QUALITY_THRESHOLDS``).
+
+    Pure projection: zero shuffle, stays embarrassingly parallel at any
+    corpus size (plan pinned Exchange-free in tests/test_plans.py).
+    """
+    t = thresholds or QUALITY_THRESHOLDS
+    out = df.withColumn("__toks", tokens(_col(text_col)))
+    toks = F.col("__toks")
+    out = out.withColumns(
+        {
+            "n_words": F.size(toks).cast("bigint"),
+            "sum_word_chars": F.aggregate(
+                toks, F.lit(0).cast("bigint"), lambda a, w: a + F.length(w)
+            ),
+            "n_distinct_words": F.size(F.array_distinct(toks)).cast("bigint"),
+            "top_bigram_n": top_bigram_count(toks),
+            "n_bigrams": F.greatest(F.size(toks) - 1, F.lit(0)).cast("bigint"),
+            "n_stopwords": F.size(
+                F.filter(toks, lambda w: w.isin(*STOPWORDS))
+            ).cast("bigint"),
+            "n_alpha_words": F.size(
+                F.filter(toks, lambda w: w.rlike("[A-Za-z]"))
+            ).cast("bigint"),
+        }
+    )
+    nw = F.col("n_words")
+    pass_checks = (
+        (nw >= t["min_words"])
+        & (nw <= t["max_words"])
+        & (F.col("sum_word_chars") >= t["min_mean_word_len"] * nw)
+        & (F.col("sum_word_chars") <= t["max_mean_word_len"] * nw)
+        & ((nw - F.col("n_distinct_words")) * 100 <= t["max_dup_word_frac_pct"] * nw)
+        & (F.col("n_alpha_words") * 100 >= t["min_alpha_word_frac_pct"] * nw)
+        & (
+            F.col("top_bigram_n") * 100
+            <= t["max_top_bigram_frac_pct"] * F.col("n_bigrams")
+        )
+    )
+    return out.withColumns(
+        {
+            "mean_word_len": F.col("sum_word_chars").cast("double") / nw,
+            "dup_word_frac": (nw - F.col("n_distinct_words")).cast("double") / nw,
+            "top_bigram_frac": F.col("top_bigram_n").cast("double")
+            / F.greatest(F.col("n_bigrams"), F.lit(1)),
+            "quality_pass": F.when(pass_checks, 1).otherwise(0).cast("bigint"),
+        }
+    ).drop("__toks")
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Detect and redact PII spans; append counts + the redacted text.
+
+    Adds ``n_email / n_ipv4 / n_phone`` (match counts on the ORIGINAL
+    text, so counts are independent of redaction order) and ``redacted``
+    (email → ipv4 → phone replacement chain). Pure projection — zero
+    shuffle; regexps run inside codegen, linear in corpus bytes.
+    """
+    c = _col(text_col)
+    out = df
+    for kind, (pat, _) in PII_PATTERNS.items():
+        out = out.withColumn(f"n_{kind}", F.regexp_count(c, F.lit(pat)))
+    red = c
+    for pat, token in PII_PATTERNS.values():
+        red = F.regexp_replace(red, pat, token)
+    return out.withColumn("redacted", red)
+
+
+# ---------------------------------------------------------------------------
+# Passage-level exact dedup (C4 rule, segment grain)
+# ---------------------------------------------------------------------------
+
+
+def word_segments(toks: Column, n: int) -> Column:
+    """Non-overlapping ``n``-word segments (space-joined) of a token array.
+
+    The tail ``len % n`` words are not a segment (C4 keeps sub-span
+    tails). Empty array for docs shorter than ``n`` words.
+    """
+    count = F.floor(F.size(toks) / n).cast("int")
+    idx = F.sequence(F.lit(0), count - 1)
+    return F.when(
+        count > 0,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i * n + 1, n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def segment_dedup(df: DataFrame, n: int = 8, text_col: str = "text") -> DataFrame:
+    """Corpus-wide passage-level exact dedup at ``n``-word-segment grain.
+
+    C4's span rule: every occurrence of a segment except the FIRST
+    (ordered by doc_id, then position) is a duplicate to drop. Returns one
+    row per input row: ``doc_id, n_segments, dup_segments,
+    clean_n_words`` where ``clean_n_words`` is the word count after
+    dropping duplicate segments (tail words always kept).
+
+    Shape: Generate (explode segments) → one shuffle on the md5 segment
+    hash (uniform by construction — no skew) for the first-occurrence
+    window → one keyed rollup shuffle on doc_id → left join back to the
+    corpus grain. No driver-side state; survives any corpus size.
+    """
+    segs = (
+        df.select("doc_id", tokens(_col(text_col)).alias("__toks"))
+        .select(
+            "doc_id",
+            F.size("__toks").alias("n_words"),
+            F.posexplode_outer(word_segments(F.col("__toks"), n)).alias(
+                "pos", "seg"
+            ),
+        )
+        .withColumn("h", F.md5("seg"))
+    )
+    w = Window.partitionBy("h").orderBy("doc_id", "pos")
+    flagged = segs.withColumn(
+        "is_dup",
+        F.when(
+            F.col("seg").isNotNull() & (F.row_number().over(w) > 1), 1
+        ).otherwise(0),
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("seg").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_segments"),
+        F.sum("is_dup").cast("bigint").alias("dup_segments"),
+        F.min("n_words").cast("bigint").alias("__n_words"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_segments",
+        "dup_segments",
+        (F.col("__n_words") - F.lit(n) * F.col("dup_segments")).alias(
+            "clean_n_words"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap)
+# ---------------------------------------------------------------------------
+
+
+def benchmark_ngrams(
+    bench_df: DataFrame, n: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Distinct word ``n``-grams of a benchmark/eval corpus → 1-col df ``g``."""
+    return (
+        bench_df.select(tokens(_col(text_col)).alias("__toks"))
+        .select(F.explode(ngrams_from_tokens(F.col("__toks"), n)).alias("g"))
+        .distinct()
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    bench_grams: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document benchmark-overlap counts (GPT-3-style decontamination).
+
+    Returns corpus grain: ``doc_id, n_grams, n_contaminated`` where
+    ``n_contaminated`` counts the document's DISTINCT ``n``-grams that
+    appear in ``bench_grams``. Filter on ``n_contaminated = 0`` to drop
+    contaminated documents.
+
+    The benchmark gram set is broadcast (eval suites are small relative
+    to the corpus), making the probe a map-side semi-join: no shuffle of
+    the corpus grams against the benchmark, only the per-doc rollup.
+    """
+    grams = (
+        df.select("doc_id", tokens(_col(text_col)).alias("__toks"))
+        .select(
+            "doc_id",
+            F.explode_outer(
+                F.array_distinct(ngrams_from_tokens(F.col("__toks"), n))
+            ).alias("g"),
+        )
+    )
+    hits = (
+        grams.join(F.broadcast(bench_grams), "g", "inner")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_contaminated"))
+    )
+    n_grams = grams.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("g").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_grams")
+    )
+    return n_grams.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("n_contaminated", F.lit(0)).cast("bigint").alias("n_contaminated"),
+    )

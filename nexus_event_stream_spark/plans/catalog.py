@@ -356,16 +356,6 @@ def q_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_distinct",
-    "SELECT DISTINCT user_id, event_type FROM events",
-    doc="Exact dedup on a key pair (dropDuplicates → hash aggregate).",
-)
-def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    return events.select("user_id", "event_type").distinct()
-
-
-@register(
     "q_window_analytics",
     f"""
     SELECT event_id, user_id,
@@ -419,8 +409,14 @@ def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id FROM events WHERE event_type = 'purchase'
       EXCEPT
       SELECT user_id FROM events WHERE event_type = 'error')
+    UNION ALL
+    SELECT user_id, 'pair:' || event_type AS tag FROM (
+      SELECT DISTINCT user_id, event_type FROM events)
     """,
-    doc="INTERSECT / EXCEPT set semantics over event partitions.",
+    doc="Set-semantics suite over event partitions: INTERSECT / EXCEPT "
+    "legs plus a DISTINCT leg (every distinct (user_id, event_type) pair "
+    "tagged 'pair:<type>' — round 6 absorbed q_distinct; dropDuplicates "
+    "→ hash aggregate is still fully value-checked here).",
 )
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
@@ -428,7 +424,12 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     erring = events.filter(F.col("event_type") == "error").select("user_id")
     both = purchasers.intersect(erring).withColumn("tag", F.lit("both"))
     only = purchasers.subtract(erring).withColumn("tag", F.lit("only_purchase"))
-    return both.unionByName(only)
+    pairs = (
+        events.select("user_id", "event_type")
+        .distinct()
+        .select("user_id", F.concat(F.lit("pair:"), "event_type").alias("tag"))
+    )
+    return both.unionByName(only).unionByName(pairs)
 
 
 @register(

@@ -13,7 +13,7 @@ Registered into the same CATALOG as plans/catalog.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nexus_event_stream_spark.functions.text import (
@@ -32,6 +32,14 @@ from nexus_event_stream_spark.operators.dedup import (
     ngram_jaccard_pairs,
 )
 from nexus_event_stream_spark.operators.multimodal import documents_as_media
+from nexus_event_stream_spark.operators.quality import (
+    PII_PATTERNS,
+    benchmark_ngrams,
+    decontaminate,
+    pii_redact,
+    quality_signals,
+    segment_dedup,
+)
 from nexus_event_stream_spark.operators.similarity import (
     ann_topk_per_vector,
     brute_force_topk,
@@ -366,18 +374,6 @@ def q_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_dedup_exact",
-    """
-    SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
-    FROM documents GROUP BY md5(text)
-    """,
-    doc="Exact dedup via content digest: representative id + copy count.",
-)
-def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return exact_dedup(load_table(spark, sf_dir, "documents"))
-
-
-@register(
     "q_ngram_jaccard",
     f"""
     WITH t AS (
@@ -458,9 +454,15 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT src AS node, src AS comp FROM edges
       UNION
       SELECT e.src AS node, r.comp FROM edges e JOIN reach r ON e.dst = r.node),
-    comps AS (SELECT node, MIN(comp) AS comp FROM reach GROUP BY node)
-    SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS keep_id
+    comps AS (SELECT node, MIN(comp) AS comp FROM reach GROUP BY node),
+    ex AS (
+      SELECT md5(text) AS h, MIN(doc_id) AS exact_keep_id,
+             COUNT(*) AS n_copies
+      FROM documents GROUP BY md5(text))
+    SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS keep_id,
+           e.exact_keep_id, e.n_copies
     FROM documents d LEFT JOIN comps c ON d.doc_id = c.node
+    JOIN ex e ON md5(d.text) = e.h
     """,
     doc="Near-dup CLUSTERING — the step that actually drops duplicates from "
     "a training corpus: MinHash-LSH verified pairs (same parameters as "
@@ -470,12 +472,28 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "DuckDB oracle computes the same transitive closure with a recursive "
     "CTE (cheap at sf0.01: pairs are tiny); Spark's label-propagation "
     "rounds = clique diameter, one join+groupBy per round — the shape "
-    "that survives 100 TB where a recursive CTE cannot.",
+    "that survives 100 TB where a recursive CTE cannot. Round 6 absorbed "
+    "q_dedup_exact at doc grain: exact_keep_id / n_copies are the md5 "
+    "digest group's min-id representative and copy count (exact_dedup, "
+    "operators/dedup.py — the cheap first pass every dedup pipeline "
+    "runs before the LSH tier).",
 )
 def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_dedup(docs, num_perm=16, shingle_n=3, bands=4, threshold=0.05)
-    return dedup_groups(docs, pairs)
+    groups = dedup_groups(docs, pairs)
+    # Doc-grain exact-dedup columns via a window over the digest: ONE
+    # shuffle on md5 (uniform, skew-free), no broadcast of a corpus-sized
+    # group table — the formulation that survives 100 TB.
+    wh = Window.partitionBy("text_hash")
+    ex = docs.select("doc_id", F.md5("text").alias("text_hash")).select(
+        "doc_id",
+        F.min("doc_id").over(wh).alias("exact_keep_id"),
+        F.count(F.lit(1)).over(wh).alias("n_copies"),
+    )
+    return groups.join(ex, "doc_id").select(
+        "doc_id", "keep_id", "exact_keep_id", "n_copies"
+    )
 
 
 _CENTS_V = "CAST(ROUND({c}*100,0) AS BIGINT)"
@@ -851,4 +869,189 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id", cosine.alias("cosine"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus hygiene (round 6): C4/Gopher quality signals, PII redaction,
+# passage-level exact dedup, benchmark decontamination
+# ---------------------------------------------------------------------------
+
+#: thresholds for the driver query — integer-percent forms of the Gopher
+#: rules (Rae et al. 2021 appendix A), with the repetition cuts tuned so
+#: the synthetic 31-word-vocabulary corpus actually splits (median
+#: dup_word_frac is 0.54 at sf0.01; the published 0.9 cut would pass
+#: every doc and the flag would carry no signal).
+_QT = {
+    "min_words": 3,
+    "max_words": 100_000,
+    "min_mean_word_len": 2,
+    "max_mean_word_len": 12,
+    "max_dup_word_frac_pct": 50,
+    "min_alpha_word_frac_pct": 80,
+    "max_top_bigram_frac_pct": 10,
+}
+
+_P_EMAIL = PII_PATTERNS["email"][0]
+_P_IPV4 = PII_PATTERNS["ipv4"][0]
+_P_PHONE = PII_PATTERNS["phone"][0]
+
+
+@register(
+    "q_quality_signals",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+    t2 AS (
+      SELECT doc_id, text, w,
+        list_transform(range(1, greatest(len(w)-1, 0)+1),
+                       i -> array_to_string(list_slice(w, i, i+1), ' ')) AS bg
+      FROM t),
+    sig AS (
+      SELECT doc_id, text,
+        CAST(len(w) AS BIGINT) AS n_words,
+        CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
+          AS sum_word_chars,
+        CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_words,
+        CAST(COALESCE(list_max(list_transform(list_distinct(bg),
+             g -> len(list_filter(bg, x -> x = g)))), 0) AS BIGINT)
+          AS top_bigram_n,
+        CAST(greatest(len(w)-1, 0) AS BIGINT) AS n_bigrams,
+        CAST(len(list_filter(w, x -> x IN {tuple(STOPWORDS)})) AS BIGINT)
+          AS n_stopwords,
+        CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+          AS BIGINT) AS n_alpha_words
+      FROM t2)
+    SELECT doc_id, n_words, sum_word_chars, n_distinct_words, top_bigram_n,
+      n_bigrams, n_stopwords, n_alpha_words,
+      CAST(sum_word_chars AS DOUBLE)/n_words AS mean_word_len,
+      CAST(n_words - n_distinct_words AS DOUBLE)/n_words AS dup_word_frac,
+      CAST(top_bigram_n AS DOUBLE)/greatest(n_bigrams, 1) AS top_bigram_frac,
+      CAST(CASE WHEN n_words >= {_QT['min_words']}
+                 AND n_words <= {_QT['max_words']}
+                 AND sum_word_chars >= {_QT['min_mean_word_len']}*n_words
+                 AND sum_word_chars <= {_QT['max_mean_word_len']}*n_words
+                 AND (n_words - n_distinct_words)*100
+                     <= {_QT['max_dup_word_frac_pct']}*n_words
+                 AND n_alpha_words*100
+                     >= {_QT['min_alpha_word_frac_pct']}*n_words
+                 AND top_bigram_n*100
+                     <= {_QT['max_top_bigram_frac_pct']}*n_bigrams
+            THEN 1 ELSE 0 END AS BIGINT) AS quality_pass,
+      CAST(len(regexp_extract_all(text, '{_P_EMAIL}')) AS BIGINT) AS n_email,
+      CAST(len(regexp_extract_all(text, '{_P_IPV4}')) AS BIGINT) AS n_ipv4,
+      CAST(len(regexp_extract_all(text, '{_P_PHONE}')) AS BIGINT) AS n_phone,
+      CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+           '{_P_EMAIL}', '<EMAIL>', 'g'),
+           '{_P_IPV4}', '<IP>', 'g'),
+           '{_P_PHONE}', '<PHONE>', 'g')) AS BIGINT) AS redacted_len
+    FROM sig
+    """,
+    doc="Per-document C4/Gopher quality signals + PII redaction "
+    "(operators/quality.py): word counts, mean word length, "
+    "word-repetition fraction, most-common-bigram fraction, stopword "
+    "density, alphabetic-word fraction, an integer-arithmetic composite "
+    "pass flag, and email/IPv4/phone match counts + redacted length "
+    "(RE2-safe patterns, identical under Java regex and RE2). Pure "
+    "projection — ZERO shuffle, embarrassingly parallel at any corpus "
+    "size (plan pinned Exchange-free); ratios are single IEEE divisions "
+    "of exactly-computed integers.",
+)
+def q_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sig = pii_redact(quality_signals(docs, thresholds=_QT))
+    return sig.select(
+        "doc_id",
+        "n_words",
+        "sum_word_chars",
+        "n_distinct_words",
+        "top_bigram_n",
+        "n_bigrams",
+        "n_stopwords",
+        "n_alpha_words",
+        "mean_word_len",
+        "dup_word_frac",
+        "top_bigram_frac",
+        "quality_pass",
+        F.col("n_email").cast("bigint").alias("n_email"),
+        F.col("n_ipv4").cast("bigint").alias("n_ipv4"),
+        F.col("n_phone").cast("bigint").alias("n_phone"),
+        F.length("redacted").cast("bigint").alias("redacted_len"),
+    )
+
+
+@register(
+    "q_corpus_hygiene",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    segs AS (
+      SELECT doc_id,
+        unnest(range(0, len(w)//3)) AS pos,
+        unnest(list_transform(range(0, len(w)//3),
+          i -> md5(array_to_string(list_slice(w, i*3+1, i*3+3), ' ')))) AS h
+      FROM w),
+    rk AS (
+      SELECT doc_id, h,
+        row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+      FROM segs),
+    seg_agg AS (
+      SELECT doc_id, COUNT(*) AS n_segments,
+        SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS dup_segments
+      FROM rk GROUP BY doc_id),
+    grams AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+          range(1, greatest(len(w)-2, 0)+1),
+          i -> array_to_string(list_slice(w, i, i+2), ' ')))) AS g
+      FROM w),
+    bg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+    ng AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+    hits AS (
+      SELECT grams.doc_id, COUNT(*) AS n_contaminated
+      FROM grams JOIN bg USING (g) GROUP BY grams.doc_id)
+    SELECT d.doc_id,
+      CAST(COALESCE(s.n_segments, 0) AS BIGINT) AS n_segments,
+      CAST(COALESCE(s.dup_segments, 0) AS BIGINT) AS dup_segments,
+      CAST(len(string_split(d.text, ' '))
+           - 3*COALESCE(s.dup_segments, 0) AS BIGINT) AS clean_n_words,
+      CAST(COALESCE(g.n_grams, 0) AS BIGINT) AS n_grams,
+      CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+      CAST(CASE WHEN d.doc_id % 50 = 0 THEN 1 ELSE 0 END AS BIGINT)
+        AS is_benchmark
+    FROM documents d
+    LEFT JOIN seg_agg s ON d.doc_id = s.doc_id
+    LEFT JOIN ng g ON d.doc_id = g.doc_id
+    LEFT JOIN hits h ON d.doc_id = h.doc_id
+    """,
+    doc="Corpus-hygiene suite (operators/quality.py): (a) C4-style "
+    "passage-level exact dedup at 3-word-segment grain — every "
+    "occurrence of a segment except the corpus-first (doc_id, pos) one "
+    "counts as a duplicate; ONE shuffle on the md5 segment hash "
+    "(uniform, skew-free) + one keyed rollup; (b) GPT-3-style benchmark "
+    "decontamination — distinct word-3-gram overlap against the "
+    "benchmark slice (doc_id % 50 = 0), benchmark gram set broadcast so "
+    "the probe is a map-side semi-join. Segment/gram grains are "
+    "parameters (production uses ~50-word spans / 13-grams); 3 is "
+    "chosen so the 31-word-vocabulary synthetic corpus actually "
+    "exhibits duplicate passages and contamination at sf0.01.",
+)
+def q_corpus_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    seg = segment_dedup(docs, n=3)
+    bench = benchmark_ngrams(docs.filter(F.col("doc_id") % 50 == 0), n=3)
+    dec = decontaminate(docs, bench, n=3)
+    return (
+        seg.join(dec, "doc_id")
+        .withColumn(
+            "is_benchmark",
+            F.when(F.col("doc_id") % 50 == 0, 1).otherwise(0).cast("bigint"),
+        )
+        .select(
+            "doc_id",
+            "n_segments",
+            "dup_segments",
+            "clean_n_words",
+            "n_grams",
+            "n_contaminated",
+            "is_benchmark",
+        )
     )

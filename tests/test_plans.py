@@ -267,3 +267,21 @@ def test_ivf_pq_plan_broadcasts_and_prunes(spark, sf_dir):
     assert plan.count(") BroadcastHashJoin") == 3
     assert "SortMergeJoin" not in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_quality_signals_pure_projection_no_shuffle(spark, sf_dir):
+    # every quality signal + PII count is a Catalyst expression in ONE
+    # map-side projection: zero Exchange, zero Python stages — the shape
+    # that stays embarrassingly parallel at 100 TB
+    plan = physical_plan(CATALOG["q_quality_signals"].build(spark, sf_dir))
+    assert plan.count(") Exchange") == 0
+    assert "Python" not in plan
+
+
+def test_corpus_hygiene_broadcasts_benchmark_grams(spark, sf_dir):
+    # the decontamination probe must be a map-side broadcast join of the
+    # (small) benchmark gram set — shuffling corpus grams against the
+    # benchmark would move the whole corpus; no cartesian anywhere
+    plan = physical_plan(CATALOG["q_corpus_hygiene"].build(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -1,0 +1,202 @@
+"""Unit tests for the corpus-hygiene operators (operators/quality.py).
+
+The driver oracle checks these on the synthetic word-soup corpus; the
+tests here exercise the semantics the corpus cannot — documents with real
+PII spans, cross-document duplicated passages, benchmark contamination,
+and each quality-threshold branch — with closed-form expectations.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from nexus_event_stream_spark.operators.quality import (
+    QUALITY_THRESHOLDS,
+    benchmark_ngrams,
+    decontaminate,
+    pii_redact,
+    quality_signals,
+    segment_dedup,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality signals
+# ---------------------------------------------------------------------------
+
+
+def test_quality_signal_values_closed_form(spark):
+    df = _docs(spark, ["the cat sat on the mat"])
+    row = quality_signals(df).collect()[0]
+    assert row.n_words == 6
+    assert row.sum_word_chars == 3 + 3 + 3 + 2 + 3 + 3
+    assert row.n_distinct_words == 5  # 'the' twice
+    assert row.n_bigrams == 5
+    assert row.top_bigram_n == 1  # all 5 bigrams distinct
+    assert row.n_stopwords == 2  # 'the' x2 ('on'/'cat'... not in list)
+    assert row.n_alpha_words == 6
+    assert row.mean_word_len == pytest.approx(17 / 6)
+    assert row.dup_word_frac == pytest.approx(1 / 6)
+    assert row.quality_pass == 1
+
+
+def test_quality_rules_fail_each_branch(spark):
+    rows = {
+        r.doc_id: r
+        for r in quality_signals(
+            _docs(
+                spark,
+                [
+                    "too short",  # < min_words
+                    "a a a a a a a a a a",  # dup fraction + top bigram
+                    "1 2 3 4 5 6 7 8 9 10",  # alpha fraction
+                    "xxxxxxxxxxxxxxxxx yyyyyyyyyyyyyyy zzzzzzzzzzzzz",
+                    # ^ mean word length > max
+                ],
+            )
+        ).collect()
+    }
+    assert all(rows[i].quality_pass == 0 for i in range(4))
+    # and the reasons are the intended ones
+    assert rows[0].n_words < QUALITY_THRESHOLDS["min_words"]
+    assert rows[1].dup_word_frac == pytest.approx(0.9)
+    assert rows[1].top_bigram_frac == 1.0
+    assert rows[2].n_alpha_words == 0
+    assert rows[3].mean_word_len > QUALITY_THRESHOLDS["max_mean_word_len"]
+
+
+def test_top_bigram_repeated(spark):
+    row = quality_signals(_docs(spark, ["x y x y x y z"])).collect()[0]
+    # bigrams: xy yx xy yx xy yz → 'x y' occurs 3 times
+    assert row.top_bigram_n == 3
+    assert row.n_bigrams == 6
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+
+def test_pii_redact_counts_and_replacement(spark):
+    text = (
+        "contact bob.smith+x@example.co.uk or call +1 (415) 555-0137 "
+        "from host 192.168.1.10 today"
+    )
+    row = pii_redact(_docs(spark, [text])).collect()[0]
+    assert row.n_email == 1
+    assert row.n_phone == 1
+    assert row.n_ipv4 == 1
+    assert "<EMAIL>" in row.redacted
+    assert "<PHONE>" in row.redacted
+    assert "<IP>" in row.redacted
+    assert "example.co.uk" not in row.redacted
+    assert "415" not in row.redacted
+    assert "192.168" not in row.redacted
+
+
+def test_pii_clean_text_untouched(spark):
+    text = "no personal data here just words"
+    row = pii_redact(_docs(spark, [text])).collect()[0]
+    assert (row.n_email, row.n_ipv4, row.n_phone) == (0, 0, 0)
+    assert row.redacted == text
+
+
+# ---------------------------------------------------------------------------
+# passage-level exact dedup
+# ---------------------------------------------------------------------------
+
+
+def test_segment_dedup_first_occurrence_wins(spark):
+    # doc0 and doc1 share the segment "p q r"; doc0 owns the first
+    # occurrence (smaller doc_id) so only doc1's copy is a duplicate
+    df = _docs(spark, ["p q r a b c", "p q r x y z", "u v w"])
+    rows = {r.doc_id: r for r in segment_dedup(df, n=3).collect()}
+    assert rows[0].n_segments == 2 and rows[0].dup_segments == 0
+    assert rows[1].n_segments == 2 and rows[1].dup_segments == 1
+    assert rows[1].clean_n_words == 3
+    assert rows[2].n_segments == 1 and rows[2].dup_segments == 0
+
+
+def test_segment_dedup_within_doc_and_tail(spark):
+    # 8 words, n=3 → 2 segments + 2 tail words; the repeated "a b c"
+    # INSIDE one doc dedups too (position breaks the tie); tail words kept
+    rows = segment_dedup(_docs(spark, ["a b c a b c t1 t2"]), n=3).collect()
+    r = rows[0]
+    assert r.n_segments == 2 and r.dup_segments == 1
+    assert r.clean_n_words == 8 - 3
+
+
+def test_segment_dedup_short_doc_no_segments(spark):
+    r = segment_dedup(_docs(spark, ["one two"]), n=3).collect()[0]
+    assert r.n_segments == 0 and r.dup_segments == 0
+    assert r.clean_n_words == 2
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_decontaminate_counts_distinct_overlaps(spark):
+    bench = benchmark_ngrams(_docs(spark, ["the quick brown fox jumps"]), n=3)
+    corpus = _docs(
+        spark,
+        [
+            "we saw the quick brown fox jumps high",  # 2 benchmark 3-grams...
+            "totally unrelated text with no overlap at all",
+            "the quick brown the quick brown",  # repeated gram counts ONCE
+        ],
+    )
+    rows = {r.doc_id: r for r in decontaminate(corpus, bench, n=3).collect()}
+    # doc0 grams include 'the quick brown','quick brown fox','brown fox jumps'
+    assert rows[0].n_contaminated == 3
+    assert rows[1].n_contaminated == 0
+    assert rows[2].n_contaminated == 1  # distinct overlap, not occurrences
+    # distinct grams: 'the quick brown','quick brown the','brown the quick'
+    assert rows[2].n_grams == 3
+
+
+def test_decontaminate_short_docs_emit_rows(spark):
+    bench = benchmark_ngrams(_docs(spark, ["a b c d"]), n=3)
+    rows = decontaminate(_docs(spark, ["xy"]), bench, n=3).collect()
+    assert rows[0].n_grams == 0 and rows[0].n_contaminated == 0
+
+
+# ---------------------------------------------------------------------------
+# streaming composability
+# ---------------------------------------------------------------------------
+
+
+def test_quality_filter_composes_with_structured_streaming(spark, tmp_path):
+    # quality_signals + pii_redact are pure projections (no window/agg),
+    # so the SAME operators run unchanged on a streaming DataFrame — the
+    # shape a live ingest-time corpus filter needs. Stateless projections
+    # need no watermark and no state store.
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat quite happily today"),
+            (1, "a a a a a a a a a a a a"),  # fails quality
+            (2, "write to team.lead@example.com for details please ok"),
+        ],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(src)
+    stream_df = spark.readStream.schema("doc_id long, text string").parquet(src)
+    out = pii_redact(quality_signals(stream_df)).filter("quality_pass = 1")
+    q = (
+        out.select("doc_id", "redacted")
+        .writeStream.format("memory")
+        .queryName("q_hygiene_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r.doc_id: r for r in spark.sql("SELECT * FROM q_hygiene_stream").collect()}
+    assert set(rows) == {0, 2}  # doc 1 filtered by the quality gate
+    assert "<EMAIL>" in rows[2].redacted
