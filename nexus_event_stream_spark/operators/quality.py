@@ -78,15 +78,29 @@ def top_bigram_count(toks: Column) -> Column:
     """Occurrences of the most common word bigram (0 for <2-word docs).
 
     ``toks`` must be a bound column reference (see ``ngrams_from_tokens``'s
-    lambda-CSE warning). Filter-count over the distinct bigram list —
-    O(distinct·total) per doc, which is the right trade for web-scale
-    documents because it needs no shuffle at all.
+    lambda-CSE warning). Sort the bigram array, then one fold tracking the
+    longest equal-run with a struct accumulator — O(n log n) per doc and
+    still shuffle-free. (The naive filter-count over distinct bigrams is
+    O(distinct·total) in INTERPRETED lambda evaluation — HOFs never enter
+    codegen — and measured 40× slower on the sf0.1 corpus.)
     """
-    bg = ngrams_from_tokens(toks, 2)
-    counts = F.transform(
-        F.array_distinct(bg), lambda g: F.size(F.filter(bg, lambda x: x == g))
+    bg = F.array_sort(ngrams_from_tokens(toks, 2))
+    zero = F.lit(0).cast("bigint")
+    init = F.struct(
+        F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")
     )
-    return F.coalesce(F.array_max(counts), F.lit(0)).cast("bigint")
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("bigint")
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(bg, init, step, lambda acc: acc["best"])
 
 
 def quality_signals(
