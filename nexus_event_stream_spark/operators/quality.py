@@ -200,19 +200,28 @@ def word_segments(toks: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def segment_dedup(df: DataFrame, n: int = 8, text_col: str = "text") -> DataFrame:
+def segment_dedup(
+    df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    emit_text: bool = False,
+) -> DataFrame:
     """Corpus-wide passage-level exact dedup at ``n``-word-segment grain.
 
     C4's span rule: every occurrence of a segment except the FIRST
     (ordered by doc_id, then position) is a duplicate to drop. Returns one
     row per input row: ``doc_id, n_segments, dup_segments,
     clean_n_words`` where ``clean_n_words`` is the word count after
-    dropping duplicate segments (tail words always kept).
+    dropping duplicate segments (tail words always kept). With
+    ``emit_text=True`` a ``clean_text`` column reassembles the surviving
+    segments (in position order) plus the tail words — the actual
+    cleaned corpus, not just the stats.
 
     Shape: Generate (explode segments) → one shuffle on the md5 segment
     hash (uniform by construction — no skew) for the first-occurrence
-    window → one keyed rollup shuffle on doc_id → left join back to the
-    corpus grain. No driver-side state; survives any corpus size.
+    window → one keyed rollup shuffle on doc_id (+ one doc_id equi-join
+    back to the corpus for the tail words when emitting text). No
+    driver-side state; survives any corpus size.
     """
     segs = (
         df.select("doc_id", tokens(_col(text_col)).alias("__toks"))
@@ -232,20 +241,58 @@ def segment_dedup(df: DataFrame, n: int = 8, text_col: str = "text") -> DataFram
             F.col("seg").isNotNull() & (F.row_number().over(w) > 1), 1
         ).otherwise(0),
     )
-    per_doc = flagged.groupBy("doc_id").agg(
+    aggs = [
         F.sum(F.when(F.col("seg").isNotNull(), 1).otherwise(0))
         .cast("bigint")
         .alias("n_segments"),
         F.sum("is_dup").cast("bigint").alias("dup_segments"),
         F.min("n_words").cast("bigint").alias("__n_words"),
-    )
-    return per_doc.select(
-        "doc_id",
-        "n_segments",
-        "dup_segments",
+    ]
+    if emit_text:
+        kept = F.when(
+            F.col("seg").isNotNull() & (F.col("is_dup") == 0),
+            F.struct("pos", "seg"),
+        )
+        aggs.append(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept)), lambda s: s["seg"]
+                ),
+                " ",
+            ).alias("__kept_text")
+        )
+    per_doc = flagged.groupBy("doc_id").agg(*aggs)
+    out_cols = [
+        F.col("doc_id"),
+        F.col("n_segments"),
+        F.col("dup_segments"),
         (F.col("__n_words") - F.lit(n) * F.col("dup_segments")).alias(
             "clean_n_words"
         ),
+    ]
+    if not emit_text:
+        return per_doc.select(*out_cols)
+    tail_src = df.select("doc_id", tokens(_col(text_col)).alias("__toks"))
+    tail_start = F.lit(n) * F.col("n_segments") + 1
+    tail = F.concat_ws(
+        " ",
+        F.slice(
+            F.col("__toks"),
+            tail_start,
+            F.greatest(F.size("__toks") - tail_start + 1, F.lit(0)),
+        ),
+    )
+    return (
+        per_doc.join(tail_src, "doc_id")
+        .withColumn("__tail", tail)
+        .select(
+            *out_cols,
+            F.concat_ws(
+                " ",
+                F.when(F.col("__kept_text") != "", F.col("__kept_text")),
+                F.when(F.col("__tail") != "", F.col("__tail")),
+            ).alias("clean_text"),
+        )
     )
 
 

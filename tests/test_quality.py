@@ -200,3 +200,100 @@ def test_quality_filter_composes_with_structured_streaming(spark, tmp_path):
     rows = {r.doc_id: r for r in spark.sql("SELECT * FROM q_hygiene_stream").collect()}
     assert set(rows) == {0, 2}  # doc 1 filtered by the quality gate
     assert "<EMAIL>" in rows[2].redacted
+
+
+def test_segment_dedup_emit_text_reassembles(spark):
+    df = _docs(spark, ["p q r a b c t1", "p q r x y z", "one two"])
+    rows = {
+        r.doc_id: r for r in segment_dedup(df, n=3, emit_text=True).collect()
+    }
+    # doc0 keeps both segments + tail word
+    assert rows[0].clean_text == "p q r a b c t1"
+    # doc1 loses the duplicated "p q r", keeps its second segment
+    assert rows[1].clean_text == "x y z"
+    # sub-segment doc: whole text survives as tail
+    assert rows[2].clean_text == "one two"
+    # clean_n_words always agrees with the reassembled text
+    for r in rows.values():
+        assert r.clean_n_words == len(r.clean_text.split(" "))
+
+
+def test_segment_dedup_emit_text_within_doc(spark):
+    r = segment_dedup(
+        _docs(spark, ["a b c a b c t1 t2"]), n=3, emit_text=True
+    ).collect()[0]
+    assert r.clean_text == "a b c t1 t2"
+
+
+# ---------------------------------------------------------------------------
+# property pins vs pure-Python references
+# ---------------------------------------------------------------------------
+
+from collections import Counter  # noqa: E402
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_WORDS = ["aa", "b", "ccc", "dd", "e", "the"]
+corpus_strategy = st.lists(
+    st.lists(st.sampled_from(_WORDS), min_size=1, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _ref_segment_dedup(texts, n):
+    """Pure-Python C4 span rule: first (doc, pos) occurrence wins."""
+    seen = set()
+    out = {}
+    for doc_id, text in enumerate(texts):
+        w = text.split(" ")
+        kept, dups, nseg = [], 0, len(w) // n
+        for i in range(nseg):
+            seg = " ".join(w[i * n : i * n + n])
+            if seg in seen:
+                dups += 1
+            else:
+                seen.add(seg)
+                kept.extend(w[i * n : i * n + n])
+        kept.extend(w[nseg * n :])
+        out[doc_id] = (nseg, dups, " ".join(kept))
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=corpus_strategy, n=st.integers(min_value=1, max_value=4))
+def test_segment_dedup_matches_python_reference(spark, texts, n):
+    rows = {
+        r.doc_id: r
+        for r in segment_dedup(_docs(spark, texts), n=n, emit_text=True).collect()
+    }
+    ref = _ref_segment_dedup(texts, n)
+    for doc_id, (nseg, dups, clean) in ref.items():
+        r = rows[doc_id]
+        assert (r.n_segments, r.dup_segments) == (nseg, dups)
+        assert r.clean_text == clean
+        assert r.clean_n_words == len(clean.split(" ")) if clean else True
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=corpus_strategy)
+def test_quality_signals_match_python_reference(spark, texts):
+    rows = {r.doc_id: r for r in quality_signals(_docs(spark, texts)).collect()}
+    for doc_id, text in enumerate(texts):
+        w = text.split(" ")
+        bg = [" ".join(w[i : i + 2]) for i in range(len(w) - 1)]
+        r = rows[doc_id]
+        assert r.n_words == len(w)
+        assert r.sum_word_chars == sum(len(x) for x in w)
+        assert r.n_distinct_words == len(set(w))
+        assert r.top_bigram_n == (max(Counter(bg).values()) if bg else 0)
+        assert r.n_stopwords == sum(w_.lower() in ("the", "a", "and", "of", "to", "in") for w_ in w)
