@@ -1,0 +1,126 @@
+"""Sequence packing for training-data pipelines.
+
+The last step of a pre-training data pipeline: concatenate the tokenized
+corpus in a deterministic document order and split it into fixed-length
+training sequences (GPT-style packing — documents straddle sequence
+boundaries; nothing is padded or dropped except the final partial
+sequence). The output is the doc→sequence placement map a loader needs:
+which sequences each document lands in, at which offset, with how many
+tokens.
+
+The core is a GLOBAL prefix sum of token counts in document order. The
+naive window (``Window.orderBy(order)`` with no partition) collapses the
+whole corpus into ONE task — correct at test scale, dead at 100 TB. The
+scalable formulation here is the textbook two-level distributed prefix
+sum, pure Catalyst:
+
+1. coarse groups ``g = order // group_size`` — cumsum WITHIN each group
+   is a normal partitioned window (parallel, shuffles on g);
+2. per-group totals (|corpus|/group_size rows — tiny) get an exclusive
+   running sum in a single-partition window over that tiny relation;
+3. a broadcast join adds each group's offset back to the in-group cumsum.
+
+With ``group_size`` ~1e6, a trillion-document corpus has ~1e6 group
+rows in step 2 — the only sequential step stays driver-trivial forever.
+
+Reference anchor: the reference engine (a CQRS event system,
+data-plane/internal/projection/signal.go) has no training-data surface;
+this is part of the SURVEY.md §2 north-star LLM-pipeline tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    group_size: int = 1_000_000,
+    out_col: str = "prefix_sum",
+) -> DataFrame:
+    """Exclusive prefix sum of ``value_col`` in ``order_col`` order.
+
+    ``order_col`` must be unique and numeric (document ids). Appends
+    ``out_col`` = sum of all values strictly before the row. Two-level
+    formulation — no single-partition pass over the corpus (see module
+    docstring).
+    """
+    g = (F.col(order_col) / F.lit(group_size)).cast("bigint")
+    w_in = (
+        Window.partitionBy("__g")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_in = df.withColumn("__g", g).withColumn(
+        "__cum_in", F.sum(value_col).over(w_in)
+    )
+    totals = with_in.groupBy("__g").agg(F.sum(value_col).alias("__g_total"))
+    offsets = totals.select(
+        "__g",
+        F.coalesce(
+            F.sum("__g_total").over(
+                Window.orderBy("__g").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast("bigint"),
+        ).alias("__g_offset"),
+    )
+    return (
+        with_in.join(F.broadcast(offsets), "__g")
+        .withColumn(
+            out_col, (F.col("__g_offset") + F.col("__cum_in") - F.col(value_col))
+        )
+        .drop("__g", "__cum_in", "__g_offset")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    count_col: str = "n_tokens",
+    order_col: str = "doc_id",
+    group_size: int = 1_000_000,
+) -> DataFrame:
+    """Doc→training-sequence placement map for GPT-style packing.
+
+    Concatenating documents in ``order_col`` order and cutting every
+    ``seq_len`` tokens, each document covers one or more sequences.
+    Returns one row per (document, sequence) span:
+
+    - ``seq_id``       — 0-based training-sequence index
+    - ``offset_in_seq``— where the span starts inside the sequence
+    - ``tokens_in_seq``— how many of the doc's tokens land there
+    - ``doc_token_start`` — the span's start inside the document
+
+    Invariants (property-pinned in tests/test_packing.py): every
+    sequence except the last holds exactly ``seq_len`` tokens; each
+    document's spans sum to its token count; zero-token documents emit
+    nothing. Shape: the two-level prefix sum (shuffle on the coarse
+    group), then a Generate (explode of the covered-sequence range) —
+    no further shuffle; output is ready to ``repartition(seq_id)`` for
+    shard-local loaders.
+    """
+    pref = global_prefix_sum(
+        df, count_col, order_col, group_size=group_size, out_col="__start"
+    )
+    start = F.col("__start")
+    end = start + F.col(count_col)
+    first_seq = F.floor(start / seq_len).cast("bigint")
+    last_seq = F.floor((end - 1) / seq_len).cast("bigint")
+    exploded = pref.filter(F.col(count_col) > 0).select(
+        "*",
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+    )
+    span_start = F.greatest(start, F.col("seq_id") * seq_len)
+    span_end = F.least(end, (F.col("seq_id") + 1) * seq_len)
+    return exploded.select(
+        order_col,
+        "seq_id",
+        (span_start - F.col("seq_id") * seq_len)
+        .cast("bigint")
+        .alias("offset_in_seq"),
+        (span_end - span_start).cast("bigint").alias("tokens_in_seq"),
+        (span_start - start).cast("bigint").alias("doc_token_start"),
+    )

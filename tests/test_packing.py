@@ -1,0 +1,135 @@
+"""Sequence-packing operator (operators/packing.py): the GPT-style
+concatenate-and-split placement map, pinned against a pure-Python
+reference and its own invariants on random corpora."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from nexus_event_stream_spark.operators.packing import (
+    global_prefix_sum,
+    pack_sequences,
+)
+
+
+def _df(spark, counts, ids=None):
+    ids = ids if ids is not None else range(len(counts))
+    return spark.createDataFrame(
+        list(zip(ids, counts)), "doc_id long, n_tokens long"
+    )
+
+
+def _ref_pack(counts, seq_len):
+    """Pure-Python packing reference → {(doc, seq): (off, n, doc_start)}."""
+    out = {}
+    pos = 0
+    for doc_id, c in enumerate(counts):
+        start, end = pos, pos + c
+        s = start
+        while s < end:
+            seq = s // seq_len
+            e = min(end, (seq + 1) * seq_len)
+            out[(doc_id, seq)] = (s - seq * seq_len, e - s, s - start)
+            s = e
+        pos = end
+    return out
+
+
+def test_prefix_sum_small_groups_exercise_offsets(spark):
+    # group_size=2 forces MANY coarse groups → the cross-group offset
+    # join is really exercised, not just the within-group window
+    df = _df(spark, [5, 3, 7, 1, 4, 2, 6])
+    rows = {
+        r.doc_id: r.prefix_sum
+        for r in global_prefix_sum(
+            df, "n_tokens", "doc_id", group_size=2
+        ).collect()
+    }
+    expect, acc = {}, 0
+    for i, c in enumerate([5, 3, 7, 1, 4, 2, 6]):
+        expect[i], acc = acc, acc + c
+    assert rows == expect
+
+
+def test_pack_sequences_closed_form(spark):
+    # seq_len=10, docs 4+8+10+3: doc1 straddles seqs 0/1, doc2 straddles
+    # 1/2, doc3 sits inside seq 2
+    rows = {
+        (r.doc_id, r.seq_id): (r.offset_in_seq, r.tokens_in_seq, r.doc_token_start)
+        for r in pack_sequences(_df(spark, [4, 8, 10, 3]), 10).collect()
+    }
+    assert rows == {
+        (0, 0): (0, 4, 0),
+        (1, 0): (4, 6, 0),
+        (1, 1): (0, 2, 6),
+        (2, 1): (2, 8, 0),
+        (2, 2): (0, 2, 8),
+        (3, 2): (2, 3, 0),
+    }
+
+
+def test_pack_sequences_zero_token_docs_emit_nothing(spark):
+    rows = pack_sequences(_df(spark, [3, 0, 2]), 4).collect()
+    assert {r.doc_id for r in rows} == {0, 2}
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    counts=st.lists(st.integers(min_value=0, max_value=17), min_size=1, max_size=20),
+    seq_len=st.integers(min_value=1, max_value=11),
+    group_size=st.sampled_from([1, 2, 5, 1_000_000]),
+)
+def test_pack_matches_reference_any_group_size(spark, counts, seq_len, group_size):
+    got = {
+        (r.doc_id, r.seq_id): (r.offset_in_seq, r.tokens_in_seq, r.doc_token_start)
+        for r in pack_sequences(
+            _df(spark, counts), seq_len, group_size=group_size
+        ).collect()
+    }
+    assert got == _ref_pack(counts, seq_len)
+    # invariants: every sequence but the last is exactly full; per-doc
+    # token totals are preserved
+    total = sum(counts)
+    if total:
+        per_seq = {}
+        per_doc = {}
+        for (doc, seq), (_, n, _) in got.items():
+            per_seq[seq] = per_seq.get(seq, 0) + n
+            per_doc[doc] = per_doc.get(doc, 0) + n
+        last = max(per_seq)
+        assert all(v == seq_len for s, v in per_seq.items() if s != last)
+        assert per_doc == {i: c for i, c in enumerate(counts) if c > 0}
+
+
+def test_pack_sequences_sparse_ids(spark):
+    # order keys need not be dense — only unique and numeric
+    df = _df(spark, [4, 5, 6], ids=[100, 250_007, 1_000_003])
+    rows = {
+        (r.doc_id, r.seq_id): r.tokens_in_seq
+        for r in pack_sequences(df, 5, group_size=1000).collect()
+    }
+    assert rows == {(100, 0): 4, (250_007, 0): 1, (250_007, 1): 4,
+                    (1_000_003, 1): 1, (1_000_003, 2): 5}
+
+
+def test_packing_plan_two_level_not_single_partition_corpus(spark):
+    # the corpus-side cumsum must be a hash-partitioned window on the
+    # coarse group; the ONLY single-partition window runs over the tiny
+    # per-group totals relation (|corpus|/group_size rows) which then
+    # broadcasts — a global-order window over the corpus itself would
+    # serialize 100 TB through one task
+    df = _df(spark, [5] * 100)
+    out = pack_sequences(df, 7, group_size=10)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "BroadcastExchange" in plan  # offsets join the corpus broadcast
+    # exactly one exchange keyed on the coarse group feeds the big window
+    assert "hashpartitioning(__g" in plan
