@@ -75,3 +75,59 @@ def stratified_sample_exact(
         .filter(F.col("__rn") <= n_per_stratum)
         .drop("__rn")
     )
+
+
+def mix_corpus(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic corpus mixture — the per-source weighting step of a
+    pre-training data recipe ("2 epochs of wiki, 0.3 of crawl").
+
+    Each source's weight w yields floor(w) guaranteed copies of every
+    document plus one extra copy for a deterministic ~frac(w) of them
+    (Knuth-hash gated on ``key_col``), so w<1 downsamples, w>1
+    upsamples with fractional epochs, and the realized token share
+    converges to w·|source| with zero randomness: retries, reruns, and
+    other engines reproduce the exact same multiset. Sources missing
+    from ``weights`` are dropped (a mixture is an explicit recipe).
+
+    Output gains ``copy_id`` (1..copies) so repeated documents remain
+    unique downstream (e.g. for ``pack_sequences`` ordering, use
+    (key, copy_id)). ``salt`` decorrelates the fractional gate from
+    other hash-gated stages (``hash_sample``) in the same pipeline.
+
+    Scale shape: a literal CASE chain for the weights, one map-side
+    Generate for the copies — no shuffle, no driver state; weight dicts
+    are recipe-sized (tens of sources), never data-sized.
+    """
+    frac_buckets = 1_000_000
+    w_int = None
+    w_frac = None
+    for src, w in weights.items():
+        if w < 0:
+            raise ValueError(f"negative weight for {src!r}: {w}")
+        base, frac = int(w), round((w - int(w)) * frac_buckets)
+        cond = F.col(source_col) == src
+        w_int = (w_int.when if w_int is not None else F.when)(cond, base)
+        w_frac = (w_frac.when if w_frac is not None else F.when)(cond, frac)
+    if w_int is None:
+        raise ValueError("weights must name at least one source")
+    salted = F.pmod(
+        (F.col(key_col) if isinstance(key_col, str) else key_col)
+        + F.lit(salt) * F.lit(1_000_003),
+        F.lit(M31),
+    )
+    extra = F.when(
+        hash_bucket(salted, frac_buckets) < w_frac.otherwise(None), 1
+    ).otherwise(0)
+    copies = (w_int.otherwise(None) + extra).alias("__copies")
+    return (
+        df.withColumn("__copies", copies)
+        .filter(F.col("__copies") > 0)
+        .withColumn("copy_id", F.explode(F.sequence(F.lit(1), F.col("__copies"))))
+        .drop("__copies")
+    )

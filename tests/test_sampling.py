@@ -66,3 +66,89 @@ def test_stratified_rank_pushed_below_shuffle(spark):
     )
     # rank<=n pre-drops rows map-side — shuffle bytes bounded by n·strata
     assert "WindowGroupLimit" in plan
+
+
+# ---------------------------------------------------------------------------
+# deterministic corpus mixture
+# ---------------------------------------------------------------------------
+
+import pytest
+
+from nexus_event_stream_spark.operators.sampling import (  # noqa: E402
+    KNUTH,
+    M31,
+    M32,
+    mix_corpus,
+)
+
+
+def _ref_copies(key, src, weights, salt=0):
+    """Pure-Python twin of mix_corpus's copy count."""
+    if src not in weights:
+        return 0
+    w = weights[src]
+    base, frac = int(w), round((w - int(w)) * 1_000_000)
+    salted = (key + salt * 1_000_003) % M31
+    bucket = ((salted % M31) * KNUTH % M32) % 1_000_000
+    return base + (1 if bucket < frac else 0)
+
+
+def _mix_df(spark):
+    rows = [(i, "wiki" if i % 3 == 0 else ("crawl" if i % 3 == 1 else "code"))
+            for i in range(600)]
+    return spark.createDataFrame(rows, "doc_id long, source string")
+
+
+def test_mix_corpus_matches_python_reference_exactly(spark):
+    weights = {"wiki": 2.5, "crawl": 0.25, "code": 1.0}
+    got = {}
+    for r in mix_corpus(_mix_df(spark), weights).collect():
+        got[(r.doc_id, r.source)] = max(got.get((r.doc_id, r.source), 0), r.copy_id)
+    for i in range(600):
+        src = "wiki" if i % 3 == 0 else ("crawl" if i % 3 == 1 else "code")
+        expect = _ref_copies(i, src, weights)
+        assert got.get((i, src), 0) == expect, (i, src)
+
+
+def test_mix_corpus_rates_and_copy_ids(spark):
+    weights = {"wiki": 2.5, "crawl": 0.25}
+    out = mix_corpus(_mix_df(spark), weights).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    # 200 wiki docs x 2.5 -> ~500 rows; 200 crawl x 0.25 -> ~50 rows
+    assert 440 <= len(by_src["wiki"]) <= 560
+    assert 30 <= len(by_src["crawl"]) <= 70
+    assert "code" not in by_src  # absent from the recipe -> dropped
+    # copy_ids are 1..copies per doc, rows unique on (doc, copy)
+    keys = [(r.doc_id, r.copy_id) for r in out]
+    assert len(keys) == len(set(keys))
+    # replayable: second run is the identical multiset
+    again = [(r.doc_id, r.source, r.copy_id)
+             for r in mix_corpus(_mix_df(spark), weights).collect()]
+    assert sorted(again) == sorted((r.doc_id, r.source, r.copy_id) for r in out)
+
+
+def test_mix_corpus_salt_decorrelates_gate(spark):
+    weights = {"wiki": 0.5, "crawl": 0.5, "code": 0.5}
+    a = {r.doc_id for r in mix_corpus(_mix_df(spark), weights, salt=0).collect()}
+    b = {r.doc_id for r in mix_corpus(_mix_df(spark), weights, salt=7).collect()}
+    assert a != b  # different gate...
+    assert 200 <= len(b) <= 400  # ...same target rate
+
+
+def test_mix_corpus_rejects_bad_recipes(spark):
+    with pytest.raises(ValueError):
+        mix_corpus(_mix_df(spark), {"wiki": -1.0})
+    with pytest.raises(ValueError):
+        mix_corpus(_mix_df(spark), {})
+
+
+def test_mix_corpus_no_shuffle(spark):
+    out = mix_corpus(_mix_df(spark), {"wiki": 1.5})
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert plan.count(") Exchange") == 0
