@@ -1,0 +1,177 @@
+"""End-to-end training-corpus preparation — the operators composed into
+the actual product.
+
+Every published pre-training pipeline runs the same ordered sweep; this
+module wires this repo's operators into that sweep behind one recipe
+object, entirely lazily (one Catalyst plan per stage, nothing collected):
+
+1. quality filter        quality_signals → keep quality_pass = 1
+2. PII redaction         pii_redact → text becomes the redacted text
+3. exact dedup           md5 digest groups → keep the min-id copy
+4. near-dup dedup        MinHash-LSH pairs → connected components →
+                         keep the component representative
+5. decontamination       benchmark n-gram overlap → drop contaminated
+6. passage-level dedup   C4 span rule → text becomes the cleaned text
+7. mixture               deterministic per-source weights (copy_id)
+8. sequence packing      GPT-style placement map (separate output)
+
+Stage order matters and is the published one: quality/PII are per-doc
+(cheap, shuffle-free) and run first to shrink everything downstream;
+exact dedup precedes MinHash so mass-duplicated texts never reach the
+LSH tier (see ngram_jaccard_pairs' cap caveat); decontamination runs on
+the deduplicated corpus; mixture and packing are loader-facing and come
+last. Each stage is optional — an unset recipe field skips it.
+
+Scale: the pipeline inherits each operator's shape (quality/PII/mixture
+map-side; dedup tiers capped + bucketed; decontamination a broadcast
+probe; packing the two-level prefix sum). Nothing here adds a shuffle,
+a collect, or driver state of its own.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from nexus_event_stream_spark.functions.text import token_count
+from nexus_event_stream_spark.operators.dedup import dedup_groups, minhash_dedup
+from nexus_event_stream_spark.operators.packing import pack_sequences
+from nexus_event_stream_spark.operators.quality import (
+    benchmark_ngrams,
+    decontaminate,
+    pii_redact,
+    quality_signals,
+    segment_dedup,
+)
+from nexus_event_stream_spark.operators.sampling import mix_corpus
+
+#: copy_id is packed into the packing order key as doc_id*COPY_STRIDE+copy_id;
+#: mixture weights beyond this many copies per doc are a recipe error.
+COPY_STRIDE = 4096
+
+
+@dataclass
+class CorpusRecipe:
+    """Which hygiene stages to run, with their parameters.
+
+    ``None`` (or False) disables a stage. Defaults run the filter tiers
+    and skip the loader-facing ones (mixture/packing need a recipe).
+    """
+
+    quality: bool = True
+    quality_thresholds: dict | None = None
+    redact_pii: bool = True
+    exact_dedup: bool = True
+    near_dedup: bool = True
+    minhash_params: dict = field(default_factory=dict)
+    benchmark: DataFrame | None = None
+    decontaminate_n: int = 13
+    passage_dedup_n: int | None = None
+    mixture: dict[str, float] | None = None
+    mixture_source_col: str = "source"
+    seq_len: int | None = None
+
+
+def prepare_training_corpus(
+    docs: DataFrame,
+    recipe: CorpusRecipe,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, dict[str, DataFrame]]:
+    """Run the recipe's stages over ``docs``; returns ``(corpus, stages)``.
+
+    ``corpus`` is the final document DataFrame (original columns, plus
+    ``copy_id`` if mixture ran). ``stages`` maps stage name → the
+    DataFrame as of that stage (for row accounting / provenance audits;
+    all lazy — counting them is the caller's choice), plus
+    ``"packing"`` → the (doc, seq) placement map when ``seq_len`` is
+    set.
+    """
+    stages: dict[str, DataFrame] = {}
+    cur = docs
+
+    if recipe.quality:
+        sig = quality_signals(cur, text_col, thresholds=recipe.quality_thresholds)
+        cur = sig.filter(F.col("quality_pass") == 1).select(*docs.columns)
+        stages["quality"] = cur
+
+    if recipe.redact_pii:
+        red = pii_redact(cur, text_col)
+        cur = red.drop(text_col, "n_email", "n_ipv4", "n_phone").withColumnRenamed(
+            "redacted", text_col
+        ).select(*docs.columns)
+        stages["pii"] = cur
+
+    if recipe.exact_dedup:
+        w = Window.partitionBy(F.md5(F.col(text_col)))
+        cur = (
+            cur.withColumn("__keep", F.min(id_col).over(w))
+            .filter(F.col(id_col) == F.col("__keep"))
+            .drop("__keep")
+        )
+        stages["exact_dedup"] = cur
+
+    if recipe.near_dedup:
+        pairs = minhash_dedup(
+            cur, id_col=id_col, text_col=text_col, **recipe.minhash_params
+        )
+        groups = dedup_groups(cur, pairs, id_col=id_col)
+        cur = (
+            cur.join(groups, id_col)
+            .filter(F.col(id_col) == F.col("keep_id"))
+            .drop("keep_id")
+        )
+        stages["near_dedup"] = cur
+
+    if recipe.benchmark is not None:
+        grams = benchmark_ngrams(
+            recipe.benchmark, n=recipe.decontaminate_n, text_col=text_col
+        )
+        overlap = decontaminate(
+            cur, grams, n=recipe.decontaminate_n, text_col=text_col
+        )
+        cur = (
+            cur.join(overlap.select(id_col, "n_contaminated"), id_col)
+            .filter(F.col("n_contaminated") == 0)
+            .drop("n_contaminated")
+        )
+        stages["decontaminated"] = cur
+
+    if recipe.passage_dedup_n:
+        cleaned = segment_dedup(
+            cur, n=recipe.passage_dedup_n, text_col=text_col, emit_text=True
+        ).select(id_col, "clean_text")
+        cur = (
+            cur.join(cleaned, id_col)
+            .drop(text_col)
+            .withColumnRenamed("clean_text", text_col)
+            .select(*docs.columns)
+        )
+        stages["passage_dedup"] = cur
+
+    if recipe.mixture:
+        cur = mix_corpus(
+            cur,
+            recipe.mixture,
+            source_col=recipe.mixture_source_col,
+            key_col=id_col,
+        )
+        stages["mixture"] = cur
+
+    if recipe.seq_len:
+        with_counts = cur.withColumn("__n_tokens", token_count(text_col))
+        order = (
+            (F.col(id_col) * COPY_STRIDE + F.col("copy_id"))
+            if "copy_id" in cur.columns
+            else F.col(id_col)
+        )
+        stages["packing"] = pack_sequences(
+            with_counts.withColumn("__order", order.cast("bigint")),
+            recipe.seq_len,
+            count_col="__n_tokens",
+            order_col="__order",
+        )
+
+    return cur, stages

@@ -1,0 +1,80 @@
+"""End-to-end corpus-preparation pipeline (pipeline.py): the operators
+composed in the published order, with row accounting at each stage."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nexus_event_stream_spark.io import load_table
+from nexus_event_stream_spark.pipeline import CorpusRecipe, prepare_training_corpus
+
+
+def test_full_recipe_on_real_documents(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    n0 = docs.count()
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    recipe = CorpusRecipe(
+        quality_thresholds={
+            "min_words": 3,
+            "max_words": 100_000,
+            "min_mean_word_len": 2,
+            "max_mean_word_len": 12,
+            "max_dup_word_frac_pct": 90,
+            "min_alpha_word_frac_pct": 80,
+            "max_top_bigram_frac_pct": 50,
+        },
+        minhash_params={"threshold": 0.05},
+        benchmark=bench,
+        decontaminate_n=3,
+        passage_dedup_n=3,
+        mixture={"src0": 2.5, "src1": 0.5},
+        seq_len=64,
+    )
+    corpus, stages = prepare_training_corpus(docs, recipe)
+    counts = {name: df.count() for name, df in stages.items() if name != "packing"}
+    # monotone row accounting through the filter tiers
+    assert n0 >= counts["quality"] >= counts["exact_dedup"]
+    assert counts["exact_dedup"] >= counts["near_dedup"] >= counts["decontaminated"]
+    assert counts["decontaminated"] == counts["passage_dedup"]
+    # decontamination really dropped the contaminated docs (the benchmark
+    # slice itself trivially self-overlaps, so it must be gone)
+    surviving = {r.doc_id for r in stages["decontaminated"].select("doc_id").collect()}
+    assert not any(d % 50 == 0 for d in surviving)
+    # mixture emits only the recipe's sources, with copy_ids
+    mix_rows = stages["mixture"].collect()
+    assert {r.source for r in mix_rows} <= {"src0", "src1"}
+    assert all(r.copy_id >= 1 for r in mix_rows)
+    # packing invariant: every sequence except the last is exactly full
+    pack = stages["packing"].collect()
+    per_seq = {}
+    for r in pack:
+        per_seq[r.seq_id] = per_seq.get(r.seq_id, 0) + r.tokens_in_seq
+    if len(per_seq) > 1:
+        last = max(per_seq)
+        assert all(v == 64 for s, v in per_seq.items() if s != last)
+    # final corpus df is the mixture output
+    assert corpus.columns == stages["mixture"].columns
+
+
+def test_stages_toggle_off(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    recipe = CorpusRecipe(
+        quality=False, redact_pii=False, exact_dedup=False, near_dedup=False
+    )
+    corpus, stages = prepare_training_corpus(docs, recipe)
+    assert stages == {}
+    assert corpus is docs
+
+
+def test_pii_stage_rewrites_text(spark):
+    docs = spark.createDataFrame(
+        [(1, "mail me at a.b@example.com ok five words here", "s")],
+        "doc_id long, text string, source string",
+    )
+    recipe = CorpusRecipe(
+        quality=False, exact_dedup=False, near_dedup=False
+    )
+    corpus, stages = prepare_training_corpus(docs, recipe)
+    out = corpus.collect()[0]
+    assert "<EMAIL>" in out.text and "example.com" not in out.text
+    assert corpus.columns == docs.columns
