@@ -176,6 +176,46 @@ def _ivf_pq_bench(spark, sf_dir: str) -> float:
         index.unpersist()
 
 
+def _corpus_pipeline_bench(spark, sf_dir: str) -> float:
+    """Seconds for the FULL end-to-end corpus-preparation sweep
+    (pipeline.prepare_training_corpus): quality filter → PII redaction →
+    exact dedup → MinHash-LSH + connected-components near-dup dedup →
+    benchmark decontamination → passage-level dedup → mixture → sequence
+    packing, materialized via a noop write of the packing placement map
+    (every upstream stage executes). This is the number that tracks
+    whether the operators COMPOSE efficiently, not just run alone.
+    Min-of-2."""
+    from pyspark.sql import functions as F
+
+    from nexus_event_stream_spark.io import load_table
+    from nexus_event_stream_spark.pipeline import (
+        CorpusRecipe,
+        prepare_training_corpus,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sources = [r.source for r in docs.select("source").distinct().collect()]
+    recipe = CorpusRecipe(
+        minhash_params={"threshold": 0.05},
+        benchmark=docs.filter(F.col("doc_id") % 50 == 0),
+        decontaminate_n=3,
+        passage_dedup_n=3,
+        mixture={s: 1.5 for s in sources},
+        seq_len=512,
+        persist_deduped=True,
+    )
+
+    def run() -> float:
+        t0 = time.perf_counter()
+        _, stages = prepare_training_corpus(docs, recipe)
+        stages["packing"].write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        stages["near_dedup"].unpersist()
+        return dt
+
+    return min(run(), run())
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -330,6 +370,13 @@ def main() -> None:
     t_pq = _ivf_pq_bench(spark, sf_dir)
     per_query["ivf_pq_search"] = round(t_pq, 3)
     total += t_pq
+
+    # End-to-end corpus preparation: the whole hygiene sweep composed
+    # (quality → PII → dedup tiers → decontaminate → passage dedup →
+    # mixture → packing), one number for operator COMPOSITION cost.
+    t_pipe = _corpus_pipeline_bench(spark, sf_dir)
+    per_query["corpus_pipeline"] = round(t_pipe, 3)
+    total += t_pipe
 
     print(
         json.dumps(

@@ -72,6 +72,13 @@ class CorpusRecipe:
     mixture: dict[str, float] | None = None
     mixture_source_col: str = "source"
     seq_len: int | None = None
+    #: persist the corpus at the dedup boundary. The filter tiers
+    #: (quality/PII/dedup windows + the CC join) otherwise re-execute for
+    #: every downstream stage that references the corpus more than once —
+    #: decontamination probes it twice, passage dedup three times.
+    #: MEMORY_AND_DISK of the (already shrunk) post-dedup corpus; caller
+    #: unpersists via the returned stage df when done.
+    persist_deduped: bool = False
 
 
 def prepare_training_corpus(
@@ -124,6 +131,11 @@ def prepare_training_corpus(
             .drop("keep_id")
         )
         stages["near_dedup"] = cur
+
+    if recipe.persist_deduped:
+        from pyspark import StorageLevel
+
+        cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
 
     if recipe.benchmark is not None:
         grams = benchmark_ngrams(

@@ -78,3 +78,24 @@ def test_pii_stage_rewrites_text(spark):
     out = corpus.collect()[0]
     assert "<EMAIL>" in out.text and "example.com" not in out.text
     assert corpus.columns == docs.columns
+
+
+def test_persist_deduped_results_identical(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    base = dict(
+        minhash_params={"threshold": 0.05},
+        benchmark=bench,
+        decontaminate_n=3,
+        passage_dedup_n=3,
+    )
+    plain, _ = prepare_training_corpus(docs, CorpusRecipe(**base))
+    fast, stages = prepare_training_corpus(
+        docs, CorpusRecipe(**base, persist_deduped=True)
+    )
+    try:
+        assert sorted(map(tuple, plain.collect())) == sorted(
+            map(tuple, fast.collect())
+        )
+    finally:
+        stages["near_dedup"].unpersist()
