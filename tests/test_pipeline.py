@@ -99,3 +99,27 @@ def test_persist_deduped_results_identical(spark, sf_dir):
         )
     finally:
         stages["near_dedup"].unpersist()
+
+
+def test_pipeline_plans_catalyst_only_no_cartesian(spark, sf_dir):
+    # composition must not smuggle in a Python-eval stage or a cartesian
+    # join: every stage is built from Catalyst expressions and keyed
+    # joins, so the whole sweep stays JVM-side and shuffle-bounded
+    docs = load_table(spark, sf_dir, "documents")
+    recipe = CorpusRecipe(
+        minhash_params={"threshold": 0.05},
+        benchmark=docs.filter(F.col("doc_id") % 50 == 0),
+        decontaminate_n=3,
+        passage_dedup_n=3,
+        mixture={"src0": 1.5, "src1": 1.0},
+        seq_len=64,
+    )
+    corpus, stages = prepare_training_corpus(docs, recipe)
+    for df in (corpus, stages["packing"]):
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "CartesianProduct" not in plan
+        assert "EvalPython" not in plan  # no BatchEvalPython/ArrowEvalPython
