@@ -302,14 +302,27 @@ def segment_dedup(
 
 
 def benchmark_ngrams(
-    bench_df: DataFrame, n: int = 5, text_col: str = "text"
+    bench_df: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    hash_grams: bool = False,
 ) -> DataFrame:
-    """Distinct word ``n``-grams of a benchmark/eval corpus → 1-col df ``g``."""
-    return (
+    """Distinct word ``n``-grams of a benchmark/eval corpus → 1-col df ``g``.
+
+    ``hash_grams=True`` emits the md5 of each gram instead of the string.
+    A production 13-gram is ~100 bytes; its digest is 32 — at real
+    benchmark sizes that shrinks the broadcast (and the probe side's
+    exploded gram column) ~3-10×. Digest collisions over-count
+    contamination with probability ~|grams|²/2^128 — irrelevant. Both
+    sides must agree on the flag.
+    """
+    out = (
         bench_df.select(tokens(_col(text_col)).alias("__toks"))
         .select(F.explode(ngrams_from_tokens(F.col("__toks"), n)).alias("g"))
-        .distinct()
     )
+    if hash_grams:
+        out = out.select(F.md5("g").alias("g"))
+    return out.distinct()
 
 
 def decontaminate(
@@ -317,6 +330,7 @@ def decontaminate(
     bench_grams: DataFrame,
     n: int = 5,
     text_col: str = "text",
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Per-document benchmark-overlap counts (GPT-3-style decontamination).
 
@@ -328,15 +342,15 @@ def decontaminate(
     The benchmark gram set is broadcast (eval suites are small relative
     to the corpus), making the probe a map-side semi-join: no shuffle of
     the corpus grams against the benchmark, only the per-doc rollup.
+    ``hash_grams`` must match the flag ``bench_grams`` was built with
+    (see benchmark_ngrams — digests shrink join/broadcast bytes).
     """
+    gram_arr = F.array_distinct(ngrams_from_tokens(F.col("__toks"), n))
+    if hash_grams:
+        gram_arr = F.transform(gram_arr, F.md5)
     grams = (
         df.select("doc_id", tokens(_col(text_col)).alias("__toks"))
-        .select(
-            "doc_id",
-            F.explode_outer(
-                F.array_distinct(ngrams_from_tokens(F.col("__toks"), n))
-            ).alias("g"),
-        )
+        .select("doc_id", F.explode_outer(gram_arr).alias("g"))
     )
     hits = (
         grams.join(F.broadcast(bench_grams), "g", "inner")

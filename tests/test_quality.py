@@ -297,3 +297,31 @@ def test_quality_signals_match_python_reference(spark, texts):
         assert r.n_distinct_words == len(set(w))
         assert r.top_bigram_n == (max(Counter(bg).values()) if bg else 0)
         assert r.n_stopwords == sum(w_.lower() in ("the", "a", "and", "of", "to", "in") for w_ in w)
+
+
+def test_decontaminate_hashed_grams_identical_counts(spark):
+    bench_docs = _docs(spark, ["the quick brown fox jumps over lazy dogs"])
+    corpus = _docs(
+        spark,
+        [
+            "we saw the quick brown fox jumps high",
+            "totally unrelated text with no overlap at all",
+        ],
+    )
+    plain = {
+        r.doc_id: (r.n_grams, r.n_contaminated)
+        for r in decontaminate(
+            corpus, benchmark_ngrams(bench_docs, n=3), n=3
+        ).collect()
+    }
+    hashed = {
+        r.doc_id: (r.n_grams, r.n_contaminated)
+        for r in decontaminate(
+            corpus,
+            benchmark_ngrams(bench_docs, n=3, hash_grams=True),
+            n=3,
+            hash_grams=True,
+        ).collect()
+    }
+    assert plain == hashed
+    assert plain[0][1] > 0 and plain[1][1] == 0
