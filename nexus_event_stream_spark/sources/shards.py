@@ -99,12 +99,92 @@ class ShardedCorpusWriter:
         self.backend.commit(self._pointer_path(), manifest, expected=cur)
         return manifest
 
+    def append(self, df: DataFrame, epoch: int, key_col: str = "doc_id") -> dict:
+        """Exactly-once per-epoch append — the streaming publish path
+        (``foreachBatch(lambda b, e: writer.append(b, e))``).
+
+        Cost is O(|batch|): the epoch's rows land in their own
+        ``epochs/e=<epoch>`` directory (partitioned by shard) and the new
+        manifest version REFERENCES the previous version's directories
+        plus the new one — no data rewrite, ever. The replay contract of
+        the view stores applies: an epoch already in the committed
+        manifest is a no-op (the retried micro-batch recomputes
+        deterministically, finds its token, skips), an epoch directory
+        without a manifest entry is invisible to readers and safely
+        overwritten by the retry. Pointer-swing last, with ``expected``,
+        so racing publishers surface as CommitConflictError.
+        """
+        cur = self.current()
+        if cur is not None and str(epoch) in cur.get("epoch_rows", {}):
+            return cur  # replayed epoch — already committed, no-op
+        out = os.path.join(self.root, "epochs", f"e={epoch}")
+        with_shard = df.withColumn(
+            "shard", hash_bucket(key_col, self.n_shards).cast("int")
+        )
+        (
+            with_shard.repartition("shard")
+            .write.mode("overwrite")  # uncommitted dir: retry-safe rewrite
+            .partitionBy("shard")
+            .parquet(out)
+        )
+        n_rows = df.sparkSession.read.parquet(out).count()
+        dirs = list(cur["dirs"]) if cur and "dirs" in cur else (
+            [f"v={cur['version']}"] if cur else []
+        )
+        dirs.append(os.path.join("epochs", f"e={epoch}"))
+        epoch_rows = dict(cur.get("epoch_rows", {})) if cur else {}
+        epoch_rows[str(epoch)] = n_rows
+        manifest = {
+            "version": (cur["version"] + 1) if cur else 0,
+            "created_unix": int(time.time()),
+            "n_shards": self.n_shards,
+            "shard_fn": f"knuth_hash({key_col}) % {self.n_shards}",
+            "total_rows": (cur.get("total_rows", 0) if cur else 0) + n_rows,
+            "dirs": dirs,
+            "epoch_rows": epoch_rows,
+        }
+        self.backend.commit(self._pointer_path(), manifest, expected=cur)
+        return manifest
+
+    def compact(self, spark: SparkSession, key_col: str = "doc_id") -> dict:
+        """Fold all referenced directories into one fresh snapshot
+        version (bounded by corpus size, run on a schedule like the view
+        stores' tombstone compaction). The result is a plain snapshot
+        manifest — append can continue from it."""
+        df = self.read(spark)
+        if df is None:
+            raise ValueError("nothing to compact")
+        return self.write(df.drop("shard"), key_col=key_col)
+
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame | None:
-        """The committed corpus (or an explicit older ``version``); None
-        before the first publish. Never reads an uncommitted directory."""
+        """The committed corpus (or an explicit older snapshot
+        ``version``); None before the first publish. Never reads an
+        uncommitted directory. Appended corpora resolve through the
+        manifest's directory list (``basePath`` keeps the shard
+        partition column)."""
         cur = self.current()
         if cur is None:
             return None
+        if version is None and "dirs" in cur:
+            # snapshot (v=) and epoch (epochs/e=) directories discover
+            # different partition columns — read each group with the
+            # root basePath, drop its version/epoch column, then union
+            groups = {
+                "v": [d for d in cur["dirs"] if d.startswith("v=")],
+                "e": [d for d in cur["dirs"] if not d.startswith("v=")],
+            }
+            parts = []
+            for col, dirs in groups.items():
+                if dirs:
+                    parts.append(
+                        spark.read.option("basePath", self.root)
+                        .parquet(*[os.path.join(self.root, d) for d in dirs])
+                        .drop(col)
+                    )
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
         v = cur["version"] if version is None else version
         return spark.read.parquet(os.path.join(self.root, f"v={v}"))
 

@@ -81,3 +81,86 @@ def test_concurrent_publisher_conflict_surfaces(spark, sf_dir, tmp_path):
     a.write(docs)
     with pytest.raises(CommitConflictError):
         b.backend.commit(b._pointer_path(), {"version": 99}, expected=cur_b)
+
+
+# ---------------------------------------------------------------------------
+# append mode (streaming publish path)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("backend_cls", [PosixRenameBackend, ConditionalPutBackend])
+def test_append_accumulates_and_replays_idempotently(
+    spark, sf_dir, tmp_path, backend_cls
+):
+    docs = load_table(spark, sf_dir, "documents")
+    w = ShardedCorpusWriter(str(tmp_path / "c"), n_shards=4, backend=backend_cls())
+    b0 = docs.filter(F.col("doc_id") < 100)
+    b1 = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 250))
+    w.append(b0, epoch=0)
+    m = w.append(b1, epoch=1)
+    assert m["total_rows"] == b0.count() + b1.count()
+    assert w.read(spark).count() == m["total_rows"]
+    # replayed epoch (crash-recovery retry) is a committed no-op
+    m2 = w.append(b1, epoch=1)
+    assert m2["version"] == m["version"]
+    assert w.read(spark).count() == m["total_rows"]
+
+
+def test_append_after_snapshot_and_compact(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    w = ShardedCorpusWriter(str(tmp_path / "c"), n_shards=4)
+    w.write(docs.filter(F.col("doc_id") < 100))          # snapshot v=0
+    w.append(docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 150)), epoch=7)
+    n_all = 150
+    assert w.read(spark).count() == n_all
+    # shard column survives the unioned read and stays consistent
+    shards = {r.shard for r in w.read(spark).select("shard").distinct().collect()}
+    assert shards <= set(range(4))
+    # compaction folds everything into one snapshot; rows preserved
+    m = w.compact(spark)
+    assert "dirs" not in m
+    assert w.read(spark).count() == n_all
+    assert {r.doc_id for r in w.read(spark).select("doc_id").collect()} == set(
+        range(150)
+    )
+
+
+def test_uncommitted_epoch_dir_invisible_to_readers(spark, sf_dir, tmp_path):
+    import os
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = str(tmp_path / "c")
+    w = ShardedCorpusWriter(root, n_shards=2)
+    w.append(docs.filter(F.col("doc_id") < 50), epoch=0)
+    n = w.read(spark).count()
+    # simulate a crashed publisher: epoch files on disk, pointer never swung
+    orphan = docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 80))
+    orphan.withColumn("shard", F.lit(0)).write.partitionBy("shard").parquet(
+        os.path.join(root, "epochs", "e=99")
+    )
+    assert w.read(spark).count() == n  # reader resolves the manifest only
+
+
+def test_streaming_foreachbatch_publish_exactly_once(spark, tmp_path):
+    # the intended wiring: Structured Streaming micro-batches publish
+    # through append(); the checkpoint + replay-guard pair gives an
+    # exactly-once corpus even across epoch retries
+    src = str(tmp_path / "src")
+    for lo, hi in [(0, 40), (40, 90)]:
+        spark.createDataFrame(
+            [(i, f"text {i}") for i in range(lo, hi)], "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(src)
+    w = ShardedCorpusWriter(str(tmp_path / "corpus"), n_shards=4)
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(lambda b, e: w.append(b, e))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert w.read(spark).count() == 90
+    assert w.current()["total_rows"] == 90
+    assert len(w.current()["epoch_rows"]) >= 1
