@@ -211,6 +211,7 @@ def _corpus_pipeline_bench(spark, sf_dir: str) -> float:
         stages["packing"].write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
         stages["near_dedup"].unpersist()
+        stages["exact_dedup"].unpersist()
         return dt
 
     return min(run(), run())

@@ -72,12 +72,15 @@ class CorpusRecipe:
     mixture: dict[str, float] | None = None
     mixture_source_col: str = "source"
     seq_len: int | None = None
-    #: persist the corpus at the dedup boundary. The filter tiers
-    #: (quality/PII/dedup windows + the CC join) otherwise re-execute for
-    #: every downstream stage that references the corpus more than once —
-    #: decontamination probes it twice, passage dedup three times.
-    #: MEMORY_AND_DISK of the (already shrunk) post-dedup corpus; caller
-    #: unpersists via the returned stage df when done.
+    #: persist the corpus at the two dedup boundaries. The filter tiers
+    #: otherwise re-execute for every downstream reference: the
+    #: post-EXACT-dedup corpus feeds the MinHash signature build, the CC
+    #: docs side, and the representative join (3× the quality/PII/digest
+    #: subtree — measured 3× wall on the sf0.1 sweep), and the
+    #: post-NEAR-dedup corpus is probed twice by decontamination and
+    #: three times by passage dedup. MEMORY_AND_DISK (evictable,
+    #: spills); caller unpersists via the returned "exact_dedup" /
+    #: "near_dedup" stage handles when done.
     persist_deduped: bool = False
 
 
@@ -118,6 +121,10 @@ def prepare_training_corpus(
             .filter(F.col(id_col) == F.col("__keep"))
             .drop("__keep")
         )
+        if recipe.persist_deduped:
+            from pyspark import StorageLevel
+
+            cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
         stages["exact_dedup"] = cur
 
     if recipe.near_dedup:

@@ -99,6 +99,7 @@ def test_persist_deduped_results_identical(spark, sf_dir):
         )
     finally:
         stages["near_dedup"].unpersist()
+        stages["exact_dedup"].unpersist()
 
 
 def test_pipeline_plans_catalyst_only_no_cartesian(spark, sf_dir):
