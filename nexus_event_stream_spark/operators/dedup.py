@@ -69,6 +69,25 @@ def exact_dedup(
     )
 
 
+def exact_dedup_annotate(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Doc-grain exact-dedup columns: append ``exact_keep_id`` (min id of
+    the doc's md5 digest group) and ``n_copies`` via a window over the
+    digest — ONE shuffle on md5 (uniform, skew-free), no corpus-sized
+    group-table broadcast. ``filter(id == exact_keep_id)`` is the
+    deduplicated corpus; the shared formulation behind both the pipeline
+    stage and q_dedup_groups' oracle columns.
+    """
+    w = Window.partitionBy(F.md5(F.col(text_col)))
+    return df.withColumns(
+        {
+            "exact_keep_id": F.min(id_col).over(w),
+            "n_copies": F.count(F.lit(1)).over(w),
+        }
+    )
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard of two pre-distinct arrays (integer set sizes → the
     division is the only float op, identical on every engine)."""

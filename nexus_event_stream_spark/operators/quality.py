@@ -205,6 +205,7 @@ def segment_dedup(
     n: int = 8,
     text_col: str = "text",
     emit_text: bool = False,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Corpus-wide passage-level exact dedup at ``n``-word-segment grain.
 
@@ -224,7 +225,7 @@ def segment_dedup(
     driver-side state; survives any corpus size.
     """
     segs = (
-        df.select("doc_id", tokens(_col(text_col)).alias("__toks"))
+        df.select(F.col(id_col).alias("doc_id"), tokens(_col(text_col)).alias("__toks"))
         .select(
             "doc_id",
             F.size("__toks").alias("n_words"),
@@ -232,7 +233,15 @@ def segment_dedup(
                 "pos", "seg"
             ),
         )
-        .withColumn("h", F.md5("seg"))
+        # sub-n-word docs carry a NULL segment row (so they keep a result
+        # row); md5(NULL)=NULL would funnel EVERY short doc in the corpus
+        # into one window partition — a corpus-wide straggler. Give those
+        # rows a per-doc unique key instead: they sort alone, rn=1, never
+        # duplicates, and the hash partitioning stays uniform.
+        .withColumn(
+            "h",
+            F.coalesce(F.md5("seg"), F.concat(F.lit("∅"), F.col("doc_id"))),
+        )
     )
     w = Window.partitionBy("h").orderBy("doc_id", "pos")
     flagged = segs.withColumn(
@@ -271,8 +280,10 @@ def segment_dedup(
         ),
     ]
     if not emit_text:
-        return per_doc.select(*out_cols)
-    tail_src = df.select("doc_id", tokens(_col(text_col)).alias("__toks"))
+        return per_doc.select(*out_cols).withColumnRenamed("doc_id", id_col)
+    tail_src = df.select(
+        F.col(id_col).alias("doc_id"), tokens(_col(text_col)).alias("__toks")
+    )
     tail_start = F.lit(n) * F.col("n_segments") + 1
     tail = F.concat_ws(
         " ",
@@ -293,6 +304,7 @@ def segment_dedup(
                 F.when(F.col("__tail") != "", F.col("__tail")),
             ).alias("clean_text"),
         )
+        .withColumnRenamed("doc_id", id_col)
     )
 
 
@@ -331,39 +343,37 @@ def decontaminate(
     n: int = 5,
     text_col: str = "text",
     hash_grams: bool = False,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Per-document benchmark-overlap counts (GPT-3-style decontamination).
 
-    Returns corpus grain: ``doc_id, n_grams, n_contaminated`` where
+    Returns corpus grain: ``<id_col>, n_grams, n_contaminated`` where
     ``n_contaminated`` counts the document's DISTINCT ``n``-grams that
     appear in ``bench_grams``. Filter on ``n_contaminated = 0`` to drop
     contaminated documents.
 
-    The benchmark gram set is broadcast (eval suites are small relative
-    to the corpus), making the probe a map-side semi-join: no shuffle of
-    the corpus grams against the benchmark, only the per-doc rollup.
-    ``hash_grams`` must match the flag ``bench_grams`` was built with
-    (see benchmark_ngrams — digests shrink join/broadcast bytes).
+    ONE pass over the corpus: tokenize + explode once, LEFT-join the
+    broadcast benchmark gram set (eval suites are small relative to the
+    corpus — a map-side probe, no corpus shuffle), and both counts fall
+    out of a single per-doc rollup. ``hash_grams`` must match the flag
+    ``bench_grams`` was built with (see benchmark_ngrams — digests
+    shrink join/broadcast bytes).
     """
     gram_arr = F.array_distinct(ngrams_from_tokens(F.col("__toks"), n))
     if hash_grams:
         gram_arr = F.transform(gram_arr, F.md5)
     grams = (
-        df.select("doc_id", tokens(_col(text_col)).alias("__toks"))
+        df.select(F.col(id_col).alias("doc_id"), tokens(_col(text_col)).alias("__toks"))
         .select("doc_id", F.explode_outer(gram_arr).alias("g"))
     )
-    hits = (
-        grams.join(F.broadcast(bench_grams), "g", "inner")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_contaminated"))
+    marked = grams.join(
+        F.broadcast(bench_grams.withColumn("__hit", F.lit(1))), "g", "left"
     )
-    n_grams = grams.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("g").isNotNull(), 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_grams")
-    )
-    return n_grams.join(hits, "doc_id", "left").select(
-        "doc_id",
-        "n_grams",
-        F.coalesce("n_contaminated", F.lit(0)).cast("bigint").alias("n_contaminated"),
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("g").cast("bigint").alias("n_grams"),
+            F.count("__hit").cast("bigint").alias("n_contaminated"),
+        )
+        .withColumnRenamed("doc_id", id_col)
     )

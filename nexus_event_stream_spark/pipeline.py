@@ -32,11 +32,15 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from nexus_event_stream_spark.functions.text import token_count
-from nexus_event_stream_spark.operators.dedup import dedup_groups, minhash_dedup
+from nexus_event_stream_spark.operators.dedup import (
+    dedup_groups,
+    exact_dedup_annotate,
+    minhash_dedup,
+)
 from nexus_event_stream_spark.operators.packing import pack_sequences
 from nexus_event_stream_spark.operators.quality import (
     benchmark_ngrams,
@@ -115,11 +119,10 @@ def prepare_training_corpus(
         stages["pii"] = cur
 
     if recipe.exact_dedup:
-        w = Window.partitionBy(F.md5(F.col(text_col)))
         cur = (
-            cur.withColumn("__keep", F.min(id_col).over(w))
-            .filter(F.col(id_col) == F.col("__keep"))
-            .drop("__keep")
+            exact_dedup_annotate(cur, text_col, id_col)
+            .filter(F.col(id_col) == F.col("exact_keep_id"))
+            .drop("exact_keep_id", "n_copies")
         )
         if recipe.persist_deduped:
             from pyspark import StorageLevel
@@ -137,19 +140,18 @@ def prepare_training_corpus(
             .filter(F.col(id_col) == F.col("keep_id"))
             .drop("keep_id")
         )
+        if recipe.persist_deduped:
+            from pyspark import StorageLevel
+
+            cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
         stages["near_dedup"] = cur
-
-    if recipe.persist_deduped:
-        from pyspark import StorageLevel
-
-        cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
 
     if recipe.benchmark is not None:
         grams = benchmark_ngrams(
             recipe.benchmark, n=recipe.decontaminate_n, text_col=text_col
         )
         overlap = decontaminate(
-            cur, grams, n=recipe.decontaminate_n, text_col=text_col
+            cur, grams, n=recipe.decontaminate_n, text_col=text_col, id_col=id_col
         )
         cur = (
             cur.join(overlap.select(id_col, "n_contaminated"), id_col)
@@ -160,7 +162,11 @@ def prepare_training_corpus(
 
     if recipe.passage_dedup_n:
         cleaned = segment_dedup(
-            cur, n=recipe.passage_dedup_n, text_col=text_col, emit_text=True
+            cur,
+            n=recipe.passage_dedup_n,
+            text_col=text_col,
+            emit_text=True,
+            id_col=id_col,
         ).select(id_col, "clean_text")
         cur = (
             cur.join(cleaned, id_col)
@@ -171,6 +177,11 @@ def prepare_training_corpus(
         stages["passage_dedup"] = cur
 
     if recipe.mixture:
+        if recipe.seq_len and max(recipe.mixture.values()) >= COPY_STRIDE - 1:
+            raise ValueError(
+                f"mixture weight {max(recipe.mixture.values())} would overflow "
+                f"COPY_STRIDE={COPY_STRIDE} copy_ids and collide packing order keys"
+            )
         cur = mix_corpus(
             cur,
             recipe.mixture,

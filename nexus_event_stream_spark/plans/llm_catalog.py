@@ -26,7 +26,7 @@ from nexus_event_stream_spark.functions.text import (
 from nexus_event_stream_spark.io import load_table
 from nexus_event_stream_spark.operators.dedup import (
     dedup_groups,
-    exact_dedup,
+    exact_dedup_annotate,
     minhash_coeffs,
     minhash_dedup,
     ngram_jaccard_pairs,
@@ -474,7 +474,7 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rounds = clique diameter, one join+groupBy per round — the shape "
     "that survives 100 TB where a recursive CTE cannot. Round 6 absorbed "
     "q_dedup_exact at doc grain: exact_keep_id / n_copies are the md5 "
-    "digest group's min-id representative and copy count (exact_dedup, "
+    "digest group's min-id representative and copy count (exact_dedup_annotate, "
     "operators/dedup.py — the cheap first pass every dedup pipeline "
     "runs before the LSH tier).",
 )
@@ -482,15 +482,10 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_dedup(docs, num_perm=16, shingle_n=3, bands=4, threshold=0.05)
     groups = dedup_groups(docs, pairs)
-    # Doc-grain exact-dedup columns via a window over the digest: ONE
-    # shuffle on md5 (uniform, skew-free), no broadcast of a corpus-sized
-    # group table — the formulation that survives 100 TB.
-    wh = Window.partitionBy("text_hash")
-    ex = docs.select("doc_id", F.md5("text").alias("text_hash")).select(
-        "doc_id",
-        F.min("doc_id").over(wh).alias("exact_keep_id"),
-        F.count(F.lit(1)).over(wh).alias("n_copies"),
-    )
+    # Doc-grain exact-dedup columns (exact_dedup_annotate): one window
+    # shuffle on the md5 digest, no corpus-sized group-table broadcast —
+    # the formulation that survives 100 TB.
+    ex = exact_dedup_annotate(docs).select("doc_id", "exact_keep_id", "n_copies")
     return groups.join(ex, "doc_id").select(
         "doc_id", "keep_id", "exact_keep_id", "n_copies"
     )

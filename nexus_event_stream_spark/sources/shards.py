@@ -50,19 +50,44 @@ class ShardedCorpusWriter:
     def current(self) -> dict | None:
         return self.backend.read(self._pointer_path())
 
+    def _snapshot_dir(self, cur: dict | None, version: int | None = None) -> str:
+        """Resolve a committed snapshot version to its directory name.
+
+        Manifests record their directory (``dir``) and the previous
+        snapshot's (``prev_dir``) — attempt-unique names, so a crashed or
+        losing publisher can never collide with a committed directory.
+        Pre-attempt-suffix manifests fall back to the plain ``v=<n>``.
+        """
+        if cur is None:
+            raise ValueError("no committed manifest")
+        if version is None or version == cur["version"]:
+            return cur.get("dir", f"v={cur['version']}")
+        if cur.get("prev_version") == version:
+            return cur.get("prev_dir", f"v={version}")
+        return f"v={version}"
+
     def write(self, df: DataFrame, key_col: str = "doc_id") -> dict:
         """Publish ``df`` as the next corpus version; returns the manifest.
 
         One shuffle (repartition on the shard id) then a partitioned
         write — shard subdirectories land as ``shard=<k>``. Row counts
         for the manifest come from reading the fresh version back
-        (parquet footer counts — metadata, not data). The pointer commit
-        carries the previously-read manifest as ``expected`` so two
-        racing publishers cannot both win on a conditional-put backend.
+        (parquet footer counts — metadata, not data). The data directory
+        name carries a random attempt token: a crashed or conflicted
+        publish leaves an unreferenced orphan that can never wedge a
+        retry or interleave with another publisher's committed files.
+        The pointer commit carries the previously-read manifest as
+        ``expected`` so two racing publishers cannot both win on a
+        conditional-put backend. ``epoch_rows`` (the append replay
+        guard) carries forward, so a streaming epoch retried AFTER a
+        snapshot rewrite/compaction is still recognized and skipped.
         """
+        import secrets
+
         cur = self.current()
         version = (cur["version"] + 1) if cur else 0
-        out = os.path.join(self.root, f"v={version}")
+        dirname = f"v={version}-{secrets.token_hex(4)}"
+        out = os.path.join(self.root, dirname)
         with_shard = df.withColumn(
             "shard", hash_bucket(key_col, self.n_shards).cast("int")
         )
@@ -90,12 +115,21 @@ class ShardedCorpusWriter:
             shards[str(k)] = {"rows": counts.get(k, 0), "files": files}
         manifest = {
             "version": version,
+            "dir": dirname,
             "created_unix": int(time.time()),
             "n_shards": self.n_shards,
             "shard_fn": f"knuth_hash({key_col}) % {self.n_shards}",
             "total_rows": sum(s["rows"] for s in shards.values()),
             "shards": shards,
+            # append's replay guard survives snapshot rewrites
+            "epoch_rows": dict(cur.get("epoch_rows", {})) if cur else {},
         }
+        if cur and "dirs" not in cur:
+            # one-step time travel: only a plain snapshot has a single
+            # directory to point back to (an append lineage is its dirs
+            # list, superseded wholesale by this snapshot)
+            manifest["prev_version"] = cur["version"]
+            manifest["prev_dir"] = self._snapshot_dir(cur)
         self.backend.commit(self._pointer_path(), manifest, expected=cur)
         return manifest
 
@@ -129,7 +163,7 @@ class ShardedCorpusWriter:
         )
         n_rows = df.sparkSession.read.parquet(out).count()
         dirs = list(cur["dirs"]) if cur and "dirs" in cur else (
-            [f"v={cur['version']}"] if cur else []
+            [self._snapshot_dir(cur)] if cur else []
         )
         dirs.append(os.path.join("epochs", f"e={epoch}"))
         epoch_rows = dict(cur.get("epoch_rows", {})) if cur else {}
@@ -165,7 +199,11 @@ class ShardedCorpusWriter:
         cur = self.current()
         if cur is None:
             return None
-        if version is None and "dirs" in cur:
+        if version is not None and version != cur["version"]:
+            return spark.read.parquet(
+                os.path.join(self.root, self._snapshot_dir(cur, version))
+            )
+        if "dirs" in cur:
             # snapshot (v=) and epoch (epochs/e=) directories discover
             # different partition columns — read each group with the
             # root basePath, drop its version/epoch column, then union
@@ -185,8 +223,9 @@ class ShardedCorpusWriter:
             for p in parts[1:]:
                 out = out.unionByName(p)
             return out
-        v = cur["version"] if version is None else version
-        return spark.read.parquet(os.path.join(self.root, f"v={v}"))
+        return spark.read.parquet(
+            os.path.join(self.root, self._snapshot_dir(cur))
+        )
 
     def read_shard(self, spark: SparkSession, shard: int) -> DataFrame | None:
         """One shard of the committed version — the loader-worker read

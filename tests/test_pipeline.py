@@ -124,3 +124,39 @@ def test_pipeline_plans_catalyst_only_no_cartesian(spark, sf_dir):
         )
         assert "CartesianProduct" not in plan
         assert "EvalPython" not in plan  # no BatchEvalPython/ArrowEvalPython
+
+
+def test_custom_id_col_threads_through_every_stage(spark):
+    docs = spark.createDataFrame(
+        [(i, f"a{i} b{i} c{i} d{i} e{i} f{i} g{i} h{i}", "s")
+         for i in range(30)],
+        "id long, text string, source string",
+    )
+    recipe = CorpusRecipe(
+        quality=False,
+        minhash_params={"threshold": 0.05},
+        benchmark=docs.filter(F.col("id") % 10 == 0),
+        decontaminate_n=3,
+        passage_dedup_n=3,
+        mixture={"s": 1.5},
+        seq_len=16,
+    )
+    corpus, stages = prepare_training_corpus(docs, recipe, id_col="id")
+    assert "id" in corpus.columns and corpus.count() > 0
+    assert stages["packing"].count() > 0
+
+
+def test_mixture_weight_overflowing_copy_stride_rejected(spark):
+    docs = spark.createDataFrame(
+        [(1, "some text here", "s")], "doc_id long, text string, source string"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="COPY_STRIDE"):
+        prepare_training_corpus(
+            docs,
+            CorpusRecipe(
+                quality=False, exact_dedup=False, near_dedup=False,
+                mixture={"s": 5000.0}, seq_len=8,
+            ),
+        )

@@ -164,3 +164,39 @@ def test_streaming_foreachbatch_publish_exactly_once(spark, tmp_path):
     assert w.read(spark).count() == 90
     assert w.current()["total_rows"] == 90
     assert len(w.current()["epoch_rows"]) >= 1
+
+
+def test_epoch_replay_guard_survives_compaction(spark, sf_dir, tmp_path):
+    # the exactly-once hole: epoch committed -> compaction -> streaming
+    # retry of that epoch must STILL be a no-op, else its rows land both
+    # in the compacted snapshot and a re-appended epoch dir
+    docs = load_table(spark, sf_dir, "documents")
+    b0 = docs.filter(F.col("doc_id") < 60)
+    w = ShardedCorpusWriter(str(tmp_path / "c"), n_shards=2)
+    w.append(b0, epoch=0)
+    m_compact = w.compact(spark)
+    assert "dirs" not in m_compact and m_compact["epoch_rows"]  # guard kept
+    n = w.read(spark).count()
+    m_retry = w.append(b0, epoch=0)  # crash-recovery replay after compact
+    assert m_retry["version"] == m_compact["version"]
+    assert w.read(spark).count() == n
+
+
+def test_crashed_snapshot_publish_cannot_wedge_retries(spark, sf_dir, tmp_path):
+    # a publisher that wrote data but lost the pointer race (or died)
+    # leaves an orphan attempt dir; the retry picks a fresh attempt name
+    # and succeeds instead of hitting path-already-exists forever
+    import os
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    root = str(tmp_path / "c")
+    w = ShardedCorpusWriter(root, n_shards=2)
+    w.write(docs)
+    v1 = w.current()
+    # simulate: second publish writes its dir but dies pre-commit
+    orphan = os.path.join(root, "v=1-deadbeef")
+    docs.withColumn("shard", F.lit(0)).write.partitionBy("shard").parquet(orphan)
+    assert w.current() == v1  # pointer untouched
+    m = w.write(docs)  # retry succeeds with a fresh attempt dir
+    assert m["version"] == 1 and m["dir"] != "v=1-deadbeef"
+    assert w.read(spark).count() == 40
