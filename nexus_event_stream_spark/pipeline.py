@@ -76,6 +76,21 @@ class CorpusRecipe:
     mixture: dict[str, float] | None = None
     mixture_source_col: str = "source"
     seq_len: int | None = None
+    #: learned quality gate (operators/classifier.py): a trained logreg
+    #: model dict plus the score threshold. Runs right after the
+    #: heuristic quality stage — the model scores the same signal
+    #: columns (recomputed map-side, still zero shuffle) and docs below
+    #: the threshold drop. The standard two-tier recipe: cheap rules
+    #: first, learned scorer second.
+    quality_model: dict | None = None
+    quality_model_features: tuple[str, ...] = (
+        "n_words",
+        "mean_word_len",
+        "dup_word_frac",
+        "top_bigram_frac",
+        "n_stopwords",
+    )
+    quality_model_threshold: float = 0.5
     #: persist the corpus at the two dedup boundaries. The filter tiers
     #: otherwise re-execute for every downstream reference: the
     #: post-EXACT-dedup corpus feeds the MinHash signature build, the CC
@@ -110,6 +125,18 @@ def prepare_training_corpus(
         sig = quality_signals(cur, text_col, thresholds=recipe.quality_thresholds)
         cur = sig.filter(F.col("quality_pass") == 1).select(*docs.columns)
         stages["quality"] = cur
+
+    if recipe.quality_model is not None:
+        from nexus_event_stream_spark.operators.classifier import score_logreg
+
+        sig = quality_signals(cur, text_col, thresholds=recipe.quality_thresholds)
+        scored = score_logreg(
+            sig, recipe.quality_model, list(recipe.quality_model_features)
+        )
+        cur = scored.filter(
+            F.col("quality_score") >= recipe.quality_model_threshold
+        ).select(*docs.columns)
+        stages["quality_model"] = cur
 
     if recipe.redact_pii:
         red = pii_redact(cur, text_col)

@@ -160,3 +160,36 @@ def test_mixture_weight_overflowing_copy_stride_rejected(spark):
                 mixture={"s": 5000.0}, seq_len=8,
             ),
         )
+
+
+def test_learned_quality_gate_stage(spark, sf_dir):
+    from nexus_event_stream_spark.operators.classifier import train_logreg
+    from nexus_event_stream_spark.operators.quality import quality_signals
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = ["n_words", "mean_word_len", "dup_word_frac",
+             "top_bigram_frac", "n_stopwords"]
+    thresholds = {
+        "min_words": 3, "max_words": 100_000, "min_mean_word_len": 2,
+        "max_mean_word_len": 12, "max_dup_word_frac_pct": 50,
+        "min_alpha_word_frac_pct": 80, "max_top_bigram_frac_pct": 10,
+    }
+    sig = quality_signals(docs, thresholds=thresholds)
+    model = train_logreg(sig, feats, "quality_pass", iters=25)
+    recipe = CorpusRecipe(
+        quality_thresholds=thresholds,
+        quality_model=model,
+        exact_dedup=False,
+        near_dedup=False,
+    )
+    corpus, stages = prepare_training_corpus(docs, recipe)
+    n_rules, n_model = stages["quality"].count(), stages["quality_model"].count()
+    # the learned gate tightens (or equals) the rule gate's survivors
+    assert 0 < n_model <= n_rules
+    # stage plan stays a pure projection chain — no shuffle added
+    plan = stages["quality_model"]._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert plan.count(") Exchange") == 0
