@@ -29,8 +29,6 @@ given fixed weights is deterministic.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -57,8 +55,16 @@ def train_logreg(
     ``label_col`` must be 0/1. Full-batch gradient descent with a
     1/(1+t/4) step decay; each iteration is one corpus pass producing
     k+2 numbers (k gradient sums, bias gradient, mean log-loss).
+    Rows with a NULL feature or label are EXCLUDED from training (and
+    raise if nothing remains); at scoring time such rows get a NULL
+    score — decide their fate explicitly before a threshold filter
+    (``score >= t`` silently drops NULLs).
     """
     k = len(feature_cols)
+    # F.sum/avg silently skip NULLs: a NULL-bearing row would shrink the
+    # gradient while still counting in n — biased updates with no
+    # warning. Train on complete rows only, explicitly.
+    df = df.na.drop(subset=[*feature_cols, label_col])
     stats = df.select(
         *[F.avg(F.col(c).cast("double")).alias(f"m{i}") for i, c in enumerate(feature_cols)],
         *[
@@ -135,7 +141,3 @@ def accuracy(df: DataFrame, score_col: str, label_col: str, threshold: float = 0
         F.avg((pred == F.col(label_col).cast("int")).cast("double")).alias("acc")
     ).collect()[0]
     return row["acc"]
-
-
-def sigmoid(x: float) -> float:
-    return 1.0 / (1.0 + math.exp(-x))

@@ -121,17 +121,28 @@ def prepare_training_corpus(
     stages: dict[str, DataFrame] = {}
     cur = docs
 
+    sig = None
     if recipe.quality:
-        sig = quality_signals(cur, text_col, thresholds=recipe.quality_thresholds)
-        cur = sig.filter(F.col("quality_pass") == 1).select(*docs.columns)
+        sig = quality_signals(
+            cur, text_col, thresholds=recipe.quality_thresholds
+        ).filter(F.col("quality_pass") == 1)
+        cur = sig.select(*docs.columns)
         stages["quality"] = cur
 
     if recipe.quality_model is not None:
         from nexus_event_stream_spark.operators.classifier import score_logreg
 
-        sig = quality_signals(cur, text_col, thresholds=recipe.quality_thresholds)
+        # reuse the rule stage's signal columns when it ran — the signal
+        # projection (tokenize + bigram fold) is the hot map-side cost
+        # and Catalyst cannot CSE across two separate quality_signals
+        # calls; docs with NULL signals (degenerate empties) drop here.
+        base = (
+            sig
+            if sig is not None
+            else quality_signals(cur, text_col, thresholds=recipe.quality_thresholds)
+        )
         scored = score_logreg(
-            sig, recipe.quality_model, list(recipe.quality_model_features)
+            base, recipe.quality_model, list(recipe.quality_model_features)
         )
         cur = scored.filter(
             F.col("quality_score") >= recipe.quality_model_threshold

@@ -38,6 +38,10 @@ class ShardedCorpusWriter:
     """Versioned sharded parquet corpus under ``root`` with an atomically
     committed manifest pointer (``manifest.json``)."""
 
+    #: bounded observability tail of per-epoch row counts kept in the
+    #: manifest; the replay guard itself is the O(1) ``max_epoch``
+    EPOCH_TAIL = 64
+
     def __init__(self, root: str, n_shards: int = 16, backend=None) -> None:
         self.root = root
         self.n_shards = n_shards
@@ -56,17 +60,30 @@ class ShardedCorpusWriter:
         Manifests record their directory (``dir``) and the previous
         snapshot's (``prev_dir``) — attempt-unique names, so a crashed or
         losing publisher can never collide with a committed directory.
-        Pre-attempt-suffix manifests fall back to the plain ``v=<n>``.
+        Only what the committed manifest records is resolvable: the
+        current version and (for snapshot-over-snapshot publishes) the
+        one before it. Anything else raises rather than fabricating a
+        path that may never have existed.
         """
         if cur is None:
             raise ValueError("no committed manifest")
         if version is None or version == cur["version"]:
+            if "dirs" in cur:
+                raise ValueError(
+                    "current version is an append lineage, not a single "
+                    "snapshot directory — use read() without a version"
+                )
             return cur.get("dir", f"v={cur['version']}")
         if cur.get("prev_version") == version:
-            return cur.get("prev_dir", f"v={version}")
-        return f"v={version}"
+            return cur["prev_dir"]
+        raise ValueError(
+            f"version {version} is not resolvable from the committed "
+            f"manifest (time travel spans only the previous snapshot)"
+        )
 
-    def write(self, df: DataFrame, key_col: str = "doc_id") -> dict:
+    def write(
+        self, df: DataFrame, key_col: str = "doc_id", expected: dict | None = None
+    ) -> dict:
         """Publish ``df`` as the next corpus version; returns the manifest.
 
         One shuffle (repartition on the shard id) then a partitioned
@@ -76,15 +93,19 @@ class ShardedCorpusWriter:
         name carries a random attempt token: a crashed or conflicted
         publish leaves an unreferenced orphan that can never wedge a
         retry or interleave with another publisher's committed files.
-        The pointer commit carries the previously-read manifest as
-        ``expected`` so two racing publishers cannot both win on a
-        conditional-put backend. ``epoch_rows`` (the append replay
-        guard) carries forward, so a streaming epoch retried AFTER a
-        snapshot rewrite/compaction is still recognized and skipped.
+        The pointer commit carries ``expected`` (the manifest ``df`` was
+        derived from — ``compact`` passes the one it read; defaults to
+        the pointer read at entry) so a publish that raced anything —
+        another snapshot OR a streaming append — surfaces as
+        ``CommitConflictError`` on a conditional-put backend instead of
+        silently dropping the interleaved commit's rows. The append
+        replay guard (``max_epoch``/``epoch_rows``) carries forward, so
+        a streaming epoch retried AFTER a snapshot rewrite/compaction is
+        still recognized and skipped.
         """
         import secrets
 
-        cur = self.current()
+        cur = self.current() if expected is None else expected
         version = (cur["version"] + 1) if cur else 0
         dirname = f"v={version}-{secrets.token_hex(4)}"
         out = os.path.join(self.root, dirname)
@@ -122,6 +143,7 @@ class ShardedCorpusWriter:
             "total_rows": sum(s["rows"] for s in shards.values()),
             "shards": shards,
             # append's replay guard survives snapshot rewrites
+            "max_epoch": cur.get("max_epoch", -1) if cur else -1,
             "epoch_rows": dict(cur.get("epoch_rows", {})) if cur else {},
         }
         if cur and "dirs" not in cur:
@@ -138,26 +160,32 @@ class ShardedCorpusWriter:
         (``foreachBatch(lambda b, e: writer.append(b, e))``).
 
         Cost is O(|batch|): the epoch's rows land in their own
-        ``epochs/e=<epoch>`` directory (partitioned by shard) and the new
-        manifest version REFERENCES the previous version's directories
-        plus the new one — no data rewrite, ever. The replay contract of
-        the view stores applies: an epoch already in the committed
-        manifest is a no-op (the retried micro-batch recomputes
-        deterministically, finds its token, skips), an epoch directory
-        without a manifest entry is invisible to readers and safely
-        overwritten by the retry. Pointer-swing last, with ``expected``,
-        so racing publishers surface as CommitConflictError.
+        attempt-unique ``epochs/e=<epoch>-<token>`` directory
+        (partitioned by shard) and the new manifest version REFERENCES
+        the previous version's directories plus the new one — no data
+        rewrite, ever. Structured Streaming epochs are MONOTONIC per
+        checkpoint, so the replay guard is the committed ``max_epoch``:
+        a retried micro-batch with ``epoch <= max_epoch`` is a no-op,
+        and the guard stays O(1) forever (``epoch_rows`` keeps only a
+        bounded observability tail). The attempt token means a zombie
+        publisher retrying a committed epoch writes a fresh orphan dir —
+        it can never delete or replace files a committed manifest
+        references — and its pointer commit loses the CAS. Uncommitted
+        directories are invisible to readers.
         """
+        import secrets
+
         cur = self.current()
-        if cur is not None and str(epoch) in cur.get("epoch_rows", {}):
+        if cur is not None and epoch <= cur.get("max_epoch", -1):
             return cur  # replayed epoch — already committed, no-op
-        out = os.path.join(self.root, "epochs", f"e={epoch}")
+        dirname = os.path.join("epochs", f"e={epoch}-{secrets.token_hex(4)}")
+        out = os.path.join(self.root, dirname)
         with_shard = df.withColumn(
             "shard", hash_bucket(key_col, self.n_shards).cast("int")
         )
         (
             with_shard.repartition("shard")
-            .write.mode("overwrite")  # uncommitted dir: retry-safe rewrite
+            .write.mode("errorifexists")
             .partitionBy("shard")
             .parquet(out)
         )
@@ -165,9 +193,12 @@ class ShardedCorpusWriter:
         dirs = list(cur["dirs"]) if cur and "dirs" in cur else (
             [self._snapshot_dir(cur)] if cur else []
         )
-        dirs.append(os.path.join("epochs", f"e={epoch}"))
+        dirs.append(dirname)
         epoch_rows = dict(cur.get("epoch_rows", {})) if cur else {}
         epoch_rows[str(epoch)] = n_rows
+        if len(epoch_rows) > self.EPOCH_TAIL:
+            for old in sorted(epoch_rows, key=int)[: -self.EPOCH_TAIL]:
+                del epoch_rows[old]
         manifest = {
             "version": (cur["version"] + 1) if cur else 0,
             "created_unix": int(time.time()),
@@ -175,6 +206,7 @@ class ShardedCorpusWriter:
             "shard_fn": f"knuth_hash({key_col}) % {self.n_shards}",
             "total_rows": (cur.get("total_rows", 0) if cur else 0) + n_rows,
             "dirs": dirs,
+            "max_epoch": epoch,
             "epoch_rows": epoch_rows,
         }
         self.backend.commit(self._pointer_path(), manifest, expected=cur)
@@ -184,11 +216,21 @@ class ShardedCorpusWriter:
         """Fold all referenced directories into one fresh snapshot
         version (bounded by corpus size, run on a schedule like the view
         stores' tombstone compaction). The result is a plain snapshot
-        manifest — append can continue from it."""
+        manifest — append can continue from it.
+
+        The manifest the data was READ from is passed as the commit's
+        ``expected``: an epoch appended while the compaction job ran
+        makes the pointer swing fail (conditional-put backend) instead
+        of committing a snapshot that silently lacks that epoch's rows
+        while the carried-forward replay guard marks it done. Retry the
+        compaction on conflict. (The POSIX-rename backend cannot enforce
+        ``expected`` — schedule compaction from the single publisher
+        there, as with the view stores.)"""
+        cur = self.current()
         df = self.read(spark)
         if df is None:
             raise ValueError("nothing to compact")
-        return self.write(df.drop("shard"), key_col=key_col)
+        return self.write(df.drop("shard"), key_col=key_col, expected=cur)
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame | None:
         """The committed corpus (or an explicit older snapshot

@@ -116,3 +116,16 @@ def test_empty_frame_rejected(spark):
     df = spark.createDataFrame([], "f1 double, y int")
     with pytest.raises(ValueError):
         train_logreg(df, ["f1"], "y", iters=1)
+
+
+def test_null_rows_excluded_from_training(spark):
+    rows = [(1.0, 0), (2.0, 1), (None, 1), (3.0, None), (4.0, 1)]
+    df = spark.createDataFrame(rows, "f1 double, y int")
+    clean = spark.createDataFrame(
+        [(1.0, 0), (2.0, 1), (4.0, 1)], "f1 double, y int"
+    )
+    m_all = train_logreg(df, ["f1"], "y", iters=10)
+    m_clean = train_logreg(clean, ["f1"], "y", iters=10)
+    # NULL-bearing rows neither bias the gradient nor inflate n
+    assert m_all["weights"] == pytest.approx(m_clean["weights"])
+    assert m_all["bias"] == pytest.approx(m_clean["bias"])

@@ -200,3 +200,58 @@ def test_crashed_snapshot_publish_cannot_wedge_retries(spark, sf_dir, tmp_path):
     m = w.write(docs)  # retry succeeds with a fresh attempt dir
     assert m["version"] == 1 and m["dir"] != "v=1-deadbeef"
     assert w.read(spark).count() == 40
+
+
+def test_time_travel_limits_are_explicit(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    w = ShardedCorpusWriter(str(tmp_path / "c"), n_shards=2)
+    w.write(docs)
+    w.append(docs.limit(10), epoch=0)
+    # after an append the lineage is the dirs list — an explicit old
+    # version must raise, not fabricate a path that may not exist
+    with pytest.raises(ValueError):
+        w.read(spark, version=0)
+    w2 = ShardedCorpusWriter(str(tmp_path / "c2"), n_shards=2)
+    w2.write(docs)
+    w2.write(docs.limit(5))
+    with pytest.raises(ValueError):
+        w2.read(spark, version=99)
+
+
+def test_epoch_dirs_attempt_unique_and_guard_bounded(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    w = ShardedCorpusWriter(str(tmp_path / "c"), n_shards=2)
+    w.EPOCH_TAIL = 3
+    total = 0
+    for e in range(5):
+        b = docs.filter(F.col("doc_id") % 5 == e).limit(10)
+        total += b.count()
+        w.append(b, epoch=e)
+    m = w.current()
+    # attempt tokens in every epoch dir name; nothing ever overwritten
+    assert all("-" in d.split("e=")[1] for d in m["dirs"] if "epochs/" in d)
+    # replay guard is O(1) max_epoch; row tail bounded
+    assert m["max_epoch"] == 4
+    assert len(m["epoch_rows"]) == 3
+    assert m["total_rows"] == total
+    assert w.read(spark).count() == total
+    # stale-epoch replay (crash recovery) still a no-op through the tail cut
+    v = m["version"]
+    assert w.append(docs.limit(3), epoch=1)["version"] == v
+
+
+def test_compact_conflicts_instead_of_dropping_interleaved_append(
+    spark, sf_dir, tmp_path
+):
+    docs = load_table(spark, sf_dir, "documents")
+    w = ShardedCorpusWriter(
+        str(tmp_path / "c"), n_shards=2, backend=ConditionalPutBackend()
+    )
+    w.append(docs.limit(20), epoch=0)
+    stale = w.current()  # the manifest a compaction job derived its data from
+    w.append(docs.filter(F.col("doc_id") >= 100).limit(15), epoch=1)
+    # the snapshot publish built from the stale manifest must CONFLICT,
+    # not commit a corpus silently missing epoch 1's rows
+    with pytest.raises(CommitConflictError):
+        w.write(docs.limit(20), expected=stale)
+    assert w.current()["max_epoch"] == 1
