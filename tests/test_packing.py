@@ -133,3 +133,39 @@ def test_packing_plan_two_level_not_single_partition_corpus(spark):
     assert "BroadcastExchange" in plan  # offsets join the corpus broadcast
     # exactly one exchange keyed on the coarse group feeds the big window
     assert "hashpartitioning(__g" in plan
+
+
+def test_curriculum_packing_by_quality_score(spark):
+    # curriculum ordering: rank docs by a model score and pack in that
+    # order — pack_sequences only needs a unique numeric order key, so a
+    # row_number over (score desc, id) slots straight in
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, float((i * 37) % 100) / 100, 5 + i % 4) for i in range(40)],
+        "doc_id long, score double, n_tokens long",
+    )
+    ranked = docs.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("score"), "doc_id")),
+    )
+    placed = pack_sequences(ranked, 16, order_col="rank")
+    # rank order maps monotonically into sequence ids: the highest-scored
+    # docs fill the earliest training sequences
+    first_by_rank = {
+        r.rank: r.seq_id
+        for r in placed.groupBy("rank").agg(F.min("seq_id").alias("seq_id"))
+        .collect()
+    }
+    ranks = sorted(first_by_rank)
+    assert all(
+        first_by_rank[a] <= first_by_rank[b]
+        for a, b in zip(ranks, ranks[1:])
+    )
+    # and every doc's tokens are fully placed
+    placed_tokens = placed.groupBy("rank").agg(
+        F.sum("tokens_in_seq").alias("t")
+    )
+    joined = ranked.join(placed_tokens, "rank")
+    assert joined.filter(F.col("t") != F.col("n_tokens")).count() == 0
