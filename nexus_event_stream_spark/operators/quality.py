@@ -23,10 +23,9 @@ JVM-side and the driver's DuckDB oracle can value-check each signal.
 Scale notes (100 TB):
 - ``quality_signals`` and ``pii_redact`` are pure projections: zero
   shuffle, embarrassingly parallel, cost linear in corpus bytes.
-- The most-common-bigram count is O(distinct·total) per document via a
-  filter-count over the distinct bigram list — fine for web documents
-  (KBs); for megabyte-scale documents switch to the explode + groupBy
-  formulation so the quadratic term never materializes.
+- The most-common-bigram count is an O(n log n) sorted run-length fold
+  per document (HOFs evaluate interpreted; the naive distinct×total
+  filter-count measured 40× slower on the sf0.1 corpus).
 - ``segment_dedup`` shuffles once on the segment hash (md5 → uniform,
   no skew) and once on doc_id for the per-doc rollup; both are partial-
   aggregated map-side first.
@@ -374,6 +373,133 @@ def decontaminate(
         .agg(
             F.count("g").cast("bigint").alias("n_grams"),
             F.count("__hit").cast("bigint").alias("n_contaminated"),
+        )
+        .withColumnRenamed("doc_id", id_col)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (shift-robust duplicated-passage detection)
+# ---------------------------------------------------------------------------
+
+
+def cdc_chunks(
+    text: Column,
+    divisor: int = 64,
+    window: int = 8,
+    min_len: int | None = None,
+) -> Column:
+    """Split a text column into content-defined chunks (array<string>).
+
+    A position is a chunk boundary iff the rolling polynomial hash of the
+    ``window`` characters ending there is ``0 mod divisor`` — so boundary
+    placement depends ONLY on local content, never on the absolute
+    offset. That is the property fixed word segments lack: two copies of
+    a passage at different offsets produce IDENTICAL interior chunks
+    (after the first ``window-1`` chars of the passage), which is what
+    makes corpus-level chunk dedup shift-robust (the storage-dedup CDC
+    idea applied to training text; expected chunk length ≈ ``divisor``).
+
+    ``min_len`` (default ``divisor // 4``, the usual CDC floor) merges
+    boundaries closer than that to the previous kept one — without it,
+    degenerate 1-2 char chunks collide across unrelated documents by
+    pure chance and pollute the dedup signal.
+
+    Pure Catalyst: O(len·window) interpreted HOF work per document —
+    fine for web documents; production megabyte blobs should move this
+    one kernel to an Arrow ``mapInPandas`` (the downstream dedup plan is
+    unchanged either way).
+    """
+    if min_len is None:
+        min_len = max(divisor // 4, 1)
+    n = F.length(text)
+    idx = F.sequence(F.lit(window), F.greatest(n, F.lit(window)))
+
+    def rolling(i: Column) -> Column:
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(window - 1)),
+            F.lit(0).cast("bigint"),
+            lambda acc, j: acc * 131 + F.ascii(F.substring(text, (i - j).cast("int"), 1)),
+        )
+
+    raw = F.when(
+        n >= window,
+        F.filter(idx, lambda i: rolling(i) % divisor == 0),
+    ).otherwise(F.array().cast("array<bigint>"))
+    # min-chunk floor: keep a boundary only if it is >= min_len past the
+    # previously KEPT boundary (fold, content-order preserving)
+    bpos = F.aggregate(
+        raw,
+        F.array().cast("array<bigint>"),
+        lambda acc, p: F.when(
+            p - F.coalesce(F.element_at(acc, -1), F.lit(0).cast("bigint"))
+            >= min_len,
+            F.concat(acc, F.array(p)),
+        ).otherwise(acc),
+    )
+    starts = F.concat(
+        F.array(F.lit(1).cast("bigint")), F.transform(bpos, lambda p: p + 1)
+    )
+    ends = F.concat(bpos, F.array(n.cast("bigint")))
+    return F.filter(
+        F.zip_with(
+            starts,
+            ends,
+            lambda s, e: F.when(
+                e >= s, F.substring(text, s.cast("int"), (e - s + 1).cast("int"))
+            ),
+        ),
+        lambda c: c.isNotNull(),
+    )
+
+
+def cdc_dedup(
+    df: DataFrame,
+    divisor: int = 64,
+    window: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int | None = None,
+) -> DataFrame:
+    """Corpus-wide duplicated-passage stats at content-defined-chunk
+    grain: ``<id_col>, n_chunks, dup_chunks, dup_chars``.
+
+    Same first-occurrence-wins machinery as ``segment_dedup`` (one
+    skew-free shuffle on the chunk md5 + a keyed rollup), but the chunk
+    boundaries are content-defined — a passage duplicated at a DIFFERENT
+    offset in another document still collides chunk-for-chunk, which
+    fixed word segments structurally miss.
+    """
+    chunks = df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
+    ).select(
+        "doc_id",
+        F.posexplode_outer(
+            cdc_chunks(F.col("__text"), divisor, window, min_len)
+        ).alias("pos", "chunk"),
+    ).withColumn(
+        "h",
+        F.coalesce(F.md5("chunk"), F.concat(F.lit("∅"), F.col("doc_id"))),
+    )
+    w = Window.partitionBy("h").orderBy("doc_id", "pos")
+    flagged = chunks.withColumn(
+        "is_dup",
+        F.when(
+            F.col("chunk").isNotNull() & (F.row_number().over(w) > 1), 1
+        ).otherwise(0),
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("chunk").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_chunks"),
+            F.sum("is_dup").cast("bigint").alias("dup_chunks"),
+            F.sum(
+                F.when(F.col("is_dup") == 1, F.length("chunk")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("dup_chars"),
         )
         .withColumnRenamed("doc_id", id_col)
     )

@@ -325,3 +325,69 @@ def test_decontaminate_hashed_grams_identical_counts(spark):
     }
     assert plain == hashed
     assert plain[0][1] > 0 and plain[1][1] == 0
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from nexus_event_stream_spark.operators.quality import (  # noqa: E402
+    cdc_chunks,
+    cdc_dedup,
+)
+
+
+def _passage(seed: int, n: int = 160) -> str:
+    # deterministic pseudo-random text with enough entropy for boundaries
+    out = []
+    x = seed
+    for _ in range(n):
+        x = (1103515245 * x + 12345) % (2**31)
+        out.append(chr(97 + x % 26))
+    return "".join(out)
+
+
+def test_cdc_chunks_cover_text_and_are_content_defined(spark):
+    p = _passage(3)
+    df = spark.createDataFrame([(0, p)], "doc_id long, text string")
+    chunks = df.select(cdc_chunks(F.col("text"), divisor=16, window=4).alias("c"))
+    arr = chunks.collect()[0].c
+    assert "".join(arr) == p  # chunks partition the text exactly
+    assert len(arr) > 3  # divisor 16 → boundaries actually fire
+
+
+def test_cdc_dedup_detects_shifted_duplicates(spark):
+    # the same passage embedded at DIFFERENT offsets: fixed word
+    # segments would miss it; content-defined chunks collide
+    p = _passage(7, 300)
+    docs = spark.createDataFrame(
+        [
+            (0, _passage(1, 40) + p),
+            (1, _passage(2, 97) + p + _passage(4, 31)),
+            (2, _passage(5, 280)),  # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in cdc_dedup(docs, divisor=16, window=4).collect()
+    }
+    # doc1 shares the passage's interior chunks with doc0 (first wins)
+    assert rows[1].dup_chunks > 0
+    assert rows[1].dup_chars > 150  # most of the 300-char passage caught
+    assert rows[0].dup_chunks == 0
+    assert rows[2].dup_chunks == 0
+
+
+def test_cdc_dedup_short_and_exact_copies(spark):
+    docs = spark.createDataFrame(
+        [(0, "tiny"), (1, _passage(9, 120)), (2, _passage(9, 120))],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in cdc_dedup(docs, divisor=16, window=4).collect()}
+    assert rows[0].n_chunks == 1 and rows[0].dup_chunks == 0  # sub-window doc
+    # exact copy: every chunk of doc2 duplicates doc1
+    assert rows[2].dup_chunks == rows[2].n_chunks
+    assert rows[2].dup_chars == 120
