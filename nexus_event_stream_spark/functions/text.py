@@ -112,3 +112,40 @@ def doc_fingerprint(col: Column | str, mod: int = 2**31 - 1) -> Column:
         )
         % m,
     )
+
+
+def char_entropy(col: Column | str) -> Column:
+    """Shannon entropy (bits/char) of the character distribution — the
+    standard gibberish/boilerplate quality signal (natural language sits
+    ~3.5-4.5 bits; constant spam near 0, random bytes near 8).
+
+    Sorted run-length fold (the same O(n log n) trick as the mode-bigram
+    count — HOFs evaluate interpreted, so per-distinct filter-counts are
+    the slow path): sort the char array, fold (prev, run, Σ run·log2 run)
+    over it, finish with H = log2 n − Σ/n. Pure Catalyst, shuffle-free.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    chars = F.array_sort(F.split(c, ""))
+    n = F.size(chars)
+    zero = F.lit(0.0)
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0.0).alias("run"),
+        zero.alias("acc"),
+    )
+
+    def step(a: Column, x: Column) -> Column:
+        is_same = x == a["prev"]
+        run = F.when(is_same, a["run"] + 1).otherwise(F.lit(1.0))
+        # closing a run adds run·log2(run); reopening subtracts nothing —
+        # fold incrementally: moving run r→r+1 adds (r+1)log(r+1) − r·log r
+        closed = F.when(
+            is_same,
+            a["acc"]
+            - a["run"] * F.log2(F.greatest(a["run"], F.lit(1.0)))
+            + run * F.log2(run),
+        ).otherwise(a["acc"])  # new run of 1 contributes 1·log2(1) = 0
+        return F.struct(x.alias("prev"), run.alias("run"), closed.alias("acc"))
+
+    acc = F.aggregate(chars, init, step, lambda a: a["acc"])
+    return F.when(n > 0, F.log2(n.cast("double")) - acc / n).otherwise(0.0)

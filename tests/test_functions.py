@@ -85,3 +85,23 @@ def test_cosine_similarity_exact(spark):
         r["c"] for r in df.select(cosine_similarity("a", "b").alias("c")).collect()
     ]
     assert out[0] == 1.0 and out[1] == 0.0 and abs(out[2] - 1.0) < 1e-12
+
+
+def test_char_entropy_closed_form(spark):
+    import collections
+    import math
+
+    from pyspark.sql import functions as F
+
+    from nexus_event_stream_spark.functions.text import char_entropy
+
+    texts = ["aaaa", "abab", "abcd", "the cat sat on the mat", "", "x"]
+    df = spark.createDataFrame(list(enumerate(texts)), "i long, t string")
+    got = {r.i: r.e for r in df.select("i", char_entropy("t").alias("e")).collect()}
+    for i, t in enumerate(texts):
+        if not t:
+            expect = 0.0
+        else:
+            c = collections.Counter(t)
+            expect = -sum(v / len(t) * math.log2(v / len(t)) for v in c.values())
+        assert abs(got[i] - expect) < 1e-9, (t, got[i], expect)
