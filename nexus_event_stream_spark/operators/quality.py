@@ -185,6 +185,31 @@ def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def first_occurrence_flag(exploded: DataFrame, value_col: str) -> DataFrame:
+    """Corpus-wide first-occurrence-wins duplicate flagging, shared by
+    the segment- and CDC-grain dedups.
+
+    ``exploded`` must carry ``doc_id, pos, <value_col>`` rows. Appends
+    ``is_dup`` = 1 for every occurrence of a value except the corpus
+    first (ordered by doc_id, pos). NULL-value rows (kept by outer
+    explodes so empty docs still get a result row) would all hash to the
+    md5(NULL)=NULL window partition — a corpus-wide straggler; they get
+    a per-doc unique sentinel key instead, so they sort alone, rn=1,
+    never duplicate, and the hash partitioning stays uniform. ONE
+    shuffle on the uniform md5 key.
+    """
+    w = Window.partitionBy("h").orderBy("doc_id", "pos")
+    return exploded.withColumn(
+        "h",
+        F.coalesce(F.md5(value_col), F.concat(F.lit("∅"), F.col("doc_id"))),
+    ).withColumn(
+        "is_dup",
+        F.when(
+            F.col(value_col).isNotNull() & (F.row_number().over(w) > 1), 1
+        ).otherwise(0),
+    )
+
+
 def word_segments(toks: Column, n: int) -> Column:
     """Non-overlapping ``n``-word segments (space-joined) of a token array.
 
@@ -232,23 +257,8 @@ def segment_dedup(
                 "pos", "seg"
             ),
         )
-        # sub-n-word docs carry a NULL segment row (so they keep a result
-        # row); md5(NULL)=NULL would funnel EVERY short doc in the corpus
-        # into one window partition — a corpus-wide straggler. Give those
-        # rows a per-doc unique key instead: they sort alone, rn=1, never
-        # duplicates, and the hash partitioning stays uniform.
-        .withColumn(
-            "h",
-            F.coalesce(F.md5("seg"), F.concat(F.lit("∅"), F.col("doc_id"))),
-        )
     )
-    w = Window.partitionBy("h").orderBy("doc_id", "pos")
-    flagged = segs.withColumn(
-        "is_dup",
-        F.when(
-            F.col("seg").isNotNull() & (F.row_number().over(w) > 1), 1
-        ).otherwise(0),
-    )
+    flagged = first_occurrence_flag(segs, "seg")
     aggs = [
         F.sum(F.when(F.col("seg").isNotNull(), 1).otherwise(0))
         .cast("bigint")
@@ -477,17 +487,8 @@ def cdc_dedup(
         F.posexplode_outer(
             cdc_chunks(F.col("__text"), divisor, window, min_len)
         ).alias("pos", "chunk"),
-    ).withColumn(
-        "h",
-        F.coalesce(F.md5("chunk"), F.concat(F.lit("∅"), F.col("doc_id"))),
     )
-    w = Window.partitionBy("h").orderBy("doc_id", "pos")
-    flagged = chunks.withColumn(
-        "is_dup",
-        F.when(
-            F.col("chunk").isNotNull() & (F.row_number().over(w) > 1), 1
-        ).otherwise(0),
-    )
+    flagged = first_occurrence_flag(chunks, "chunk")
     return (
         flagged.groupBy("doc_id")
         .agg(

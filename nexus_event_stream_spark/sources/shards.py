@@ -68,14 +68,11 @@ class ShardedCorpusWriter:
         if cur is None:
             raise ValueError("no committed manifest")
         if version is None or version == cur["version"]:
-            if "dirs" in cur:
-                raise ValueError(
-                    "current version is an append lineage, not a single "
-                    "snapshot directory — use read() without a version"
-                )
             return cur.get("dir", f"v={cur['version']}")
         if cur.get("prev_version") == version:
-            return cur["prev_dir"]
+            # legacy manifests (pre-attempt-suffix) recorded no prev_dir;
+            # their directories really are plain v=<n>
+            return cur.get("prev_dir", f"v={version}")
         raise ValueError(
             f"version {version} is not resolvable from the committed "
             f"manifest (time travel spans only the previous snapshot)"
@@ -176,8 +173,15 @@ class ShardedCorpusWriter:
         import secrets
 
         cur = self.current()
-        if cur is not None and epoch <= cur.get("max_epoch", -1):
-            return cur  # replayed epoch — already committed, no-op
+        if cur is not None:
+            # legacy manifests carry epoch_rows but no max_epoch — their
+            # replay guard must not silently vanish on upgrade
+            guard = cur.get(
+                "max_epoch",
+                max((int(k) for k in cur.get("epoch_rows", {})), default=-1),
+            )
+            if epoch <= guard:
+                return cur  # replayed epoch — already committed, no-op
         dirname = os.path.join("epochs", f"e={epoch}-{secrets.token_hex(4)}")
         out = os.path.join(self.root, dirname)
         with_shard = df.withColumn(

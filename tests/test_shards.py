@@ -255,3 +255,19 @@ def test_compact_conflicts_instead_of_dropping_interleaved_append(
     with pytest.raises(CommitConflictError):
         w.write(docs.limit(20), expected=stale)
     assert w.current()["max_epoch"] == 1
+
+
+def test_legacy_manifest_replay_guard_still_holds(spark, sf_dir, tmp_path):
+    # manifests persisted before max_epoch existed carry only epoch_rows;
+    # the guard must fall back to their max key, not silently re-append
+    docs = load_table(spark, sf_dir, "documents")
+    w = ShardedCorpusWriter(str(tmp_path / "c"), n_shards=2)
+    w.append(docs.limit(30), epoch=0)
+    w.append(docs.filter(F.col("doc_id") >= 200).limit(20), epoch=1)
+    cur = w.current()
+    legacy = {k: v for k, v in cur.items() if k != "max_epoch"}
+    w.backend.commit(w._pointer_path(), legacy, expected=cur)
+    n = w.read(spark).count()
+    m = w.append(docs.filter(F.col("doc_id") >= 200).limit(20), epoch=1)
+    assert m == legacy  # replay recognized via the epoch_rows fallback
+    assert w.read(spark).count() == n
