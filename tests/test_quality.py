@@ -391,3 +391,40 @@ def test_cdc_dedup_short_and_exact_copies(spark):
     # exact copy: every chunk of doc2 duplicates doc1
     assert rows[2].dup_chunks == rows[2].n_chunks
     assert rows[2].dup_chars == 120
+
+
+from hypothesis import HealthCheck as _HC  # noqa: E402
+from hypothesis import given as _given, settings as _settings  # noqa: E402
+from hypothesis import strategies as _st  # noqa: E402
+
+
+@_settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[_HC.function_scoped_fixture],
+)
+@_given(
+    texts=_st.lists(
+        _st.text(
+            alphabet=_st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=0,
+            max_size=200,
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    divisor=_st.sampled_from([8, 16, 64]),
+    window=_st.sampled_from([2, 4, 8]),
+)
+def test_cdc_chunks_partition_exactly_any_text(spark, texts, divisor, window):
+    # invariant: chunks always reassemble the exact input, for any
+    # printable text (including empty and sub-window strings)
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rows = df.select(
+        "doc_id", "text",
+        cdc_chunks(F.col("text"), divisor=divisor, window=window).alias("c"),
+    ).collect()
+    for r in rows:
+        assert "".join(r.c) == r.text
