@@ -98,8 +98,9 @@ def _skew_join_bench(
     skew-split handles for joins and `skew_salted_join` exists for in
     general. The dim is hinted shuffle_hash on both variants: at the
     100 TB design point the dim is not broadcast-size, and a broadcast
-    would dissolve the skew being measured. Returns (unsalted_sec,
-    salted_sec), each min-of-2 (same de-noise policy as the catalog).
+    would dissolve the skew being measured. Returns (unsalted_runs,
+    salted_runs) — raw per-run seconds so the caller can record
+    min + spread (same de-noise policy as the catalog).
     """
     from pyspark.sql import functions as F
 
@@ -134,9 +135,7 @@ def _skew_join_bench(
         df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
-    t_un = min(run(unsalted), run(unsalted))
-    t_sa = min(run(salted), run(salted))
-    return t_un, t_sa
+    return [run(unsalted), run(unsalted)], [run(salted), run(salted)]
 
 
 def _ivf_pq_bench(spark, sf_dir: str) -> float:
@@ -171,7 +170,7 @@ def _ivf_pq_bench(spark, sf_dir: str) -> float:
         return time.perf_counter() - t0
 
     try:
-        return min(run(), run())
+        return [run(), run()]
     finally:
         index.unpersist()
 
@@ -214,7 +213,7 @@ def _corpus_pipeline_bench(spark, sf_dir: str) -> float:
         stages["exact_dedup"].unpersist()
         return dt
 
-    return min(run(), run())
+    return [run(), run()]
 
 
 def main() -> None:
@@ -360,24 +359,32 @@ def main() -> None:
     }
     total += dt
 
+    def _extra(name: str, runs: list) -> float:
+        """Record an extra (non-catalog) entry with min headline + the
+        raw per-run spread, so bench_compare's range-disjoint regression
+        test covers these entries too."""
+        best = min(runs)
+        per_query[name] = round(best, 3)
+        spread[name] = {
+            "min": round(min(runs), 3),
+            "max": round(max(runs), 3),
+            "runs": [round(r, 3) for r in runs],
+        }
+        return best
+
     # Skew-robustness: the zipf-keyed synthetic join (VERDICT r4 #6) —
     # measures the engine under a pathological hot key, salted vs not.
-    t_un, t_sa = _skew_join_bench(spark)
-    per_query["skew_join_unsalted"] = round(t_un, 3)
-    per_query["skew_join_salted"] = round(t_sa, 3)
-    total += t_un + t_sa
+    r_un, r_sa = _skew_join_bench(spark)
+    total += _extra("skew_join_unsalted", r_un)
+    total += _extra("skew_join_salted", r_sa)
 
     # Memory-bounded ANN: IVF-PQ search wall clock (training excluded).
-    t_pq = _ivf_pq_bench(spark, sf_dir)
-    per_query["ivf_pq_search"] = round(t_pq, 3)
-    total += t_pq
+    total += _extra("ivf_pq_search", _ivf_pq_bench(spark, sf_dir))
 
     # End-to-end corpus preparation: the whole hygiene sweep composed
     # (quality → PII → dedup tiers → decontaminate → passage dedup →
     # mixture → packing), one number for operator COMPOSITION cost.
-    t_pipe = _corpus_pipeline_bench(spark, sf_dir)
-    per_query["corpus_pipeline"] = round(t_pipe, 3)
-    total += t_pipe
+    total += _extra("corpus_pipeline", _corpus_pipeline_bench(spark, sf_dir))
 
     print(
         json.dumps(

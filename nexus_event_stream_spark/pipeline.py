@@ -73,6 +73,13 @@ class CorpusRecipe:
     benchmark: DataFrame | None = None
     decontaminate_n: int = 13
     passage_dedup_n: int | None = None
+    #: shift-robust duplicated-passage gate (cdc_dedup): drop documents
+    #: whose content-defined-chunk duplicated-char fraction exceeds
+    #: ``cdc_max_dup_frac``. Catches documents that are mostly copies of
+    #: earlier content at arbitrary offsets — the case word-aligned
+    #: passage dedup structurally misses. None disables.
+    cdc_divisor: int | None = None
+    cdc_max_dup_frac: float = 0.5
     mixture: dict[str, float] | None = None
     mixture_source_col: str = "source"
     seq_len: int | None = None
@@ -197,6 +204,27 @@ def prepare_training_corpus(
             .drop("n_contaminated")
         )
         stages["decontaminated"] = cur
+
+    if recipe.cdc_divisor:
+        from nexus_event_stream_spark.operators.quality import cdc_dedup
+
+        cur = (
+            cur.join(
+                cdc_dedup(
+                    cur,
+                    divisor=recipe.cdc_divisor,
+                    text_col=text_col,
+                    id_col=id_col,
+                ).select(id_col, "dup_chars"),
+                id_col,
+            )
+            .filter(
+                F.col("dup_chars").cast("double")
+                <= F.lit(recipe.cdc_max_dup_frac) * F.length(F.col(text_col))
+            )
+            .drop("dup_chars")
+        )
+        stages["cdc_dedup"] = cur
 
     if recipe.passage_dedup_n:
         cleaned = segment_dedup(

@@ -193,3 +193,32 @@ def test_learned_quality_gate_stage(spark, sf_dir):
         )
     )
     assert plan.count(") Exchange") == 0
+
+
+def test_cdc_gate_drops_mostly_copied_docs(spark):
+    def passage(seed, n):
+        out, x = [], seed
+        for _ in range(n):
+            x = (1103515245 * x + 12345) % (2**31)
+            out.append(chr(97 + x % 26))
+        return "".join(out)
+
+    p = passage(7, 300)
+    docs = spark.createDataFrame(
+        [
+            (0, passage(1, 260), "s"),           # original content
+            (1, passage(2, 30) + p, "s"),        # will own p (first)
+            (2, passage(3, 20) + p + "xy", "s"), # mostly a shifted copy
+            (3, passage(4, 250), "s"),           # unrelated
+        ],
+        "doc_id long, text string, source string",
+    )
+    recipe = CorpusRecipe(
+        quality=False, redact_pii=False, exact_dedup=False, near_dedup=False,
+        cdc_divisor=16, cdc_max_dup_frac=0.5,
+    )
+    corpus, stages = prepare_training_corpus(docs, recipe)
+    kept = {r.doc_id for r in corpus.select("doc_id").collect()}
+    assert 2 not in kept          # shifted near-copy gated out
+    assert {0, 1, 3} <= kept      # originals survive
+    assert corpus.columns == docs.columns
