@@ -484,3 +484,78 @@ def test_update_cluster_labels_bucketed_replay_noop(spark, tmp_path):
     assert store.current()["version"] == ver
     got = {r["node"]: r["comp"] for r in store.read(spark).collect()}
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_streaming_hygiene_pipeline_quality_gate_plus_suppression(
+    spark, store_dir
+):
+    """The full streaming ingest counterpart of prepare_training_corpus:
+    stateless hygiene (quality gate + PII redaction) composes ONTO the
+    document stream before near-dup suppression — low-quality docs never
+    reach the signature store, PII never reaches the corpus, near-dups
+    are suppressed cross-batch, and a restart from the same checkpoint
+    neither loses nor duplicates anything."""
+    from pyspark.sql import functions as F
+
+    from nexus_event_stream_spark.operators.quality import (
+        pii_redact,
+        quality_signals,
+    )
+    from nexus_event_stream_spark.streaming.dedup import (
+        read_dedup_corpus,
+        start_dedup_ingest,
+    )
+
+    base = tempfile.mkdtemp(prefix="hygiene_stream_")
+    src = os.path.join(base, "src")
+    corpus = os.path.join(base, "corpus")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(src)
+
+    def hygiene(stream):
+        cleaned = pii_redact(quality_signals(stream)).filter("quality_pass = 1")
+        return cleaned.select(
+            "doc_id", F.col("redacted").alias("text")
+        )
+
+    low_quality = "a a a a a a a a a a a a a a a a a a"  # fails dup-word rule
+    with_pii = B_TEXT + " contact me at secret.address@example.org please"
+    try:
+        docs_df(spark, [(1, A_TEXT), (2, low_quality)]).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src, "b0"))
+        stream = spark.readStream.schema("doc_id long, text string").option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src + "/*")
+        q = start_dedup_ingest(
+            spark, hygiene(stream), store_dir, corpus, ckpt, n_buckets=16
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # restart from the same checkpoint with more batches arriving
+        docs_df(spark, [(3, A_NEAR), (4, with_pii)]).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src, "b1"))
+        stream2 = spark.readStream.schema("doc_id long, text string").option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src + "/*")
+        q2 = start_dedup_ingest(
+            spark, hygiene(stream2), store_dir, corpus, ckpt, n_buckets=16
+        )
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+        rows = {
+            r.doc_id: r.text
+            for r in read_dedup_corpus(spark, store_dir, corpus).collect()
+        }
+        # 2 failed quality, 3 suppressed as near-dup of 1; 1 and 4 kept
+        assert sorted(rows) == [1, 4]
+        # PII was redacted BEFORE the doc entered the corpus
+        assert "<EMAIL>" in rows[4]
+        assert "secret.address" not in rows[4]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
