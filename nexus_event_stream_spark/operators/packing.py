@@ -124,3 +124,62 @@ def pack_sequences(
         (span_end - span_start).cast("bigint").alias("tokens_in_seq"),
         (span_start - start).cast("bigint").alias("doc_token_start"),
     )
+
+
+def sample_token_budget(
+    df: DataFrame,
+    budget: int,
+    count_col: str = "n_tokens",
+    key_col: str = "doc_id",
+    group_size: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic token-budget slice: the corpus prefix (in a
+    Knuth-hash shuffled order) whose token total fits ``budget``.
+
+    Data recipes are weighed in TOKENS, not documents — "50 B tokens of
+    crawl" — and a doc-count sample misses that by the length
+    distribution. Ordering by the multiplicative hash of the key gives a
+    uniform, replayable shuffle (same sample every run/engine/retry, and
+    a smaller budget's slice is a strict PREFIX of a larger one —
+    monotone growth, like hash_sample); the running token total is the
+    two-level distributed prefix sum, so selection is one filter:
+    ``prefix_sum < budget`` admits every doc that STARTS inside the
+    budget (the last admitted doc may overrun by less than one doc —
+    document-atomic, nothing is split).
+
+    Shape: the coarse group IS a hash bucket (``n_groups`` of them, so
+    the sequential totals window is n_groups rows REGARDLESS of corpus
+    size — an order-value-derived grouping would degenerate to one group
+    per doc on sparse keys), cumsum within groups is a partitioned
+    window, offsets broadcast back, selection is a map-side filter.
+    """
+    from nexus_event_stream_spark.operators.sampling import M32, hash_bucket
+
+    n_groups = 4096
+    g = hash_bucket(key_col, n_groups)
+    sub = hash_bucket(F.col(key_col) + 1_000_003, M32)  # within-group shuffle
+    w_in = (
+        Window.partitionBy("__g")
+        .orderBy("__sub", key_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_in = (
+        df.withColumn("__g", g)
+        .withColumn("__sub", sub)
+        .withColumn("__cum_in", F.sum(count_col).over(w_in))
+    )
+    totals = with_in.groupBy("__g").agg(F.sum(count_col).alias("__t"))
+    offsets = totals.select(
+        "__g",
+        F.coalesce(
+            F.sum("__t").over(
+                Window.orderBy("__g").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast("bigint"),
+        ).alias("__off"),
+    )
+    return (
+        with_in.join(F.broadcast(offsets), "__g")
+        .filter(F.col("__off") + F.col("__cum_in") - F.col(count_col) < budget)
+        .drop("__g", "__sub", "__cum_in", "__off")
+    )

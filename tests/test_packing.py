@@ -169,3 +169,35 @@ def test_curriculum_packing_by_quality_score(spark):
     )
     joined = ranked.join(placed_tokens, "rank")
     assert joined.filter(F.col("t") != F.col("n_tokens")).count() == 0
+
+
+from nexus_event_stream_spark.operators.packing import (  # noqa: E402
+    sample_token_budget,
+)
+
+
+def test_token_budget_slice_deterministic_and_monotone(spark):
+    df = _df(spark, [((i * 13) % 29) + 1 for i in range(300)])
+    total = sum(((i * 13) % 29) + 1 for i in range(300))
+
+    def slice_ids(budget):
+        return {r.doc_id for r in sample_token_budget(df, budget).collect()}
+
+    small, big = slice_ids(total // 10), slice_ids(total // 3)
+    assert small == slice_ids(total // 10)  # replayable
+    assert small < big                      # strict-prefix monotone growth
+    assert slice_ids(total + 1) == set(range(300))  # budget ≥ total → all
+
+    # realized tokens land within one doc of the budget (document-atomic)
+    budget = total // 3
+    rows = sample_token_budget(df, budget).collect()
+    got = sum(r.n_tokens for r in rows)
+    max_doc = max(r.n_tokens for r in rows)
+    assert budget <= got < budget + max_doc
+
+
+def test_token_budget_zero_and_columns(spark):
+    df = _df(spark, [5, 7, 9])
+    assert sample_token_budget(df, 0).count() == 0
+    out = sample_token_budget(df, 100)
+    assert out.columns == df.columns  # helper columns dropped
