@@ -88,7 +88,7 @@ def _stream_projection_replay(
 def _skew_join_bench(
     spark, n_rows: int = 4_000_000, n_keys: int = 1000, alpha: float = 6.0,
     n_salt: int = 16,
-) -> tuple[float, float]:
+) -> tuple[list[float], list[float]]:
     """Zipf-skewed fact⋈dim join, with and without salting.
 
     The fact table is synthesized deterministically (no RNG — the key is
@@ -138,13 +138,14 @@ def _skew_join_bench(
     return [run(unsalted), run(unsalted)], [run(salted), run(salted)]
 
 
-def _ivf_pq_bench(spark, sf_dir: str) -> float:
+def _ivf_pq_bench(spark, sf_dir: str) -> list[float]:
     """Seconds for an IVF-PQ search (ADC shortlist + exact re-rank) over
     the embeddings table, 3 queries, nprobe=4 — the memory-bounded ANN
     tier. Training (coarse centroids + PQ codebooks) AND the index build
     happen OUTSIDE the clock: a deployment trains and indexes once,
     searches forever; what perf tracking must catch is a regression in
-    the search path. Min-of-2."""
+    the search path. Returns raw per-run seconds (caller records
+    min + spread)."""
     from nexus_event_stream_spark.io import load_table
     from nexus_event_stream_spark.operators.similarity import (
         ivf_pq_topk,
@@ -175,7 +176,7 @@ def _ivf_pq_bench(spark, sf_dir: str) -> float:
         index.unpersist()
 
 
-def _corpus_pipeline_bench(spark, sf_dir: str) -> float:
+def _corpus_pipeline_bench(spark, sf_dir: str) -> list[float]:
     """Seconds for the FULL end-to-end corpus-preparation sweep
     (pipeline.prepare_training_corpus): quality filter → PII redaction →
     exact dedup → MinHash-LSH + connected-components near-dup dedup →
@@ -183,7 +184,7 @@ def _corpus_pipeline_bench(spark, sf_dir: str) -> float:
     packing, materialized via a noop write of the packing placement map
     (every upstream stage executes). This is the number that tracks
     whether the operators COMPOSE efficiently, not just run alone.
-    Min-of-2."""
+    Returns raw per-run seconds (caller records min + spread)."""
     from pyspark.sql import functions as F
 
     from nexus_event_stream_spark.io import load_table

@@ -40,6 +40,8 @@ def global_prefix_sum(
     order_col: str,
     group_size: int = 1_000_000,
     out_col: str = "prefix_sum",
+    group_expr: Column | None = None,
+    order_cols: list | None = None,
 ) -> DataFrame:
     """Exclusive prefix sum of ``value_col`` in ``order_col`` order.
 
@@ -47,11 +49,22 @@ def global_prefix_sum(
     ``out_col`` = sum of all values strictly before the row. Two-level
     formulation — no single-partition pass over the corpus (see module
     docstring).
+
+    Advanced callers may override the coarse grouping: ``group_expr``
+    replaces the default ``order // group_size`` (it must be
+    monotonically consistent with the order — all of group g precedes
+    all of group g+1), and ``order_cols`` replaces the within-group sort
+    (must be a total order). ``sample_token_budget`` uses both to order
+    by a hash shuffle while keeping the group count fixed.
     """
-    g = (F.col(order_col) / F.lit(group_size)).cast("bigint")
+    g = (
+        group_expr
+        if group_expr is not None
+        else (F.col(order_col) / F.lit(group_size)).cast("bigint")
+    )
     w_in = (
         Window.partitionBy("__g")
-        .orderBy(order_col)
+        .orderBy(*(order_cols or [order_col]))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     with_in = df.withColumn("__g", g).withColumn(
@@ -131,7 +144,7 @@ def sample_token_budget(
     budget: int,
     count_col: str = "n_tokens",
     key_col: str = "doc_id",
-    group_size: int = 1_000_000,
+    n_groups: int = 4096,
 ) -> DataFrame:
     """Deterministic token-budget slice: the corpus prefix (in a
     Knuth-hash shuffled order) whose token total fits ``budget``.
@@ -148,38 +161,23 @@ def sample_token_budget(
     document-atomic, nothing is split).
 
     Shape: the coarse group IS a hash bucket (``n_groups`` of them, so
-    the sequential totals window is n_groups rows REGARDLESS of corpus
-    size — an order-value-derived grouping would degenerate to one group
-    per doc on sparse keys), cumsum within groups is a partitioned
-    window, offsets broadcast back, selection is a map-side filter.
+    the sequential totals window is n_groups rows REGARDLESS of how
+    sparse the shuffled order values are — an order-value-derived
+    grouping would degenerate to one group per doc), cumsum within
+    groups is a partitioned window, offsets broadcast back, selection is
+    a map-side filter. Size ``n_groups`` ≈ |corpus| / 1e6 so each
+    within-group window partition stays executor-sized.
     """
     from nexus_event_stream_spark.operators.sampling import M32, hash_bucket
 
-    n_groups = 4096
-    g = hash_bucket(key_col, n_groups)
-    sub = hash_bucket(F.col(key_col) + 1_000_003, M32)  # within-group shuffle
-    w_in = (
-        Window.partitionBy("__g")
-        .orderBy("__sub", key_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pref = global_prefix_sum(
+        df.withColumn(
+            "__sub", hash_bucket(F.col(key_col) + 1_000_003, M32)
+        ),
+        count_col,
+        key_col,
+        out_col="__pfx",
+        group_expr=hash_bucket(key_col, n_groups),
+        order_cols=["__sub", key_col],
     )
-    with_in = (
-        df.withColumn("__g", g)
-        .withColumn("__sub", sub)
-        .withColumn("__cum_in", F.sum(count_col).over(w_in))
-    )
-    totals = with_in.groupBy("__g").agg(F.sum(count_col).alias("__t"))
-    offsets = totals.select(
-        "__g",
-        F.coalesce(
-            F.sum("__t").over(
-                Window.orderBy("__g").rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0).cast("bigint"),
-        ).alias("__off"),
-    )
-    return (
-        with_in.join(F.broadcast(offsets), "__g")
-        .filter(F.col("__off") + F.col("__cum_in") - F.col(count_col) < budget)
-        .drop("__g", "__sub", "__cum_in", "__off")
-    )
+    return pref.filter(F.col("__pfx") < budget).drop("__sub", "__pfx")

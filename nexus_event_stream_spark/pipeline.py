@@ -6,14 +6,17 @@ module wires this repo's operators into that sweep behind one recipe
 object, entirely lazily (one Catalyst plan per stage, nothing collected):
 
 1. quality filter        quality_signals → keep quality_pass = 1
-2. PII redaction         pii_redact → text becomes the redacted text
-3. exact dedup           md5 digest groups → keep the min-id copy
-4. near-dup dedup        MinHash-LSH pairs → connected components →
+2. learned quality gate  score_logreg on the same signals → threshold
+3. PII redaction         pii_redact → text becomes the redacted text
+4. exact dedup           md5 digest groups → keep the min-id copy
+5. near-dup dedup        MinHash-LSH pairs → connected components →
                          keep the component representative
-5. decontamination       benchmark n-gram overlap → drop contaminated
-6. passage-level dedup   C4 span rule → text becomes the cleaned text
-7. mixture               deterministic per-source weights (copy_id)
-8. sequence packing      GPT-style placement map (separate output)
+6. decontamination       benchmark n-gram overlap → drop contaminated
+7. CDC shifted-copy gate content-defined-chunk duplicated-char
+                         fraction ≤ threshold (near-copies at offsets)
+8. passage-level dedup   C4 span rule → text becomes the cleaned text
+9. mixture               deterministic per-source weights (copy_id)
+10. sequence packing     GPT-style placement map (separate output)
 
 Stage order matters and is the published one: quality/PII are per-doc
 (cheap, shuffle-free) and run first to shrink everything downstream;
@@ -220,7 +223,10 @@ def prepare_training_corpus(
             )
             .filter(
                 F.col("dup_chars").cast("double")
-                <= F.lit(recipe.cdc_max_dup_frac) * F.length(F.col(text_col))
+                <= F.lit(recipe.cdc_max_dup_frac)
+                # NULL-text docs have dup_chars=0 and must pass the gate
+                # (NULL length would null the predicate → silent drop)
+                * F.coalesce(F.length(F.col(text_col)), F.lit(0))
             )
             .drop("dup_chars")
         )
