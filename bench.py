@@ -138,6 +138,80 @@ def _skew_join_bench(
     return [run(unsalted), run(unsalted)], [run(salted), run(salted)]
 
 
+def _zorder_bench(spark, sf_dir: str) -> tuple[list[float], list[float]]:
+    """Full-scan filter vs manifest-pruned read over a Z-ordered copy of
+    events (user_id × ts rectangle predicate).
+
+    The write (one quantile pass + one range shuffle into 64 files +
+    footer-manifest build) is setup, not measured — layout cost amortizes
+    over every future scan. Locally the pruned win is mostly task-count;
+    at 100 TB it is the difference between touching O(selectivity) files
+    and touching all of them. Returns (full_runs, pruned_runs).
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from nexus_event_stream_spark.io import load_table
+    from nexus_event_stream_spark.operators.clustering import (
+        pruned_read,
+        zorder_write,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="bench-zorder-")
+    path = f"{tmp}/events_z"
+    try:
+        # 25× deterministic replication (distribution-preserving, ids kept
+        # unique) so the measured scans are I/O-bound rather than
+        # job-overhead-bound at local scale.
+        base = load_table(spark, sf_dir, "events")
+        ev = base.withColumn(
+            "__r", F.explode(F.sequence(F.lit(0), F.lit(24)))
+        ).withColumn(
+            "event_id", F.col("event_id") * 25 + F.col("__r")
+        ).drop("__r")
+        zorder_write(ev, path, ["user_id", "ts"], n_files=64)
+        u_hi = ev.agg(F.max("user_id")).first()[0]
+        t_lo, t_hi = ev.agg(
+            F.unix_micros(F.min("ts")), F.unix_micros(F.max("ts"))
+        ).first()
+        # ~1/8 of users × first 1/8 of time — a dashboard-shaped slice
+        preds = {
+            "user_id": (0.0, float(u_hi // 8)),
+            "ts": (float(t_lo), float(t_lo + (t_hi - t_lo) // 8)),
+        }
+
+        def run_full() -> float:
+            # best-possible manifest-free scan: native, pushdown-friendly
+            # predicates (same residual shape pruned_read applies)
+            t0 = time.perf_counter()
+            (
+                spark.read.parquet(path)
+                .filter(
+                    (F.col("user_id") <= int(preds["user_id"][1]))
+                    & (
+                        F.col("ts")
+                        <= F.timestamp_micros(F.lit(int(preds["ts"][1])))
+                    )
+                )
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+            return time.perf_counter() - t0
+
+        def run_pruned() -> float:
+            t0 = time.perf_counter()
+            df, _stats = pruned_read(spark, path, preds)
+            df.write.format("noop").mode("overwrite").save()
+            return time.perf_counter() - t0
+
+        return [run_full(), run_full()], [run_pruned(), run_pruned()]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _ivf_pq_bench(spark, sf_dir: str) -> list[float]:
     """Seconds for an IVF-PQ search (ADC shortlist + exact re-rank) over
     the embeddings table, 3 queries, nprobe=4 — the memory-bounded ANN
@@ -378,6 +452,12 @@ def main() -> None:
     r_un, r_sa = _skew_join_bench(spark)
     total += _extra("skew_join_unsalted", r_un)
     total += _extra("skew_join_salted", r_sa)
+
+    # Data skipping: manifest-pruned scan vs full-scan filter over a
+    # Z-ordered events copy (layout write is setup, not measured).
+    r_full, r_pruned = _zorder_bench(spark, sf_dir)
+    total += _extra("zorder_scan_full", r_full)
+    total += _extra("zorder_scan_pruned", r_pruned)
 
     # Memory-bounded ANN: IVF-PQ search wall clock (training excluded).
     total += _extra("ivf_pq_search", _ivf_pq_bench(spark, sf_dir))

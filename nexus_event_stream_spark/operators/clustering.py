@@ -1,0 +1,377 @@
+"""Multi-dimensional clustering (Z-order) + file-level min/max data skipping.
+
+The 100 TB lever this module adds: the reference serves point/range reads
+through Redis secondary indexes (``data-plane/internal/projection/signal.go``
+ZSets); a lakehouse engine gets the same effect from *physical layout* —
+cluster the table on the hot predicate columns so every parquet file covers
+a tight value range, then prune files by footer min/max before the scan ever
+starts. Partitioning handles ONE coarse column; Z-ordering interleaves the
+bit-patterns of SEVERAL columns so range predicates on *any* of them map to
+a contiguous-ish set of files (the Delta Lake / Databricks OPTIMIZE ZORDER
+technique, built here from first principles on open Spark APIs).
+
+Design constraints, in order:
+
+* **Write path is one shuffle.** The Z-key is a pure projection (codegen'd
+  binary-search binning + bit interleave — no UDF), then a single
+  ``repartitionByRange`` on the key; file count is explicit.
+* **Equi-depth bins.** Bin boundaries come from ``approxQuantile`` so skewed
+  columns still spread across the full bin space (equi-width bins would put
+  90 % of a zipf column in one bin and destroy the clustering).
+* **Skipping is sound, never required.** The manifest prunes files whose
+  [min,max] cannot intersect the predicate; files with missing stats are
+  kept. The residual predicate is ALWAYS re-applied, so a stale or absent
+  manifest degrades to a full scan, never to wrong rows.
+* **Manifest build is distributed and footer-only.** Executors read parquet
+  *metadata* (KBs per file), not data; the driver holds one row per
+  (file, column) — the same O(files) scale as a Delta transaction log.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Bits per dimension for the Z-key. 64 equi-depth bins per column is
+#: plenty to order *files* (thousands of files ≪ 64^ndims cells) while
+#: keeping the binning expression tree small enough for codegen.
+DEFAULT_BITS = 6
+
+_MANIFEST_SUBDIR = "_skipping"  # leading "_" → invisible to spark.read.parquet
+
+_MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("file", T.StringType(), False),
+        T.StructField("col", T.StringType(), False),
+        T.StructField("vmin", T.DoubleType(), True),
+        T.StructField("vmax", T.DoubleType(), True),
+        T.StructField("n_nulls", T.LongType(), True),
+        T.StructField("n_rows", T.LongType(), False),
+    ]
+)
+
+
+def _numeric(col: str, dtype: T.DataType) -> Column:
+    c = F.col(col)
+    if isinstance(dtype, T.TimestampType):
+        # exact integer µs, not float seconds: doubles hold 2^53 exactly,
+        # µs epochs fit until year ~2255
+        return (F.unix_micros(c)).cast("double")
+    return c.cast("double")
+
+
+def equi_depth_boundaries(
+    df: DataFrame, cols: Sequence[str], bits: int = DEFAULT_BITS, rel_err: float = 0.001
+) -> dict[str, list[float]]:
+    """(2^bits − 1) interior quantile boundaries per column, one pass.
+
+    ``approxQuantile`` (Greenwald-Khanna) is a single distributed aggregation
+    with O(1/rel_err) state per column — corpus-size independent.
+    """
+    n_bins = 1 << bits
+    qs = [i / n_bins for i in range(1, n_bins)]
+    num = df.select(
+        *[_numeric(c, df.schema[c].dataType).alias(c) for c in cols]
+    )
+    got = num.approxQuantile(list(cols), qs, rel_err)
+    out: dict[str, list[float]] = {}
+    for c, bounds in zip(cols, got):
+        # Keep DUPLICATED boundaries: a low-cardinality column must still
+        # span the full bin space [0, 2^bits) or its bits collapse to the
+        # low positions and the other dimensions dominate the interleave
+        # (observed: 15 distinct user_ids deduped to 4 bits → z-order
+        # degenerated to a ts sort and user predicates stopped pruning).
+        # The binary-search tree computes bisect_right, which is
+        # well-defined on sorted-with-duplicates boundaries.
+        out[c] = sorted(bounds)
+    return out
+
+
+def _bin_expr(v: Column, boundaries: Sequence[float]) -> Column:
+    """Equi-depth bin index via a balanced CASE binary-search tree.
+
+    O(log B) comparisons per row, pure codegen — no higher-order functions
+    (HOFs evaluate interpreted) and no UDF. NULLs land in bin 0.
+    """
+
+    def rec(lo: int, hi: int) -> Column:
+        # candidate bins are [lo, hi]; boundaries[i] is the lower edge of bin i+1
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2  # test boundary entering bin mid+1
+        return (
+            F.when(v >= F.lit(boundaries[mid]), rec(mid + 1, hi))
+            .otherwise(rec(lo, mid))
+        )
+
+    if not boundaries:
+        return F.lit(0)
+    return F.coalesce(rec(0, len(boundaries)), F.lit(0)).cast("long")
+
+
+def _interleave(bins: Sequence[Column], bits: int) -> Column:
+    """Morton / Z-value: bit b of dim i → position b*ndims + i.
+
+    Pure shift/and/or integer expressions — whole-stage codegen keeps this
+    free next to the scan.
+    """
+    n = len(bins)
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(bins):
+            bit = F.shiftright(c, b).bitwiseAND(F.lit(1)).cast("long")
+            z = z.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return z
+
+
+def zorder_key(
+    df: DataFrame,
+    cols: Sequence[str],
+    bits: int = DEFAULT_BITS,
+    boundaries: dict[str, list[float]] | None = None,
+) -> Column:
+    """The Z-value column for ``cols`` (computes boundaries if not given)."""
+    if boundaries is None:
+        boundaries = equi_depth_boundaries(df, cols, bits)
+    bins = [
+        _bin_expr(_numeric(c, df.schema[c].dataType), boundaries[c]) for c in cols
+    ]
+    return _interleave(bins, bits)
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    n_files: int = 32,
+    bits: int = DEFAULT_BITS,
+    manifest: bool = True,
+) -> dict[str, list[float]]:
+    """Cluster ``df`` on the Z-order of ``cols`` and write ``n_files`` parquet
+    files, each covering a tight Z-range (hence tight min/max on every
+    clustered column). One quantile pass + ONE range shuffle; the in-file
+    ``sortWithinPartitions`` tightens parquet *row-group* stats too, so
+    Spark's own pushed-filter row-group skipping compounds with the
+    file-level manifest.
+
+    Returns the bin boundaries (callers re-clustering incremental data
+    against a frozen layout pass them back to ``zorder_key``).
+    """
+    boundaries = equi_depth_boundaries(df, cols, bits)
+    z = zorder_key(df, cols, bits, boundaries)
+    # INT96 timestamps carry no parquet stats — force INT64-µs so the
+    # manifest (and Spark's own row-group skipping) can see min/max.
+    try:
+        df.sparkSession.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
+    except Exception:
+        pass  # non-settable deployment: ts columns fall back to "kept"
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    if manifest:
+        build_skipping_manifest(df.sparkSession, path, cols)
+    return boundaries
+
+
+def _footer_stats(paths: pd.Series, cols: Sequence[str]) -> pd.DataFrame:
+    """Per-(file, col) min/max from parquet FOOTERS (no data pages read)."""
+    import pyarrow.parquet as pq
+
+    rows = []
+    for p in paths:
+        try:
+            md = pq.ParquetFile(p).metadata
+        except Exception:
+            # unreadable file → no stats row → reader keeps it (sound)
+            continue
+        name_to_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for c in cols:
+            idx = name_to_idx.get(c)
+            vmin = vmax = None
+            nulls = 0
+            ok = idx is not None
+            if ok:
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if st is None or not st.has_min_max:
+                        ok = False
+                        break
+                    lo, hi = _stat_to_double(st.min), _stat_to_double(st.max)
+                    if lo is None or hi is None:
+                        ok = False
+                        break
+                    vmin = lo if vmin is None else min(vmin, lo)
+                    vmax = hi if vmax is None else max(vmax, hi)
+                    nulls += st.null_count or 0
+            rows.append(
+                {
+                    "file": p,
+                    "col": c,
+                    "vmin": vmin if ok else None,
+                    "vmax": vmax if ok else None,
+                    "n_nulls": nulls if ok else None,
+                    "n_rows": md.num_rows,
+                }
+            )
+    return pd.DataFrame(
+        rows, columns=["file", "col", "vmin", "vmax", "n_nulls", "n_rows"]
+    )
+
+
+def _stat_to_double(v) -> float | None:
+    """Parquet stat → comparable double (timestamps → epoch µs)."""
+    import datetime
+
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return float(v)
+    if isinstance(v, (int, float)):
+        return float(v)
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=datetime.timezone.utc)
+        return float(int(v.timestamp() * 1_000_000))
+    return None  # strings/binary: not manifest-skippable here
+
+
+def build_skipping_manifest(
+    spark: SparkSession, path: str, cols: Sequence[str]
+) -> DataFrame:
+    """Distributed footer sweep → ``{path}/_skipping`` manifest parquet.
+
+    The file *list* is O(files) driver memory (same as any commit log); the
+    footer reads run on executors via one ``mapInPandas`` over the list.
+    """
+    files = sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+    cols = list(cols)
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield _footer_stats(b["file"], cols)
+
+    fdf = spark.createDataFrame([(f,) for f in files], "file string")
+    # spread the footer reads across the cluster; each file's stats row is tiny
+    n_slices = max(1, min(len(files), spark.sparkContext.defaultParallelism))
+    manifest = fdf.repartition(n_slices).mapInPandas(scan, _MANIFEST_SCHEMA)
+    manifest.write.mode("overwrite").parquet(os.path.join(path, _MANIFEST_SUBDIR))
+    return read_manifest(spark, path)
+
+
+def read_manifest(spark: SparkSession, path: str) -> DataFrame:
+    """The manifest as a (driver-materialized) DataFrame.
+
+    Loaded with pyarrow, not spark.read: the manifest is O(files·cols)
+    rows, and underscore-prefixed paths are invisible to Spark's file
+    listing by design (that is what hides the manifest from data scans).
+    """
+    import pyarrow.parquet as pq
+
+    pdf = pq.read_table(os.path.join(path, _MANIFEST_SUBDIR)).to_pandas()
+    return spark.createDataFrame(pdf, _MANIFEST_SCHEMA)
+
+
+def prune_files(
+    spark: SparkSession,
+    path: str,
+    predicates: dict[str, tuple[float | None, float | None]],
+) -> tuple[list[str], int]:
+    """Files whose stats CAN satisfy every [lo, hi] predicate → (kept, total).
+
+    A file is pruned when some predicated column has known stats whose
+    [vmin, vmax] cannot overlap the interval: vmin/vmax describe every
+    NON-null value, and NULL never satisfies a range predicate, so
+    non-overlap ⇒ zero matching rows regardless of null count. Unknown
+    stats keep the file.
+
+    The decision runs DRIVER-SIDE over the manifest with pyarrow — the
+    manifest is O(files·cols) rows (the Delta-transaction-log scale, KBs
+    per thousand files), and a planning step must not cost a Spark job:
+    pruning exists to make short selective scans cheap.
+    """
+    import pyarrow.parquet as pq
+
+    mdir = os.path.join(path, _MANIFEST_SUBDIR)
+    m = pq.read_table(mdir).to_pandas()
+    excluded: set[str] = set()
+    for c, (lo, hi) in predicates.items():
+        rows = m[m["col"] == c]
+        known = rows["vmin"].notna() & rows["vmax"].notna()
+        overlaps = known.copy()
+        if lo is not None:
+            overlaps &= rows["vmax"] >= float(lo)
+        if hi is not None:
+            overlaps &= rows["vmin"] <= float(hi)
+        excluded.update(rows.loc[known & ~overlaps, "file"])
+    all_files = sorted(set(m["file"]))
+    kept = [f for f in all_files if f not in excluded]
+    _ = spark
+    return kept, len(all_files)
+
+
+def pruned_read(
+    spark: SparkSession,
+    path: str,
+    predicates: dict[str, tuple[float | None, float | None]],
+    schema: T.StructType | None = None,
+) -> tuple[DataFrame, dict[str, int]]:
+    """Manifest-pruned scan + the residual predicate re-applied.
+
+    Soundness by construction: pruning only ever *removes files the
+    predicate could not select from*, and the same predicate filters the
+    surviving rows — so the result equals the unpruned filtered scan for
+    every input, manifest or no manifest.
+    """
+    kept, total = prune_files(spark, path, predicates)
+    stats = {"files_total": total, "files_read": len(kept)}
+    if not kept:
+        base = spark.read.parquet(path) if schema is None else (
+            spark.read.schema(schema).parquet(path)
+        )
+        return base.limit(0), stats
+    reader = spark.read if schema is None else spark.read.schema(schema)
+    df = reader.parquet(*kept)
+    for c, (lo, hi) in predicates.items():
+        dtype = df.schema[c].dataType
+        if lo is not None:
+            df = df.filter(F.col(c) >= _pushable_lit(lo, dtype, floor=True))
+        if hi is not None:
+            df = df.filter(F.col(c) <= _pushable_lit(hi, dtype, floor=False))
+    return df, stats
+
+
+def _pushable_lit(v: float, dtype: T.DataType, floor: bool) -> Column:
+    """A literal in the COLUMN's type so the residual filter reaches the
+    parquet scan (``PushedFilters``) and skips row groups inside kept files.
+
+    A double literal against an integral/timestamp column would promote the
+    *column* to double and kill pushdown. Integral bounds round toward the
+    predicate's interior (ceil for lower bounds, floor for upper) — the
+    manifest interval is over the same numeric view, so this loses no rows.
+    """
+    import math
+
+    if isinstance(dtype, T.TimestampType):
+        # the numeric view is epoch-µs (see _numeric / _stat_to_double)
+        micros = math.ceil(v) if floor else math.floor(v)
+        return F.timestamp_micros(F.lit(int(micros)))
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return F.lit(int(math.ceil(v) if floor else math.floor(v)))
+    return F.lit(float(v)).cast(dtype)

@@ -63,6 +63,10 @@ def get_spark(
         # Driver testdata stores TIMESTAMP(NANOS) parquet, which Spark only
         # reads as BIGINT; io.load_table converts ns→µs timestamps.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # INT64-µs timestamps on write (not legacy INT96): INT96 carries no
+        # parquet min/max statistics, which would blind both row-group
+        # skipping and the clustering manifest (operators/clustering.py).
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1,0 +1,273 @@
+"""Z-order clustering + min/max file skipping (operators/clustering.py).
+
+Soundness is the load-bearing property: for ANY predicate, the pruned
+read must equal the unpruned filtered scan — pruning may only drop files
+the predicate could not select from.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from nexus_event_stream_spark.io import load_table
+from nexus_event_stream_spark.operators.clustering import (
+    _bin_expr,
+    _interleave,
+    build_skipping_manifest,
+    equi_depth_boundaries,
+    prune_files,
+    pruned_read,
+    read_manifest,
+    zorder_key,
+    zorder_write,
+)
+
+
+def _py_zvalue(bins: list[int], bits: int) -> int:
+    z = 0
+    for b in range(bits):
+        for i, v in enumerate(bins):
+            z |= ((v >> b) & 1) << (b * len(bins) + i)
+    return z
+
+
+# ---------------------------------------------------------------- unit level
+
+
+def test_bin_expr_matches_python_bisect(spark):
+    import bisect
+
+    boundaries = [10.0, 20.0, 35.0, 50.0, 80.0]  # 6 bins
+    vals = [-5.0, 9.99, 10.0, 19.0, 20.0, 34.9, 49.0, 50.0, 79.9, 80.0, 1e9, None]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = [
+        r["b"]
+        for r in df.select(_bin_expr(F.col("v"), boundaries).alias("b")).collect()
+    ]
+    want = [
+        bisect.bisect_right(boundaries, v) if v is not None else 0 for v in vals
+    ]
+    assert got == want
+
+
+def test_interleave_matches_python_reference(spark):
+    bits = 6
+    cases = [(0, 0), (1, 0), (0, 1), (63, 63), (5, 40), (63, 0), (17, 33)]
+    df = spark.createDataFrame(cases, "a long, b long")
+    got = [
+        r["z"]
+        for r in df.select(
+            _interleave([F.col("a"), F.col("b")], bits).alias("z")
+        ).collect()
+    ]
+    want = [_py_zvalue(list(c), bits) for c in cases]
+    assert got == want
+    # z-value is monotone-ish: equal inputs → equal z, max inputs → max z
+    assert got[3] == (1 << (2 * bits)) - 1
+
+
+def test_equi_depth_boundaries_spread_skew(spark):
+    # zipf-ish skew: equi-depth must still split the head value off
+    rows = [(1,)] * 500 + [(i,) for i in range(2, 300)]
+    df = spark.createDataFrame(rows, "v long")
+    bounds = equi_depth_boundaries(df, ["v"], bits=4)["v"]
+    assert len(bounds) == 15  # full bin space, duplicates retained
+    assert bounds == sorted(bounds)
+    # the hot head value occupies multiple bins' worth of boundary slots
+    assert bounds.count(1.0) >= 5
+
+
+# ---------------------------------------------------------------- end-to-end
+
+
+@pytest.fixture(scope="module")
+def zdata(spark, sf_dir):
+    """events sf0.001 written Z-ordered by (user_id, ts) into a tmp dir."""
+    path = tempfile.mkdtemp(prefix="zorder-") + "/events_z"
+    ev = load_table(spark, sf_dir, "events")
+    boundaries = zorder_write(ev, path, ["user_id", "ts"], n_files=16)
+    yield path, ev, boundaries
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def test_zorder_write_produces_files_and_manifest(spark, zdata):
+    path, ev, _ = zdata
+    m = read_manifest(spark, path)
+    rows = m.collect()
+    files = {r["file"] for r in rows}
+    assert 2 <= len(files) <= 16
+    assert {r["col"] for r in rows} == {"user_id", "ts"}
+    # stats present and ordered
+    for r in rows:
+        assert r["vmin"] is not None and r["vmin"] <= r["vmax"]
+    # no rows lost in the rewrite
+    assert spark.read.parquet(path).count() == ev.count()
+
+
+def test_pruned_read_equals_full_filter(spark, zdata):
+    path, ev, _ = zdata
+    lo_u, hi_u = 3.0, 7.0
+    got, stats = pruned_read(
+        spark, path, {"user_id": (lo_u, hi_u)}
+    )
+    want = (
+        spark.read.parquet(path)
+        .filter((F.col("user_id") >= lo_u) & (F.col("user_id") <= hi_u))
+    )
+    assert got.count() == want.count()
+    assert (
+        got.agg(F.sum("event_id")).first()[0]
+        == want.agg(F.sum("event_id")).first()[0]
+    )
+    assert stats["files_read"] <= stats["files_total"]
+
+
+def test_clustering_actually_prunes(spark, zdata):
+    """A tight predicate on the leading z column must skip most files —
+    that is the point of clustering."""
+    path, _, _ = zdata
+    # sf0.001 events has user_ids 0..14; [1, 3] is ~1/5 of the key space
+    kept, total = prune_files(spark, path, {"user_id": (1.0, 3.0)})
+    assert total >= 8
+    assert len(kept) < total  # pruning happened
+    assert len(kept) <= (3 * total) // 4  # and meaningfully so
+
+
+def test_second_dimension_prunes_too(spark, zdata):
+    """Z-order (unlike linear sort on user_id) keeps ts ranges tight
+    enough per file that ts-only predicates also skip files."""
+    path, ev, _ = zdata
+    lo, hi = ev.agg(
+        F.unix_micros(F.min("ts")), F.unix_micros(F.max("ts"))
+    ).first()
+    span = hi - lo
+    tight = (float(lo), float(lo + span // 8))
+    kept, total = prune_files(spark, path, {"ts": tight})
+    assert len(kept) < total
+
+
+def test_pruning_soundness_random_predicates(spark, zdata):
+    """20 deterministic pseudo-random rectangles: pruned == unpruned."""
+    path, ev, _ = zdata
+    u_max = ev.agg(F.max("user_id")).first()[0]
+    t_lo, t_hi = ev.agg(
+        F.unix_micros(F.min("ts")), F.unix_micros(F.max("ts"))
+    ).first()
+    full = spark.read.parquet(path)
+    seed = 0x9E3779B97F4A7C15
+    for i in range(20):
+        seed = (seed * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        a = seed % (u_max + 1)
+        b = (seed >> 17) % (u_max + 1)
+        lo_u, hi_u = float(min(a, b)), float(max(a, b))
+        c = t_lo + (seed >> 33) % (t_hi - t_lo + 1)
+        preds = {"user_id": (lo_u, hi_u), "ts": (float(t_lo), float(c))}
+        got, _stats = pruned_read(spark, path, preds)
+        want = full.filter(
+            (F.col("user_id") >= lo_u)
+            & (F.col("user_id") <= hi_u)
+            & (F.unix_micros("ts") <= float(c))
+        )
+        assert got.count() == want.count(), f"rect {i}: {preds}"
+
+
+def test_open_ended_predicates(spark, zdata):
+    path, ev, _ = zdata
+    med = ev.approxQuantile("user_id", [0.5], 0.01)[0]
+    got, _ = pruned_read(spark, path, {"user_id": (med, None)})
+    want = spark.read.parquet(path).filter(F.col("user_id") >= med)
+    assert got.count() == want.count()
+    got2, _ = pruned_read(spark, path, {"user_id": (None, med)})
+    want2 = spark.read.parquet(path).filter(F.col("user_id") <= med)
+    assert got2.count() == want2.count()
+
+
+def test_empty_selection_returns_empty_not_error(spark, zdata):
+    path, ev, _ = zdata
+    u_max = ev.agg(F.max("user_id")).first()[0]
+    got, stats = pruned_read(
+        spark, path, {"user_id": (float(u_max + 10), float(u_max + 20))}
+    )
+    assert got.count() == 0
+    assert stats["files_read"] == 0  # every file pruned by stats alone
+
+
+def test_missing_stats_files_are_kept(spark, tmp_path):
+    """A file whose predicated column has no usable stats must survive."""
+    p = str(tmp_path / "mixed")
+    df = spark.createDataFrame(
+        [(None, 1), (None, 2)], "v double, k long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(p)
+    build_skipping_manifest(spark, p, ["v"])
+    m = read_manifest(spark, p).collect()
+    assert all(r["vmin"] is None for r in m)  # all-null → no min/max stats
+    kept, total = prune_files(spark, p, {"v": (0.0, 1.0)})
+    assert kept and len(kept) == total  # conservatively kept
+
+
+def test_frozen_boundaries_reusable_for_incremental_data(spark, zdata):
+    """Incremental batches binned against the frozen layout's boundaries
+    get z-keys in the same key space (same bins → same z)."""
+    path, ev, boundaries = zdata
+    z1 = ev.select(
+        zorder_key(ev, ["user_id", "ts"], boundaries=boundaries).alias("z"),
+        "event_id",
+    )
+    z2 = ev.limit(100).select(
+        zorder_key(ev.limit(100), ["user_id", "ts"], boundaries=boundaries).alias(
+            "z"
+        ),
+        "event_id",
+    )
+    j = z1.alias("a").join(z2.alias("b"), "event_id").filter(
+        F.col("a.z") != F.col("b.z")
+    )
+    assert j.count() == 0
+
+
+# ---------------------------------------------------------------- plan shape
+
+
+def test_zorder_key_is_pure_projection(spark, sf_dir):
+    """The z-key adds NO exchange — binning + interleave are row-local
+    codegen expressions; the only shuffle in the write path is the single
+    explicit repartitionByRange."""
+    ev = load_table(spark, sf_dir, "events")
+    b = equi_depth_boundaries(ev, ["user_id", "ts"], bits=4)
+    keyed = ev.select(zorder_key(ev, ["user_id", "ts"], bits=4, boundaries=b))
+    plan = keyed._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_residual_filter_reaches_parquet_scan(spark, zdata):
+    """The re-applied predicate must be type-native so it lands in
+    PushedFilters — a double-cast column comparison would read every row
+    group of every kept file."""
+    path, _, _ = zdata
+    df, _stats = pruned_read(spark, path, {"user_id": (2.0, 9.0)})
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "GreaterThanOrEqual(user_id,2)" in plan
+    assert "LessThanOrEqual(user_id,9)" in plan
+
+
+def test_manifest_build_is_distributed_footer_scan(spark, zdata):
+    """Manifest rows = files × cols exactly (footer sweep, no data rows)."""
+    path, _, _ = zdata
+    import os
+
+    n_files = len(
+        [f for f in os.listdir(path) if f.endswith(".parquet") and not f.startswith("_")]
+    )
+    assert read_manifest(spark, path).count() == n_files * 2
