@@ -186,6 +186,71 @@ def zorder_write(
     return boundaries
 
 
+def zorder_append(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    boundaries: dict[str, list[float]],
+    n_files: int = 8,
+    bits: int = DEFAULT_BITS,
+) -> None:
+    """Append an incremental batch into an existing Z-ordered layout.
+
+    The batch is re-binned against the layout's FROZEN boundaries (same
+    z-key space — a later full re-cluster is an optimization, not a
+    correctness need), range-split into ``n_files`` new tight files, and
+    the manifest is extended with footer stats for JUST those files —
+    O(batch) work per append, the streaming-ingest shape. Readers that
+    race an append stay correct either way: `prune_files` keeps any data
+    file the manifest doesn't know yet. (The manifest rewrite itself is
+    last and advisory; a production deployment would publish it through
+    the pointer backends in streaming/commit.py like every other store.)
+    ``bits`` must match the ``zorder_write`` that froze ``boundaries``.
+    """
+    spark = df.sparkSession
+    try:
+        spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
+    except Exception:
+        pass
+    before = _data_files(path)
+    z = zorder_key(df, cols, bits=bits, boundaries=boundaries)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("append")
+        .parquet(path)
+    )
+    new_files = sorted(set(_data_files(path)) - set(before))
+    if new_files:
+        _extend_manifest(spark, path, new_files, cols)
+
+
+def _data_files(path: str) -> list[str]:
+    return sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+
+
+def _extend_manifest(
+    spark: SparkSession, path: str, new_files: list[str], cols: Sequence[str]
+) -> None:
+    """Footer-sweep only the new files; rewrite manifest = old ∪ new rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    old = pq.read_table(os.path.join(path, _MANIFEST_SUBDIR)).to_pandas()
+    add = _footer_stats(pd.Series(new_files), list(cols))
+    merged = pd.concat([old, add], ignore_index=True)
+    out = spark.createDataFrame(merged, _MANIFEST_SCHEMA)
+    out.write.mode("overwrite").parquet(os.path.join(path, _MANIFEST_SUBDIR))
+
+
 def _footer_stats(paths: pd.Series, cols: Sequence[str]) -> pd.DataFrame:
     """Per-(file, col) min/max from parquet FOOTERS (no data pages read)."""
     import pyarrow.parquet as pq
@@ -320,7 +385,15 @@ def prune_files(
         if hi is not None:
             overlaps &= rows["vmin"] <= float(hi)
         excluded.update(rows.loc[known & ~overlaps, "file"])
-    all_files = sorted(set(m["file"]))
+    # The live directory, not the manifest, is the source of truth for
+    # WHICH files exist: a file appended after the manifest build has no
+    # stats row and must be KEPT, or a stale manifest would silently drop
+    # its rows (the manifest may only ever subtract work, never data).
+    all_files = sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
     kept = [f for f in all_files if f not in excluded]
     _ = spark
     return kept, len(all_files)

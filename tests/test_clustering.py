@@ -22,6 +22,7 @@ from nexus_event_stream_spark.operators.clustering import (
     prune_files,
     pruned_read,
     read_manifest,
+    zorder_append,
     zorder_key,
     zorder_write,
 )
@@ -228,6 +229,42 @@ def test_frozen_boundaries_reusable_for_incremental_data(spark, zdata):
         F.col("a.z") != F.col("b.z")
     )
     assert j.count() == 0
+
+
+# ------------------------------------------------------------- append / stale
+
+
+def test_zorder_append_extends_layout_and_manifest(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "appendable")
+    ev = load_table(spark, sf_dir, "events")
+    old, new = ev.filter("event_id % 2 = 0"), ev.filter("event_id % 2 = 1")
+    boundaries = zorder_write(old, path, ["user_id", "ts"], n_files=4)
+    n_manifest_before = read_manifest(spark, path).count()
+    zorder_append(new, path, ["user_id", "ts"], boundaries, n_files=4)
+    m = read_manifest(spark, path)
+    assert m.count() == n_manifest_before + 4 * 2  # 4 new files × 2 cols
+    # the combined layout serves sound pruned reads over BOTH generations
+    got, stats = pruned_read(spark, path, {"user_id": (2.0, 6.0)})
+    want = spark.read.parquet(path).filter(
+        (F.col("user_id") >= 2) & (F.col("user_id") <= 6)
+    )
+    assert got.count() == want.count() > 0
+    assert stats["files_total"] == 8
+    assert spark.read.parquet(path).count() == ev.count()
+
+
+def test_stale_manifest_keeps_unknown_files(spark, sf_dir, tmp_path):
+    """A data file the manifest has never seen must still be read —
+    the manifest may only subtract work, never data."""
+    path = str(tmp_path / "stale")
+    ev = load_table(spark, sf_dir, "events")
+    zorder_write(ev.filter("event_id < 500"), path, ["user_id"], n_files=4)
+    # raw append behind the manifest's back
+    extra = ev.filter("event_id >= 500")
+    extra.coalesce(1).write.mode("append").parquet(path)
+    got, stats = pruned_read(spark, path, {"user_id": (0.0, 1e9)})
+    assert got.count() == ev.count()  # nothing silently dropped
+    assert stats["files_total"] == stats["files_read"] == 5
 
 
 # ---------------------------------------------------------------- plan shape
