@@ -131,3 +131,38 @@ def mix_corpus(
         .withColumn("copy_id", F.explode(F.sequence(F.lit(1), F.col("__copies"))))
         .drop("__copies")
     )
+
+
+def weighted_sample(
+    df: DataFrame, weight_col: str | Column, k: int, key_col: str
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: exactly
+    min(k, |rows with w>0|) rows, inclusion probability ∝ weight — the
+    curation step "keep the best-scoring 10 M documents, biased by
+    quality, but not a hard top-k cutoff".
+
+    Efraimidis–Spirakis (IPL 2006, public literature) with the exponential
+    reformulation: each row draws u ∈ (0,1) — here a Knuth hash of its
+    unique key, so replayable — and the k smallest −ln(u)/w win. A hard
+    top-k-by-weight would take ONLY the heaviest rows; this keeps the
+    whole corpus in support, weight-proportionally, which is what mixture
+    curricula actually want.
+
+    Plan shape: map-side score projection + ``TakeOrderedAndProject``
+    (per-task k-row heap → driver merge), no global sort, no shuffle of
+    the corpus. Growing k keeps the smaller sample a strict prefix (the
+    score order is a fixed total order), so sample sizes can be tuned
+    without resampling churn.
+    """
+    w = (F.col(weight_col) if isinstance(weight_col, str) else weight_col).cast(
+        "double"
+    )
+    u = (hash_bucket(key_col, M32).cast("double") + F.lit(0.5)) / F.lit(float(M32))
+    score = -F.log(u) / w
+    return (
+        df.filter(w > 0)
+        .withColumn("__es", score)
+        .orderBy("__es", key_col)
+        .limit(k)
+        .drop("__es")
+    )

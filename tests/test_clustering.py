@@ -267,6 +267,29 @@ def test_stale_manifest_keeps_unknown_files(spark, sf_dir, tmp_path):
     assert stats["files_total"] == stats["files_read"] == 5
 
 
+def test_zorder_serving_layout_from_committed_corpus(spark, sf_dir, tmp_path):
+    """Ingest/layout decoupling (the OPTIMIZE pattern): the exactly-once
+    sharded store owns ingest; a periodic batch job Z-orders the COMMITTED
+    snapshot into a read-optimized layout. Equality corpus ↔ layout, and
+    the layout serves pruned reads."""
+    from nexus_event_stream_spark.sources.shards import ShardedCorpusWriter
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    w = ShardedCorpusWriter(str(tmp_path / "store"), n_shards=4)
+    w.write(docs)
+    committed = w.read(spark).select("doc_id", "source", "text")
+    layout = str(tmp_path / "serving")
+    zorder_write(committed, layout, ["doc_id"], n_files=8)
+    assert spark.read.parquet(layout).count() == docs.count()
+    lo, hi = 10.0, 40.0
+    got, stats = pruned_read(spark, layout, {"doc_id": (lo, hi)})
+    want = committed.filter((F.col("doc_id") >= 10) & (F.col("doc_id") <= 40))
+    assert got.count() == want.count()
+    assert stats["files_read"] < stats["files_total"]
+
+
 # ---------------------------------------------------------------- plan shape
 
 

@@ -152,3 +152,93 @@ def test_mix_corpus_no_shuffle(spark):
         )
     )
     assert plan.count(") Exchange") == 0
+
+
+# ------------------------------------------------------- weighted (ES) sample
+
+
+from nexus_event_stream_spark.operators.sampling import (  # noqa: E402
+    KNUTH,
+    M31,
+    M32,
+    weighted_sample,
+)
+
+
+def _wdf(spark, n=2000):
+    from pyspark.sql import functions as F
+
+    # half the corpus at weight 4.0, half at 1.0
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, 4.0).otherwise(1.0).alias("w"),
+    )
+
+
+def test_weighted_sample_matches_python_reference(spark):
+    import math
+
+    df = _wdf(spark)
+    k = 300
+    got = {r["doc_id"] for r in weighted_sample(df, "w", k, "doc_id").collect()}
+    rows = df.collect()
+    scored = sorted(
+        (
+            -math.log((((i["doc_id"] % M31) * KNUTH) % M32 + 0.5) / M32)
+            / i["w"],
+            i["doc_id"],
+        )
+        for i in rows
+    )
+    want = {d for _s, d in scored[:k]}
+    assert got == want
+
+
+def test_weighted_sample_exact_size_and_replayable(spark):
+    df = _wdf(spark)
+    a = sorted(r["doc_id"] for r in weighted_sample(df, "w", 250, "doc_id").collect())
+    b = sorted(r["doc_id"] for r in weighted_sample(df, "w", 250, "doc_id").collect())
+    assert a == b and len(a) == 250
+
+
+def test_weighted_sample_prefix_property(spark):
+    df = _wdf(spark)
+    small = {r["doc_id"] for r in weighted_sample(df, "w", 100, "doc_id").collect()}
+    large = {r["doc_id"] for r in weighted_sample(df, "w", 400, "doc_id").collect()}
+    assert small <= large
+
+
+def test_weighted_sample_biases_toward_weight(spark):
+    """Weight-4 docs are half the corpus; in a k=500 of n=2000 draw their
+    expected share is ~0.7-0.8 (π_i ≈ k·w_i/W with saturation). A hard
+    top-k-by-weight would give 1.0; unweighted 0.5. Deterministic —
+    same hashes every run."""
+    sample = weighted_sample(_wdf(spark), "w", 500, "doc_id").collect()
+    heavy = sum(1 for r in sample if r["doc_id"] % 2 == 0) / len(sample)
+    assert 0.6 < heavy < 0.95
+
+
+def test_weighted_sample_excludes_nonpositive_and_exhausts(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.range(10).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 3, 0.0).otherwise(2.0).alias("w"),
+    )
+    got = weighted_sample(df, "w", 100, "doc_id").collect()
+    assert sorted(r["doc_id"] for r in got) == list(range(3, 10))
+
+
+def test_weighted_sample_plan_is_bounded_topk(spark):
+    df = _wdf(spark)
+    plan = (
+        weighted_sample(df, "w", 50, "doc_id")
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan  # no shuffle of the corpus
