@@ -447,4 +447,7 @@ def _pushable_lit(v: float, dtype: T.DataType, floor: bool) -> Column:
         return F.timestamp_micros(F.lit(int(micros)))
     if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
         return F.lit(int(math.ceil(v) if floor else math.floor(v)))
-    return F.lit(float(v)).cast(dtype)
+    # float32 columns: keep the bound in DOUBLE (Spark promotes the column)
+    # — casting the literal down to float can round UP past the bound and
+    # admit rows the predicate excludes; exactness beats pushdown here.
+    return F.lit(float(v))

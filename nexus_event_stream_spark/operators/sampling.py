@@ -166,3 +166,35 @@ def weighted_sample(
         .limit(k)
         .drop("__es")
     )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_cols: str | Sequence[str],
+    weight_col: str | Column,
+    n_per_group: int,
+    key_col: str,
+) -> DataFrame:
+    """Exactly min(n, |group|) weight-proportional rows PER GROUP
+    ("10 k docs per language, biased by quality score") — the grouped
+    twin of ``weighted_sample``, same deterministic Efraimidis–Spirakis
+    keys, same prefix-monotonicity in n.
+
+    Plan shape: one hash exchange on the group + a rank window;
+    ``WindowGroupLimit`` pre-drops rows past n map-side, so shuffle
+    bytes are bounded by n·groups·tasks, not the corpus.
+    """
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    w = (F.col(weight_col) if isinstance(weight_col, str) else weight_col).cast(
+        "double"
+    )
+    u = (hash_bucket(key_col, M32).cast("double") + F.lit(0.5)) / F.lit(float(M32))
+    win = Window.partitionBy(*groups).orderBy(
+        (-F.log(u) / w).asc(), F.col(key_col)
+    )
+    return (
+        df.filter(w > 0)
+        .withColumn("__rn", F.row_number().over(win))
+        .filter(F.col("__rn") <= n_per_group)
+        .drop("__rn")
+    )

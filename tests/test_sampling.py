@@ -242,3 +242,34 @@ def test_weighted_sample_plan_is_bounded_topk(spark):
     )
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan  # no shuffle of the corpus
+
+
+def test_weighted_sample_per_group_matches_global_on_each_group(spark):
+    """Per-group result == running weighted_sample separately per group
+    (same keys, same order) — and WindowGroupLimit bounds the window."""
+    from pyspark.sql import functions as F
+
+    from nexus_event_stream_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    df = _wdf(spark).withColumn("lang", (F.col("doc_id") % 3).cast("string"))
+    got = weighted_sample_per_group(df, "lang", "w", 40, "doc_id")
+    for g in ["0", "1", "2"]:
+        solo = {
+            r["doc_id"]
+            for r in weighted_sample(
+                df.filter(F.col("lang") == g), "w", 40, "doc_id"
+            ).collect()
+        }
+        grouped = {
+            r["doc_id"]
+            for r in got.filter(F.col("lang") == g).collect()
+        }
+        assert grouped == solo, g
+    plan = got._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "WindowGroupLimit" in plan
