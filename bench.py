@@ -184,12 +184,18 @@ def _zorder_bench(spark, sf_dir: str) -> tuple[list[float], list[float]]:
 
         def run_full() -> float:
             # best-possible manifest-free scan: native, pushdown-friendly
-            # predicates (same residual shape pruned_read applies)
+            # predicates — ALL four bounds, exactly what pruned_read
+            # re-applies, so both variants run the same query
             t0 = time.perf_counter()
             (
                 spark.read.parquet(path)
                 .filter(
-                    (F.col("user_id") <= int(preds["user_id"][1]))
+                    (F.col("user_id") >= int(preds["user_id"][0]))
+                    & (F.col("user_id") <= int(preds["user_id"][1]))
+                    & (
+                        F.col("ts")
+                        >= F.timestamp_micros(F.lit(int(preds["ts"][0])))
+                    )
                     & (
                         F.col("ts")
                         <= F.timestamp_micros(F.lit(int(preds["ts"][1])))

@@ -165,25 +165,49 @@ def zorder_write(
     """
     boundaries = equi_depth_boundaries(df, cols, bits)
     z = zorder_key(df, cols, bits, boundaries)
-    # INT96 timestamps carry no parquet stats — force INT64-µs so the
-    # manifest (and Spark's own row-group skipping) can see min/max.
-    try:
-        df.sparkSession.conf.set(
-            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    with _micros_timestamps(df.sparkSession):
+        (
+            df.withColumn("__z", z)
+            .repartitionByRange(n_files, F.col("__z"))
+            .sortWithinPartitions("__z")
+            .drop("__z")
+            .write.mode("overwrite")
+            .parquet(path)
         )
-    except Exception:
-        pass  # non-settable deployment: ts columns fall back to "kept"
-    (
-        df.withColumn("__z", z)
-        .repartitionByRange(n_files, F.col("__z"))
-        .sortWithinPartitions("__z")
-        .drop("__z")
-        .write.mode("overwrite")
-        .parquet(path)
-    )
     if manifest:
         build_skipping_manifest(df.sparkSession, path, cols)
     return boundaries
+
+
+class _micros_timestamps:
+    """Scoped conf: write INT64-µs timestamps (INT96 carries no parquet
+    min/max stats, which would blind the manifest AND Spark's own
+    row-group skipping) — restored on exit so a layout call never
+    changes the encoding of unrelated writes in the caller's session."""
+
+    _KEY = "spark.sql.parquet.outputTimestampType"
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.prev: str | None = None
+
+    def __enter__(self):
+        try:
+            self.prev = self.spark.conf.get(self._KEY, None)
+            self.spark.conf.set(self._KEY, "TIMESTAMP_MICROS")
+        except Exception:
+            self.prev = None  # non-settable: ts columns fall back to "kept"
+        return self
+
+    def __exit__(self, *exc):
+        try:
+            if self.prev is None:
+                self.spark.conf.unset(self._KEY)
+            else:
+                self.spark.conf.set(self._KEY, self.prev)
+        except Exception:
+            pass
+        return False
 
 
 def zorder_append(
@@ -208,22 +232,17 @@ def zorder_append(
     ``bits`` must match the ``zorder_write`` that froze ``boundaries``.
     """
     spark = df.sparkSession
-    try:
-        spark.conf.set(
-            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
-        )
-    except Exception:
-        pass
     before = _data_files(path)
     z = zorder_key(df, cols, bits=bits, boundaries=boundaries)
-    (
-        df.withColumn("__z", z)
-        .repartitionByRange(n_files, F.col("__z"))
-        .sortWithinPartitions("__z")
-        .drop("__z")
-        .write.mode("append")
-        .parquet(path)
-    )
+    with _micros_timestamps(spark):
+        (
+            df.withColumn("__z", z)
+            .repartitionByRange(n_files, F.col("__z"))
+            .sortWithinPartitions("__z")
+            .drop("__z")
+            .write.mode("append")
+            .parquet(path)
+        )
     new_files = sorted(set(_data_files(path)) - set(before))
     if new_files:
         _extend_manifest(spark, path, new_files, cols)
@@ -241,7 +260,6 @@ def _extend_manifest(
     spark: SparkSession, path: str, new_files: list[str], cols: Sequence[str]
 ) -> None:
     """Footer-sweep only the new files; rewrite manifest = old ∪ new rows."""
-    import pyarrow as pa
     import pyarrow.parquet as pq
 
     old = pq.read_table(os.path.join(path, _MANIFEST_SUBDIR)).to_pandas()
@@ -309,7 +327,12 @@ def _stat_to_double(v) -> float | None:
     if isinstance(v, datetime.datetime):
         if v.tzinfo is None:
             v = v.replace(tzinfo=datetime.timezone.utc)
-        return float(int(v.timestamp() * 1_000_000))
+        # exact integer epoch-µs: float .timestamp()*1e6 truncates 1 µs low
+        # for ~2.5 % of epochs past ~2040, which would let prune_files drop
+        # a file whose true max equals the predicate bound — silent row loss
+        epoch = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+        micros = (v - epoch) // datetime.timedelta(microseconds=1)
+        return float(micros)
     return None  # strings/binary: not manifest-skippable here
 
 
@@ -321,11 +344,7 @@ def build_skipping_manifest(
     The file *list* is O(files) driver memory (same as any commit log); the
     footer reads run on executors via one ``mapInPandas`` over the list.
     """
-    files = sorted(
-        os.path.join(path, f)
-        for f in os.listdir(path)
-        if f.endswith(".parquet") and not f.startswith(("_", "."))
-    )
+    files = _data_files(path)
     cols = list(cols)
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -389,13 +408,8 @@ def prune_files(
     # WHICH files exist: a file appended after the manifest build has no
     # stats row and must be KEPT, or a stale manifest would silently drop
     # its rows (the manifest may only ever subtract work, never data).
-    all_files = sorted(
-        os.path.join(path, f)
-        for f in os.listdir(path)
-        if f.endswith(".parquet") and not f.startswith(("_", "."))
-    )
+    all_files = _data_files(path)
     kept = [f for f in all_files if f not in excluded]
-    _ = spark
     return kept, len(all_files)
 
 

@@ -12,11 +12,11 @@ Checks return a report row per expectation: name, metric value, bound,
 pass/fail. `check(df, suite)` never throws on data — failing data is a
 REPORT; `enforce(df, suite)` raises for pipelines that want a hard gate.
 
-Uniqueness is the one metric a single aggregation pass cannot compute
-exactly without shuffling the column (count distinct); it uses exact
-`count_distinct` by default — still one pass, but its partials are
-distinct-value-sized. Pass ``approx=True`` to trade it for HLL++
-partials (bounded size, ±~2 %).
+Uniqueness is the one metric that cannot ride the fixed-size pass:
+exact `count_distinct` (the default) makes Catalyst plan a second,
+distinct-value-sized aggregation exchange. Pass ``approx=True`` to
+trade it for HLL++ partials (fixed size, ±~2 %) and restore the
+single-fixed-pass shape.
 """
 
 from __future__ import annotations
@@ -74,14 +74,19 @@ def expect_complete(col: str, min_fraction: float = 1.0) -> Expectation:
 
 
 def expect_unique(col: str, min_ratio: float = 1.0, approx: bool = False) -> Expectation:
-    """distinct/total ≥ min_ratio (1.0 = a key). ``approx`` swaps exact
-    count_distinct partials for HLL++ (±~2 %) — lower the bound accordingly."""
+    """distinct / TOTAL rows ≥ min_ratio (1.0 = a key: every row has a
+    distinct non-null value — NULL-keyed rows lower the ratio, they don't
+    hide behind a non-null denominator). ``approx`` swaps exact
+    count_distinct partials for HLL++ (±~2 %) — lower the bound
+    accordingly. Note the exact form plans a second, distinct-sized
+    aggregation exchange; every other expectation shares one fixed-size
+    pass."""
     d = (
         F.approx_count_distinct(col, 0.02)
         if approx
         else F.count_distinct(F.col(col))
     )
-    ratio = (d / F.greatest(F.count(F.col(col)), F.lit(1))).cast("double")
+    ratio = (d / F.greatest(F.count(F.lit(1)), F.lit(1))).cast("double")
     return Expectation(f"unique({col})", ratio, min_ratio, None)
 
 
@@ -107,10 +112,13 @@ def expect_between(
 
 
 def expect_matches(col: str, pattern: str, min_fraction: float = 1.0) -> Expectation:
-    """≥ min_fraction of non-null values fully match the regex."""
+    """≥ min_fraction of non-null values FULLY match the regex — the
+    pattern is anchored here because ``rlike`` is substring-find, and a
+    contains-style gate ("123en456" passing a language-code check) is
+    never what a data contract means."""
     c = F.col(col)
     nn = F.sum(F.when(c.isNotNull(), 1).otherwise(0))
-    ok = F.sum(F.when(c.rlike(pattern), 1).otherwise(0))
+    ok = F.sum(F.when(c.rlike(f"^(?:{pattern})$"), 1).otherwise(0))
     return Expectation(
         f"matches({col})",
         (ok / F.greatest(nn, F.lit(1))).cast("double"),

@@ -162,6 +162,9 @@ def weighted_sample(
     return (
         df.filter(w > 0)
         .withColumn("__es", score)
+        # a NULL/non-castable key yields a NULL score, and ascending sort
+        # puts NULLS FIRST — unkeyed rows would silently occupy the top-k
+        .where(F.col("__es").isNotNull())
         .orderBy("__es", key_col)
         .limit(k)
         .drop("__es")
@@ -189,11 +192,11 @@ def weighted_sample_per_group(
         "double"
     )
     u = (hash_bucket(key_col, M32).cast("double") + F.lit(0.5)) / F.lit(float(M32))
-    win = Window.partitionBy(*groups).orderBy(
-        (-F.log(u) / w).asc(), F.col(key_col)
-    )
+    score = -F.log(u) / w
+    win = Window.partitionBy(*groups).orderBy(score.asc(), F.col(key_col))
     return (
         df.filter(w > 0)
+        .where(score.isNotNull())  # same NULLS-FIRST hazard as weighted_sample
         .withColumn("__rn", F.row_number().over(win))
         .filter(F.col("__rn") <= n_per_group)
         .drop("__rn")

@@ -24,6 +24,7 @@ tasks·k). Everything after that is driver math on ≤k integers.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
@@ -135,18 +136,28 @@ def kmv_intersection(a: KMVSketch, b: KMVSketch) -> float:
     return kmv_jaccard(a, b) * kmv_estimate(kmv_merge(a, b))
 
 
-def shingle_rows(docs: DataFrame, text_col: str = "text", n: int = 5) -> DataFrame:
+def shingle_rows(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+    carry: Sequence[str] = (),
+) -> DataFrame:
     """One row per distinct word-n-gram per document — the input grain
     for CONTENT overlap sketches (doc-hash sketches only see exact dups).
+    ``carry`` columns (e.g. the source) ride along with each shingle; the
+    single shingling definition here keeps ad-hoc `kmv_sketch` calls and
+    `source_overlap` comparable.
     """
     from nexus_event_stream_spark.functions.text import ngrams_from_tokens
 
+    keep = [F.col(c) for c in carry]
     return (
-        docs.select(F.split(F.col(text_col), " ").alias("__toks"))
+        docs.select(*keep, F.split(F.col(text_col), " ").alias("__toks"))
         .select(
+            *keep,
             F.explode(
                 F.array_distinct(ngrams_from_tokens(F.col("__toks"), n))
-            ).alias("shingle")
+            ).alias("shingle"),
         )
     )
 
@@ -164,21 +175,8 @@ def source_overlap(
     pairwise Jaccard/intersection matrix is then pure driver math on
     sources²·k integers. Rows: {a, b, jaccard, intersection, union}.
     """
-    from nexus_event_stream_spark.functions.text import ngrams_from_tokens
-
-    grams = (
-        docs.select(
-            F.col(source_col).alias("__src"),
-            F.split(F.col(text_col), " ").alias("__toks"),
-        )
-        .select(
-            "__src",
-            F.explode(
-                F.array_distinct(ngrams_from_tokens(F.col("__toks"), n))
-            ).alias("shingle"),
-        )
-    )
-    sketches = kmv_sketches_by(grams, "__src", "shingle", k)
+    grams = shingle_rows(docs, text_col, n, carry=[source_col])
+    sketches = kmv_sketches_by(grams, source_col, "shingle", k)
     names = sorted(sketches)
     out = []
     for i, sa in enumerate(names):

@@ -231,6 +231,27 @@ def test_frozen_boundaries_reusable_for_incremental_data(spark, zdata):
     assert j.count() == 0
 
 
+def test_stat_to_double_timestamp_is_exact_microseconds():
+    """float .timestamp()*1e6 truncates 1 µs low for ~2.5 % of epochs past
+    ~2040 — which would prune a file whose max equals the bound. The
+    conversion must be exact integer µs for any epoch."""
+    import datetime as dt
+
+    from nexus_event_stream_spark.operators.clustering import _stat_to_double
+
+    for micros in [
+        2199444544775469,  # empirically truncated by the float path
+        4502944837381215,
+        1755158400123456,
+        -123456789,
+        0,
+    ]:
+        v = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc) + dt.timedelta(
+            microseconds=micros
+        )
+        assert _stat_to_double(v) == float(micros), micros
+
+
 # ------------------------------------------------------------- append / stale
 
 

@@ -106,6 +106,26 @@ def test_between_matches_in_fraction_semantics(spark):
     assert r["matches(lang)"]["value"] == 1.0  # 'xx' matches the shape
 
 
+def test_matches_is_full_match_not_substring(spark):
+    """rlike is substring-find; expect_matches must anchor — a corpus of
+    '123en456' junk may not pass a language-code contract."""
+    df = spark.createDataFrame(
+        [("en",), ("123en456",), ("ENGLISH-en",)], "lang string"
+    )
+    r = check(df, [expect_matches("lang", r"[a-z]{2}")])[0]
+    assert abs(r["value"] - 1 / 3) < 1e-9
+    assert not r["passed"]
+
+
+def test_unique_counts_null_keys_against_the_ratio(spark):
+    """'1.0 = a key' must mean every ROW is keyed: NULL keys lower the
+    ratio rather than vanishing from the denominator."""
+    df = spark.createDataFrame([(1,), (2,), (None,), (None,)], "k long")
+    r = check(df, [expect_unique("k")])[0]
+    assert abs(r["value"] - 0.5) < 1e-9
+    assert not r["passed"]
+
+
 def test_empty_frame_fails_closed(spark):
     """An empty corpus must FAIL its completeness gate, not pass it."""
     df = spark.createDataFrame([], "k long, v string")

@@ -229,6 +229,20 @@ def test_weighted_sample_excludes_nonpositive_and_exhausts(spark):
     assert sorted(r["doc_id"] for r in got) == list(range(3, 10))
 
 
+def test_weighted_sample_null_keys_never_win(spark):
+    """A NULL key → NULL score; ascending sort is NULLS FIRST, so without
+    the guard unkeyed rows would deterministically fill the top-k."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(
+        F.when(F.col("id") < 5, None).otherwise(F.col("id")).alias("doc_id"),
+        F.lit(1.0).alias("w"),
+    )
+    got = weighted_sample(df, "w", 10, "doc_id").collect()
+    assert len(got) == 10
+    assert all(r["doc_id"] is not None for r in got)
+
+
 def test_weighted_sample_plan_is_bounded_topk(spark):
     df = _wdf(spark)
     plan = (
