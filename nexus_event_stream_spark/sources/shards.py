@@ -278,3 +278,71 @@ class ShardedCorpusWriter:
         path (partition-pruned: only that shard directory is listed)."""
         df = self.read(spark)
         return None if df is None else df.filter(F.col("shard") == shard)
+
+    def vacuum(
+        self, grace_seconds: int = 7 * 24 * 3600, now: float | None = None
+    ) -> dict:
+        """Delete data directories no committed manifest references.
+
+        The commit protocol's safety comes FROM leaving garbage: crashed,
+        zombie, and CAS-losing publishers abandon attempt-unique orphan
+        dirs rather than ever touching committed files. Vacuum is the
+        scheduled janitor that reclaims them, with two protections:
+
+        - everything the committed manifest can resolve is kept — the
+          current snapshot/epoch ``dirs``, and ``prev_dir`` (one-step
+          time travel);
+        - anything younger than ``grace_seconds`` is kept, because an
+          IN-FLIGHT publish writes its data before its pointer commit —
+          the grace period must exceed the longest plausible publish
+          (the Delta VACUUM retention rule; default 7 days).
+
+        ``now`` is injectable for tests. Returns
+        ``{"removed": [...], "kept": [...]}`` (root-relative dirs).
+        On an object store, run this from one place — it deletes;
+        everything else in this class only ever adds.
+        """
+        import shutil
+
+        now = time.time() if now is None else now
+        cur = self.current()
+        protected: set[str] = set()
+        if cur is not None:
+            if "dirs" in cur:
+                protected.update(cur["dirs"])
+            else:
+                protected.add(self._snapshot_dir(cur))
+            if "prev_dir" in cur:
+                protected.add(cur["prev_dir"])
+            elif cur.get("prev_version") is not None:
+                protected.add(f"v={cur['prev_version']}")
+        candidates: list[str] = []
+        for name in sorted(os.listdir(self.root)):
+            full = os.path.join(self.root, name)
+            if name.startswith("v=") and os.path.isdir(full):
+                candidates.append(name)
+        epochs_root = os.path.join(self.root, "epochs")
+        if os.path.isdir(epochs_root):
+            candidates.extend(
+                os.path.join("epochs", n)
+                for n in sorted(os.listdir(epochs_root))
+                if n.startswith("e=")
+                and os.path.isdir(os.path.join(epochs_root, n))
+            )
+        removed, kept = [], []
+        for rel in candidates:
+            full = os.path.join(self.root, rel)
+            if rel in protected:
+                kept.append(rel)
+                continue
+            try:
+                age = now - os.path.getmtime(full)
+            except OSError:
+                kept.append(rel)  # vanished mid-scan or unreadable: skip
+                continue
+            if age < grace_seconds:
+                kept.append(rel)
+                continue
+            shutil.rmtree(full, ignore_errors=True)
+            removed.append(rel)
+        return {"removed": removed, "kept": kept}

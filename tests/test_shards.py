@@ -271,3 +271,77 @@ def test_legacy_manifest_replay_guard_still_holds(spark, sf_dir, tmp_path):
     m = w.append(docs.filter(F.col("doc_id") >= 200).limit(20), epoch=1)
     assert m == legacy  # replay recognized via the epoch_rows fallback
     assert w.read(spark).count() == n
+
+
+# ------------------------------------------------------------------- vacuum
+
+
+def test_vacuum_removes_only_aged_orphans(spark, sf_dir, tmp_path):
+    """Orphan attempt-dirs (crashed/CAS-losing publishers) are reclaimed
+    once past the grace period; committed + young dirs are untouched."""
+    import os
+    import time as _time
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    root = str(tmp_path / "corpus")
+    w = ShardedCorpusWriter(root, n_shards=4)
+    w.write(docs)
+    n = w.read(spark).count()
+    # fabricate a crashed publish: data dir exists, pointer never swung
+    old_orphan = os.path.join(root, "v=9-deadbeef")
+    os.makedirs(os.path.join(old_orphan, "shard=0"))
+    young_orphan = os.path.join(root, "v=9-cafebabe")
+    os.makedirs(os.path.join(young_orphan, "shard=0"))
+    past = _time.time() - 10 * 24 * 3600
+    os.utime(old_orphan, (past, past))
+    rep = w.vacuum()
+    assert "v=9-deadbeef" in rep["removed"]
+    assert "v=9-cafebabe" in rep["kept"]  # inside grace: maybe in-flight
+    assert not os.path.exists(old_orphan)
+    assert os.path.exists(young_orphan)
+    assert w.read(spark).count() == n  # committed data untouched
+
+
+def test_vacuum_protects_time_travel_and_epoch_lineage(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    root = str(tmp_path / "corpus")
+    w = ShardedCorpusWriter(root, n_shards=4)
+    w.write(docs.filter("doc_id < 100"))  # v0
+    w.write(docs.filter("doc_id < 150"))  # v1; v0 is prev (time travel)
+    # snapshot-over-snapshot: an aggressive vacuum must keep BOTH — v1 is
+    # current, v0 is the manifest's one-step time-travel target
+    rep = w.vacuum(grace_seconds=0, now=4102444800.0)
+    assert rep["removed"] == []
+    assert w.read(spark, version=0).count() == 100
+    # after an append, the lineage is the dirs list; v0 is no longer
+    # resolvable from the committed manifest, so it is now legitimate
+    # garbage — vacuum reclaims it, and everything readable stays intact
+    w.append(docs.filter("doc_id >= 150").limit(30), epoch=0)
+    n = w.read(spark).count()
+    rep2 = w.vacuum(grace_seconds=0, now=4102444800.0)
+    assert all(d.startswith("v=0-") for d in rep2["removed"])
+    assert w.read(spark).count() == n
+
+
+def test_vacuum_reclaims_orphaned_epoch_attempts(spark, sf_dir, tmp_path):
+    import os
+    import time as _time
+
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    root = str(tmp_path / "corpus")
+    w = ShardedCorpusWriter(root, n_shards=4)
+    w.write(docs)
+    w.append(docs.limit(10), epoch=0)
+    committed_epoch_dirs = [
+        d for d in w.current()["dirs"] if d.startswith("epochs/")
+    ]
+    orphan = os.path.join(root, "epochs", "e=0-00000000")
+    os.makedirs(os.path.join(orphan, "shard=0"))
+    past = _time.time() - 10 * 24 * 3600
+    os.utime(orphan, (past, past))
+    n = w.read(spark).count()
+    rep = w.vacuum()
+    assert "epochs/e=0-00000000" in rep["removed"]
+    for d in committed_epoch_dirs:
+        assert d in rep["kept"]
+    assert w.read(spark).count() == n
