@@ -162,15 +162,27 @@ def check(df: DataFrame, suite: list[Expectation]) -> list[dict]:
     """
     if not suite:
         return []
-    names = [e.name for e in suite]
-    if len(set(names)) != len(names):
-        raise ValueError(f"duplicate expectation names: {names}")
+    _validate_names(suite)
     row = df.agg(
         *[e.metric.alias(f"__m{i}") for i, e in enumerate(suite)]
     ).first()
+    return evaluate_values({f"__m{i}": row[f"__m{i}"] for i in range(len(suite))}, suite)
+
+
+def _validate_names(suite: list[Expectation]) -> None:
+    names = [e.name for e in suite]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate expectation names: {names}")
+
+
+def evaluate_values(values: dict, suite: list[Expectation]) -> list[dict]:
+    """Judge already-computed metric values (keyed ``__m{i}`` in suite
+    order) against the suite's bounds — shared by `check` and the
+    streaming `observe` path (streaming/metrics.py), so batch gates and
+    per-epoch monitors apply identical semantics."""
     out = []
     for i, e in enumerate(suite):
-        v = row[f"__m{i}"]
+        v = values.get(f"__m{i}")
         passed = v is not None
         if passed and e.lo is not None:
             passed = v >= e.lo
