@@ -52,6 +52,24 @@ class KMVSketch:
     def exact(self) -> bool:
         return len(self.hashes) < self.k
 
+    def to_dict(self) -> dict:
+        """JSON-ready form — persist next to a snapshot manifest so later
+        runs can estimate overlap against it without the original data."""
+        return {"kind": "kmv", "m": KMV_M, "k": self.k, "hashes": list(self.hashes)}
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "KMVSketch":
+        if d.get("kind") != "kmv":
+            raise ValueError(f"not a KMV sketch payload: {d.get('kind')!r}")
+        if d.get("m") != KMV_M:
+            # a sketch hashed into a different domain is not comparable —
+            # refusing beats silently estimating garbage
+            raise ValueError(f"hash domain mismatch: {d.get('m')} != {KMV_M}")
+        hashes = tuple(d["hashes"])
+        if list(hashes) != sorted(set(hashes)):
+            raise ValueError("corrupt sketch: hashes must be sorted distinct")
+        return cls(int(d["k"]), hashes)
+
 
 def _hv(col: Column | str) -> Column:
     """Uniform hash in [0, M) — NULL-gated: ``xxhash64(NULL)`` returns the

@@ -175,3 +175,22 @@ def test_sketch_build_plan_is_bounded_topk(spark):
 
 def test_default_k_sane():
     assert DEFAULT_K >= 128  # ≤ ~9 % std error out of the box
+
+
+def test_sketch_roundtrips_through_json():
+    import json
+
+    s = KMVSketch(4, (3, 7, 11, 40))
+    back = KMVSketch.from_dict(json.loads(json.dumps(s.to_dict())))
+    assert back == s
+    assert kmv_jaccard(back, s) == 1.0
+
+
+def test_sketch_load_rejects_incompatible_payloads():
+    s = KMVSketch(4, (3, 7, 11, 40))
+    with pytest.raises(ValueError):
+        KMVSketch.from_dict({**s.to_dict(), "m": 123})  # wrong hash domain
+    with pytest.raises(ValueError):
+        KMVSketch.from_dict({**s.to_dict(), "kind": "hll"})
+    with pytest.raises(ValueError):
+        KMVSketch.from_dict({**s.to_dict(), "hashes": [7, 3, 11, 40]})
