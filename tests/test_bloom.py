@@ -17,10 +17,10 @@ from nexus_event_stream_spark.operators.bloom import (
 )
 
 
-def test_params_match_textbook_formulas():
+def test_params_match_blocked_formulas():
     m, k = bloom_params(1000, 0.01)
-    # ~9.6 bits/key and ~7 hashes at 1 %
-    assert 9_000 <= m <= 10_240 and m % 64 == 0
+    # textbook ~9.6 bits/key at 1 % × the 1.5 blocked-layout factor
+    assert 14_000 <= m <= 15_000 and m % 64 == 0
     assert k == 7
     with pytest.raises(ValueError):
         bloom_params(0, 0.01)
@@ -106,6 +106,25 @@ def test_pruned_join_equals_unpruned_join(spark, sf_dir):
     assert (plain["n"], plain["q"]) == (pruned["n"], pruned["q"])
     # the filter must do real work: fewer rows survive than exist
     assert pruned_li.count() < lineitem.count()
+
+
+def test_exchange_volume_reduction_is_near_selectivity(spark):
+    # THE metric this operator exists for: rows surviving the probe (== rows
+    # entering the join exchange) must track dim selectivity + FPR, not
+    # fact size. 2 % of keys kept → ≤ 4 % of fact rows may survive.
+    n_rows, n_keys, keep_mod = 400_000, 50_000, 50
+    fact = spark.range(n_rows).select(
+        F.pmod(F.xxhash64("id"), F.lit(n_keys)).alias("key")
+    )
+    dim = spark.range(n_keys).select(F.col("id").alias("key")).where(
+        F.pmod(F.xxhash64(F.col("key"), F.lit(3)), F.lit(keep_mod)) == 0
+    )
+    bf = bloom_build_for(dim, "key", n_keys=n_keys // keep_mod, fpr=0.01)
+    surviving = bloom_prune(fact, "key", bf).count()
+    kept_keys = dim.count()
+    # true matches ≈ n_rows · kept_keys/n_keys; FPR adds ≤ ~1 % of the rest
+    assert surviving <= n_rows * (kept_keys / n_keys) + 0.04 * n_rows
+    assert surviving >= n_rows * (kept_keys / n_keys) * 0.5  # sanity floor
 
 
 def test_null_keys_are_pruned_not_crashed(spark, built):
