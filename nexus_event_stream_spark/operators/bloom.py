@@ -23,8 +23,10 @@ and Space-Efficient Bloom Filters"; the same idea behind Parquet's
 split-block filters) hashes each key to ONE 64-bit word and sets k bits
 *within that word*, so the probe is a single ``element_at`` plus one
 ``(word & mask) == mask`` comparison — measured 0.17 s for the same 4M
-rows at k=7. Blocking costs ~1.5× space for the same FPR (the published
-one-word-block rule); ``bloom_params`` bakes that factor in.
+rows at k=7. Blocking costs extra space for the same FPR (~1.5× near 1 %,
+more at tighter targets); ``bloom_params`` sizes m by the blocked
+layout's own Poisson-mixture FPR model so the requested rate is actually
+delivered.
 
 - **build**: one pass over the (filtered) dim — word index from
   ``xxhash64(key)``, the k-bit in-word mask from six-bit slices of a
@@ -62,10 +64,6 @@ from pyspark.sql import functions as F
 # default seed; golden-ratio constant is conventional.
 _SEED2 = 0x9E3779B9
 
-# Space penalty of one-word blocking vs a textbook filter at equal FPR
-# (Putze et al. measure ~1.3-1.5x for 64-bit blocks; use the safe end).
-_BLOCK_SPACE_FACTOR = 1.5
-
 # A 64-bit second hash yields ten independent 6-bit slices.
 _MAX_K = 10
 
@@ -78,18 +76,38 @@ MAX_EXPR_WORDS = 1 << 20
 _MASKS = [1 << i if i < 63 else -(1 << 63) for i in range(64)]
 
 
+def _blocked_fpr(m_bits: int, k: int, n_keys: int) -> float:
+    """Expected FPR of the one-word-block layout: Poisson mixture over the
+    per-word key count t — P(probe mask ⊆ word) = s^k where
+    s = 1-(1-1/64)^(k·t) is the word's fill fraction."""
+    n_words = max(1, m_bits // 64)
+    lam = n_keys / n_words
+    total, p = 0.0, math.exp(-lam)
+    for t in range(0, max(20, int(lam * 6))):
+        s = 1.0 - (1.0 - 1.0 / 64.0) ** (k * t)
+        total += p * (s**k)
+        p *= lam / (t + 1)
+    return total
+
+
 def bloom_params(n_keys: int, fpr: float = 0.01) -> tuple[int, int]:
-    """(m_bits, k) for ``n_keys`` at target ``fpr``: the textbook
-    m = -n·ln p / (ln 2)², k = (m/n)·ln 2, with the blocked-layout space
-    factor applied to m (k is capped — extra bits in one word saturate)."""
+    """(m_bits, k) for ``n_keys`` at target ``fpr``, sized by the blocked
+    layout's OWN FPR model, not the textbook one: one-word blocking pays a
+    space penalty that grows as the target drops (the Poisson tail of
+    keys-per-word dominates at low fpr — Putze et al. §3), so a constant
+    factor over m = -n·ln p/(ln 2)² under-delivers below ~1 %. Start from
+    the textbook size (a lower bound) and grow m until the Poisson-mixture
+    estimate meets the target; k follows the textbook rule, capped at
+    ``_MAX_K`` (extra bits in one word saturate)."""
     if n_keys <= 0:
         raise ValueError("n_keys must be positive")
     if not (0.0 < fpr < 1.0):
         raise ValueError("fpr must be in (0, 1)")
     m0 = -n_keys * math.log(fpr) / (math.log(2) ** 2)
-    m = math.ceil(m0 * _BLOCK_SPACE_FACTOR)
-    m = max(64, ((m + 63) // 64) * 64)  # whole words
     k = min(_MAX_K, max(1, round(m0 / n_keys * math.log(2))))
+    m = max(64, ((math.ceil(m0) + 63) // 64) * 64)
+    while _blocked_fpr(m, k, n_keys) > fpr:
+        m = ((math.ceil(m * 1.25) + 63) // 64) * 64
     return m, k
 
 
@@ -107,16 +125,8 @@ class BloomFilter:
         return self.m_bits // 64
 
     def fpr_estimate(self, n_keys: int) -> float:
-        """Expected FPR after ``n_keys`` inserts: Poisson mixture over the
-        per-word key count t — P(probe mask ⊆ word) = s^k where
-        s = 1-(1-1/64)^(k·t) is the word's fill fraction."""
-        lam = n_keys / self.n_words
-        total, p = 0.0, math.exp(-lam)
-        for t in range(0, max(20, int(lam * 6))):
-            s = 1.0 - (1.0 - 1.0 / 64.0) ** (self.k * t)
-            total += p * (s**self.k)
-            p *= lam / (t + 1)
-        return total
+        """Expected FPR after ``n_keys`` inserts (see ``_blocked_fpr``)."""
+        return _blocked_fpr(self.m_bits, self.k, n_keys)
 
 
 def _word_index(key: Column, n_words: int) -> Column:
@@ -178,8 +188,9 @@ def bloom_build_for(
 def bloom_might_contain(bf: BloomFilter, key: Column | str) -> Column:
     """Pure-expression membership test: one ``element_at`` into the word
     literal + one mask compare. True ⇒ maybe present; False ⇒ definitely
-    absent. NULL keys yield NULL (a filter drops them, matching equi-join
-    semantics)."""
+    absent. NULL keys yield False — sound for semi-join pruning (a NULL
+    never equi-joins) but NOT for anti-join-style negation, where False
+    would KEEP the NULL rows."""
     if bf.n_words > MAX_EXPR_WORDS:
         raise ValueError(
             f"{bf.n_words} words exceeds MAX_EXPR_WORDS={MAX_EXPR_WORDS}; "

@@ -25,10 +25,10 @@ Every underlying sketch is deterministic (hash-derived or
 alternating-offset), so "no drift" on identical data is EXACT zero, not
 merely small — pinned by test.
 
-Scale shape: building a profile costs two scan-shaped jobs (lengths +
-tokens fold in mapInPandas/agg passes; shingle KMV is a distinct +
-TakeOrdered) — all corpus-size-independent state. Comparing costs zero
-jobs. Reference parity: no analogue; north-star corpus-profiling tier.
+Scale shape: building a profile costs three scan-shaped jobs (lengths
+and tokens fold in mapInPandas passes — the exact doc count rides free on
+the length sketch; shingle KMV is a distinct + TakeOrdered) — all
+corpus-size-independent state. Comparing costs zero jobs. Reference parity: no analogue; north-star corpus-profiling tier.
 """
 
 from __future__ import annotations
@@ -108,12 +108,14 @@ def corpus_profile(
     shingle_n: int = 5,
     kmv_k: int = 256,
 ) -> CorpusProfile:
-    """Fold one snapshot into its profile. Each sketch is one scan-shaped
-    job; nothing row-sized reaches the driver."""
-    n_docs = docs.count()
+    """Fold one snapshot into its profile: THREE scan-shaped jobs
+    (lengths, tokens, shingles); nothing row-sized reaches the driver.
+    ``n_docs`` counts documents with non-NULL text — it rides for free on
+    the length sketch's exact ``n`` instead of a fourth scan."""
     lengths = quantile_sketch(
         docs.select(F.length(F.col(text_col)).alias("len")), "len", k=quantile_k
     )
+    n_docs = lengths.n
     toks = docs.select(
         F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
     ).where(F.length("tok") > 0)
@@ -160,6 +162,16 @@ def drift_report(
     ``{metrics: {...}, flags: [...], drifted: bool}``; ``flags`` names
     every threshold the pair violates."""
     t = {**DRIFT_THRESHOLDS, **(thresholds or {})}
+    if a.n_docs == 0 or b.n_docs == 0:
+        # an empty snapshot IS the most severe drift (a vanished corpus) —
+        # flag it instead of crashing on the empty quantile sketch
+        return {
+            "metrics": {"n_docs_a": a.n_docs, "n_docs_b": b.n_docs},
+            "flags": ["empty_snapshot"]
+            if a.n_docs != b.n_docs
+            else ["both_snapshots_empty"],
+            "drifted": True,
+        }
     len_shifts = _len_shifts(a.lengths, b.lengths)
     token_l1 = _token_l1(a.token_freq, b.token_freq)
     jac = kmv_jaccard(a.shingles, b.shingles)

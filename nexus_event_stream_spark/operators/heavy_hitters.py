@@ -187,25 +187,39 @@ def mg_sketch(
     max_candidates: int | None = None,
 ) -> MGSummary:
     """Build the merged sketch: per-partition MG → groupBy(item) sum →
-    collect the D row and the top ``max_candidates`` items in ONE
-    TakeOrdered job (NULL row sorts first). Driver state O(capacity)."""
+    collect the D row and the top ``max_candidates``(+1) items in ONE
+    TakeOrdered job (NULL row sorts first). Driver state O(capacity).
+
+    The merged relation can hold up to partitions·capacity items; keeping
+    only the top ``max_candidates`` is a re-cap, and a re-cap is only
+    invariant-preserving if the cut count — the (max_candidates+1)-th
+    largest, an upper bound on every dropped item's S — is subtracted
+    from the keep set and added to the decrement mass (same rule as
+    ``mg_merge``). Otherwise ``bounds()`` on a dropped item would claim
+    true(x) ≤ D while its true count could be far larger."""
     max_candidates = max_candidates or capacity
     merged = (
         mg_partition_summaries(df, col, capacity)
         .groupBy("item")
         .agg(F.sum("cnt").alias("cnt"))
         .orderBy(F.col("item").isNull().desc(), F.col("cnt").desc(), "item")
-        .limit(max_candidates + 1)
+        .limit(max_candidates + 2)  # D row + keep set + cut sentinel
         .collect()
     )
     counts: dict[str, int] = {}
     dec = 0
+    items: list[tuple[str, int]] = []
     for r in merged:
         if r["item"] is None:
             dec = int(r["cnt"])
         elif r["cnt"] > 0:
-            counts[r["item"]] = int(r["cnt"])
-    return MGSummary(capacity=capacity, counts=counts, decrements=dec)
+            items.append((r["item"], int(r["cnt"])))
+    cut = 0
+    if len(items) > max_candidates:
+        cut = items[max_candidates][1]  # ≥ every dropped item's count
+        items = items[:max_candidates]
+    counts = {i: s - cut for i, s in items if s > cut}
+    return MGSummary(capacity=capacity, counts=counts, decrements=dec + cut)
 
 
 def mg_merge(a: MGSummary, b: MGSummary) -> MGSummary:

@@ -17,11 +17,17 @@ from nexus_event_stream_spark.operators.bloom import (
 )
 
 
-def test_params_match_blocked_formulas():
-    m, k = bloom_params(1000, 0.01)
-    # textbook ~9.6 bits/key at 1 % × the 1.5 blocked-layout factor
-    assert 14_000 <= m <= 15_000 and m % 64 == 0
-    assert k == 7
+def test_params_deliver_requested_fpr_by_model():
+    for n, p in [(1000, 0.01), (10_000, 1e-3), (100_000, 1e-4)]:
+        m, k = bloom_params(n, p)
+        assert m % 64 == 0 and 1 <= k <= 10
+        # the sizing loop's contract: the blocked model meets the target
+        assert BloomFilter(m, k, ()).fpr_estimate(n) <= p
+        # and stays within sane space: ≤ 4× the textbook lower bound
+        import math
+
+        m0 = -n * math.log(p) / (math.log(2) ** 2)
+        assert m0 <= m <= 4 * m0
     with pytest.raises(ValueError):
         bloom_params(0, 0.01)
     with pytest.raises(ValueError):

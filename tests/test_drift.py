@@ -82,6 +82,15 @@ def test_profile_json_roundtrip_and_offline_compare(docs, base_profile):
         CorpusProfile.from_json('{"kind": "nope"}')
 
 
+def test_empty_snapshot_flags_instead_of_crashing(spark, base_profile):
+    empty = corpus_profile(spark.createDataFrame([], "doc_id long, text string"))
+    assert empty.n_docs == 0
+    rep = drift_report(base_profile, empty)
+    assert rep["drifted"] is True and rep["flags"] == ["empty_snapshot"]
+    rep2 = drift_report(empty, empty)
+    assert rep2["flags"] == ["both_snapshots_empty"]
+
+
 def test_thresholds_overridable(docs, base_profile):
     rep = drift_report(
         base_profile,

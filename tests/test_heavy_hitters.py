@@ -126,6 +126,21 @@ def test_merge_preserves_bounds(spark):
             assert hi >= t
 
 
+def test_truncation_recap_preserves_bounds(spark):
+    # many distinct mid-weight items across partitions, tiny
+    # max_candidates: truncation MUST fold the cut into decrements so
+    # bounds() stays valid for dropped items too
+    df = spark.range(0, 20_000, 1, 4).select(
+        F.concat(F.lit("t"), F.pmod(F.xxhash64("id"), F.lit(200))).alias("tok")
+    )
+    truth = _exact(df, "tok")
+    sk = mg_sketch(df, "tok", capacity=64, max_candidates=8)
+    assert len(sk.counts) <= 8
+    for item, t in truth.items():
+        lo, hi = sk.bounds(item)
+        assert lo <= t <= hi, (item, lo, t, hi, sk.decrements)
+
+
 def test_json_roundtrip():
     sk = MGSummary(capacity=4, counts={"x": 3, "y": 9}, decrements=2)
     back = MGSummary.from_json(sk.to_json())
