@@ -131,6 +131,23 @@ def corpus_profile(
     )
 
 
+def merge_profiles(a: CorpusProfile, b: CorpusProfile) -> CorpusProfile:
+    """Combine two profiles into the union corpus's profile WITHOUT data
+    access — every constituent sketch is closed under merge (KMV exactly,
+    quantile/MG with additive error). This is what lets per-shard or
+    per-epoch profiles roll up into a snapshot profile."""
+    from nexus_event_stream_spark.operators.heavy_hitters import mg_merge
+    from nexus_event_stream_spark.operators.quantiles import quantile_merge
+    from nexus_event_stream_spark.operators.sketches import kmv_merge
+
+    return CorpusProfile(
+        n_docs=a.n_docs + b.n_docs,
+        lengths=quantile_merge(a.lengths, b.lengths),
+        token_freq=mg_merge(a.token_freq, b.token_freq),
+        shingles=kmv_merge(a.shingles, b.shingles),
+    )
+
+
 def _len_shifts(a: QuantileSketch, b: QuantileSketch) -> dict[str, float]:
     out = {}
     for q in _QS:

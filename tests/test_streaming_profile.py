@@ -1,0 +1,92 @@
+"""Streaming drift monitor: accumulation correctness, per-epoch gating,
+idempotent replay, restart resume, both commit backends."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nexus_event_stream_spark.operators.drift import corpus_profile, drift_report
+from nexus_event_stream_spark.streaming.commit import (
+    ConditionalPutBackend,
+    PosixRenameBackend,
+)
+from nexus_event_stream_spark.streaming.profile import StreamingProfileMonitor
+
+
+def _batch(spark, lo: int, n: int, alien: bool = False):
+    body = (
+        "zq xv wk jn qp totally different tokens zzqq vvxx"
+        if alien
+        else "the quick brown fox jumps over the lazy dog again and again"
+    )
+    return spark.range(lo, lo + n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit(body + " "), F.col("id").cast("string"), F.lit(" " + body)
+        ).alias("text"),
+    )
+
+
+@pytest.fixture(scope="module")
+def reference(spark):
+    return corpus_profile(_batch(spark, 0, 400))
+
+
+@pytest.mark.parametrize(
+    "backend", [PosixRenameBackend(), ConditionalPutBackend()]
+)
+def test_accumulate_and_gate(spark, tmp_path, reference, backend):
+    mon = StreamingProfileMonitor(
+        str(tmp_path / "prof.json"), reference=reference, backend=backend
+    )
+    r0 = mon.apply_batch(_batch(spark, 1000, 100), epoch=0)
+    r1 = mon.apply_batch(_batch(spark, 2000, 100), epoch=1)
+    assert r0["drifted"] is False and r1["drifted"] is False
+    assert mon.profile.n_docs == 200
+    # a content break in epoch 2 must flag THAT epoch
+    r2 = mon.apply_batch(_batch(spark, 0, 800, alien=True), epoch=2)
+    assert r2["drifted"] is True and "token_frequency_shift" in r2["flags"]
+
+
+def test_replayed_epoch_is_a_noop(spark, tmp_path, reference):
+    mon = StreamingProfileMonitor(str(tmp_path / "p.json"), reference=reference)
+    mon.apply_batch(_batch(spark, 0, 100), epoch=0)
+    before = mon.profile.to_json()
+    replay = mon.apply_batch(_batch(spark, 0, 100), epoch=0)  # crash replay
+    assert mon.profile.to_json() == before  # never double-merged
+    assert replay == mon.last_report
+    stale = mon.apply_batch(_batch(spark, 9, 1), epoch=0)
+    assert mon.profile.n_docs == 100 and stale == mon.last_report
+
+
+def test_restart_resumes_from_committed_profile(spark, tmp_path, reference):
+    path = str(tmp_path / "p.json")
+    m1 = StreamingProfileMonitor(path, reference=reference)
+    m1.apply_batch(_batch(spark, 0, 150), epoch=0)
+    # process dies; a new monitor picks up the pointer
+    m2 = StreamingProfileMonitor(path, reference=reference)
+    assert m2.profile.n_docs == 150
+    m2.apply_batch(_batch(spark, 500, 50), epoch=1)
+    assert m2.profile.n_docs == 200
+
+
+def test_accumulated_equals_one_shot_profile(spark, tmp_path):
+    # the merge path must agree with profiling the union directly
+    mon = StreamingProfileMonitor(str(tmp_path / "p.json"))
+    a, b = _batch(spark, 0, 120), _batch(spark, 120, 80)
+    assert mon.apply_batch(a, epoch=0) is None  # no reference pinned
+    mon.apply_batch(b, epoch=1)
+    direct = corpus_profile(a.unionAll(b))
+    rep = drift_report(direct, mon.profile)
+    assert rep["drifted"] is False
+    assert mon.profile.n_docs == direct.n_docs == 200
+    # KMV merge is exact, so content overlap is identity
+    assert rep["metrics"]["content_jaccard"] == 1.0
+
+
+def test_foreach_batch_adapter(spark, tmp_path, reference):
+    mon = StreamingProfileMonitor(str(tmp_path / "p.json"), reference=reference)
+    fn = mon.foreach_batch()
+    assert fn(_batch(spark, 0, 60), 0) is None
+    assert mon.profile.n_docs == 60 and mon.last_report is not None
