@@ -34,6 +34,7 @@ corpus-size-independent state. Comparing costs zero jobs. Reference parity: no a
 from __future__ import annotations
 
 import json
+import math
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -168,6 +169,188 @@ def _token_l1(a: MGSummary, b: MGSummary) -> float:
         abs(a.counts.get(t, 0) / mass_a - b.counts.get(t, 0) / mass_b)
         for t in support
     )
+
+
+@dataclass(frozen=True)
+class EmbeddingProfile:
+    """Embedding-space fingerprint: per-dimension mean and variance (one
+    aggregation — k+1 tiny values), a quantile sketch of vector norms,
+    and the exact count. Mergeable via the standard sufficient-statistics
+    identities (sum, sum-of-squares, n add across shards)."""
+
+    n: int
+    dim: int
+    sums: tuple[float, ...]  # Σ x_i per dimension
+    sqsums: tuple[float, ...]  # Σ x_i² per dimension
+    norms: QuantileSketch
+
+    @property
+    def mean(self) -> list[float]:
+        return [s / self.n for s in self.sums]
+
+    @property
+    def variance(self) -> list[float]:
+        return [
+            max(0.0, sq / self.n - (s / self.n) ** 2)
+            for s, sq in zip(self.sums, self.sqsums)
+        ]
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "kind": "embedding_profile",
+                "n": self.n,
+                "dim": self.dim,
+                "sums": list(self.sums),
+                "sqsums": list(self.sqsums),
+                "norms": json.loads(self.norms.to_json()),
+            }
+        )
+
+    @staticmethod
+    def from_json(s: str) -> "EmbeddingProfile":
+        d = json.loads(s)
+        if d.get("kind") != "embedding_profile":
+            raise ValueError(f"not an embedding profile: {d.get('kind')!r}")
+        return EmbeddingProfile(
+            n=int(d["n"]),
+            dim=int(d["dim"]),
+            sums=tuple(d["sums"]),
+            sqsums=tuple(d["sqsums"]),
+            norms=QuantileSketch.from_json(json.dumps(d["norms"])),
+        )
+
+
+def embedding_profile(
+    df: DataFrame, vec_col: str = "embedding", quantile_k: int = 256
+) -> EmbeddingProfile:
+    """Profile an embedding column (``array<float>``): ONE aggregation for
+    the per-dimension sufficient statistics (posexplode → sum/sum-of-
+    squares per dim — shuffle bytes are 2·dim values, not data) plus the
+    norm quantile sketch. NULL/empty vectors are skipped."""
+    vecs = df.where(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
+    ).select(F.col(vec_col).alias("v"))
+    stats = (
+        vecs.select(F.posexplode("v").alias("i", "x"))
+        .groupBy("i")
+        .agg(
+            F.sum(F.col("x").cast("double")).alias("s"),
+            F.sum((F.col("x") * F.col("x")).cast("double")).alias("sq"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("i")
+        .collect()
+    )
+    if not stats:
+        return EmbeddingProfile(
+            n=0, dim=0, sums=(), sqsums=(),
+            norms=QuantileSketch(k=quantile_k, n=0, lo=0.0, hi=0.0, levels=((),)),
+        )
+    if any(r["n"] != stats[0]["n"] for r in stats):
+        raise ValueError(
+            "ragged embedding column: vectors have differing lengths"
+        )
+    norms = quantile_sketch(
+        vecs.select(
+            F.sqrt(
+                F.aggregate(
+                    "v",
+                    F.lit(0.0),
+                    lambda acc, x: acc + (x * x).cast("double"),
+                )
+            ).alias("norm")
+        ),
+        "norm",
+        k=quantile_k,
+    )
+    return EmbeddingProfile(
+        n=int(stats[0]["n"]),
+        dim=len(stats),
+        sums=tuple(float(r["s"]) for r in stats),
+        sqsums=tuple(float(r["sq"]) for r in stats),
+        norms=norms,
+    )
+
+
+def merge_embedding_profiles(
+    a: EmbeddingProfile, b: EmbeddingProfile
+) -> EmbeddingProfile:
+    """Exact merge of the sufficient statistics (+ norm-sketch merge)."""
+    if a.n == 0:
+        return b
+    if b.n == 0:
+        return a
+    if a.dim != b.dim:
+        raise ValueError(f"dimension mismatch: {a.dim} != {b.dim}")
+    from nexus_event_stream_spark.operators.quantiles import quantile_merge
+
+    return EmbeddingProfile(
+        n=a.n + b.n,
+        dim=a.dim,
+        sums=tuple(x + y for x, y in zip(a.sums, b.sums)),
+        sqsums=tuple(x + y for x, y in zip(a.sqsums, b.sqsums)),
+        norms=quantile_merge(a.norms, b.norms),
+    )
+
+
+#: Embedding drift thresholds — centroid rotation and scale changes.
+EMBEDDING_DRIFT_THRESHOLDS = {
+    "min_mean_cosine": 0.9,  # centroid direction rotated
+    "max_norm_shift": 0.25,  # median vector norm moved >25 %
+    "max_variance_ratio": 4.0,  # total variance blew up / collapsed
+}
+
+
+def embedding_drift_report(
+    a: EmbeddingProfile,
+    b: EmbeddingProfile,
+    thresholds: dict | None = None,
+) -> dict:
+    """Compare two embedding profiles — zero data access. The centroid
+    cosine catches direction shifts (a new encoder, a new modality mix);
+    the norm quantile shift catches scale changes; the total-variance
+    ratio catches collapse (all vectors suddenly identical) or blow-up."""
+    t = {**EMBEDDING_DRIFT_THRESHOLDS, **(thresholds or {})}
+    if a.n == 0 or b.n == 0:
+        return {
+            "metrics": {"n_a": a.n, "n_b": b.n},
+            "flags": ["empty_embeddings"]
+            if a.n != b.n
+            else ["both_embeddings_empty"],
+            "drifted": True,
+        }
+    if a.dim != b.dim:
+        return {
+            "metrics": {"dim_a": a.dim, "dim_b": b.dim},
+            "flags": ["dimension_mismatch"],
+            "drifted": True,
+        }
+    ma, mb = a.mean, b.mean
+    dot = sum(x * y for x, y in zip(ma, mb))
+    na = math.sqrt(sum(x * x for x in ma))
+    nb = math.sqrt(sum(x * x for x in mb))
+    cos = dot / (na * nb) if na > 0 and nb > 0 else 0.0
+    med_a, med_b = a.norms.quantile(0.5), b.norms.quantile(0.5)
+    norm_shift = abs(med_b - med_a) / max(abs(med_a), 1e-9)
+    var_a = sum(a.variance) or 1e-12
+    var_b = sum(b.variance) or 1e-12
+    var_ratio = max(var_a, var_b) / min(var_a, var_b)
+    metrics = {
+        "mean_cosine": cos,
+        "norm_shift": norm_shift,
+        "variance_ratio": var_ratio,
+        "n_a": a.n,
+        "n_b": b.n,
+    }
+    flags = []
+    if cos < t["min_mean_cosine"]:
+        flags.append("centroid_rotation")
+    if norm_shift > t["max_norm_shift"]:
+        flags.append("norm_scale_shift")
+    if var_ratio > t["max_variance_ratio"]:
+        flags.append("variance_break")
+    return {"metrics": metrics, "flags": flags, "drifted": bool(flags)}
 
 
 def drift_report(

@@ -8,8 +8,13 @@ from pyspark.sql import functions as F
 
 from nexus_event_stream_spark.operators.drift import (
     CorpusProfile,
+    EmbeddingProfile,
     corpus_profile,
     drift_report,
+    embedding_drift_report,
+    embedding_profile,
+    merge_embedding_profiles,
+    merge_profiles,
 )
 
 
@@ -98,3 +103,97 @@ def test_thresholds_overridable(docs, base_profile):
         thresholds={"max_doc_ratio_jump": 0.5},
     )
     assert "doc_count_jump" in rep["flags"]  # ratio 1.0 > 0.5 now
+
+
+def test_merge_profiles_matches_union(docs, base_profile):
+    a = docs.where(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0)
+    b = docs.where(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 1)
+    merged = merge_profiles(corpus_profile(a), corpus_profile(b))
+    assert merged.n_docs == base_profile.n_docs
+    rep = drift_report(base_profile, merged)
+    assert rep["drifted"] is False
+    assert rep["metrics"]["content_jaccard"] == 1.0  # KMV merge is exact
+
+
+# --- embedding drift -------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb_profile(emb):
+    return embedding_profile(emb)
+
+
+def test_embedding_profile_stats_are_exact(emb, emb_profile):
+    import numpy as np
+
+    vecs = np.array([r["embedding"] for r in emb.collect()], dtype=np.float64)
+    assert emb_profile.n == len(vecs) and emb_profile.dim == vecs.shape[1]
+    assert np.allclose(emb_profile.mean, vecs.mean(axis=0), rtol=1e-9)
+    assert np.allclose(emb_profile.variance, vecs.var(axis=0), rtol=1e-6)
+    med = float(np.median(np.linalg.norm(vecs, axis=1)))
+    assert emb_profile.norms.quantile(0.5) == pytest.approx(med, rel=0.05)
+
+
+def test_embedding_no_drift_on_identical(emb_profile):
+    rep = embedding_drift_report(emb_profile, emb_profile)
+    assert rep["drifted"] is False
+    assert rep["metrics"]["mean_cosine"] == pytest.approx(1.0)
+    assert rep["metrics"]["norm_shift"] == 0.0
+
+
+def test_embedding_scale_and_rotation_flags(spark, emb, emb_profile):
+    scaled = emb.select(
+        F.transform("embedding", lambda x: x * F.lit(3.0)).alias("embedding")
+    )
+    rep = embedding_drift_report(emb_profile, embedding_profile(scaled))
+    assert "norm_scale_shift" in rep["flags"]
+    negated = emb.select(
+        F.transform("embedding", lambda x: -x).alias("embedding")
+    )
+    rep2 = embedding_drift_report(emb_profile, embedding_profile(negated))
+    assert "centroid_rotation" in rep2["flags"]
+
+
+def test_embedding_collapse_flag(spark, emb_profile):
+    dim = emb_profile.dim
+    constant = spark.range(200).select(
+        F.array(*[F.lit(0.5).cast("float")] * dim).alias("embedding")
+    )
+    rep = embedding_drift_report(emb_profile, embedding_profile(constant))
+    assert "variance_break" in rep["flags"]
+
+
+def test_embedding_merge_and_json(emb, emb_profile, spark):
+    half_a = emb.where(F.pmod(F.xxhash64("vec_id"), F.lit(2)) == 0)
+    half_b = emb.where(F.pmod(F.xxhash64("vec_id"), F.lit(2)) == 1)
+    merged = merge_embedding_profiles(
+        embedding_profile(half_a), embedding_profile(half_b)
+    )
+    assert merged.n == emb_profile.n
+    rep = embedding_drift_report(emb_profile, merged)
+    assert rep["drifted"] is False
+    back = EmbeddingProfile.from_json(emb_profile.to_json())
+    assert back.n == emb_profile.n and back.sums == emb_profile.sums
+
+
+def test_embedding_guards(spark, emb_profile):
+    ragged = spark.createDataFrame(
+        [([1.0, 2.0],), ([1.0],)], "embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="ragged"):
+        embedding_profile(ragged)
+    empty = embedding_profile(
+        spark.createDataFrame([], "embedding array<float>")
+    )
+    rep = embedding_drift_report(emb_profile, empty)
+    assert rep["flags"] == ["empty_embeddings"] and rep["drifted"]
+    other_dim = EmbeddingProfile(
+        n=5, dim=3, sums=(1, 1, 1), sqsums=(1, 1, 1), norms=empty.norms
+    )
+    rep2 = embedding_drift_report(emb_profile, other_dim)
+    assert rep2["flags"] == ["dimension_mismatch"]
