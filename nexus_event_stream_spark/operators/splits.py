@@ -1,0 +1,175 @@
+"""Leakage-safe train/eval splits: held-out data the training set cannot see.
+
+Benchmark decontamination (quality.decontaminate) protects OTHER people's
+eval suites; this protects YOUR OWN held-out split. A random split of a
+web-scale corpus leaks: near-duplicate pages (mirrors, boilerplate
+rewrites, syndicated articles) land on both sides, and the model "memorizes"
+its eval set through the train-side twins — eval loss reads better than
+reality. The fix is structural: after the deterministic hash split, any
+train document NEAR-DUPLICATE of an eval document is quarantined.
+
+Built from the package's dedup machinery (operators/dedup.py), reused not
+reimplemented — ONE MinHash signature pass over the corpus, LSH banding,
+and a CROSS-SIDE bucket join (train×eval within a bucket, never the full
+self-join the dedup path needs), then exact-Jaccard verification on the
+hashed shingle sets.
+
+Skew/adversarial defense, same philosophy as `max_bucket_size` in
+minhash_lsh_candidates but with the safety inverted: a degenerate
+boilerplate bucket (thousands of docs sharing one band key) would make
+train×eval quadratic — with the cap set, hot buckets SKIP verification
+and every train member is quarantined outright. For a leakage guard the
+conservative direction is to DROP more train data, never to leak; a few
+thousand boilerplate docs are no loss to a 100 TB corpus.
+
+Scale shape: signature pass is a narrow map (no shuffle); the bucket join
+shuffles (doc, bucket) pairs — bounded by bands·|docs|; verification
+touches candidate pairs only. Quarantine is one broadcast-ready anti-join
+on the (small) leaked-id set.
+
+Determinism: the split is a pure function of the id (Knuth hash, same
+convention as operators/sampling.py), so re-running the pipeline
+reproduces the same split; growing ``eval_permille`` keeps the old eval
+set a strict subset (monotone membership, the sampling-tier property).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nexus_event_stream_spark.operators.dedup import (
+    band_key_array,
+    jaccard,
+    minhash_signatures,
+)
+from nexus_event_stream_spark.operators.sampling import hash_bucket
+
+TRAIN, EVAL, QUARANTINED = "train", "eval", "quarantined"
+
+
+def hash_split(
+    df: DataFrame, id_col: str = "doc_id", eval_permille: int = 100
+) -> DataFrame:
+    """Append ``split`` ∈ {train, eval}: deterministic, id-pure, monotone
+    in ``eval_permille`` (a 5 % eval set is a subset of the 10 % one)."""
+    if not (0 < eval_permille < 1000):
+        raise ValueError("eval_permille must be in 1..999")
+    return df.withColumn(
+        "split",
+        F.when(
+            hash_bucket(F.col(id_col), 1000) < eval_permille, F.lit(EVAL)
+        ).otherwise(F.lit(TRAIN)),
+    )
+
+
+def leakage_pairs(
+    split_df: DataFrame,
+    threshold: float = 0.5,
+    num_perm: int = 16,
+    shingle_n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-side near-duplicate pairs: (train_id, eval_id, jaccard ≥
+    threshold) — plus, when ``max_bucket_size`` is set, hot-bucket train
+    members as (train_id, eval_id=NULL, jaccard=NULL) rows, quarantined
+    WITHOUT verification (the conservative direction for a leakage guard).
+
+    One signature pass over both sides together (the split column rides
+    along), then train×eval bucket join — never a self-join."""
+    sigs = minhash_signatures(
+        split_df, num_perm, shingle_n, id_col=id_col, text_col=text_col
+    ).join(
+        split_df.select(F.col(id_col).alias("doc_id"), "split"), "doc_id"
+    )
+    keyed = sigs.select(
+        "doc_id",
+        "split",
+        "__shingles",
+        F.explode(band_key_array(bands, rows_per_band)).alias("bucket"),
+    )
+    hot_rows = None
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy("bucket")
+        sized = keyed.withColumn("__bsz", F.count(F.lit(1)).over(wb))
+        # hot buckets: quarantine their TRAIN members outright — the
+        # bucket join below never sees them, so train×eval cannot go
+        # quadratic on boilerplate
+        hot_rows = (
+            sized.filter(
+                (F.col("__bsz") > max_bucket_size)
+                & (F.col("split") == TRAIN)
+            )
+            .select(
+                F.col("doc_id").alias("train_id"),
+                F.lit(None)
+                .cast(dict(split_df.dtypes)[id_col])
+                .alias("eval_id"),
+                F.lit(None).cast("double").alias("jaccard"),
+            )
+            .distinct()
+        )
+        keyed = sized.filter(F.col("__bsz") <= max_bucket_size).drop("__bsz")
+    t = keyed.filter(F.col("split") == TRAIN).alias("t")
+    e = keyed.filter(F.col("split") == EVAL).alias("e")
+    cand = (
+        t.join(e, F.col("t.bucket") == F.col("e.bucket"))
+        .select(
+            F.col("t.doc_id").alias("train_id"),
+            F.col("e.doc_id").alias("eval_id"),
+            F.col("t.__shingles").alias("__sh_t"),
+            F.col("e.__shingles").alias("__sh_e"),
+        )
+        .distinct()
+    )
+    verified = cand.select(
+        "train_id",
+        "eval_id",
+        jaccard(F.col("__sh_t"), F.col("__sh_e")).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+    if hot_rows is not None:
+        verified = verified.unionAll(hot_rows)
+    return verified
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    eval_permille: int = 100,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **lsh_kwargs,
+) -> DataFrame:
+    """The composed recipe: hash split, find train-side leaks, relabel
+    them ``quarantined``. Output = input columns + ``split`` ∈
+    {train, eval, quarantined}; eval is NEVER touched (the held-out set
+    must stay stable across reprocessing — only train shrinks)."""
+    split_df = hash_split(df, id_col=id_col, eval_permille=eval_permille)
+    leaked = (
+        leakage_pairs(
+            split_df,
+            threshold=threshold,
+            id_col=id_col,
+            text_col=text_col,
+            **lsh_kwargs,
+        )
+        .select(F.col("train_id").alias(id_col))
+        .distinct()
+    )
+    return (
+        split_df.join(leaked.withColumn("__leak", F.lit(1)), id_col, "left")
+        .withColumn(
+            "split",
+            F.when(
+                (F.col("split") == TRAIN) & F.col("__leak").isNotNull(),
+                F.lit(QUARANTINED),
+            ).otherwise(F.col("split")),
+        )
+        .drop("__leak")
+    )

@@ -1,0 +1,150 @@
+"""Leakage-safe splits: deterministic monotone hash split, planted
+near-dup quarantine, eval-set stability, hot-bucket conservative path."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nexus_event_stream_spark.operators.splits import (
+    EVAL,
+    QUARANTINED,
+    TRAIN,
+    hash_split,
+    leakage_pairs,
+    leakage_safe_split,
+)
+
+
+def _corpus(spark):
+    """60 distinct docs + 3 planted cross-split near-dup groups."""
+    base = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("unique document body number "),
+            F.col("id").cast("string"),
+            F.lit(" with words w"),
+            (F.col("id") * 7 % 13).cast("string"),
+            F.lit(" x"),
+            (F.col("id") * 11 % 17).cast("string"),
+            F.lit(" y"),
+            (F.col("id") * 3 % 19).cast("string"),
+            F.lit(" tail segment alpha beta gamma delta"),
+        ).alias("text"),
+    )
+    # find ids that land on opposite sides, duplicate eval text to train ids
+    split = {r["doc_id"]: r["split"] for r in hash_split(base).collect()}
+    evals = [i for i, s in split.items() if s == EVAL]
+    trains = [i for i, s in split.items() if s == TRAIN]
+    assert len(evals) >= 1 and len(trains) >= 6
+    texts = {r["doc_id"]: r["text"] for r in base.collect()}
+    planted = [(1000 + j, texts[evals[j % len(evals)]]) for j in range(3)]
+    # planted ids must be TRAIN-side; nudge until they are
+    rows = []
+    nid = 1000
+    j = 0
+    while len(rows) < 3:
+        cand = {
+            r["doc_id"]: r["split"]
+            for r in hash_split(
+                base.sparkSession.createDataFrame(
+                    [(nid, "x")], "doc_id long, text string"
+                )
+            ).collect()
+        }
+        if cand[nid] == TRAIN:
+            rows.append((nid, texts[evals[j % len(evals)]]))
+            j += 1
+        nid += 1
+    dupes = base.sparkSession.createDataFrame(rows, "doc_id long, text string")
+    return base.unionAll(dupes), {r[0] for r in rows}, set(evals)
+
+
+def test_hash_split_deterministic_and_monotone(spark):
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    s1 = hash_split(df, eval_permille=50)
+    s2 = hash_split(df, eval_permille=50)
+    assert s1.collect() == s2.collect()
+    small = {r["doc_id"] for r in s1.where(F.col("split") == EVAL).collect()}
+    big = {
+        r["doc_id"]
+        for r in hash_split(df, eval_permille=150)
+        .where(F.col("split") == EVAL)
+        .collect()
+    }
+    assert small <= big  # growing the eval set keeps the old one inside
+    assert 40 <= len(small) <= 180 and 180 <= len(big) <= 420
+    with pytest.raises(ValueError):
+        hash_split(df, eval_permille=0)
+
+
+def test_planted_leaks_are_quarantined(spark):
+    corpus, planted_ids, _ = _corpus(spark)
+    out = leakage_safe_split(corpus, threshold=0.5)
+    by_split = {
+        r["doc_id"]: r["split"] for r in out.collect()
+    }
+    for pid in planted_ids:
+        assert by_split[pid] == QUARANTINED, (pid, by_split[pid])
+    # output partitions the input exactly
+    assert len(by_split) == corpus.count()
+    assert set(by_split.values()) <= {TRAIN, EVAL, QUARANTINED}
+
+
+def test_eval_side_is_never_touched(spark):
+    corpus, _, _ = _corpus(spark)
+    plain = hash_split(corpus)
+    guarded = leakage_safe_split(corpus)
+    eval_plain = {
+        r["doc_id"] for r in plain.where(F.col("split") == EVAL).collect()
+    }
+    eval_guarded = {
+        r["doc_id"] for r in guarded.where(F.col("split") == EVAL).collect()
+    }
+    assert eval_plain == eval_guarded
+
+
+def test_clean_corpus_quarantines_nothing(spark):
+    docs = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("entirely distinct content block "),
+            F.col("id").cast("string"),
+            F.lit(" qq"),
+            (F.col("id") * 13 % 23).cast("string"),
+            F.lit(" rr"),
+            (F.col("id") * 5 % 29).cast("string"),
+            F.lit(" ss"),
+            (F.col("id") * 17 % 31).cast("string"),
+        ).alias("text"),
+    )
+    out = leakage_safe_split(docs, threshold=0.5)
+    assert out.where(F.col("split") == QUARANTINED).count() == 0
+
+
+def test_hot_bucket_conservative_quarantine(spark):
+    # 300 identical boilerplate docs → one degenerate bucket; with the cap
+    # set, every TRAIN-side copy is quarantined without a quadratic join
+    boiler = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.lit(
+            "identical boilerplate page footer terms of service apply now"
+        ).alias("text"),
+    )
+    out = leakage_safe_split(boiler, threshold=0.99, max_bucket_size=10)
+    counts = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts.get(TRAIN, 0) == 0  # nothing identical may stay in train
+    assert counts.get(EVAL, 0) > 0
+    assert counts.get(QUARANTINED, 0) > 0
+
+
+def test_leakage_pairs_report_shape(spark):
+    corpus, planted_ids, _ = _corpus(spark)
+    pairs = leakage_pairs(hash_split(corpus), threshold=0.5)
+    rows = pairs.collect()
+    assert {r["train_id"] for r in rows} >= planted_ids
+    for r in rows:
+        assert r["jaccard"] is None or r["jaccard"] >= 0.5
