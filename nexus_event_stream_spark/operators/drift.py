@@ -236,7 +236,12 @@ def embedding_profile(
         .groupBy("i")
         .agg(
             F.sum(F.col("x").cast("double")).alias("s"),
-            F.sum((F.col("x") * F.col("x")).cast("double")).alias("sq"),
+            # cast BEFORE squaring: a float32 square carries ~6e-8 relative
+            # error that the E[x²]−E[x]² identity amplifies catastrophically
+            # for dims with mean ≫ spread
+            F.sum(
+                F.col("x").cast("double") * F.col("x").cast("double")
+            ).alias("sq"),
             F.count(F.lit(1)).alias("n"),
         )
         .orderBy("i")
@@ -257,7 +262,8 @@ def embedding_profile(
                 F.aggregate(
                     "v",
                     F.lit(0.0),
-                    lambda acc, x: acc + (x * x).cast("double"),
+                    lambda acc, x: acc
+                    + x.cast("double") * x.cast("double"),
                 )
             ).alias("norm")
         ),
@@ -330,8 +336,17 @@ def embedding_drift_report(
     dot = sum(x * y for x, y in zip(ma, mb))
     na = math.sqrt(sum(x * x for x in ma))
     nb = math.sqrt(sum(x * x for x in mb))
-    cos = dot / (na * nb) if na > 0 and nb > 0 else 0.0
     med_a, med_b = a.norms.quantile(0.5), b.norms.quantile(0.5)
+    # the centroid carries direction signal only when its norm is clearly
+    # above noise level relative to typical vector norms: mean-centered /
+    # whitened embedding spaces have ||mean|| ≈ 0, where the cosine of two
+    # noise vectors is random in [-1, 1] — comparing it would page every
+    # healthy epoch. No signal → no rotation verdict (cos = None).
+    scale = max(abs(med_a), abs(med_b), 1e-12)
+    if na > 1e-6 * scale and nb > 1e-6 * scale:
+        cos: float | None = dot / (na * nb)
+    else:
+        cos = None
     norm_shift = abs(med_b - med_a) / max(abs(med_a), 1e-9)
     var_a = sum(a.variance) or 1e-12
     var_b = sum(b.variance) or 1e-12
@@ -344,7 +359,7 @@ def embedding_drift_report(
         "n_b": b.n,
     }
     flags = []
-    if cos < t["min_mean_cosine"]:
+    if cos is not None and cos < t["min_mean_cosine"]:
         flags.append("centroid_rotation")
     if norm_shift > t["max_norm_shift"]:
         flags.append("norm_scale_shift")
@@ -375,11 +390,8 @@ def drift_report(
     len_shifts = _len_shifts(a.lengths, b.lengths)
     token_l1 = _token_l1(a.token_freq, b.token_freq)
     jac = kmv_jaccard(a.shingles, b.shingles)
-    ratio = (
-        max(a.n_docs, b.n_docs) / max(min(a.n_docs, b.n_docs), 1)
-        if (a.n_docs or b.n_docs)
-        else 1.0
-    )
+    # both sides are > 0 here — the empty-snapshot gate above returned
+    ratio = max(a.n_docs, b.n_docs) / min(a.n_docs, b.n_docs)
     metrics = {
         "len_quantile_shift": len_shifts,
         "max_len_quantile_shift": max(len_shifts.values()),

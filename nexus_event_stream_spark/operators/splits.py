@@ -35,8 +35,9 @@ set a strict subset (monotone membership, the sampling-tier property).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from nexus_event_stream_spark.operators.dedup import (
     band_key_array,
@@ -52,13 +53,22 @@ def hash_split(
     df: DataFrame, id_col: str = "doc_id", eval_permille: int = 100
 ) -> DataFrame:
     """Append ``split`` ∈ {train, eval}: deterministic, id-pure, monotone
-    in ``eval_permille`` (a 5 % eval set is a subset of the 10 % one)."""
+    in ``eval_permille`` (a 5 % eval set is a subset of the 10 % one).
+
+    Non-numeric ids (UUIDs, URLs) are pre-hashed with ``xxhash64`` —
+    ``hash_bucket`` is integer arithmetic, and a string fed to it would
+    cast to NULL and silently land EVERY row in train."""
     if not (0 < eval_permille < 1000):
         raise ValueError("eval_permille must be in 1..999")
+    key: Column = F.col(id_col)
+    if dict(df.dtypes)[id_col] not in (
+        "tinyint", "smallint", "int", "bigint",
+    ):
+        key = F.xxhash64(key)
     return df.withColumn(
         "split",
         F.when(
-            hash_bucket(F.col(id_col), 1000) < eval_permille, F.lit(EVAL)
+            hash_bucket(key, 1000) < eval_permille, F.lit(EVAL)
         ).otherwise(F.lit(TRAIN)),
     )
 
@@ -80,16 +90,31 @@ def leakage_pairs(
     WITHOUT verification (the conservative direction for a leakage guard).
 
     One signature pass over both sides together (the split column rides
-    along), then train×eval bucket join — never a self-join."""
-    sigs = minhash_signatures(
-        split_df, num_perm, shingle_n, id_col=id_col, text_col=text_col
-    ).join(
-        split_df.select(F.col(id_col).alias("doc_id"), "split"), "doc_id"
+    along, the relation is persisted — it feeds banding and the verify
+    join, and AQE never reuses exchanges across broadcast joins, the
+    minhash_dedup lesson), then a train×eval bucket join carrying IDS
+    ONLY (shingle arrays re-join for candidate verification, never ride
+    through explode/window/distinct) — never a self-join.
+
+    Docs with EMPTY shingle sets (text shorter than ``shingle_n`` tokens,
+    NULL text) are excluded before banding: minhash_signatures gives them
+    all one identical sentinel signature, which would collapse every
+    short doc on both sides into a single degenerate bucket — quadratic
+    without the cap, blanket false quarantine with it — yet an empty
+    shingle set cannot leak (its Jaccard with anything is 0)."""
+    sigs = (
+        minhash_signatures(
+            split_df, num_perm, shingle_n, id_col=id_col, text_col=text_col
+        )
+        .filter(F.size("__shingles") > 0)
+        .join(
+            split_df.select(F.col(id_col).alias("doc_id"), "split"), "doc_id"
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     keyed = sigs.select(
         "doc_id",
         "split",
-        "__shingles",
         F.explode(band_key_array(bands, rows_per_band)).alias("bucket"),
     )
     hot_rows = None
@@ -123,16 +148,22 @@ def leakage_pairs(
         .select(
             F.col("t.doc_id").alias("train_id"),
             F.col("e.doc_id").alias("eval_id"),
-            F.col("t.__shingles").alias("__sh_t"),
-            F.col("e.__shingles").alias("__sh_e"),
         )
         .distinct()
     )
-    verified = cand.select(
-        "train_id",
-        "eval_id",
-        jaccard(F.col("__sh_t"), F.col("__sh_e")).alias("jaccard"),
-    ).filter(F.col("jaccard") >= threshold)
+    shing = sigs.select("doc_id", "__shingles")
+    verified = (
+        cand.join(shing.alias("st"), F.col("train_id") == F.col("st.doc_id"))
+        .join(shing.alias("se"), F.col("eval_id") == F.col("se.doc_id"))
+        .select(
+            "train_id",
+            "eval_id",
+            jaccard(F.col("st.__shingles"), F.col("se.__shingles")).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
     if hot_rows is not None:
         verified = verified.unionAll(hot_rows)
     return verified
