@@ -473,6 +473,33 @@ def main() -> None:
     # mixture → packing), one number for operator COMPOSITION cost.
     total += _extra("corpus_pipeline", _corpus_pipeline_bench(spark, sf_dir))
 
+    # Evidence contract (VERDICT r6 #1): the driver captures a bounded
+    # TAIL of stdout, so the final line must stay compact — total +
+    # per-query MEDIANS only. The full min/max/runs spread (the de-noise
+    # evidence) goes to a committed sidecar instead of inflating the
+    # stdout line past the capture window (BENCH_r06.json recorded
+    # parsed:null exactly because the runs arrays overflowed it).
+    detail_path = os.path.join(root, "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(
+                {
+                    "metric": "catalog_total_wall",
+                    "value": round(total, 3),
+                    "unit": "sec",
+                    "queries": per_query,
+                    "spread": spread,
+                    "k": k_runs,
+                    "sf": sf,
+                },
+                fh,
+                indent=1,
+            )
+            fh.write("\n")
+        print(f"spread detail -> {detail_path}", file=sys.stderr)
+    except OSError as exc:
+        print(f"spread sidecar write failed: {exc}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -480,7 +507,6 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": per_query,
-                "spread": spread,
                 "k": k_runs,
                 "sf": sf,
             }

@@ -37,8 +37,11 @@ import json
 import math
 from dataclasses import dataclass
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from nexus_event_stream_spark.functions.text import tokens
 from nexus_event_stream_spark.operators.heavy_hitters import (
@@ -221,41 +224,96 @@ class EmbeddingProfile:
         )
 
 
+#: mapInPandas partition-summary schema for embedding_profile: one row per
+#: non-empty partition carrying that partition's sufficient statistics.
+_EMB_SUMMARY_SCHEMA = T.StructType(
+    [
+        T.StructField("dim", T.IntegerType()),  # -1 flags a ragged partition
+        T.StructField("n", T.LongType()),
+        T.StructField("sums", T.ArrayType(T.DoubleType())),
+        T.StructField("sqsums", T.ArrayType(T.DoubleType())),
+        T.StructField("nan_count", T.LongType()),
+    ]
+)
+
+
 def embedding_profile(
     df: DataFrame, vec_col: str = "embedding", quantile_k: int = 256
 ) -> EmbeddingProfile:
-    """Profile an embedding column (``array<float>``): ONE aggregation for
-    the per-dimension sufficient statistics (posexplode → sum/sum-of-
-    squares per dim — shuffle bytes are 2·dim values, not data) plus the
-    norm quantile sketch. NULL/empty vectors are skipped."""
+    """Profile an embedding column (``array<float>``): one ``mapInPandas``
+    pass computes each partition's per-dimension sum / sum-of-squares as a
+    single numpy matrix reduction — no posexplode, so the |vecs|·dim row
+    inflation the explode formulation paid (3 orders of magnitude at
+    768–4096 dims) never materializes; the driver merges one O(dim) summary
+    row per partition. NULL/empty VECTORS are skipped; NULL/NaN ELEMENTS
+    inside a vector are an explicit error (a silent skip would bias that
+    dimension's mean/variance low with nothing downstream able to tell).
+    Ragged vectors (differing lengths) are an explicit error too."""
     vecs = df.where(
         F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
     ).select(F.col(vec_col).alias("v"))
-    stats = (
-        vecs.select(F.posexplode("v").alias("i", "x"))
-        .groupBy("i")
-        .agg(
-            F.sum(F.col("x").cast("double")).alias("s"),
-            # cast BEFORE squaring: a float32 square carries ~6e-8 relative
-            # error that the E[x²]−E[x]² identity amplifies catastrophically
-            # for dims with mean ≫ spread
-            F.sum(
-                F.col("x").cast("double") * F.col("x").cast("double")
-            ).alias("sq"),
-            F.count(F.lit(1)).alias("n"),
+
+    def run(batches):
+        dim = 0
+        n = 0
+        nan_count = 0
+        sums = sqsums = None
+        ragged = False
+        for pdf in batches:
+            if ragged or not len(pdf):
+                continue
+            col = pdf["v"]
+            lens = col.map(len).to_numpy()
+            if dim == 0:
+                dim = int(lens[0])
+                sums = np.zeros(dim, dtype=np.float64)
+                sqsums = np.zeros(dim, dtype=np.float64)
+            if (lens != dim).any():
+                ragged = True
+                continue
+            # float64 BEFORE squaring: a float32 square carries ~6e-8
+            # relative error that the E[x²]−E[x]² identity amplifies
+            # catastrophically for dims with mean ≫ spread. None elements
+            # arrive as NaN under this cast and are counted, not skipped.
+            mat = np.array(list(col), dtype=np.float64)
+            nan_count += int(np.isnan(mat).sum())
+            n += mat.shape[0]
+            sums += np.nansum(mat, axis=0)
+            sqsums += np.nansum(mat * mat, axis=0)
+        if ragged:
+            yield pd.DataFrame(
+                [(-1, 0, [], [], 0)], columns=_EMB_SUMMARY_SCHEMA.names
+            )
+        elif n:
+            yield pd.DataFrame(
+                [(dim, n, list(sums), list(sqsums), nan_count)],
+                columns=_EMB_SUMMARY_SCHEMA.names,
+            )
+
+    parts = vecs.mapInPandas(run, schema=_EMB_SUMMARY_SCHEMA).collect()
+    if any(r["dim"] == -1 for r in parts) or len({r["dim"] for r in parts}) > 1:
+        raise ValueError(
+            "ragged embedding column: vectors have differing lengths"
         )
-        .orderBy("i")
-        .collect()
-    )
-    if not stats:
+    if not parts:
         return EmbeddingProfile(
             n=0, dim=0, sums=(), sqsums=(),
             norms=QuantileSketch(k=quantile_k, n=0, lo=0.0, hi=0.0, levels=((),)),
         )
-    if any(r["n"] != stats[0]["n"] for r in stats):
+    if (bad := sum(r["nan_count"] for r in parts)) > 0:
         raise ValueError(
-            "ragged embedding column: vectors have differing lengths"
+            f"embedding column contains {bad} NULL/NaN element(s) inside "
+            "vectors: a profile that silently skipped them would bias the "
+            "affected dimensions' mean/variance low — clean or impute first"
         )
+    dim = parts[0]["dim"]
+    sums = np.zeros(dim, dtype=np.float64)
+    sqsums = np.zeros(dim, dtype=np.float64)
+    n = 0
+    for r in parts:
+        n += r["n"]
+        sums += np.asarray(r["sums"], dtype=np.float64)
+        sqsums += np.asarray(r["sqsums"], dtype=np.float64)
     norms = quantile_sketch(
         vecs.select(
             F.sqrt(
@@ -271,10 +329,10 @@ def embedding_profile(
         k=quantile_k,
     )
     return EmbeddingProfile(
-        n=int(stats[0]["n"]),
-        dim=len(stats),
-        sums=tuple(float(r["s"]) for r in stats),
-        sqsums=tuple(float(r["sq"]) for r in stats),
+        n=n,
+        dim=dim,
+        sums=tuple(float(x) for x in sums),
+        sqsums=tuple(float(x) for x in sqsums),
         norms=norms,
     )
 
@@ -338,12 +396,16 @@ def embedding_drift_report(
     nb = math.sqrt(sum(x * x for x in mb))
     med_a, med_b = a.norms.quantile(0.5), b.norms.quantile(0.5)
     # the centroid carries direction signal only when its norm is clearly
-    # above noise level relative to typical vector norms: mean-centered /
-    # whitened embedding spaces have ||mean|| ≈ 0, where the cosine of two
-    # noise vectors is random in [-1, 1] — comparing it would page every
-    # healthy epoch. No signal → no rotation verdict (cos = None).
+    # above the SAMPLING noise floor: the mean of n vectors of typical norm
+    # ‖v‖ in a mean-centered / whitened space has ‖mean‖ ≈ ‖v‖/√n purely
+    # from sampling noise (not the 1e-12 regime — at n=1e6 the floor is
+    # ~1e-3·‖v‖), and the cosine of two such noise vectors is random in
+    # [-1, 1] — comparing it would page every healthy epoch. Require both
+    # centroids to clear the floor by a safety factor before emitting a
+    # rotation verdict; no signal → cos = None.
     scale = max(abs(med_a), abs(med_b), 1e-12)
-    if na > 1e-6 * scale and nb > 1e-6 * scale:
+    noise_floor = 4.0 * scale / math.sqrt(max(min(a.n, b.n), 1))
+    if na > noise_floor and nb > noise_floor:
         cos: float | None = dot / (na * nb)
     else:
         cos = None

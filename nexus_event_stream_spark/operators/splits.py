@@ -48,6 +48,12 @@ from nexus_event_stream_spark.operators.sampling import hash_bucket
 
 TRAIN, EVAL, QUARANTINED = "train", "eval", "quarantined"
 
+#: Quarantined-id sets at or below this size are collected and embedded
+#: into the split plan as a local relation (zero residual cache); larger
+#: sets stay as a persisted relation the caller can clear. 1M bigint ids
+#: ≈ 8 MB on the driver — safely under any sane driver heap.
+_LEAKED_COLLECT_CAP = 1_000_000
+
 
 def hash_split(
     df: DataFrame, id_col: str = "doc_id", eval_permille: int = 100
@@ -57,7 +63,16 @@ def hash_split(
 
     Non-numeric ids (UUIDs, URLs) are pre-hashed with ``xxhash64`` —
     ``hash_bucket`` is integer arithmetic, and a string fed to it would
-    cast to NULL and silently land EVERY row in train."""
+    cast to NULL and silently land EVERY row in train.
+
+    NULL ids are an explicit EXECUTION-TIME error (``raise_error`` inside
+    the split expression — distributed, no extra validation job): for
+    integer ids ``hash_bucket(NULL)`` is NULL so every NULL-id row would
+    silently land in train, while ``xxhash64(NULL)`` is the seed constant
+    so all NULL-id rows would collide into one bucket and could all land
+    in eval — either way a silent bias a leakage-safety primitive must
+    refuse, the same rationale as the empty-shingle exclusion in
+    ``leakage_pairs``. Assign surrogate ids first if NULLs are expected."""
     if not (0 < eval_permille < 1000):
         raise ValueError("eval_permille must be in 1..999")
     key: Column = F.col(id_col)
@@ -68,8 +83,17 @@ def hash_split(
     return df.withColumn(
         "split",
         F.when(
-            hash_bucket(key, 1000) < eval_permille, F.lit(EVAL)
-        ).otherwise(F.lit(TRAIN)),
+            F.col(id_col).isNull(),
+            F.raise_error(
+                F.lit(
+                    f"hash_split: NULL {id_col} — a NULL id cannot be "
+                    "deterministically assigned a side; filter or assign "
+                    "surrogate ids first"
+                )
+            ).cast("string"),
+        )
+        .when(hash_bucket(key, 1000) < eval_permille, F.lit(EVAL))
+        .otherwise(F.lit(TRAIN)),
     )
 
 
@@ -166,6 +190,15 @@ def leakage_pairs(
     )
     if hot_rows is not None:
         verified = verified.unionAll(hot_rows)
+    # Materialize the (small — leaked pairs only) result NOW so the big
+    # cached relation (full-corpus signatures + shingles) can be released
+    # before returning: repeated calls in a long-lived session must not
+    # accumulate corpus-sized cached partitions (ADVICE r6). The caller
+    # owns `result.unpersist()` on the returned handle; unpersisting is
+    # always safe (Spark recomputes on touch).
+    verified = verified.persist(StorageLevel.MEMORY_AND_DISK)
+    verified.count()
+    sigs.unpersist()
     return verified
 
 
@@ -180,19 +213,35 @@ def leakage_safe_split(
     """The composed recipe: hash split, find train-side leaks, relabel
     them ``quarantined``. Output = input columns + ``split`` ∈
     {train, eval, quarantined}; eval is NEVER touched (the held-out set
-    must stay stable across reprocessing — only train shrinks)."""
+    must stay stable across reprocessing — only train shrinks).
+
+    Cache hygiene: ``leakage_pairs``'s persisted result is released before
+    returning. When the quarantined-id set is small (the designed regime)
+    it is collected and embedded into the plan as a local relation — the
+    returned DataFrame then references NO cached state at all; past
+    ``_LEAKED_COLLECT_CAP`` ids it stays a persisted relation (documented
+    residual — the caller may ``spark.catalog.clearCache()`` after
+    materializing the split)."""
     split_df = hash_split(df, id_col=id_col, eval_permille=eval_permille)
-    leaked = (
-        leakage_pairs(
-            split_df,
-            threshold=threshold,
-            id_col=id_col,
-            text_col=text_col,
-            **lsh_kwargs,
-        )
-        .select(F.col("train_id").alias(id_col))
-        .distinct()
+    pairs = leakage_pairs(
+        split_df,
+        threshold=threshold,
+        id_col=id_col,
+        text_col=text_col,
+        **lsh_kwargs,
     )
+    leaked = pairs.select(F.col("train_id").alias(id_col)).distinct()
+    n_leaked = leaked.count()
+    if n_leaked <= _LEAKED_COLLECT_CAP:
+        rows = leaked.collect()
+        pairs.unpersist()
+        leaked = split_df.sparkSession.createDataFrame(
+            rows, schema=leaked.schema
+        )
+    else:
+        leaked = leaked.persist(StorageLevel.MEMORY_AND_DISK)
+        leaked.count()
+        pairs.unpersist()
     return (
         split_df.join(leaked.withColumn("__leak", F.lit(1)), id_col, "left")
         .withColumn(

@@ -93,7 +93,19 @@ class StreamingProfileMonitor:
     def apply_batch(self, df: DataFrame, epoch: int) -> dict | None:
         """Fold one micro-batch. Returns the epoch's drift report (None
         when no reference is pinned). Replayed epochs are no-ops that
-        return the stored report."""
+        return the stored report.
+
+        The gate verdict is computed on the BATCH profile — "did the feed
+        shift THIS epoch?" must not decay with stream history: against the
+        accumulated profile a fresh break contributes only ~1/N of the
+        compared mass after N healthy epochs, so detection sensitivity
+        would erode exactly when the monitor has been healthy longest
+        (ADVICE r6). The batch still merges into the running profile, and
+        the report carries BOTH verdicts: ``batch`` (this epoch vs
+        reference — the paging signal) and ``cumulative`` (lifetime vs
+        reference — slow-creep drift the per-epoch gate can't see).
+        Top-level ``flags``/``drifted`` are the union so existing
+        gate-on-``drifted`` callers page on either."""
         ptr = self._read()
         if ptr is not None and epoch <= ptr["epoch"]:
             return ptr["report"]  # replay after a crash: already applied
@@ -104,11 +116,16 @@ class StreamingProfileMonitor:
             running = merge_profiles(
                 CorpusProfile.from_json(json.dumps(ptr["profile"])), batch
             )
-        report = (
-            drift_report(self.reference, running, self.thresholds)
-            if self.reference is not None
-            else None
-        )
+        report = None
+        if self.reference is not None:
+            batch_rep = drift_report(self.reference, batch, self.thresholds)
+            cum_rep = drift_report(self.reference, running, self.thresholds)
+            report = {
+                "batch": batch_rep,
+                "cumulative": cum_rep,
+                "flags": sorted(set(batch_rep["flags"]) | set(cum_rep["flags"])),
+                "drifted": batch_rep["drifted"] or cum_rep["drifted"],
+            }
         self.backend.commit(
             self.path,
             {

@@ -142,8 +142,13 @@ def test_embedding_profile_stats_are_exact(emb, emb_profile):
 def test_embedding_no_drift_on_identical(emb_profile):
     rep = embedding_drift_report(emb_profile, emb_profile)
     assert rep["drifted"] is False
-    assert rep["metrics"]["mean_cosine"] == pytest.approx(1.0)
     assert rep["metrics"]["norm_shift"] == 0.0
+    # the sf embeddings are unit random vectors: ||mean|| ≈ 1/sqrt(n) is
+    # pure sampling noise, below the 4σ floor — no rotation verdict at all
+    # (a noise-vs-noise cosine would be meaningless even when it happens
+    # to equal 1.0 for identical profiles)
+    assert rep["metrics"]["mean_cosine"] is None
+    assert "centroid_rotation" not in rep["flags"]
 
 
 def test_embedding_scale_and_rotation_flags(spark, emb, emb_profile):
@@ -152,11 +157,31 @@ def test_embedding_scale_and_rotation_flags(spark, emb, emb_profile):
     )
     rep = embedding_drift_report(emb_profile, embedding_profile(scaled))
     assert "norm_scale_shift" in rep["flags"]
+    # rotation needs a centroid ABOVE the sampling-noise floor: shift every
+    # vector by +1 per dim (centroid norm ≈ sqrt(dim) ≫ 4·||v||/sqrt(n)),
+    # then negating it is an unambiguous 180° centroid rotation
+    shifted = emb.select(
+        F.transform("embedding", lambda x: x + F.lit(1.0)).alias("embedding")
+    )
+    p_shift = embedding_profile(shifted)
+    negated = shifted.select(
+        F.transform("embedding", lambda x: -x).alias("embedding")
+    )
+    rep2 = embedding_drift_report(p_shift, embedding_profile(negated))
+    assert rep2["metrics"]["mean_cosine"] == pytest.approx(-1.0)
+    assert "centroid_rotation" in rep2["flags"]
+
+
+def test_embedding_whitened_space_suppresses_rotation(emb, emb_profile):
+    """ADVICE r6: a mean-centered/whitened space must NOT emit a rotation
+    verdict even under sign flip — its centroid is sampling noise, and the
+    old 1e-6 guard was far below the ~||v||/sqrt(n) statistical floor."""
     negated = emb.select(
         F.transform("embedding", lambda x: -x).alias("embedding")
     )
-    rep2 = embedding_drift_report(emb_profile, embedding_profile(negated))
-    assert "centroid_rotation" in rep2["flags"]
+    rep = embedding_drift_report(emb_profile, embedding_profile(negated))
+    assert rep["metrics"]["mean_cosine"] is None
+    assert "centroid_rotation" not in rep["flags"]
 
 
 def test_embedding_collapse_flag(spark, emb_profile):
@@ -187,6 +212,14 @@ def test_embedding_guards(spark, emb_profile):
     )
     with pytest.raises(ValueError, match="ragged"):
         embedding_profile(ragged)
+    # ADVICE r6: NULL elements INSIDE a vector are an explicit error — a
+    # silent skip would bias that dimension's mean/variance low and the
+    # ragged guard can't see it (per-dim counts stay equal)
+    holey = spark.createDataFrame(
+        [([1.0, 2.0],), ([1.0, None],)], "embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="NULL/NaN element"):
+        embedding_profile(holey)
     empty = embedding_profile(
         spark.createDataFrame([], "embedding array<float>")
     )

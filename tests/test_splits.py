@@ -148,3 +148,39 @@ def test_leakage_pairs_report_shape(spark):
     assert {r["train_id"] for r in rows} >= planted_ids
     for r in rows:
         assert r["jaccard"] is None or r["jaccard"] >= 0.5
+
+
+def test_null_ids_are_an_explicit_error(spark):
+    """ADVICE r6: NULL ids must not silently bias the split (int NULLs all
+    land in train; hashed NULLs all collide into one bucket)."""
+    import pytest
+    from pyspark.errors import PySparkException
+
+    for schema in ("doc_id bigint, text string", "doc_id string, text string"):
+        df = spark.createDataFrame(
+            [(None, "some text here"), (1 if "bigint" in schema else "1", "x")],
+            schema,
+        )
+        with pytest.raises(PySparkException, match="NULL doc_id"):
+            hash_split(df).collect()
+
+
+def test_leakage_pairs_releases_corpus_cache(spark):
+    """ADVICE r6: repeated leakage_pairs calls must not accumulate the
+    corpus-sized signature cache; only the (small) verified-pairs handle
+    — owned by the caller — may remain, and leakage_safe_split's output
+    must reference no cached state at all in the collect-cap regime."""
+    corpus, _, _ = _corpus(spark)
+    spark.catalog.clearCache()
+    sc = spark.sparkContext
+
+    pairs = leakage_pairs(hash_split(corpus), threshold=0.5)
+    pairs.count()
+    # the signature relation must already be gone; only pairs' own cache
+    assert len(sc._jsc.getPersistentRDDs()) <= 1
+    pairs.unpersist()
+    assert len(sc._jsc.getPersistentRDDs()) == 0
+
+    out = leakage_safe_split(corpus, threshold=0.5)
+    out.count()
+    assert len(sc._jsc.getPersistentRDDs()) == 0  # plan-embedded leaked ids

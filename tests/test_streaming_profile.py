@@ -90,3 +90,24 @@ def test_foreach_batch_adapter(spark, tmp_path, reference):
     fn = mon.foreach_batch()
     assert fn(_batch(spark, 0, 60), 0) is None
     assert mon.profile.n_docs == 60 and mon.last_report is not None
+
+
+def test_small_break_after_long_history_still_pages(spark, tmp_path, reference):
+    """ADVICE r6: the gate verdict is BATCH-grain — a fresh feed break must
+    flag regardless of how much healthy history has accumulated (against
+    the cumulative profile a small alien batch would dilute to ~1/N of the
+    compared mass and detection would decay with uptime)."""
+    mon = StreamingProfileMonitor(str(tmp_path / "p.json"), reference=reference)
+    for i in range(8):  # 800 healthy docs of history
+        r = mon.apply_batch(_batch(spark, 10_000 + i * 100, 100), epoch=i)
+        assert r["drifted"] is False
+    # a 100-doc alien batch: 1/9 of accumulated mass, full batch mass
+    r = mon.apply_batch(_batch(spark, 0, 100, alien=True), epoch=8)
+    assert r["batch"]["drifted"] is True
+    assert "token_frequency_shift" in r["batch"]["flags"]
+    assert r["drifted"] is True  # union verdict pages
+    # the cumulative verdict alone would NOT have paged — the exact decay
+    # mode the batch-grain gate exists to prevent
+    assert r["cumulative"]["drifted"] is False
+    # accumulation is unaffected by gating grain
+    assert mon.profile.n_docs == 900

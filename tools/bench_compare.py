@@ -19,6 +19,7 @@ Exit code 1 if any hard regression is found (CI-able).
 from __future__ import annotations
 
 import json
+import os
 import sys
 
 
@@ -26,7 +27,22 @@ def load(path: str) -> dict:
     with open(path) as fh:
         d = json.load(fh)
     # the driver's BENCH_r{N}.json wraps bench.py's JSON line in "parsed"
-    return d.get("parsed", d) if isinstance(d.get("parsed"), dict) else d
+    d = d.get("parsed", d) if isinstance(d.get("parsed"), dict) else d
+    # Since r7 the stdout line is spread-free (driver tail-capture limit);
+    # the spread lives in the committed BENCH_DETAIL.json sidecar. Adopt it
+    # only when its medians are identical to this file's — the sidecar is
+    # overwritten every run, so it belongs to exactly one BENCH file.
+    if "spread" not in d:
+        detail = os.path.join(os.path.dirname(os.path.abspath(path)),
+                              "BENCH_DETAIL.json")
+        try:
+            with open(detail) as fh:
+                dd = json.load(fh)
+            if dd.get("queries") == d.get("queries"):
+                d["spread"] = dd.get("spread", {})
+        except (OSError, json.JSONDecodeError):
+            pass
+    return d
 
 
 def compare(old: dict, new: dict, ratio: float) -> tuple[list, list]:
