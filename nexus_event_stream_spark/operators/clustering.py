@@ -29,6 +29,7 @@ Design constraints, in order:
 
 from __future__ import annotations
 
+import json
 import os
 from collections.abc import Sequence
 from typing import Iterator
@@ -44,6 +45,18 @@ from pyspark.sql import types as T
 DEFAULT_BITS = 6
 
 _MANIFEST_SUBDIR = "_skipping"  # leading "_" → invisible to spark.read.parquet
+_LAYOUT_STATE = "_layout.json"  # frozen boundaries + append occupancy counters
+
+#: Compaction trigger: the hottest bin of the APPENDED rows holds ≥ this
+#: multiple of the uniform share (equi-depth boundaries make healthy
+#: appends near-uniform; a drifting column — ts always drifts — piles its
+#: rows into the top bin, max_share → 1.0 = 64× uniform at 6 bits) ...
+DEFAULT_SKEW_RATIO = 8.0
+#: ... AND the appended mass is at least this fraction of the base layout
+#: (re-clustering a 100 TB table over a 0.1 % skewed append is all cost,
+#: no pruning win — decay only matters once the drifted region is a real
+#: share of the table).
+DEFAULT_MIN_APPENDED_FRAC = 0.10
 
 _MANIFEST_SCHEMA = T.StructType(
     [
@@ -176,7 +189,143 @@ def zorder_write(
         )
     if manifest:
         build_skipping_manifest(df.sparkSession, path, cols)
+    # Base occupancy: the layout's OWN bin histogram, the yardstick the
+    # decay detector compares appends against. Against uniform instead, a
+    # low-cardinality column (15 users over 64 bins → most bins empty,
+    # occupied ones at ~4× uniform) would read as skewed on every healthy
+    # append. One extra scan-shaped map-side agg at write time — the write
+    # already paid a quantile pass and a full shuffle.
+    _, base_occ = _bin_occupancy(df, cols, boundaries, bits)
+    _write_layout_state(
+        path,
+        {
+            "cols": list(cols),
+            "bits": bits,
+            "boundaries": boundaries,
+            # footer-only row count: the base mass the appended-fraction
+            # trigger compares against
+            "n_base_rows": _footer_row_count(path),
+            "n_appended_rows": 0,
+            "base_occupancy": base_occ,
+            "occupancy": {c: [0] * (1 << bits) for c in cols},
+        },
+    )
     return boundaries
+
+
+def _bin_occupancy(
+    df: DataFrame,
+    cols: Sequence[str],
+    boundaries: dict[str, list[float]],
+    bits: int,
+) -> tuple[int, dict[str, list[int]]]:
+    """(row count, per-column bin histogram) against frozen boundaries —
+    one aggregation of 2^bits·|cols| map-side partial counters; data rows
+    never shuffle."""
+    n_bins = 1 << bits
+    bin_cols = [
+        _bin_expr(_numeric(c, df.schema[c].dataType), boundaries[c]).alias(
+            f"__b_{c}"
+        )
+        for c in cols
+    ]
+    row = (
+        df.select(*bin_cols)
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[
+                F.sum(
+                    (F.col(f"__b_{c}") == i).cast("long")
+                ).alias(f"__o_{c}_{i}")
+                for c in cols
+                for i in range(n_bins)
+            ],
+        )
+        .first()
+    )
+    occ = {
+        c: [int(row[f"__o_{c}_{i}"] or 0) for i in range(n_bins)]
+        for c in cols
+    }
+    return int(row["__n"] or 0), occ
+
+
+# ----------------------------------------------------------- layout state
+
+
+def _state_path(path: str) -> str:
+    return os.path.join(path, _LAYOUT_STATE)
+
+
+def read_layout_state(path: str) -> dict | None:
+    """The persisted layout state (frozen boundaries + append-occupancy
+    counters), or None for layouts written before this tier / by hand."""
+    try:
+        with open(_state_path(path)) as fh:
+            return json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
+def _write_layout_state(path: str, state: dict) -> None:
+    tmp = _state_path(path) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(state, fh)
+    os.replace(tmp, _state_path(path))  # same POSIX-rename commit as the stores
+
+
+def _footer_row_count(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    n = 0
+    for f in _data_files(path):
+        try:
+            n += pq.ParquetFile(f).metadata.num_rows
+        except Exception:
+            continue
+    return n
+
+
+def layout_skew(state: dict) -> dict:
+    """Per-column decay diagnosis from the occupancy counters — pure driver
+    math, no data access. The metric is the worst per-bin ratio of the
+    APPENDED share to the BASE layout's share of that bin (floored at a
+    quarter of uniform, so a bin the base barely touched but the appends
+    flood still reads as drift): 1.0 = appends mirror the base
+    distribution exactly; a ts column whose appends all land past the
+    frozen range piles into the top occupied bin at base share ~1/bins →
+    ratio ~bins. Falls back to a uniform base for pre-upgrade states."""
+    n_bins = 1 << state["bits"]
+    base = state.get("base_occupancy") or {}
+    out = {}
+    for c, occ in state["occupancy"].items():
+        total = sum(occ)
+        if not total:
+            out[c] = 1.0
+            continue
+        b_occ = base.get(c)
+        b_total = sum(b_occ) if b_occ else 0
+        floor = 0.25 / n_bins
+        out[c] = max(
+            (occ[i] / total)
+            / max((b_occ[i] / b_total) if b_total else 1.0 / n_bins, floor)
+            for i in range(n_bins)
+        )
+    return out
+
+
+def needs_compaction(
+    state: dict,
+    skew_ratio: float = DEFAULT_SKEW_RATIO,
+    min_appended_frac: float = DEFAULT_MIN_APPENDED_FRAC,
+) -> bool:
+    """True when the appended mass is both SKEWED (some column's hottest
+    bin ≥ ``skew_ratio``× uniform) and MATERIAL (appended rows ≥
+    ``min_appended_frac`` of the base layout)."""
+    base = max(state.get("n_base_rows", 0), 1)
+    if state.get("n_appended_rows", 0) < min_appended_frac * base:
+        return False
+    return any(r >= skew_ratio for r in layout_skew(state).values())
 
 
 class _micros_timestamps:
@@ -214,10 +363,12 @@ def zorder_append(
     df: DataFrame,
     path: str,
     cols: Sequence[str],
-    boundaries: dict[str, list[float]],
+    boundaries: dict[str, list[float]] | None = None,
     n_files: int = 8,
     bits: int = DEFAULT_BITS,
-) -> None:
+    skew_ratio: float = DEFAULT_SKEW_RATIO,
+    min_appended_frac: float = DEFAULT_MIN_APPENDED_FRAC,
+) -> dict:
     """Append an incremental batch into an existing Z-ordered layout.
 
     The batch is re-binned against the layout's FROZEN boundaries (same
@@ -229,10 +380,40 @@ def zorder_append(
     file the manifest doesn't know yet. (The manifest rewrite itself is
     last and advisory; a production deployment would publish it through
     the pointer backends in streaming/commit.py like every other store.)
-    ``bits`` must match the ``zorder_write`` that froze ``boundaries``.
+    ``bits`` must match the ``zorder_write`` that froze ``boundaries``;
+    when ``boundaries`` is None both come from the persisted layout state.
+
+    **Layout-decay defense (VERDICT r6):** frozen equi-depth boundaries go
+    stale as the appended distribution drifts — time marches forward, so a
+    ``ts`` dimension ALWAYS piles new rows into the top bin, the appended
+    files all share that bin's wide z-range, and pruning selectivity on
+    the appended region decays toward full scans. Correctness never
+    breaks (the residual predicate is always re-applied), but at 100 TB
+    with daily appends this is the dominant layout-decay mode. Each
+    append therefore also bins the batch against the frozen boundaries
+    (one map-side aggregation riding the same scan shape — 2^bits partial
+    counters per column, no extra shuffle of data rows) and accumulates
+    per-column bin occupancy in the layout state. Returns a report::
+
+        {"new_files": [...], "skew": {col: max_share_ratio},
+         "appended_frac": float, "needs_compaction": bool}
+
+    — callers schedule :func:`zorder_compact` when ``needs_compaction``
+    is True (kept as a separate step: compaction rewrites the table and
+    belongs in a maintenance window, not inline in the ingest hot path).
     """
     spark = df.sparkSession
+    state = read_layout_state(path)
+    if boundaries is None:
+        if state is None:
+            raise ValueError(
+                f"no layout state at {path} — pass boundaries explicitly "
+                "or write the layout with zorder_write first"
+            )
+        boundaries = state["boundaries"]
+        bits = state["bits"]
     before = _data_files(path)
+    n_bins = 1 << bits
     z = zorder_key(df, cols, bits=bits, boundaries=boundaries)
     with _micros_timestamps(spark):
         (
@@ -246,6 +427,65 @@ def zorder_append(
     new_files = sorted(set(_data_files(path)) - set(before))
     if new_files:
         _extend_manifest(spark, path, new_files, cols)
+    # occupancy of THIS batch against the frozen bins: one aggregation of
+    # 2^bits·|cols| map-side partial counters — never a shuffle of rows
+    n_batch, batch_occ = _bin_occupancy(df, cols, boundaries, bits)
+    report = {"new_files": new_files, "skew": {}, "needs_compaction": False}
+    if state is not None:
+        for c in cols:
+            occ = state["occupancy"].setdefault(c, [0] * n_bins)
+            for i in range(n_bins):
+                occ[i] += batch_occ[c][i]
+        state["n_appended_rows"] = state.get("n_appended_rows", 0) + n_batch
+        _write_layout_state(path, state)
+        report["skew"] = layout_skew(state)
+        report["appended_frac"] = state["n_appended_rows"] / max(
+            state.get("n_base_rows", 0), 1
+        )
+        report["needs_compaction"] = needs_compaction(
+            state, skew_ratio, min_appended_frac
+        )
+    return report
+
+
+def zorder_compact(
+    spark: SparkSession,
+    path: str,
+    cols: Sequence[str] | None = None,
+    n_files: int = 32,
+    bits: int | None = None,
+) -> dict[str, list[float]]:
+    """Full re-cluster: re-quantile the CURRENT distribution (fresh
+    equi-depth boundaries — the whole point: the frozen ones no longer
+    match the data) and rewrite the layout, restoring pruning selectivity
+    on the drifted region. Rewrites through a sibling staging directory,
+    then swaps — the source stays intact until the new layout is fully
+    written. (Locally the swap is rmtree+rename; a production deployment
+    publishes the new file set through the manifest pointer backends in
+    streaming/commit.py, the sources/shards.py pattern, so readers never
+    observe a half-swap.) Returns the NEW boundaries."""
+    import shutil
+
+    state = read_layout_state(path)
+    if cols is None:
+        if state is None:
+            raise ValueError(
+                f"no layout state at {path} — pass cols explicitly"
+            )
+        cols = state["cols"]
+    if bits is None:
+        bits = state["bits"] if state else DEFAULT_BITS
+    staging = path.rstrip("/") + ".__compact__"
+    df = spark.read.parquet(path)
+    # manifest AFTER the swap: its rows carry absolute file paths, which
+    # must name the final location, not the staging directory
+    boundaries = zorder_write(
+        df, staging, cols, n_files=n_files, bits=bits, manifest=False
+    )
+    shutil.rmtree(path)
+    os.rename(staging, path)
+    build_skipping_manifest(spark, path, cols)
+    return boundaries
 
 
 def _data_files(path: str) -> list[str]:

@@ -352,3 +352,98 @@ def test_manifest_build_is_distributed_footer_scan(spark, zdata):
         [f for f in os.listdir(path) if f.endswith(".parquet") and not f.startswith("_")]
     )
     assert read_manifest(spark, path).count() == n_files * 2
+
+
+# --------------------------------------------------- layout decay / compaction
+
+
+def test_layout_decay_detected_and_compaction_recovers(spark, sf_dir, tmp_path):
+    """VERDICT r6: frozen equi-depth boundaries decay as appends drift —
+    every appended row past the last ts boundary lands in the top bin, the
+    new files all share its wide z-range, and pruning on the appended
+    region degrades toward full scans. The occupancy counters must detect
+    this, and zorder_compact (fresh quantiles + re-cluster) must restore
+    selectivity — with results hash-identical throughout."""
+    from nexus_event_stream_spark.operators.clustering import (
+        needs_compaction,
+        read_layout_state,
+        zorder_compact,
+    )
+
+    path = str(tmp_path / "drifting")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    zorder_write(ev, path, ["user_id", "ts"], n_files=16)
+    state0 = read_layout_state(path)
+    assert state0 is not None and state0["n_appended_rows"] == 0
+
+    # the future: appended batches sit entirely PAST the frozen ts range
+    # (time always marches forward), one year out, same user distribution
+    shifted = ev.select(
+        (F.col("event_id") + 1_000_000).alias("event_id"),
+        "user_id",
+        (F.col("ts") + F.expr("INTERVAL 365 DAYS")).alias("ts"),
+    )
+    rep = None
+    for i in range(3):
+        batch = shifted.filter(F.col("event_id") % 3 == i)
+        rep = zorder_append(batch, path, ["user_id", "ts"], n_files=8)
+    # ts occupancy is pathological: every appended row in the top bin
+    assert rep["skew"]["ts"] > 32  # ≥ half the 64-bin mass in one bin
+    assert rep["needs_compaction"] is True
+    assert needs_compaction(read_layout_state(path)) is True
+
+    # a time-rectangle over the DRIFTED region: decayed layout reads every
+    # appended file (they all span the same top ts bin)
+    t_lo, t_hi = shifted.agg(
+        F.unix_micros(F.min("ts")), F.unix_micros(F.max("ts"))
+    ).first()
+    preds = {"ts": (float(t_lo), float(t_lo + (t_hi - t_lo) // 8))}
+    got_before, stats_before = pruned_read(spark, path, preds)
+    rows_before = sorted(
+        (r["event_id"], r["user_id"]) for r in got_before.collect()
+    )
+    sel_before = stats_before["files_read"] / stats_before["files_total"]
+
+    zorder_compact(spark, path, n_files=40)  # 16 + 3×8 = same file count
+    state1 = read_layout_state(path)
+    assert state1["n_appended_rows"] == 0  # counters reset
+    assert needs_compaction(state1) is False
+    got_after, stats_after = pruned_read(spark, path, preds)
+    rows_after = sorted(
+        (r["event_id"], r["user_id"]) for r in got_after.collect()
+    )
+    assert rows_after == rows_before  # hash-identical results
+    sel_after = stats_after["files_read"] / stats_after["files_total"]
+    # fresh quantiles cover the drifted region → selectivity recovers
+    assert sel_after < sel_before, (sel_before, sel_after)
+    assert sel_after <= 0.5  # a 1/8 time slice must not read most files
+
+
+def test_healthy_appends_do_not_trigger_compaction(spark, sf_dir, tmp_path):
+    """Appends drawn from the SAME distribution as the base layout spread
+    near-uniformly over the frozen bins — no false compaction trigger, no
+    matter how much healthy mass arrives."""
+    path = str(tmp_path / "healthy")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    old, new = ev.filter("event_id % 2 = 0"), ev.filter("event_id % 2 = 1")
+    zorder_write(old, path, ["user_id", "ts"], n_files=8)
+    rep = zorder_append(new, path, ["user_id", "ts"], n_files=8)
+    assert rep["appended_frac"] > 0.5  # mass IS material...
+    assert rep["needs_compaction"] is False  # ...but not skewed
+    assert all(r < 4 for r in rep["skew"].values()), rep["skew"]
+
+
+def test_small_skewed_append_defers_compaction(spark, sf_dir, tmp_path):
+    """A skewed but immaterial append (< min_appended_frac of the base)
+    must NOT trigger: rewriting 100 TB over a 0.1 % tail is all cost."""
+    path = str(tmp_path / "tiny")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    zorder_write(ev, path, ["user_id", "ts"], n_files=16)
+    tiny = ev.filter("event_id < 20").select(
+        (F.col("event_id") + 1_000_000).alias("event_id"),
+        "user_id",
+        (F.col("ts") + F.expr("INTERVAL 365 DAYS")).alias("ts"),
+    )
+    rep = zorder_append(tiny, path, ["user_id", "ts"], n_files=2)
+    assert rep["skew"]["ts"] > 32  # fully skewed...
+    assert rep["needs_compaction"] is False  # ...but immaterial
