@@ -59,6 +59,19 @@ from nexus_event_stream_spark.operators.sampling import mix_corpus
 COPY_STRIDE = 4096
 
 
+class CorpusDriftError(RuntimeError):
+    """The post-hygiene corpus drifted past the recipe's pinned reference
+    profile — the snapshot was REFUSED, not published. ``report`` carries
+    the full drift_report (metrics + flags) for the page."""
+
+    def __init__(self, report: dict):
+        self.report = report
+        super().__init__(
+            f"corpus drift gate failed closed: flags={report['flags']} "
+            f"metrics={report['metrics']}"
+        )
+
+
 @dataclass
 class CorpusRecipe:
     """Which hygiene stages to run, with their parameters.
@@ -101,6 +114,18 @@ class CorpusRecipe:
         "n_stopwords",
     )
     quality_model_threshold: float = 0.5
+    #: drift publish-gate (operators/drift.py): a pinned CorpusProfile of
+    #: the reference distribution (last week's accepted snapshot). When
+    #: set, the pipeline profiles the post-hygiene corpus (after every
+    #: filter tier, before the loader-facing mixture/packing stages — the
+    #: content distribution is what drifts, reweighting is policy) and
+    #: FAILS CLOSED with CorpusDriftError if drift_report flags it: a
+    #: production pipeline must refuse to publish a snapshot whose
+    #: distribution broke, not ship it and page later. This is the one
+    #: recipe field that makes prepare_training_corpus eager (profiling
+    #: is scan-shaped jobs) — gates that fail closed must evaluate.
+    reference_profile: object | None = None
+    drift_thresholds: dict | None = None
     #: persist the corpus at the two dedup boundaries. The filter tiers
     #: otherwise re-execute for every downstream reference: the
     #: post-EXACT-dedup corpus feeds the MinHash signature build, the CC
@@ -247,6 +272,19 @@ def prepare_training_corpus(
             .select(*docs.columns)
         )
         stages["passage_dedup"] = cur
+
+    if recipe.reference_profile is not None:
+        from nexus_event_stream_spark.operators.drift import (
+            corpus_profile,
+            drift_report,
+        )
+
+        profile = corpus_profile(cur, text_col=text_col)
+        report = drift_report(
+            recipe.reference_profile, profile, recipe.drift_thresholds
+        )
+        if report["drifted"]:
+            raise CorpusDriftError(report)
 
     if recipe.mixture:
         if recipe.seq_len and max(recipe.mixture.values()) >= COPY_STRIDE - 1:

@@ -222,3 +222,40 @@ def test_cdc_gate_drops_mostly_copied_docs(spark):
     assert 2 not in kept          # shifted near-copy gated out
     assert {0, 1, 3} <= kept      # originals survive
     assert corpus.columns == docs.columns
+
+
+def test_drift_gate_passes_identical_and_refuses_shifted(spark, sf_dir):
+    """VERDICT r6: a production pipeline refuses to publish a snapshot
+    whose profile drifted from the pinned reference — fail closed, with
+    the full drift report on the error; identical data passes through."""
+    import pytest
+
+    from nexus_event_stream_spark.operators.drift import corpus_profile
+    from nexus_event_stream_spark.pipeline import CorpusDriftError
+
+    docs = load_table(spark, sf_dir, "documents")
+    # reference = the profile of the ACCEPTED post-hygiene corpus: run the
+    # same recipe once without the gate and pin its output profile
+    base_recipe = CorpusRecipe(minhash_params={"threshold": 0.05})
+    accepted, _ = prepare_training_corpus(docs, base_recipe)
+    reference = corpus_profile(accepted)
+
+    # pass-through: same corpus, same recipe, gate armed → publishes
+    gated = CorpusRecipe(
+        minhash_params={"threshold": 0.05}, reference_profile=reference
+    )
+    corpus, stages = prepare_training_corpus(docs, gated)
+    assert corpus.count() == accepted.count()
+
+    # injected break: the feed flips to alien short tokens → REFUSED
+    alien = docs.withColumn(
+        "text",
+        F.concat(
+            F.lit("zq xv wk jn qp zzqq vvxx wkjn "),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    with pytest.raises(CorpusDriftError) as exc:
+        prepare_training_corpus(alien, gated)
+    assert exc.value.report["drifted"] is True
+    assert len(exc.value.report["flags"]) > 0

@@ -428,3 +428,111 @@ def test_cdc_chunks_partition_exactly_any_text(spark, texts, divisor, window):
     ).collect()
     for r in rows:
         assert "".join(r.c) == r.text
+
+
+# ---------------------------------------------------------------------------
+# production grain (VERDICT r6): GPT-3 appendix-C 13-grams, C4-style 50-word
+# segments — the published parameters, not the sf0.01-tuned ones
+# ---------------------------------------------------------------------------
+
+
+def _w(lo, hi, tag="w"):
+    return " ".join(f"{tag}{i}" for i in range(lo, hi))
+
+
+def test_decontaminate_at_production_13gram_grain(spark):
+    # benchmark: 30 words → 18 distinct 13-grams
+    bench_text = _w(0, 30, "b")
+    bench = benchmark_ngrams(_docs(spark, [bench_text]), n=13)
+    assert bench.count() == 30 - 13 + 1
+    corpus = _docs(
+        spark,
+        [
+            _w(0, 120),                                    # clean
+            _w(0, 40) + " " + _w(5, 18, "b") + " " + _w(40, 80),   # exactly 13 bench words → 1 gram
+            _w(0, 30) + " " + _w(3, 23, "b") + " " + _w(30, 60),   # 20 bench words → 8 grams
+            _w(0, 50) + " " + _w(0, 12, "b") + " " + _w(50, 90),   # 12 < grain → 0
+        ],
+    )
+    rows = {r.doc_id: r for r in decontaminate(corpus, bench, n=13).collect()}
+    assert rows[0].n_contaminated == 0
+    assert rows[1].n_contaminated == 1
+    assert rows[2].n_contaminated == 20 - 13 + 1
+    assert rows[3].n_contaminated == 0
+    # hashed-gram variant must agree exactly (the production broadcast form)
+    bench_h = benchmark_ngrams(_docs(spark, [bench_text]), n=13, hash_grams=True)
+    rows_h = {
+        r.doc_id: r
+        for r in decontaminate(corpus, bench_h, n=13, hash_grams=True).collect()
+    }
+    assert all(
+        rows[d].n_contaminated == rows_h[d].n_contaminated for d in rows
+    )
+
+
+def test_segment_dedup_at_production_50word_grain(spark):
+    shared = _w(0, 50, "s")  # one full 50-word segment
+    docs = _docs(
+        spark,
+        [
+            shared + " " + _w(0, 50),            # doc0: owns first occurrence
+            shared + " " + _w(100, 150),         # doc1: aligned copy → dup
+            _w(200, 250) + " " + shared,         # doc2: aligned at segment 2 → dup
+            "pre " + shared + " " + _w(300, 348),  # doc3: shifted 1 word → word-aligned rule MISSES (cdc_dedup is the shift-robust tier)
+        ],
+    )
+    rows = {r.doc_id: r for r in segment_dedup(docs, n=50).collect()}
+    assert rows[0].n_segments == 2 and rows[0].dup_segments == 0
+    assert rows[1].n_segments == 2 and rows[1].dup_segments == 1
+    assert rows[1].clean_n_words == 50
+    assert rows[2].n_segments == 2 and rows[2].dup_segments == 1
+    assert rows[2].clean_n_words == 50
+    assert rows[3].dup_segments == 0  # the documented alignment miss
+    # reassembled text drops exactly the duplicated segment
+    clean = {
+        r.doc_id: r.clean_text
+        for r in segment_dedup(docs, n=50, emit_text=True).collect()
+    }
+    assert clean[1] == _w(100, 150)
+    assert clean[2] == _w(200, 250)
+
+
+def test_pipeline_at_production_grain(spark):
+    """The composed recipe at published parameters: 13-gram
+    decontamination + 50-word passage dedup over a corpus with planted
+    contamination and passage copies — exact expected survivors."""
+    from nexus_event_stream_spark.pipeline import (
+        CorpusRecipe,
+        prepare_training_corpus,
+    )
+
+    filler = {i: _w(1000 * i, 1000 * i + 120) for i in range(5)}
+    bench_text = _w(0, 40, "b")
+    shared50 = _w(0, 50, "s")
+    docs = _docs(
+        spark,
+        [
+            filler[0],                                     # 0: clean, survives intact
+            filler[1] + " " + _w(10, 26, "b"),             # 1: 16 bench words ≥ 13-grain → dropped
+            shared50 + " " + filler[2],                    # 2: owns the shared passage
+            shared50 + " " + filler[3],                    # 3: aligned copy → passage stripped, doc survives
+            filler[4] + " " + _w(0, 12, "b"),              # 4: 12 bench words < grain → survives
+        ],
+    )
+    bench = _docs(spark, [bench_text])
+    recipe = CorpusRecipe(
+        quality=False,
+        redact_pii=False,
+        exact_dedup=False,
+        near_dedup=False,
+        benchmark=bench,
+        decontaminate_n=13,
+        passage_dedup_n=50,
+    )
+    corpus, _ = prepare_training_corpus(docs, recipe)
+    out = {r.doc_id: r.text for r in corpus.collect()}
+    assert set(out) == {0, 2, 3, 4}        # doc1 decontaminated away
+    assert out[0] == filler[0]
+    assert out[2] == shared50 + " " + filler[2]   # first occurrence keeps passage
+    assert out[3] == filler[3]                    # copy loses exactly the passage
+    assert out[4] == filler[4] + " " + _w(0, 12, "b")
