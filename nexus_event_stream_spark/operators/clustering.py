@@ -653,6 +653,35 @@ def prune_files(
     return kept, len(all_files)
 
 
+def topk_prune_bound(path: str, col: str, k: int) -> float | None:
+    """A SOUND lower bound for the top-``k`` largest values of ``col``,
+    from the manifest alone (driver math, no data access).
+
+    Walk files by vmin descending, accumulating guaranteed row mass
+    (``n_rows − n_nulls`` — every non-null row in a file is ≥ its vmin);
+    once ≥ k rows are accumulated, that file's vmin is the bound: at
+    least k values sit at or above it, so the k-th largest value is ≥ it
+    and any file with vmax < bound cannot contain a top-k row. Returns
+    None when the manifest cannot guarantee k rows (missing stats, tiny
+    table) — the caller must full-scan, never guess.
+    """
+    import pyarrow.parquet as pq
+
+    try:
+        m = pq.read_table(os.path.join(path, _MANIFEST_SUBDIR)).to_pandas()
+    except Exception:
+        return None
+    rows = m[(m["col"] == col) & m["vmin"].notna()].sort_values(
+        "vmin", ascending=False
+    )
+    acc = 0
+    for _, r in rows.iterrows():
+        acc += int(r["n_rows"]) - int(r["n_nulls"] or 0)
+        if acc >= k:
+            return float(r["vmin"])
+    return None
+
+
 def pruned_read(
     spark: SparkSession,
     path: str,
