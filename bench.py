@@ -297,6 +297,135 @@ def _corpus_pipeline_bench(spark, sf_dir: str) -> list[float]:
     return [run(), run()]
 
 
+def _replicate_docs(spark, sf_dir: str, times: int = 25):
+    """Deterministic ``times``× replication of the documents table:
+    distinct doc_ids, and each replica prefixed with a replica token so
+    the copies are NEAR-duplicates (mirrors), not byte-identical — the
+    worst realistic shape for the dedup tier (a crawl where every page
+    has ``times`` mirrors)."""
+    from pyspark.sql import functions as F
+
+    from nexus_event_stream_spark.io import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("__r", F.explode(F.sequence(F.lit(0), F.lit(times - 1))))
+        .select(
+            (F.col("doc_id") * times + F.col("__r")).alias("doc_id"),
+            "source",
+            F.concat(
+                F.lit("r"), F.col("__r").cast("string"), F.lit(" "),
+                F.col("text"),
+            ).alias("text"),
+        )
+    )
+
+
+def _stress_bench(spark, sf_dir: str) -> dict[str, tuple[float, int]]:
+    """Scale-stress tier (VERDICT r6 #4): the sf0.1 catalog runs in a
+    fixed-scheduler-cost regime (0.1–2.6 s/query) where per-operator
+    THROUGHPUT nonlinearities are invisible — these entries run the 4
+    most scale-critical operators on a deterministic 25× replication
+    (125 k mirror docs / 50 k vectors) and record rows/s alongside the
+    seconds. One run each (they are the expensive tail of the bench);
+    regression detection leans on the magnitude, not the spread.
+
+    Already earned its keep: the first 25× run exposed the 1 g-default
+    driver heap OOMing AQE's 64 MB broadcast builds (session.py now sizes
+    the driver explicitly), invisible at 1×.
+    """
+    from pyspark.sql import functions as F
+
+    from nexus_event_stream_spark.functions.text import token_count
+    from nexus_event_stream_spark.io import load_table
+    from nexus_event_stream_spark.operators.dedup import (
+        dedup_groups,
+        minhash_dedup,
+    )
+    from nexus_event_stream_spark.operators.packing import pack_sequences
+    from nexus_event_stream_spark.operators.similarity import (
+        ivf_pq_topk,
+        ivf_train_centroids,
+        pq_build_index,
+        pq_train_codebooks,
+    )
+    from nexus_event_stream_spark.pipeline import (
+        CorpusRecipe,
+        prepare_training_corpus,
+    )
+
+    out: dict[str, tuple[float, int]] = {}
+    docs = _replicate_docs(spark, sf_dir)
+    n_docs = docs.count()
+
+    # minhash_lsh → dedup_groups chain, with the production hot-bucket cap
+    # (a mirror corpus without the cap is the quadratic case the cap
+    # structurally prevents)
+    t0 = time.perf_counter()
+    pairs = minhash_dedup(docs, max_bucket_size=200)
+    groups = dedup_groups(docs, pairs)
+    (
+        docs.join(groups, "doc_id")
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .write.format("noop").mode("overwrite").save()
+    )
+    out["dedup_chain_25x"] = (time.perf_counter() - t0, n_docs)
+
+    # sequence packing (two-level distributed prefix sum)
+    t0 = time.perf_counter()
+    pack_sequences(
+        docs.withColumn("__n_tokens", token_count("text")),
+        512,
+        count_col="__n_tokens",
+        order_col="doc_id",
+    ).write.format("noop").mode("overwrite").save()
+    out["pack_sequences_25x"] = (time.perf_counter() - t0, n_docs)
+
+    # IVF-PQ search over 25× vectors (train + index outside the clock,
+    # same protocol as ivf_pq_search)
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb25 = (
+        emb.withColumn("__r", F.explode(F.sequence(F.lit(0), F.lit(24))))
+        .select(
+            (F.col("vec_id") * 25 + F.col("__r")).alias("vec_id"), "embedding"
+        )
+    )
+    n_vecs = emb25.count()
+    cents = ivf_train_centroids(emb25, n_centroids=16, iters=3)
+    books = pq_train_codebooks(emb25, m=8, ksub=16, iters=3)
+    index = pq_build_index(emb25, cents, books).persist()
+    index.count()
+    qrows = emb.select("vec_id", "embedding").filter("vec_id < 3").collect()
+    queries = [(int(r.vec_id), list(r.embedding)) for r in qrows]
+    t0 = time.perf_counter()
+    ivf_pq_topk(
+        emb25, cents, books, queries, k=10, nprobe=4, shortlist=50,
+        index=index,
+    ).write.format("noop").mode("overwrite").save()
+    out["ivf_pq_search_25x"] = (time.perf_counter() - t0, n_vecs)
+    index.unpersist()
+
+    # the full composed pipeline (same recipe as corpus_pipeline, plus the
+    # production bucket cap — mandatory on a mirror corpus)
+    sources = [r.source for r in docs.select("source").distinct().collect()]
+    recipe = CorpusRecipe(
+        minhash_params={"threshold": 0.05, "max_bucket_size": 200},
+        benchmark=docs.filter(F.col("doc_id") % 50 == 0),
+        decontaminate_n=3,
+        passage_dedup_n=3,
+        mixture={s: 1.5 for s in sources},
+        seq_len=512,
+        persist_deduped=True,
+    )
+    t0 = time.perf_counter()
+    _, stages = prepare_training_corpus(docs, recipe)
+    stages["packing"].write.format("noop").mode("overwrite").save()
+    out["corpus_pipeline_25x"] = (time.perf_counter() - t0, n_docs)
+    stages["near_dedup"].unpersist()
+    stages["exact_dedup"].unpersist()
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -473,6 +602,14 @@ def main() -> None:
     # mixture → packing), one number for operator COMPOSITION cost.
     total += _extra("corpus_pipeline", _corpus_pipeline_bench(spark, sf_dir))
 
+    # Scale-stress tier: 25× replication, seconds + rows/s (single run —
+    # the expensive tail). SPARK_GRAFT_SKIP_STRESS=1 skips for fast loops.
+    throughput: dict[str, int] = {}
+    if not os.environ.get("SPARK_GRAFT_SKIP_STRESS"):
+        for name, (secs, n_rows) in _stress_bench(spark, sf_dir).items():
+            total += _extra(name, [secs])
+            throughput[name] = int(n_rows / secs)
+
     # Evidence contract (VERDICT r6 #1): the driver captures a bounded
     # TAIL of stdout, so the final line must stay compact — total +
     # per-query MEDIANS only. The full min/max/runs spread (the de-noise
@@ -488,6 +625,7 @@ def main() -> None:
                     "value": round(total, 3),
                     "unit": "sec",
                     "queries": per_query,
+                    "throughput_rows_per_s": throughput,
                     "spread": spread,
                     "k": k_runs,
                     "sf": sf,
@@ -507,6 +645,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": per_query,
+                "throughput_rows_per_s": throughput,
                 "k": k_runs,
                 "sf": sf,
             }

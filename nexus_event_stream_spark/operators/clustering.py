@@ -178,9 +178,15 @@ def zorder_write(
     """
     boundaries = equi_depth_boundaries(df, cols, bits)
     z = zorder_key(df, cols, bits, boundaries)
+    # Base occupancy: the layout's OWN bin histogram, the yardstick the
+    # decay detector compares appends against. Against uniform instead, a
+    # low-cardinality column (15 users over 64 bins → most bins empty,
+    # occupied ones at ~4× uniform) would read as skewed on every healthy
+    # append. Observed metrics RIDE the write action — zero extra passes.
+    observed, resolve = _occupancy_observation(df, cols, boundaries, bits)
     with _micros_timestamps(df.sparkSession):
         (
-            df.withColumn("__z", z)
+            observed.withColumn("__z", z)
             .repartitionByRange(n_files, F.col("__z"))
             .sortWithinPartitions("__z")
             .drop("__z")
@@ -189,13 +195,7 @@ def zorder_write(
         )
     if manifest:
         build_skipping_manifest(df.sparkSession, path, cols)
-    # Base occupancy: the layout's OWN bin histogram, the yardstick the
-    # decay detector compares appends against. Against uniform instead, a
-    # low-cardinality column (15 users over 64 bins → most bins empty,
-    # occupied ones at ~4× uniform) would read as skewed on every healthy
-    # append. One extra scan-shaped map-side agg at write time — the write
-    # already paid a quantile pass and a full shuffle.
-    _, base_occ = _bin_occupancy(df, cols, boundaries, bits)
+    _, base_occ = resolve()
     _write_layout_state(
         path,
         {
@@ -213,41 +213,43 @@ def zorder_write(
     return boundaries
 
 
-def _bin_occupancy(
+def _occupancy_observation(
     df: DataFrame,
     cols: Sequence[str],
     boundaries: dict[str, list[float]],
     bits: int,
-) -> tuple[int, dict[str, list[int]]]:
-    """(row count, per-column bin histogram) against frozen boundaries —
-    one aggregation of 2^bits·|cols| map-side partial counters; data rows
-    never shuffle."""
+):
+    """Attach bin-occupancy metrics to ``df`` so the NEXT action over it
+    (the layout write) also produces the per-column bin histogram —
+    ``df.observe`` rides the existing scan with 2^bits·|cols| map-side
+    partial counters; the occupancy costs zero extra passes and zero
+    shuffles. Returns ``(observed_df, resolve)`` where ``resolve()``
+    (call AFTER the action) yields ``(row count, {col: [counts]})``."""
+    from pyspark.sql import Observation
+
     n_bins = 1 << bits
-    bin_cols = [
-        _bin_expr(_numeric(c, df.schema[c].dataType), boundaries[c]).alias(
-            f"__b_{c}"
-        )
+    obs = Observation()
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.sum(
+            (
+                _bin_expr(_numeric(c, df.schema[c].dataType), boundaries[c])
+                == i
+            ).cast("long")
+        ).alias(f"__o_{c}_{i}")
         for c in cols
+        for i in range(n_bins)
     ]
-    row = (
-        df.select(*bin_cols)
-        .agg(
-            F.count(F.lit(1)).alias("__n"),
-            *[
-                F.sum(
-                    (F.col(f"__b_{c}") == i).cast("long")
-                ).alias(f"__o_{c}_{i}")
-                for c in cols
-                for i in range(n_bins)
-            ],
-        )
-        .first()
-    )
-    occ = {
-        c: [int(row[f"__o_{c}_{i}"] or 0) for i in range(n_bins)]
-        for c in cols
-    }
-    return int(row["__n"] or 0), occ
+    observed = df.observe(obs, *aggs)
+
+    def resolve() -> tuple[int, dict[str, list[int]]]:
+        row = obs.get
+        occ = {
+            c: [int(row[f"__o_{c}_{i}"] or 0) for i in range(n_bins)]
+            for c in cols
+        }
+        return int(row["__n"] or 0), occ
+
+    return observed, resolve
 
 
 # ----------------------------------------------------------- layout state
@@ -415,9 +417,12 @@ def zorder_append(
     before = _data_files(path)
     n_bins = 1 << bits
     z = zorder_key(df, cols, bits=bits, boundaries=boundaries)
+    # occupancy of THIS batch against the frozen bins rides the append
+    # write via df.observe — map-side partial counters, zero extra passes
+    observed, resolve = _occupancy_observation(df, cols, boundaries, bits)
     with _micros_timestamps(spark):
         (
-            df.withColumn("__z", z)
+            observed.withColumn("__z", z)
             .repartitionByRange(n_files, F.col("__z"))
             .sortWithinPartitions("__z")
             .drop("__z")
@@ -427,9 +432,7 @@ def zorder_append(
     new_files = sorted(set(_data_files(path)) - set(before))
     if new_files:
         _extend_manifest(spark, path, new_files, cols)
-    # occupancy of THIS batch against the frozen bins: one aggregation of
-    # 2^bits·|cols| map-side partial counters — never a shuffle of rows
-    n_batch, batch_occ = _bin_occupancy(df, cols, boundaries, bits)
+    n_batch, batch_occ = resolve()
     report = {"new_files": new_files, "skew": {}, "needs_compaction": False}
     if state is not None:
         for c in cols:

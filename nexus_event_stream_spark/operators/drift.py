@@ -225,7 +225,9 @@ class EmbeddingProfile:
 
 
 #: mapInPandas partition-summary schema for embedding_profile: one row per
-#: non-empty partition carrying that partition's sufficient statistics.
+#: non-empty partition carrying that partition's sufficient statistics AND
+#: its norm quantile-compactor state (JSON levels + exact lo/hi) — the
+#: norm sketch rides the same pass instead of a second corpus scan.
 _EMB_SUMMARY_SCHEMA = T.StructType(
     [
         T.StructField("dim", T.IntegerType()),  # -1 flags a ragged partition
@@ -233,6 +235,9 @@ _EMB_SUMMARY_SCHEMA = T.StructType(
         T.StructField("sums", T.ArrayType(T.DoubleType())),
         T.StructField("sqsums", T.ArrayType(T.DoubleType())),
         T.StructField("nan_count", T.LongType()),
+        T.StructField("norm_levels", T.StringType()),
+        T.StructField("norm_lo", T.DoubleType()),
+        T.StructField("norm_hi", T.DoubleType()),
     ]
 )
 
@@ -240,15 +245,24 @@ _EMB_SUMMARY_SCHEMA = T.StructType(
 def embedding_profile(
     df: DataFrame, vec_col: str = "embedding", quantile_k: int = 256
 ) -> EmbeddingProfile:
-    """Profile an embedding column (``array<float>``): one ``mapInPandas``
+    """Profile an embedding column (``array<float>``): ONE ``mapInPandas``
     pass computes each partition's per-dimension sum / sum-of-squares as a
     single numpy matrix reduction — no posexplode, so the |vecs|·dim row
     inflation the explode formulation paid (3 orders of magnitude at
-    768–4096 dims) never materializes; the driver merges one O(dim) summary
-    row per partition. NULL/empty VECTORS are skipped; NULL/NaN ELEMENTS
+    768–4096 dims) never materializes — AND folds the per-row norms into a
+    partition-local quantile compactor, so the norm sketch costs no second
+    corpus scan (the norms are one more numpy reduction over the matrix
+    already in cache). The driver merges one O(dim + k·log) summary row
+    per partition. NULL/empty VECTORS are skipped; NULL/NaN ELEMENTS
     inside a vector are an explicit error (a silent skip would bias that
     dimension's mean/variance low with nothing downstream able to tell).
     Ragged vectors (differing lengths) are an explicit error too."""
+    from nexus_event_stream_spark.operators.quantiles import (
+        _Compactor,
+        _freeze,
+        quantile_merge,
+    )
+
     vecs = df.where(
         F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
     ).select(F.col(vec_col).alias("v"))
@@ -259,6 +273,8 @@ def embedding_profile(
         nan_count = 0
         sums = sqsums = None
         ragged = False
+        comp = _Compactor(quantile_k)
+        norm_lo, norm_hi = np.inf, -np.inf
         for pdf in batches:
             if ragged or not len(pdf):
                 continue
@@ -278,15 +294,33 @@ def embedding_profile(
             mat = np.array(list(col), dtype=np.float64)
             nan_count += int(np.isnan(mat).sum())
             n += mat.shape[0]
+            sq = mat * mat
             sums += np.nansum(mat, axis=0)
-            sqsums += np.nansum(mat * mat, axis=0)
+            sqsums += np.nansum(sq, axis=0)
+            norms = np.sqrt(np.nansum(sq, axis=1))
+            if len(norms):
+                norm_lo = min(norm_lo, float(norms.min()))
+                norm_hi = max(norm_hi, float(norms.max()))
+                comp.extend(norms)
         if ragged:
             yield pd.DataFrame(
-                [(-1, 0, [], [], 0)], columns=_EMB_SUMMARY_SCHEMA.names
+                [(-1, 0, [], [], 0, "[]", 0.0, 0.0)],
+                columns=_EMB_SUMMARY_SCHEMA.names,
             )
         elif n:
             yield pd.DataFrame(
-                [(dim, n, list(sums), list(sqsums), nan_count)],
+                [
+                    (
+                        dim,
+                        n,
+                        list(sums),
+                        list(sqsums),
+                        nan_count,
+                        json.dumps([list(l) for l in comp.levels]),
+                        norm_lo,
+                        norm_hi,
+                    )
+                ],
                 columns=_EMB_SUMMARY_SCHEMA.names,
             )
 
@@ -310,24 +344,21 @@ def embedding_profile(
     sums = np.zeros(dim, dtype=np.float64)
     sqsums = np.zeros(dim, dtype=np.float64)
     n = 0
+    norms = QuantileSketch(k=quantile_k, n=0, lo=0.0, hi=0.0, levels=((),))
     for r in parts:
         n += r["n"]
         sums += np.asarray(r["sums"], dtype=np.float64)
         sqsums += np.asarray(r["sqsums"], dtype=np.float64)
-    norms = quantile_sketch(
-        vecs.select(
-            F.sqrt(
-                F.aggregate(
-                    "v",
-                    F.lit(0.0),
-                    lambda acc, x: acc
-                    + x.cast("double") * x.cast("double"),
-                )
-            ).alias("norm")
-        ),
-        "norm",
-        k=quantile_k,
-    )
+        part_comp = _Compactor(quantile_k)
+        for h, lvl in reversed(
+            list(enumerate(json.loads(r["norm_levels"])))
+        ):
+            if lvl:
+                part_comp.merge_level(h, lvl)
+        norms = quantile_merge(
+            norms,
+            _freeze(part_comp, r["n"], r["norm_lo"], r["norm_hi"]),
+        )
     return EmbeddingProfile(
         n=n,
         dim=dim,

@@ -54,6 +54,16 @@ def get_spark(
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # The 64 MB broadcast threshold needs a driver heap that can BUILD
+        # a 64 MB-estimated relation (deserialized rows + hash table run
+        # several× the estimate; Spark's default 1g heap OOMs the build —
+        # found by the 25× stress bench). Only effective when THIS process
+        # launches the JVM (first session); a cluster deployment sizes
+        # driver memory in spark-submit as usual.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
         .config("spark.ui.enabled", "false")
         # Scan splits follow parquet row-group boundaries, so sub-row-group
         # maxPartitionBytes buys nothing on single-row-group local files
