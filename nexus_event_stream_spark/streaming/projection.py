@@ -31,6 +31,7 @@ from __future__ import annotations
 import datetime as dt
 import os
 import shutil
+import sys
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -481,6 +482,8 @@ def start_projection(
     trigger_seconds: int | None = None,
     bucketed: bool = False,
     n_buckets: int = 64,
+    serving_path: str | None = None,
+    publish_every: int = 8,
 ):
     """Wire a parsed event stream into the LWW view and start it.
 
@@ -489,16 +492,41 @@ def start_projection(
     default full-snapshot store keeps the simplest possible layout for
     small views. Returns the StreamingQuery; callers use
     ``processAllAvailable()`` in tests or let it run continuously.
+
+    ``serving_path`` (bucketed mode) schedules the read-optimized layout:
+    every ``publish_every`` epochs the live view is re-clustered into the
+    Z-ordered serving snapshot (streaming/serving_layout.py) — the same
+    inline-scheduled-maintenance shape as streaming/dedup.py's compaction.
+    Publish failures are logged-and-continued: the serving layout is a
+    read optimization with its own staleness contract; it must never take
+    down ingest.
     """
     import uuid
 
     run_token = uuid.uuid4().hex  # epoch ids are only monotonic per run
+
+    if serving_path is not None and not bucketed:
+        raise ValueError("serving_path requires bucketed=True")
 
     if bucketed:
         bstore = BucketedViewStore(view_path, n_buckets=n_buckets)
 
         def _apply(batch: DataFrame, epoch: int) -> None:
             apply_batch_bucketed(spark, bstore, batch, epoch, run_token)
+            if serving_path is not None and epoch % publish_every == (
+                publish_every - 1
+            ):
+                from nexus_event_stream_spark.streaming.serving_layout import (
+                    publish_serving_snapshot,
+                )
+
+                try:
+                    publish_serving_snapshot(spark, bstore, serving_path)
+                except Exception as exc:  # noqa: BLE001 — ingest must survive
+                    print(
+                        f"serving-layout publish failed (epoch {epoch}): {exc}",
+                        file=sys.stderr,
+                    )
 
     else:
         store = ParquetViewStore(view_path)

@@ -140,3 +140,68 @@ def test_topk_bound_is_sound_on_every_k(spark, published):
         ], k
     # beyond the table, the bound must admit everything (None → full scan)
     assert topk_prune_bound(path, "created_at", n_live * 2) is None
+
+
+def test_streaming_scheduled_publish(spark, tmp_path):
+    """The maintenance hook wired into start_projection: a bucketed
+    projection stream publishes the serving layout every
+    ``publish_every`` epochs inline — command log in, pruned reference
+    reads out, no separate batch job."""
+    import pytest
+
+    from nexus_event_stream_spark.command import SignalCommands
+    from nexus_event_stream_spark.sources.streams import (
+        file_event_stream,
+        parse_events,
+    )
+    from nexus_event_stream_spark.streaming.projection import (
+        BucketedViewStore,
+        start_projection,
+    )
+
+    log_dir = str(tmp_path / "log")
+    cmds = SignalCommands(log_dir, author="otavio")
+    ids = [
+        cmds.create(f"sig {i}", f"content {i}", priority=(i % 3) + 1)
+        for i in range(30)
+    ]
+    cmds.delete(ids[0])
+
+    events = parse_events(file_event_stream(spark, log_dir))
+    view_path = str(tmp_path / "view")
+    serving_path = str(tmp_path / "serving")
+    q = start_projection(
+        spark,
+        events,
+        view_path,
+        str(tmp_path / "ckpt"),
+        bucketed=True,
+        n_buckets=8,
+        serving_path=serving_path,
+        publish_every=1,  # file source → one epoch; publish on it
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    store = BucketedViewStore(view_path, n_buckets=8)
+    live = store.read_live(spark)
+    got, stats = serve_list_newest(spark, serving_path, k=10)
+    want = [
+        r["id"]
+        for r in live.orderBy(F.col("created_at").desc(), F.col("id"))
+        .limit(10)
+        .collect()
+    ]
+    assert [r["id"] for r in got.collect()] == want
+    assert ids[0] not in {r["id"] for r in got.collect()}  # tombstone folded
+    got_p, _ = serve_filter_priority(spark, serving_path, "High")
+    assert sorted(r["id"] for r in got_p.collect()) == sorted(
+        r["id"] for r in live.filter(F.col("priority") == "High").collect()
+    )
+
+    # serving_path without bucketed mode is a config error
+    with pytest.raises(ValueError, match="bucketed"):
+        start_projection(
+            spark, events, view_path, str(tmp_path / "ckpt2"),
+            serving_path=serving_path,
+        )
