@@ -447,3 +447,69 @@ def test_small_skewed_append_defers_compaction(spark, sf_dir, tmp_path):
     rep = zorder_append(tiny, path, ["user_id", "ts"], n_files=2)
     assert rep["skew"]["ts"] > 32  # fully skewed...
     assert rep["needs_compaction"] is False  # ...but immaterial
+
+
+# ------------------------------------------------------- top-k bound property
+
+
+def test_topk_bound_soundness_property(tmp_path):
+    """Hypothesis pin: for ANY file layout (random values split into random
+    files, random null sprinkling, some files with missing stats) and ANY
+    k, the manifest-only bound admits at least k non-null values — i.e.
+    a top-k read over files with vmax ≥ bound can never miss a row."""
+    import os
+
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from nexus_event_stream_spark.operators.clustering import (
+        _MANIFEST_SCHEMA,
+        _MANIFEST_SUBDIR,
+        topk_prune_bound,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        data=st.lists(
+            st.lists(
+                st.one_of(st.floats(-1e6, 1e6), st.none()),
+                min_size=1,
+                max_size=20,
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        hide=st.integers(0, 7),
+        k=st.integers(1, 40),
+    )
+    def check(data, hide, k):
+        rows = []
+        all_vals = []
+        for i, f_vals in enumerate(data):
+            non_null = [v for v in f_vals if v is not None]
+            all_vals += non_null
+            known = non_null and i != hide % len(data)
+            rows.append(
+                {
+                    "file": f"f{i}.parquet",
+                    "col": "x",
+                    "vmin": min(non_null) if known else None,
+                    "vmax": max(non_null) if known else None,
+                    "n_nulls": len(f_vals) - len(non_null) if known else None,
+                    "n_rows": len(f_vals),
+                }
+            )
+        root = tmp_path / f"m{abs(hash(str(data))) % 10**9}_{k}"
+        mdir = root / _MANIFEST_SUBDIR
+        os.makedirs(mdir, exist_ok=True)
+        pd.DataFrame(rows, columns=_MANIFEST_SCHEMA.names).to_parquet(
+            mdir / "manifest.parquet"
+        )
+        bound = topk_prune_bound(str(root), "x", k)
+        if bound is None:
+            return  # caller full-scans: trivially sound
+        # soundness: ≥ k non-null values at or above the bound
+        assert sum(1 for v in all_vals if v >= bound) >= k
+
+    check()
