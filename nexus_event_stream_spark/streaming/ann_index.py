@@ -1,0 +1,286 @@
+"""Streaming ANN index maintenance: an IVF-PQ index that grows with the
+corpus, one micro-batch at a time.
+
+The batch tier (operators/similarity.py) answers "index a finished
+corpus"; a production ingest wants the index to ABSORB each epoch's new
+embeddings without retraining or rebuilding: quantizers (coarse
+centroids + PQ codebooks) are trained once and FROZEN — PQ codes are
+only comparable under the codebooks that produced them, so retraining
+invalidates every stored code. Growing the index is therefore pure
+append: encode the batch against the frozen quantizers
+(``pq_build_index`` — one Arrow stage, m small ints per vector) and
+publish the new rows. Re-training + full re-encode is the scheduled
+OPTIMIZE analog (the same decay story as Z-order boundaries: a frozen
+quantizer slowly mismatches a drifting embedding distribution — the
+drift tier's ``embedding_drift_report`` against the training-time
+profile is the trigger instrument).
+
+Store contract — the package's standard shape (sources/shards.py,
+streaming/projection.py):
+
+- ``append(batch, epoch)`` is ``foreachBatch``-compatible and
+  idempotent: the committed pointer carries the last applied epoch, a
+  replay is a no-op (pinned under both commit backends).
+- Each epoch's rows land in their own ``epochs/epoch-<n>`` directory,
+  partitioned by ``centroid_id`` — the probe phase of a search prunes
+  whole partitions of every epoch dir (nprobe lists, not the corpus).
+- The pointer (epoch → directory list) commits LAST through the
+  pluggable backend; a crash between data write and pointer commit
+  leaves an invisible directory the replay overwrites.
+- Quantizers persist next to the index (`_quantizers.json`) so a
+  restarted job — or a different reader — searches with exactly the
+  codebooks the codes were built under; constructing a store over an
+  existing index with DIFFERENT quantizers is an explicit error.
+
+Scale shape: per-epoch cost is one Arrow encode pass over the BATCH
+(never the accumulated index) + one O(1) pointer swing; the index holds
+m bytes/vector however much has streamed through; search cost is
+unchanged from the batch tier (probe → ADC over nprobe lists → exact
+re-rank of the shortlist only).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nexus_event_stream_spark.operators.similarity import (
+    ivf_pq_topk,
+    pq_build_index,
+)
+from nexus_event_stream_spark.streaming.commit import PosixRenameBackend
+
+POINTER = "_CURRENT"
+_QUANTIZERS = "_quantizers.json"
+
+
+def _index_schema(id_col: str) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("centroid_id", T.IntegerType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+
+class PQIndexStore:
+    """Append-only IVF-PQ index over a streaming embedding corpus."""
+
+    def __init__(
+        self,
+        path: str,
+        centroids=None,
+        codebooks=None,
+        backend=None,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ):
+        self.path = path
+        self.backend = backend or PosixRenameBackend()
+        self.id_col = id_col
+        self.vec_col = vec_col
+        os.makedirs(path, exist_ok=True)
+        qpath = os.path.join(path, _QUANTIZERS)
+        if os.path.exists(qpath):
+            with open(qpath) as fh:
+                stored = json.load(fh)
+            s_c = np.asarray(stored["centroids"], dtype=np.float64)
+            s_b = np.asarray(stored["codebooks"], dtype=np.float64)
+            if centroids is not None or codebooks is not None:
+                if not (
+                    np.array_equal(s_c, np.asarray(centroids, dtype=np.float64))
+                    and np.array_equal(
+                        s_b, np.asarray(codebooks, dtype=np.float64)
+                    )
+                ):
+                    raise ValueError(
+                        "quantizers differ from the ones this index was "
+                        "built under — PQ codes are only comparable under "
+                        "their own codebooks; re-train + rebuild into a NEW "
+                        "index path instead"
+                    )
+            self.centroids, self.codebooks = s_c, s_b
+        else:
+            if centroids is None or codebooks is None:
+                raise ValueError(
+                    f"no quantizers at {qpath}: a new index needs trained "
+                    "centroids + codebooks (ivf_train_centroids / "
+                    "pq_train_codebooks)"
+                )
+            self.centroids = np.asarray(centroids, dtype=np.float64)
+            self.codebooks = np.asarray(codebooks, dtype=np.float64)
+            tmp = qpath + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(
+                    {
+                        "centroids": self.centroids.tolist(),
+                        "codebooks": self.codebooks.tolist(),
+                    },
+                    fh,
+                )
+            os.replace(tmp, qpath)
+
+    # -- pointer ------------------------------------------------------------
+
+    def _pointer_path(self) -> str:
+        return os.path.join(self.path, POINTER)
+
+    def current(self) -> dict | None:
+        return self.backend.read(self._pointer_path())
+
+    @property
+    def n_indexed(self) -> int:
+        cur = self.current()
+        return cur["n_vectors"] if cur else 0
+
+    # -- append ---------------------------------------------------------------
+
+    def append(
+        self,
+        batch: DataFrame,
+        epoch: int,
+        run_token: str | None = None,
+    ) -> bool:
+        """Encode ``batch`` against the frozen quantizers and publish.
+        Returns False for a replayed epoch (no-op). foreachBatch body:
+        ``lambda df, e: store.append(df, e, token)``."""
+        cur = self.current()
+        if (
+            cur is not None
+            and run_token is not None
+            and cur.get("run_token") == run_token
+            and epoch <= cur["epoch"]
+        ):
+            return False
+        out = os.path.join(self.path, "epochs", f"epoch-{epoch}")
+        rows = pq_build_index(
+            batch, self.centroids, self.codebooks, self.id_col, self.vec_col
+        )
+        n_batch = rows.count()
+        if n_batch == 0:
+            # still advance the epoch so the replay guard stays monotone
+            self.backend.commit(
+                self._pointer_path(),
+                {
+                    "epoch": epoch,
+                    "run_token": run_token,
+                    "dirs": cur["dirs"] if cur else [],
+                    "n_vectors": cur["n_vectors"] if cur else 0,
+                },
+                expected=cur,
+            )
+            return True
+        # deterministic content: a crash-replay overwrite reproduces the
+        # same rows, so a half-written dir can never corrupt the index
+        (
+            rows.write.mode("overwrite")
+            .partitionBy("centroid_id")
+            .parquet(out)
+        )
+        dirs = list(cur["dirs"]) if cur else []
+        if out not in dirs:
+            dirs.append(out)
+        self.backend.commit(
+            self._pointer_path(),
+            {
+                "epoch": epoch,
+                "run_token": run_token,
+                "dirs": dirs,
+                "n_vectors": (cur["n_vectors"] if cur else 0) + n_batch,
+            },
+            expected=cur,
+        )
+        return True
+
+    def foreach_batch(self, run_token: str | None = None):
+        def fn(df: DataFrame, epoch: int) -> None:
+            self.append(df, epoch, run_token)
+
+        return fn
+
+    # -- read / search --------------------------------------------------------
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        """The committed index relation (id, centroid_id, codes) across
+        every published epoch; None before the first non-empty append.
+
+        Epoch dirs are read separately and unioned — each is internally
+        partitioned by ``centroid_id``, and Spark's partition discovery
+        cannot span multiple roots (probe-time partition pruning still
+        applies per leg). The union width is |epoch dirs|, bounded by
+        :meth:`compact`."""
+        from functools import reduce
+
+        cur = self.current()
+        if cur is None or not cur["dirs"]:
+            return None
+        legs = [
+            spark.read.parquet(d).select(
+                self.id_col,
+                F.col("centroid_id").cast("int").alias("centroid_id"),
+                "codes",
+            )
+            for d in cur["dirs"]
+        ]
+        return reduce(lambda a, b: a.unionAll(b), legs)
+
+    def compact(self, spark: SparkSession) -> int:
+        """Rewrite all epoch dirs into ONE (bounding the read-union width
+        and the file count) — the scheduled-maintenance analog of the
+        shard store's compaction. Rows are identical by construction;
+        returns the number of directories collapsed. Old dirs are removed
+        AFTER the pointer swings (readers holding the old pointer finish
+        their scan first in a production grace-period deployment)."""
+        import shutil
+
+        cur = self.current()
+        if cur is None or len(cur["dirs"]) <= 1:
+            return 0
+        df = self.read(spark)
+        out = os.path.join(
+            self.path, "epochs", f"compact-{cur['epoch']}"
+        )
+        df.write.mode("overwrite").partitionBy("centroid_id").parquet(out)
+        old_dirs = cur["dirs"]
+        self.backend.commit(
+            self._pointer_path(),
+            {**cur, "dirs": [out]},
+            expected=cur,
+        )
+        for d in old_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        return len(old_dirs)
+
+    def search(
+        self,
+        embeddings: DataFrame,
+        queries: list[tuple[int, list[float]]],
+        k: int = 10,
+        nprobe: int = 4,
+        shortlist: int = 50,
+    ) -> DataFrame:
+        """IVF-PQ search over the committed index. ``embeddings`` is the
+        corpus relation holding the true float vectors (e.g. the sharded
+        corpus read) — the exact re-rank fetches the shortlist's floats
+        from it by id; the index itself carries codes only."""
+        index = self.read(embeddings.sparkSession)
+        if index is None:
+            raise ValueError("index is empty — nothing committed yet")
+        return ivf_pq_topk(
+            embeddings,
+            self.centroids,
+            self.codebooks,
+            queries,
+            k=k,
+            nprobe=nprobe,
+            shortlist=shortlist,
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+            index=index,
+        )
