@@ -80,6 +80,7 @@ class PQIndexStore:
         backend=None,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        training_profile=None,
     ):
         self.path = path
         self.backend = backend or PosixRenameBackend()
@@ -106,6 +107,15 @@ class PQIndexStore:
                         "index path instead"
                     )
             self.centroids, self.codebooks = s_c, s_b
+            self.training_profile = None
+            if stored.get("training_profile"):
+                from nexus_event_stream_spark.operators.drift import (
+                    EmbeddingProfile,
+                )
+
+                self.training_profile = EmbeddingProfile.from_json(
+                    stored["training_profile"]
+                )
         else:
             if centroids is None or codebooks is None:
                 raise ValueError(
@@ -115,12 +125,18 @@ class PQIndexStore:
                 )
             self.centroids = np.asarray(centroids, dtype=np.float64)
             self.codebooks = np.asarray(codebooks, dtype=np.float64)
+            self.training_profile = training_profile
             tmp = qpath + ".tmp"
             with open(tmp, "w") as fh:
                 json.dump(
                     {
                         "centroids": self.centroids.tolist(),
                         "codebooks": self.codebooks.tolist(),
+                        "training_profile": (
+                            training_profile.to_json()
+                            if training_profile is not None
+                            else None
+                        ),
                     },
                     fh,
                 )
@@ -197,6 +213,30 @@ class PQIndexStore:
             expected=cur,
         )
         return True
+
+    def needs_retrain(self, profile, thresholds: dict | None = None) -> dict:
+        """The quantizer-decay instrument (the IVF analog of the Z-order
+        layout-decay defense): compare the CURRENT corpus's embedding
+        profile against the one the quantizers were trained under. Frozen
+        centroids/codebooks slowly mismatch a drifting embedding
+        distribution — recall decays silently, nothing errors. Returns the
+        full ``embedding_drift_report``; ``report["drifted"]`` is the
+        retrain trigger (retrain + re-encode into a NEW path — see the
+        quantizer-mismatch guard). Requires the store to have been created
+        with ``training_profile=``."""
+        from nexus_event_stream_spark.operators.drift import (
+            embedding_drift_report,
+        )
+
+        if self.training_profile is None:
+            raise ValueError(
+                "no training_profile pinned at index creation — pass "
+                "embedding_profile(seed_corpus) to PQIndexStore() to arm "
+                "the retrain trigger"
+            )
+        return embedding_drift_report(
+            self.training_profile, profile, thresholds
+        )
 
     def foreach_batch(self, run_token: str | None = None):
         def fn(df: DataFrame, epoch: int) -> None:

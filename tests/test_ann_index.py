@@ -156,3 +156,34 @@ def test_compact_collapses_dirs_rows_identical(spark, tmp_path, corpus, quantize
     assert store.compact(spark) == 0  # already compact: no-op
     # appends continue on top of the compacted base
     assert store.n_indexed == corpus.count()
+
+
+def test_retrain_trigger_via_embedding_drift(spark, tmp_path, corpus, quantizers):
+    """Quantizer decay is the IVF analog of Z-order layout decay: frozen
+    codebooks mismatch a drifted embedding distribution and recall erodes
+    silently. The training-time profile pinned at index creation is the
+    instrument — identical distribution passes, a scale break trips."""
+    from nexus_event_stream_spark.operators.drift import embedding_profile
+
+    cents, books = quantizers
+    prof = embedding_profile(corpus)
+    store = PQIndexStore(
+        str(tmp_path / "idx"), cents, books, training_profile=prof
+    )
+    # same distribution → no retrain
+    rep = store.needs_retrain(embedding_profile(corpus))
+    assert rep["drifted"] is False
+    # a new encoder rescales the space → retrain trigger
+    scaled = corpus.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x * F.lit(3.0)).alias("embedding"),
+    )
+    rep2 = store.needs_retrain(embedding_profile(scaled))
+    assert rep2["drifted"] is True and "norm_scale_shift" in rep2["flags"]
+    # the profile survives a store reload from disk
+    again = PQIndexStore(str(tmp_path / "idx"))
+    assert again.needs_retrain(embedding_profile(scaled))["drifted"] is True
+    # unarmed store: explicit error, not a silent pass
+    bare = PQIndexStore(str(tmp_path / "bare"), cents, books)
+    with pytest.raises(ValueError, match="training_profile"):
+        bare.needs_retrain(prof)
