@@ -1,0 +1,208 @@
+"""JPEG metadata codec: pure-stdlib marker-walk parsing.
+
+The multimodal tier treats media as opaque ``binary`` columns with typed
+metadata (operators/multimodal.py). For crawled images the metadata a
+100 TB pipeline actually filters on — dimensions, component count,
+baseline vs progressive, EXIF orientation — lives in the JPEG marker
+stream BEFORE any entropy-coded data, so extracting it reads a few
+hundred bytes per blob and never needs a pixel decode (which the
+sandbox cannot do anyway: no image libraries — same boundary as the
+MP4 tier, functions/mp4.py).
+
+Format facts used (all public: ITU-T T.81 / JFIF / EXIF specs):
+
+- A JPEG is a sequence of ``FF xx`` markers. Standalone markers
+  (SOI/EOI/RSTn/TEM) carry no payload; every other marker is followed
+  by a 2-byte big-endian length that INCLUDES the length field itself
+  (so < 2 is structurally invalid).
+- Frame dimensions and component count come from the SOF segment:
+  SOF0 (baseline) / SOF1 / SOF2 (progressive) / SOF3, layout
+  ``precision u8, height u16, width u16, n_components u8``.
+- EXIF orientation is TIFF tag 0x0112 inside the APP1 segment whose
+  payload starts with ``Exif\\0\\0``; the TIFF header declares its own
+  endianness (``II`` little / ``MM`` big) — both occur in the wild.
+- Entropy-coded scan data after SOS may contain ``FF`` bytes only as
+  ``FF 00`` (stuffing) or ``FF D0-D7`` (restart markers); the walk
+  resumes marker scanning accordingly. Metadata parsing stops at the
+  first SOF + orientation found — tail corruption in the scan does not
+  poison metadata extraction, mirroring the tolerant-reader stance of
+  the event decoder.
+
+``synthesize_jpeg`` builds a structurally valid marker stream around a
+filler scan (quant/Huffman tables are placeholder segments, the scan is
+deterministic noise) — real enough to roundtrip every metadata field
+this module parses, clearly NOT a pixel-accurate encoder (a baseline
+DCT+Huffman encoder needs no external libs but serves no query in this
+engine; the parse side is the production artifact).
+
+Reference parity: none — north-star multimodal tier (the reference has
+no media handling).
+"""
+
+from __future__ import annotations
+
+import struct
+
+SOI = 0xD8
+EOI = 0xD9
+SOS = 0xDA
+APP1 = 0xE1
+#: SOF markers that carry frame dims. C4 (DHT), C8 (JPG), CC (DAC) are
+#: NOT frame headers despite sitting in the C0-CF range.
+_SOF_MARKERS = {
+    0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+    0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
+}
+_PROGRESSIVE = {0xC2, 0xC6, 0xCA, 0xCE}
+_STANDALONE = {0xD8, 0xD9, 0x01} | set(range(0xD0, 0xD8))  # SOI/EOI/TEM/RSTn
+
+
+def _exif_orientation(app1: bytes) -> int | None:
+    """Tag 0x0112 from an APP1/EXIF payload; None when absent/malformed.
+    Malformed EXIF is tolerated (None), NOT an error: orientation is an
+    optional enrichment and the wild is full of truncated EXIF blocks."""
+    if not app1.startswith(b"Exif\x00\x00"):
+        return None
+    tiff = app1[6:]
+    if len(tiff) < 8:
+        return None
+    if tiff[:2] == b"II":
+        end = "<"
+    elif tiff[:2] == b"MM":
+        end = ">"
+    else:
+        return None
+    try:
+        if struct.unpack(end + "H", tiff[2:4])[0] != 42:
+            return None
+        ifd_off = struct.unpack(end + "I", tiff[4:8])[0]
+        if ifd_off + 2 > len(tiff):
+            return None
+        n = struct.unpack(end + "H", tiff[ifd_off : ifd_off + 2])[0]
+        for i in range(n):
+            e = ifd_off + 2 + i * 12
+            if e + 12 > len(tiff):
+                return None
+            tag, typ, _cnt = struct.unpack(end + "HHI", tiff[e : e + 8])
+            if tag == 0x0112 and typ == 3:  # SHORT
+                val = struct.unpack(end + "H", tiff[e + 8 : e + 10])[0]
+                return val if 1 <= val <= 8 else None
+    except struct.error:
+        return None
+    return None
+
+
+def jpeg_meta(payload: bytes) -> dict:
+    """Parse ``{width, height, n_components, progressive, orientation}``
+    from a JPEG byte string. Raises ``ValueError`` on structural
+    corruption (bad signature, truncated segment, missing SOF);
+    orientation is None when no valid EXIF tag exists."""
+    if len(payload) < 4 or payload[0] != 0xFF or payload[1] != SOI:
+        raise ValueError("not a JPEG: missing FFD8 signature")
+    pos = 2
+    meta: dict | None = None
+    orientation: int | None = None
+    while pos + 1 < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"marker expected at offset {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte padding before a marker
+            pos += 1
+            continue
+        pos += 2
+        if marker == EOI:
+            break
+        if marker in _STANDALONE:
+            continue
+        if pos + 2 > len(payload):
+            raise ValueError("truncated segment length")
+        seg_len = struct.unpack(">H", payload[pos : pos + 2])[0]
+        if seg_len < 2 or pos + seg_len > len(payload):
+            raise ValueError("invalid segment length")
+        body = payload[pos + 2 : pos + seg_len]
+        if marker in _SOF_MARKERS:
+            if len(body) < 6:
+                raise ValueError("truncated SOF segment")
+            _prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if meta is None:  # first frame header wins (multi-frame: rare)
+                meta = {
+                    "width": w,
+                    "height": h,
+                    "n_components": ncomp,
+                    "progressive": marker in _PROGRESSIVE,
+                }
+        elif marker == APP1 and orientation is None:
+            orientation = _exif_orientation(body)
+        pos += seg_len
+        if marker == SOS:
+            # entropy-coded data: skip to the next real marker (FF00 is
+            # a stuffed byte, FFD0-D7 are restart markers inside the scan)
+            while pos + 1 < len(payload):
+                if payload[pos] == 0xFF and payload[pos + 1] not in (
+                    0x00, *range(0xD0, 0xD8),
+                ):
+                    break
+                pos += 1
+        if meta is not None and orientation is not None:
+            break
+    if meta is None:
+        raise ValueError("no SOF frame header found")
+    return {**meta, "orientation": orientation}
+
+
+def synthesize_jpeg(
+    width: int,
+    height: int,
+    n_components: int = 3,
+    progressive: bool = False,
+    orientation: int | None = None,
+    scan_bytes: int = 64,
+    exif_big_endian: bool = False,
+) -> bytes:
+    """A structurally valid JPEG marker stream carrying exactly the
+    metadata ``jpeg_meta`` parses (deterministic filler scan, placeholder
+    tables — see module docstring)."""
+    if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
+        raise ValueError("dimensions must fit u16")
+    out = bytearray(b"\xff\xd8")
+    if orientation is not None:
+        end = ">" if exif_big_endian else "<"
+        tiff = (
+            (b"MM" if exif_big_endian else b"II")
+            + struct.pack(end + "H", 42)
+            + struct.pack(end + "I", 8)
+            + struct.pack(end + "H", 1)  # one IFD entry
+            + struct.pack(end + "HHI", 0x0112, 3, 1)
+            + struct.pack(end + "H", orientation)
+            + b"\x00\x00"  # value padding
+            + struct.pack(end + "I", 0)  # next IFD
+        )
+        app1 = b"Exif\x00\x00" + tiff
+        out += b"\xff\xe1" + struct.pack(">H", len(app1) + 2) + app1
+    # placeholder DQT (a real one is 65 bytes of table data)
+    dqt = b"\x00" + bytes(64)
+    out += b"\xff\xdb" + struct.pack(">H", len(dqt) + 2) + dqt
+    sof = 0xC2 if progressive else 0xC0
+    comps = b"".join(
+        struct.pack(">BBB", i + 1, 0x11, 0) for i in range(n_components)
+    )
+    body = struct.pack(">BHHB", 8, height, width, n_components) + comps
+    out += bytes([0xFF, sof]) + struct.pack(">H", len(body) + 2) + body
+    # placeholder DHT
+    dht = b"\x00" + bytes(16) + b""
+    out += b"\xff\xc4" + struct.pack(">H", len(dht) + 2) + dht
+    # SOS header + deterministic filler scan (FF bytes stuffed as FF00)
+    sos = struct.pack(">B", n_components) + b"".join(
+        struct.pack(">BB", i + 1, 0) for i in range(n_components)
+    ) + b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    scan = bytearray()
+    x = (width * 31 + height * 17) & 0xFF
+    while len(scan) < scan_bytes:
+        x = (x * 109 + 89) & 0xFF
+        scan.append(x)
+        if x == 0xFF:
+            scan.append(0x00)  # byte stuffing, as a real encoder would
+    out += scan
+    out += b"\xff\xd9"
+    return bytes(out)
