@@ -43,6 +43,7 @@ from nexus_event_stream_spark.functions.png import (
     encode_png,
     resize_nearest,
 )
+from nexus_event_stream_spark.functions.jpeg import jpeg_meta, synthesize_jpeg
 from nexus_event_stream_spark.functions.wav import decode_wav, encode_wav
 
 #: Metadata schema carried beside every binary payload.
@@ -185,6 +186,11 @@ def sample_frames(media: DataFrame, n_frames: int = 4, frame_bytes: int = 16) ->
       are sliced out. Codec decode of those payloads (H.264 etc.) is the
       one environment-capped step — no media libraries in this box — so
       rows carry the encoded-frame bytes a downstream decoder wants.
+    - JPEG payloads: validated by the marker walk (functions/jpeg.py
+      jpeg_meta — structural corruption falls through to the byte-window
+      tier) and treated as a single-frame still: every sampled index
+      resolves to frame 0, the whole payload — the same shape a plain
+      (non-animated) PNG produces through decode_apng.
     - anything else: evenly spaced ``frame_bytes`` byte windows — the
       tolerant-reader fallback (consumer.go:39-44), same row shape.
     """
@@ -225,6 +231,16 @@ def sample_frames(media: DataFrame, n_frames: int = 4, frame_bytes: int = 16) ->
                     continue
                 except Exception:
                     pass
+                if p[:2] == b"\xff\xd8":
+                    try:
+                        jpeg_meta(p)  # structural validation only
+                        for i in range(n_frames):
+                            ids.append(mid)
+                            idxs.append(i)
+                            frames.append(p)
+                        continue
+                    except Exception:
+                        pass
                 for i in range(n_frames):
                     off = (i * max(len(p) - frame_bytes, 0)) // max(
                         n_frames - 1, 1
@@ -269,6 +285,14 @@ def sample_frames(media: DataFrame, n_frames: int = 4, frame_bytes: int = 16) ->
 #: demuxed via trun data-offset/size resolution (default-base-is-moof)
 #: to fragment count, sample count, last tfdt-anchored timestamp and the
 #: byte-value sum — any traf/trun bug breaks the hash.
+#: JPEG (functions/jpeg.py; marker-walk metadata, no pixel decode —
+#: entropy decode is environment-capped like the MP4 codec payloads):
+#:   width  = 8 + doc_id % 31          height = 5 + doc_id % 17
+#:   n_components = 1 + doc_id % 3     progressive = doc_id % 2 == 1
+#:   orientation  = doc_id % 9 (0 → absent/NULL), EXIF endianness
+#:   alternating little/big over doc_id — both TIFF byte orders are
+#:   exercised; any marker-walk, SOF-parse, or EXIF-IFD bug breaks the
+#:   hash.
 DOC_MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -280,6 +304,7 @@ DOC_MEDIA_SCHEMA = T.StructType(
         T.StructField("video", T.BinaryType()),
         T.StructField("mp4video", T.BinaryType()),
         T.StructField("fmp4video", T.BinaryType()),
+        T.StructField("jpeg", T.BinaryType()),
     ]
 )
 
@@ -305,6 +330,11 @@ DECODED_DOC_MEDIA_SCHEMA = T.StructType(
         T.StructField("n_fmp4_samples", T.IntegerType()),
         T.StructField("fmp4_last_time", T.LongType()),
         T.StructField("fmp4_byte_sum", T.LongType()),
+        T.StructField("jpeg_width", T.IntegerType()),
+        T.StructField("jpeg_height", T.IntegerType()),
+        T.StructField("jpeg_components", T.IntegerType()),
+        T.StructField("jpeg_progressive", T.BooleanType()),
+        T.StructField("jpeg_orientation", T.IntegerType()),
     ]
 )
 
@@ -329,7 +359,9 @@ def synthesize_doc_media(docs: DataFrame) -> DataFrame:
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            filts, images, audios, videos, mp4s, fmp4s = [], [], [], [], [], []
+            filts, images, audios, videos, mp4s, fmp4s, jpegs = (
+                [], [], [], [], [], [], [],
+            )
             for did in pdf["doc_id"]:
                 did = int(did)
                 w, h, f = doc_image_dims(did)
@@ -384,6 +416,16 @@ def synthesize_doc_media(docs: DataFrame) -> DataFrame:
                         frames_per_fragment=2,
                     )
                 )
+                jpegs.append(
+                    synthesize_jpeg(
+                        8 + did % 31,
+                        5 + did % 17,
+                        n_components=1 + did % 3,
+                        progressive=did % 2 == 1,
+                        orientation=(did % 9) or None,
+                        exif_big_endian=did % 2 == 0,
+                    )
+                )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -395,6 +437,7 @@ def synthesize_doc_media(docs: DataFrame) -> DataFrame:
                     "video": videos,
                     "mp4video": mp4s,
                     "fmp4video": fmp4s,
+                    "jpeg": jpegs,
                 }
             )
 
@@ -418,6 +461,7 @@ def decode_doc_media(media: DataFrame) -> DataFrame:
             nframes, fsums = [], []
             m_ns, m_bytes, m_last, m_sum = [], [], [], []
             f_nf, f_ns, f_last, f_sum = [], [], [], []
+            j_w, j_h, j_nc, j_prog, j_or = [], [], [], [], []
             for p in pdf["image"]:
                 try:
                     w, h, _ct, px = decode_png(p)
@@ -481,6 +525,19 @@ def decode_doc_media(media: DataFrame) -> DataFrame:
                 f_ns.append(ns)
                 f_last.append(lt)
                 f_sum.append(bs)
+            for p in pdf["jpeg"]:
+                try:
+                    m = jpeg_meta(p)
+                    jw, jh = m["width"], m["height"]
+                    jnc, jpg = m["n_components"], m["progressive"]
+                    jo = m["orientation"]
+                except Exception:
+                    jw = jh = jnc = jpg = jo = None
+                j_w.append(jw)
+                j_h.append(jh)
+                j_nc.append(jnc)
+                j_prog.append(jpg)
+                j_or.append(jo)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -503,6 +560,11 @@ def decode_doc_media(media: DataFrame) -> DataFrame:
                     "n_fmp4_samples": pd.array(f_ns, dtype="Int32"),
                     "fmp4_last_time": pd.array(f_last, dtype="Int64"),
                     "fmp4_byte_sum": pd.array(f_sum, dtype="Int64"),
+                    "jpeg_width": pd.array(j_w, dtype="Int32"),
+                    "jpeg_height": pd.array(j_h, dtype="Int32"),
+                    "jpeg_components": pd.array(j_nc, dtype="Int32"),
+                    "jpeg_progressive": pd.array(j_prog, dtype="boolean"),
+                    "jpeg_orientation": pd.array(j_or, dtype="Int32"),
                 }
             )
 

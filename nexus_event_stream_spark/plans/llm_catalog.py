@@ -231,7 +231,13 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(list_sum(list_transform(range(0, 3 + doc_id % 5), f ->
         list_sum(list_transform(range(0, 6 + (doc_id * 3 + f) % 7),
           i -> (doc_id * 7 + f * 29 + i) % 256)))) AS BIGINT)
-        AS fmp4_byte_sum
+        AS fmp4_byte_sum,
+      CAST(8 + doc_id % 31 AS INTEGER) AS jpeg_width,
+      CAST(5 + doc_id % 17 AS INTEGER) AS jpeg_height,
+      CAST(1 + doc_id % 3 AS INTEGER) AS jpeg_components,
+      (doc_id % 2 = 1) AS jpeg_progressive,
+      CAST(CASE WHEN doc_id % 9 = 0 THEN NULL ELSE doc_id % 9 END
+        AS INTEGER) AS jpeg_orientation
     FROM documents
     """,
     doc="Multimodal pipeline, REAL codecs end-to-end: per document an "
@@ -254,7 +260,14 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(fMP4/CMAF segment shape: empty stbl + mvex/trex defaults, samples "
     "described per-fragment in moof/traf/trun with default-base-is-moof "
     "addressing) demuxed back to fragment count, sample count, "
-    "tfdt-anchored last timestamp and byte-value sum. The oracle recomputes "
+    "tfdt-anchored last timestamp and byte-value sum, AND a JPEG per doc "
+    "(functions/jpeg.py — real ITU-T T.81 marker stream with EXIF APP1; "
+    "SOF variant cycles baseline/progressive, component count 1-3, EXIF "
+    "endianness alternates II/MM, orientation absent every 9th doc) "
+    "parsed back by the marker walk to dims + components + progressive "
+    "flag + orientation — no pixel decode, the entropy payload is the "
+    "environment-capped step exactly like the MP4 codec frames. "
+    "The oracle recomputes "
     "every decoded quantity closed-form, so any encode- or decode-side "
     "bug (PNG filters, WAV sample unpack, APNG sequencing, MP4 chunk "
     "math) breaks the value hash. Typed metadata rides through the two "
@@ -289,6 +302,11 @@ def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_fmp4_samples",
         "fmp4_last_time",
         "fmp4_byte_sum",
+        "jpeg_width",
+        "jpeg_height",
+        "jpeg_components",
+        "jpeg_progressive",
+        "jpeg_orientation",
     )
 
 

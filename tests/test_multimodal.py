@@ -171,6 +171,33 @@ def test_doc_media_pipeline_matches_rules(spark, sf_dir):
         assert r["sum_frame_pixels"] == sum(
             (did * 31 + f * 97 + i) % 256 for f in range(nf) for i in range(n)
         )
+        assert r["jpeg_width"] == 8 + did % 31
+        assert r["jpeg_height"] == 5 + did % 17
+        assert r["jpeg_components"] == 1 + did % 3
+        assert r["jpeg_progressive"] == (did % 2 == 1)
+        assert r["jpeg_orientation"] == ((did % 9) or None)
+
+
+def test_sample_frames_jpeg_still_tier(spark):
+    """A structurally valid JPEG payload is recognized by the marker walk
+    (functions/jpeg.py) and served as a single-frame still — every
+    sampled row carries the intact payload, not byte windows; a corrupt
+    JPEG falls through to the byte-window tier."""
+    from nexus_event_stream_spark.functions.jpeg import jpeg_meta, synthesize_jpeg
+
+    good = synthesize_jpeg(40, 30, orientation=6, scan_bytes=128)
+    bad = b"\xff\xd8" + b"\x00" * 120  # signature but no marker stream
+    media = spark.createDataFrame(
+        [(1, good), (2, bad)], "media_id long, payload binary"
+    )
+    rows = sample_frames(media, n_frames=3, frame_bytes=8).collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(bytes(r["frame"]))
+    assert by_media[1] == [good] * 3
+    for frame in by_media[1]:
+        assert jpeg_meta(frame)["width"] == 40  # still a decodable JPEG
+    assert all(len(f) <= 8 for f in by_media[2])  # tolerant fallback
 
 
 # -- APNG: real video frames -------------------------------------------------
