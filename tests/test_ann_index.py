@@ -6,6 +6,8 @@ results."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -187,3 +189,151 @@ def test_retrain_trigger_via_embedding_drift(spark, tmp_path, corpus, quantizers
     bare = PQIndexStore(str(tmp_path / "bare"), cents, books)
     with pytest.raises(ValueError, match="training_profile"):
         bare.needs_retrain(prof)
+
+
+def test_cross_run_replay_and_collision_safety(spark, tmp_path, corpus, quantizers):
+    """ADVICE r7 pins: (a) a replay under run_token=None is suppressed by
+    dir membership (the old guard never suppressed None-token replays);
+    (b) a NEW run reusing epoch numbers lands in its own token-namespaced
+    dirs — committed data is never clobbered; (c) n_indexed is derived
+    from per-dir row counts, so no path inflates it."""
+    cents, books = quantizers
+    store = PQIndexStore(str(tmp_path / "idx"), cents, books)
+    half = corpus.filter("vec_id % 2 = 0")
+    n_half = half.count()
+
+    # (a) None-token replays are idempotent now
+    assert store.append(half, 0, None) is True
+    assert store.append(half, 0, None) is False
+    assert store.n_indexed == n_half
+
+    # (b) crash recovery restarts with a NEW token and replays epoch 0:
+    # the data lands in a new namespaced dir, the old run's committed
+    # epoch dir is untouched (no clobber), and the count stays honest —
+    # each committed dir counted exactly once
+    before_dirs = list(store.current()["dirs"])
+    assert store.append(corpus.filter("vec_id % 2 = 1"), 0, "run2") is True
+    cur = store.current()
+    assert before_dirs[0] in cur["dirs"] and len(cur["dirs"]) == 2
+    assert "run-run2" in cur["dirs"][1]
+    assert store.n_indexed == corpus.count()
+    assert store.n_indexed == sum(cur["dir_rows"].values())
+    # the first run's rows are still all present and readable
+    got_ids = {r["vec_id"] for r in store.read(spark).collect()}
+    assert got_ids == {r["vec_id"] for r in corpus.collect()}
+    # (a again) same-token replay of an already-committed epoch: no-op
+    assert store.append(corpus.limit(7), 0, "run2") is False
+    assert store.n_indexed == corpus.count()
+
+
+def _clustered_corpus(spark, rng, centers, n_per, id0):
+    import numpy as np
+
+    rows = []
+    vid = id0
+    for c in centers:
+        for _ in range(n_per):
+            v = c + rng.normal(0.0, 0.05, size=c.shape)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _recall_at_1(store, full_df, queries, true_nn):
+    got = store.search(full_df, queries, k=2, nprobe=4, shortlist=24)
+    by = {}
+    for r in got.collect():
+        if r["vec_id"] != r["query_id"]:
+            by.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    hits = 0
+    for qid, want in true_nn.items():
+        cands = sorted(by.get(qid, []))
+        if cands and cands[0][1] == want:
+            hits += 1
+    return hits / len(true_nn)
+
+
+def test_retrain_loop_end_to_end_recall_recovers(spark, tmp_path):
+    """The composed retrain loop (VERDICT r7 #4): seed corpus → gen-1
+    index; a drifted corpus streams in under the FROZEN gen-1 quantizers
+    (recall on drifted queries erodes silently); needs_retrain trips on
+    the drift profile; retrain_swap rebuilds into a NEW generation while
+    gen-1 keeps serving, swings the pointer atomically, vacuums; recall
+    on the same queries recovers against the exact ground truth."""
+    import numpy as np
+
+    from nexus_event_stream_spark.operators.drift import embedding_profile
+    from nexus_event_stream_spark.streaming.ann_index import (
+        active_index,
+        create_generation,
+        retrain_swap,
+    )
+
+    rng = np.random.default_rng(7)
+    dim = 32
+    # seed corpus: clusters living in the FIRST half of the space
+    centers_a = [
+        np.concatenate([rng.normal(0, 1, dim // 2), np.zeros(dim // 2)])
+        for _ in range(8)
+    ]
+    # drifted corpus: a new encoder — clusters in the SECOND half
+    centers_b = [
+        np.concatenate([np.zeros(dim // 2), rng.normal(0, 1, dim // 2)])
+        for _ in range(8)
+    ]
+    corpus_a = _clustered_corpus(spark, rng, centers_a, 40, 0)
+    corpus_b = _clustered_corpus(spark, rng, centers_b, 40, 10_000)
+
+    root = str(tmp_path / "annroot")
+    store = create_generation(
+        root, corpus_a, n_centroids=8, m=8, ksub=16, iters=4
+    )
+    assert store.n_indexed == corpus_a.count()
+
+    # drifted vectors stream in under the frozen gen-1 quantizers
+    active = active_index(root)
+    active.append(corpus_b, epoch=1, run_token="ingest")
+    full = corpus_a.unionAll(corpus_b)
+    assert active.n_indexed == full.count()
+
+    # trigger: the current corpus profile vs the pinned training profile
+    rep = active.needs_retrain(embedding_profile(full))
+    assert rep["drifted"] is True
+
+    # exact ground truth for drifted queries (numpy, test harness only)
+    rows = sorted(
+        ((r["vec_id"], np.array(r["embedding"])) for r in full.collect()),
+        key=lambda t: t[0],
+    )
+    ids = np.array([t[0] for t in rows])
+    x = np.stack([t[1] for t in rows])
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    s = xn @ xn.T
+    np.fill_diagonal(s, -np.inf)
+    q_ids = [int(i) for i in ids if i >= 10_000][:30]
+    pos = {int(v): i for i, v in enumerate(ids)}
+    true_nn = {q: int(ids[s[pos[q]].argmax()]) for q in q_ids}
+    queries = [(q, [float(v) for v in x[pos[q]]]) for q in q_ids]
+
+    r_before = _recall_at_1(active, full, queries, true_nn)
+
+    gen1_dir = active.path
+    rep2 = retrain_swap(root, full, n_centroids=8, m=8, ksub=16, iters=4)
+    assert rep2["gen"] == 2 and rep2["n_vectors"] == full.count()
+    # gen-1 kept as prev (in-flight readers), pointer now serves gen-2
+    assert os.path.isdir(gen1_dir)
+    active2 = active_index(root)
+    assert active2.path != gen1_dir
+    # the new generation's pinned profile matches the current corpus
+    assert active2.needs_retrain(embedding_profile(full))["drifted"] is False
+
+    r_after = _recall_at_1(active2, full, queries, true_nn)
+    assert r_after >= r_before, (r_before, r_after)
+    assert r_after >= 0.5, f"retrained recall did not recover: {r_after}"
+    print(f"recall@1 before={r_before:.2f} after={r_after:.2f}")
+
+    # a third generation vacuums gen-1 (two-behind) but keeps gen-2
+    gen2_dir = active2.path
+    retrain_swap(root, full, n_centroids=8, m=8, ksub=16, iters=4)
+    assert not os.path.isdir(gen1_dir)
+    assert os.path.isdir(gen2_dir)
