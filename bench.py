@@ -439,10 +439,23 @@ def _stress_bench(
         stages["exact_dedup"].unpersist()
         return dt
 
+    def run_cdc_dedup() -> float:
+        # content-defined-chunk dedup, Arrow convolution kernel (the
+        # Catalyst HOF twin measures ~23× slower — interpreted lambdas;
+        # property-pinned bit-identical in tests/test_quality.py)
+        from nexus_event_stream_spark.operators.quality import cdc_dedup
+
+        t0 = time.perf_counter()
+        cdc_dedup(docs, divisor=64, window=8).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.perf_counter() - t0
+
     workloads: list[tuple[str, object, int]] = [
         ("dedup_chain_25x", run_dedup_chain, n_docs),
         ("pack_sequences_25x", run_packing, n_docs),
         ("ivf_pq_search_25x", run_ivf_pq, n_vecs),
+        ("cdc_dedup_25x", run_cdc_dedup, n_docs),
         ("corpus_pipeline_25x", run_pipeline, n_docs),
     ]
     runs: dict[str, list[float]] = {name: [] for name, _, _ in workloads}
