@@ -50,9 +50,13 @@ TRAIN, EVAL, QUARANTINED = "train", "eval", "quarantined"
 
 #: Quarantined-id sets at or below this size are collected and embedded
 #: into the split plan as a local relation (zero residual cache); larger
-#: sets stay as a persisted relation the caller can clear. 1M bigint ids
-#: ≈ 8 MB on the driver — safely under any sane driver heap.
-_LEAKED_COLLECT_CAP = 1_000_000
+#: sets stay as a persisted relation the caller can clear. Sized off the
+#: ACTUAL driver cost, not raw value bytes (ADVICE r7): collect
+#: materializes Python Row objects (~100s of bytes each, worse for
+#: string/UUID ids) and the local relation re-serializes into the plan —
+#: 100k ids ≈ tens of MB transiently, safely under any sane driver heap;
+#: 1M was hundreds of MB.
+_LEAKED_COLLECT_CAP = 100_000
 
 
 def hash_split(
@@ -233,10 +237,15 @@ def leakage_safe_split(
     leaked = pairs.select(F.col("train_id").alias(id_col)).distinct()
     n_leaked = leaked.count()
     if n_leaked <= _LEAKED_COLLECT_CAP:
-        rows = leaked.collect()
+        import pandas as pd
+
+        # plain values in an Arrow-backed pandas frame, not a list of Row
+        # objects: createDataFrame(pandas) ships one Arrow batch into the
+        # local relation instead of pickling per-row (ADVICE r7)
+        vals = [r[0] for r in leaked.collect()]
         pairs.unpersist()
         leaked = split_df.sparkSession.createDataFrame(
-            rows, schema=leaked.schema
+            pd.DataFrame({id_col: vals}), schema=leaked.schema
         )
     else:
         leaked = leaked.persist(StorageLevel.MEMORY_AND_DISK)

@@ -41,6 +41,12 @@ from nexus_event_stream_spark.operators.drift import (
 )
 from nexus_event_stream_spark.streaming.commit import PosixRenameBackend
 
+#: Flags that compare absolute corpus volume — meaningful snapshot vs
+#: snapshot (cumulative verdict), structurally meaningless for one
+#: micro-batch vs a full reference corpus (ADVICE r7: any healthy batch
+#: smaller than reference/4 would page doc_count_jump forever).
+_SCALE_FLAGS = frozenset({"doc_count_jump", "empty_snapshot"})
+
 
 class StreamingProfileMonitor:
     """Accumulates a running :class:`CorpusProfile` across epochs and
@@ -105,7 +111,16 @@ class StreamingProfileMonitor:
         reference — the paging signal) and ``cumulative`` (lifetime vs
         reference — slow-creep drift the per-epoch gate can't see).
         Top-level ``flags``/``drifted`` are the union so existing
-        gate-on-``drifted`` callers page on either."""
+        gate-on-``drifted`` callers page on either.
+
+        The batch verdict gates on SHAPE metrics only (length quantiles,
+        token L1, content jaccard): count/volume checks compare absolute
+        doc counts, and a micro-batch is smaller than the reference
+        corpus by construction — ``doc_count_jump`` would page every
+        healthy epoch and ``empty_snapshot`` every idle trigger (ADVICE
+        r7). An empty batch SKIPS the batch verdict entirely
+        (``batch.skipped``); volume anomalies stay the cumulative
+        verdict's job, where the totals are actually comparable."""
         ptr = self._read()
         if ptr is not None and epoch <= ptr["epoch"]:
             return ptr["report"]  # replay after a crash: already applied
@@ -118,7 +133,23 @@ class StreamingProfileMonitor:
             )
         report = None
         if self.reference is not None:
-            batch_rep = drift_report(self.reference, batch, self.thresholds)
+            if batch.n_docs == 0:
+                batch_rep = {
+                    "metrics": {"n_docs_b": 0},
+                    "flags": [],
+                    "drifted": False,
+                    "skipped": "empty_batch",
+                }
+            else:
+                raw = drift_report(self.reference, batch, self.thresholds)
+                shape_flags = [
+                    f for f in raw["flags"] if f not in _SCALE_FLAGS
+                ]
+                batch_rep = {
+                    **raw,
+                    "flags": shape_flags,
+                    "drifted": bool(shape_flags),
+                }
             cum_rep = drift_report(self.reference, running, self.thresholds)
             report = {
                 "batch": batch_rep,

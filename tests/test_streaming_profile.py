@@ -111,3 +111,26 @@ def test_small_break_after_long_history_still_pages(spark, tmp_path, reference):
     assert r["cumulative"]["drifted"] is False
     # accumulation is unaffected by gating grain
     assert mon.profile.n_docs == 900
+
+
+def test_small_and_empty_batches_never_page_on_volume(spark, tmp_path, reference):
+    """ADVICE r7: the batch verdict gates on shape only. A healthy batch
+    far below reference/4 (here 20 vs 400 docs, ratio 20) must NOT page
+    doc_count_jump, and an empty micro-batch (idle trigger) must skip the
+    batch verdict instead of paging empty_snapshot. Volume anomalies
+    remain the cumulative verdict's job, where totals are comparable."""
+    mon = StreamingProfileMonitor(str(tmp_path / "p.json"), reference=reference)
+    r = mon.apply_batch(_batch(spark, 0, 20), epoch=0)
+    assert r["batch"]["drifted"] is False
+    assert "doc_count_jump" not in r["batch"]["flags"]
+    # empty trigger: skipped, not a page
+    r = mon.apply_batch(_batch(spark, 0, 0), epoch=1)
+    assert r["batch"]["drifted"] is False
+    assert r["batch"].get("skipped") == "empty_batch"
+    assert mon.profile.n_docs == 20  # accumulation unaffected
+    # cumulative volume checks still live: grow the lifetime corpus past
+    # 4x the reference and the CUMULATIVE verdict (only) flags it
+    for i in range(4):
+        r = mon.apply_batch(_batch(spark, 1000 + i * 500, 500), epoch=2 + i)
+    assert "doc_count_jump" in r["cumulative"]["flags"]
+    assert "doc_count_jump" not in r["batch"]["flags"]
