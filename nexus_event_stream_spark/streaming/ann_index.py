@@ -519,3 +519,40 @@ def retrain_swap(
         if name.startswith("gen-") and name not in keep:
             shutil.rmtree(os.path.join(root, name), ignore_errors=True)
     return {"gen": gen, "dir": dirname, "n_vectors": store.n_indexed}
+
+
+def maybe_retrain(
+    root: str,
+    corpus: DataFrame,
+    thresholds: dict | None = None,
+    backend=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **train_kwargs,
+) -> dict:
+    """The scheduled-maintenance composition a deployment actually calls:
+    profile the current corpus, check the active generation's
+    quantizer-decay trigger, and swap ONLY if drifted — the no-op path
+    costs one profiling pass and zero writes, so it can run every
+    maintenance window unconditionally (the same shape as
+    ``publish_serving_snapshot``'s unchanged-store fast path and
+    ``zorder_append``'s needs_compaction deferral).
+
+    Returns ``{"retrained": bool, "report": <drift report>,
+    "swap": <retrain_swap report> | None}``.
+    """
+    from nexus_event_stream_spark.operators.drift import embedding_profile
+
+    active = active_index(
+        root, backend=backend, id_col=id_col, vec_col=vec_col
+    )
+    rep = active.needs_retrain(
+        embedding_profile(corpus, vec_col=vec_col), thresholds
+    )
+    if not rep["drifted"]:
+        return {"retrained": False, "report": rep, "swap": None}
+    swap = retrain_swap(
+        root, corpus, backend=backend, id_col=id_col, vec_col=vec_col,
+        **train_kwargs,
+    )
+    return {"retrained": True, "report": rep, "swap": swap}

@@ -337,3 +337,43 @@ def test_retrain_loop_end_to_end_recall_recovers(spark, tmp_path):
     retrain_swap(root, full, n_centroids=8, m=8, ksub=16, iters=4)
     assert not os.path.isdir(gen1_dir)
     assert os.path.isdir(gen2_dir)
+
+
+def test_maybe_retrain_is_conditional(spark, tmp_path):
+    """The maintenance-window composition: a healthy corpus is a no-op
+    (same generation keeps serving, zero writes); a drifted one swaps."""
+    import numpy as np
+
+    from nexus_event_stream_spark.streaming.ann_index import (
+        active_index,
+        create_generation,
+        maybe_retrain,
+    )
+
+    rng = np.random.default_rng(11)
+    dim = 32
+    centers = [
+        np.concatenate([rng.normal(0, 1, dim // 2), np.zeros(dim // 2)])
+        for _ in range(6)
+    ]
+    corpus = _clustered_corpus(spark, rng, centers, 30, 0)
+    root = str(tmp_path / "root")
+    create_generation(root, corpus, n_centroids=6, m=8, ksub=16, iters=3)
+
+    out = maybe_retrain(root, corpus, n_centroids=6, m=8, ksub=16, iters=3)
+    assert out["retrained"] is False and out["swap"] is None
+    assert active_index(root).path.split("/")[-1].startswith("gen-1")
+
+    drifted_centers = [
+        np.concatenate([np.zeros(dim // 2), rng.normal(0, 1, dim // 2)])
+        for _ in range(6)
+    ]
+    drifted = corpus.unionAll(
+        _clustered_corpus(spark, rng, drifted_centers, 30, 5000)
+    )
+    out2 = maybe_retrain(root, drifted, n_centroids=6, m=8, ksub=16, iters=3)
+    assert out2["retrained"] is True and out2["swap"]["gen"] == 2
+    assert active_index(root).path.split("/")[-1].startswith("gen-2")
+    # the new generation's trigger is quiet on the corpus it trained on
+    out3 = maybe_retrain(root, drifted, n_centroids=6, m=8, ksub=16, iters=3)
+    assert out3["retrained"] is False
