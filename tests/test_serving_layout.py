@@ -311,3 +311,51 @@ def test_concurrent_publisher_conflict_is_explicit(spark, tmp_path):
     )
     got, _ = serve_list_newest(spark, path, k=10, backend=backend)
     assert got.count() == 10
+
+
+def test_racing_reader_never_sees_partial_layout(spark, tmp_path):
+    """True interleaving, not just sequenced pins: a reader thread
+    resolves + fully reads the serving layout in a tight loop while the
+    main thread republishes repeatedly. Every read must return a
+    COMPLETE layout — the row count of some committed store version,
+    never a half-written directory (the pre-r8 in-place overwrite failed
+    exactly this)."""
+    import threading
+
+    store = BucketedViewStore(str(tmp_path / "store"), n_buckets=8)
+    apply_batch_bucketed(spark, store, _batch(spark, 0, 120, 0), 0, "run")
+    path = str(tmp_path / "layout")
+    publish_serving_snapshot(spark, store, path, n_files=8)
+
+    # committed row counts per published version: 120, then +40 each
+    valid_counts = {120, 160, 200, 240}
+    errors: list = []
+    seen: set = set()
+    stop = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            try:
+                d = resolve_serving_dir(path)
+                n = spark.read.parquet(d).count()
+                seen.add(n)
+                if n not in valid_counts:
+                    errors.append(f"partial layout observed: {n} rows")
+                    return
+            except Exception as exc:  # noqa: BLE001 — any read failure is a bug
+                errors.append(repr(exc))
+                return
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    try:
+        for i in range(3):
+            apply_batch_bucketed(
+                spark, store, _batch(spark, 1000 + i * 40, 40, 100 + i), i + 1, "run"
+            )
+            publish_serving_snapshot(spark, store, path, n_files=8)
+    finally:
+        stop.set()
+        t.join(timeout=30)
+    assert not errors, errors
+    assert seen & valid_counts  # the reader actually read something
