@@ -588,8 +588,8 @@ def _replay_stress_bench(spark, n_keys: int = 800_000, n_buckets: int = 256):
     for _ in range(2):
         for bucketed, tag in ((True, "bucketed"), (False, "full")):
             s_dt, d_dt = run(bucketed)
-            results[f"replay50k_sparse_{tag}"].append(s_dt)
-            results[f"replay50k_dense_{tag}"].append(d_dt)
+            results[f"replay800k_sparse_{tag}"].append(s_dt)
+            results[f"replay800k_dense_{tag}"].append(d_dt)
     info = {
         "n_keys": n_keys,
         "n_buckets": n_buckets,
