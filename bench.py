@@ -344,6 +344,9 @@ def _stress_bench(
     driver heap OOMing AQE's 64 MB broadcast builds (session.py now sizes
     the driver explicitly), invisible at 1×.
     """
+    import shutil
+    import tempfile
+
     from pyspark.sql import functions as F
 
     from nexus_event_stream_spark.functions.text import token_count
@@ -404,7 +407,18 @@ def _stress_bench(
     n_vecs = emb25.count()
     cents = ivf_train_centroids(emb25, n_centroids=16, iters=3)
     books = pq_train_codebooks(emb25, m=8, ksub=16, iters=3)
-    index = pq_build_index(emb25, cents, books).persist()
+    # Snapshot the built index to parquet and read it back: severing the
+    # build lineage means a block-manager eviction (the corpus_pipeline
+    # pass persists ~125k docs between this entry's interleaved runs)
+    # costs a bounded parquet re-scan, not a full re-train+re-encode
+    # inside the clock — the r7/r8 2.3–8.7× run-to-run swing was exactly
+    # that recompute. Also production-realistic: streaming/ann_index.py
+    # serves the index from parquet dirs, never from lineage.
+    idx_dir = tempfile.mkdtemp(prefix="bench_pq_index_")
+    pq_build_index(emb25, cents, books).write.mode("overwrite").parquet(
+        idx_dir
+    )
+    index = spark.read.parquet(idx_dir).persist()
     index.count()
     qrows = emb.select("vec_id", "embedding").filter("vec_id < 3").collect()
     queries = [(int(r.vec_id), list(r.embedding)) for r in qrows]
@@ -463,6 +477,7 @@ def _stress_bench(
         for name, fn, _ in workloads:
             runs[name].append(fn())
     index.unpersist()
+    shutil.rmtree(idx_dir, ignore_errors=True)
     return {name: (runs[name], n) for name, _, n in workloads}
 
 
