@@ -453,6 +453,21 @@ def _stress_bench(
         stages["exact_dedup"].unpersist()
         return dt
 
+    # Semantic dedup over 25× vectors: the mirror corpus is the worst
+    # realistic shape (every vector has 24 exact semantic twins → every
+    # cluster is wall-to-wall duplicate groups). Centroids are the same
+    # 16×64 k-means as the IVF entry (trained once, outside the clock — a
+    # deployment re-clusters per corpus snapshot, not per query); the
+    # pairwise + components + keeper chain is what's timed.
+    from nexus_event_stream_spark.operators.semdedup import semantic_dedup
+
+    def run_semantic_dedup() -> float:
+        t0 = time.perf_counter()
+        semantic_dedup(
+            emb25, eps=0.99, centroids=cents, max_pairwise=4096
+        ).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
     def run_cdc_dedup() -> float:
         # content-defined-chunk dedup, Arrow convolution kernel (the
         # Catalyst HOF twin measures ~23× slower — interpreted lambdas;
@@ -469,6 +484,7 @@ def _stress_bench(
         ("dedup_chain_25x", run_dedup_chain, n_docs),
         ("pack_sequences_25x", run_packing, n_docs),
         ("ivf_pq_search_25x", run_ivf_pq, n_vecs),
+        ("semantic_dedup_25x", run_semantic_dedup, n_vecs),
         ("cdc_dedup_25x", run_cdc_dedup, n_docs),
         ("corpus_pipeline_25x", run_pipeline, n_docs),
     ]

@@ -96,6 +96,17 @@ class CorpusRecipe:
     #: passage dedup structurally misses. None disables.
     cdc_divisor: int | None = None
     cdc_max_dup_frac: float = 0.5
+    #: semantic near-dup gate (operators/semdedup.py, SemDeDup): an
+    #: embeddings DataFrame with (id_col, ``embedding_col``) rows. When
+    #: set, runs right after the lexical near-dedup — MinHash catches
+    #: edit-level mirrors cheaply, the semantic pass catches paraphrases
+    #: that share no shingles. Docs with no embedding row pass through
+    #: (an embedding-coverage gap must not silently drop documents);
+    #: ``semantic_params`` forwards eps / n_clusters / centroids /
+    #: max_pairwise / keep to ``semantic_dedup``.
+    embeddings: DataFrame | None = None
+    embedding_col: str = "embedding"
+    semantic_params: dict = field(default_factory=dict)
     mixture: dict[str, float] | None = None
     mixture_source_col: str = "source"
     seq_len: int | None = None
@@ -218,6 +229,28 @@ def prepare_training_corpus(
 
             cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
         stages["near_dedup"] = cur
+
+    if recipe.embeddings is not None:
+        from nexus_event_stream_spark.operators.semdedup import semantic_dedup
+
+        # only embed rows for documents still in the corpus — the mapping
+        # must not resurrect or be skewed by already-dropped docs
+        emb = recipe.embeddings.join(cur.select(id_col), id_col, "left_semi")
+        mapping = semantic_dedup(
+            emb,
+            id_col=id_col,
+            vec_col=recipe.embedding_col,
+            **recipe.semantic_params,
+        )
+        cur = (
+            cur.join(mapping, id_col, "left")
+            .filter(
+                F.col("keep_id").isNull()
+                | (F.col(id_col) == F.col("keep_id"))
+            )
+            .drop("keep_id")
+        )
+        stages["semantic_dedup"] = cur
 
     if recipe.benchmark is not None:
         grams = benchmark_ngrams(

@@ -259,3 +259,51 @@ def test_drift_gate_passes_identical_and_refuses_shifted(spark, sf_dir):
         prepare_training_corpus(alien, gated)
     assert exc.value.report["drifted"] is True
     assert len(exc.value.report["flags"]) > 0
+
+
+def test_semantic_dedup_stage(spark):
+    """Planted paraphrase pair (disjoint shingles, near-identical
+    embeddings): MinHash keeps both, the semantic stage drops one; a doc
+    with no embedding row passes through untouched."""
+    from pyspark.sql import types as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "a fast auburn vulpine leaps across an idle canine now"),
+            (3, "completely unrelated text about spark shuffle planning"),
+            (4, "this document has no embedding row at all and stays"),
+        ],
+        "doc_id long, text string",
+    )
+    base = [float((i * 37 % 19) - 9) for i in range(16)]
+    emb = spark.createDataFrame(
+        [
+            (1, base),
+            (2, [v + 1e-4 for v in base]),  # semantic twin of doc 1
+            (3, [float((i * 53 % 17) - 8) for i in range(16)]),
+        ],
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    )
+    recipe = CorpusRecipe(
+        quality=False,
+        redact_pii=False,
+        exact_dedup=False,
+        near_dedup=True,
+        minhash_params={"threshold": 0.9},  # paraphrase shares no shingles
+        embeddings=emb,
+        semantic_params={"eps": 0.99, "n_clusters": 2, "iters": 2},
+    )
+    corpus, stages = prepare_training_corpus(docs, recipe)
+    assert "semantic_dedup" in stages
+    surviving = {r.doc_id for r in corpus.select("doc_id").collect()}
+    # lexical near-dedup kept all 4 (no shingle overlap at 0.9)
+    assert {r.doc_id for r in stages["near_dedup"].select("doc_id").collect()} == {1, 2, 3, 4}
+    # exactly one of the semantic twins survives; 3 and 4 untouched
+    assert len(surviving & {1, 2}) == 1
+    assert {3, 4} <= surviving
