@@ -1,0 +1,277 @@
+"""Continuous time-bucket rollups — hypertable-style incremental
+aggregates over the event stream.
+
+The TimescaleDB continuous-aggregate / Druid-rollup shape, rebuilt on the
+repo's bucketed-store machinery: a ``RollupStore`` materializes PARTIAL
+aggregates per (time bucket × dimensions) — count, integer-cents sum,
+min, max — and every micro-batch epoch merges only the time buckets it
+touches. Because every partial is MERGEABLE (associative, commutative,
+exact integer arithmetic — the repo's combine-order-independence
+convention), three properties fall out by construction:
+
+- **Late data is just another merge.** An event for last Tuesday arriving
+  today re-merges Tuesday's bucket — no watermark-drops-it semantics, no
+  full recompute. Plain Structured-Streaming append-mode windows cannot
+  revise a window after the watermark closes it; the rollup store can,
+  which is exactly why hypertables materialize partials, not finals.
+- **Coarser grains are free and exact.** hour→day→month rollups re-merge
+  the same partials (``coarsen``) — no second pass over raw events and
+  no float drift (integer cents).
+- **Real-time views are a union-merge.** ``realtime_aggregate`` merges
+  the materialized partials with partials of the not-yet-applied tail —
+  the serving pattern where the stored rollup answers history and the
+  last seconds come from the queue. Exactness rests on the caller's
+  stored∕tail DISJOINTNESS contract (the stream's own delivery boundary).
+
+Storage reuses ``BucketedViewStore`` verbatim (pointer-last atomic
+commit under both backends, touched-bucket-only rewrites, vacuum keeping
+reader-referenced versions) with ``key_col = bucket_ts``: per-epoch write
+cost is O(|batch partials| + |touched time buckets|), never O(|history|).
+A year of hourly × 1k-dim partials is ~9M rows — the STORE is bounded by
+the rollup grain, not the event volume, which is the whole point of
+rollup at 100 TB of raw events.
+
+Exactly-once: additive aggregates are NOT idempotent under replay (a
+re-applied epoch double-counts — unlike the LWW stores, where replay is
+harmless), so the epoch guard here is strictly monotone: ``epoch <=
+last_epoch`` is suppressed UNCONDITIONALLY, across run tokens. That is
+correct for Structured Streaming's contract (foreachBatch epoch ids are
+monotone per CHECKPOINT, continuing across restarts) and pins one store
+to one checkpointed query; a fresh query (epoch ids restart at 0) needs
+a fresh store path.
+
+No reference counterpart: the reference serves only the latest-state view
+(`data-plane/internal/projection/signal.go`); time-bucketed analytics
+over the event history is part of this engine's analytics surface
+(SURVEY §2.9's batch q_tumbling_window is the one-shot twin — pinned
+equal in tests/test_rollup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from .projection import BucketedViewStore, _bucket_expr
+
+__all__ = [
+    "RollupStore",
+    "coarsen",
+    "finalize",
+    "merge_partials",
+    "realtime_aggregate",
+    "start_rollup",
+]
+
+_AGG_FIELDS = [
+    T.StructField("n_events", T.LongType()),
+    T.StructField("sum_cents", T.LongType()),
+    T.StructField("min_cents", T.LongType()),
+    T.StructField("max_cents", T.LongType()),
+]
+
+
+def _merge_exprs() -> list:
+    return [
+        F.sum("n_events").alias("n_events"),
+        F.sum("sum_cents").alias("sum_cents"),
+        F.min("min_cents").alias("min_cents"),
+        F.max("max_cents").alias("max_cents"),
+    ]
+
+
+def merge_partials(partials: DataFrame, dims: tuple[str, ...]) -> DataFrame:
+    """Merge partial rows sharing (bucket_ts, dims) — associative/
+    commutative exact-integer folds, safe under any combine order."""
+    return partials.groupBy("bucket_ts", *dims).agg(*_merge_exprs())
+
+
+def coarsen(
+    partials: DataFrame, grain: str, dims: tuple[str, ...]
+) -> DataFrame:
+    """Re-bucket partials to a coarser ``grain`` and merge — EXACT (the
+    mergeable-partial property): hour→day from the stored rollup equals a
+    day rollup computed from raw events, without touching raw events."""
+    return merge_partials(
+        partials.withColumn(
+            "bucket_ts", F.window(F.col("bucket_ts"), grain)["start"]
+        ),
+        dims,
+    )
+
+
+def finalize(partials: DataFrame, dims: tuple[str, ...]) -> DataFrame:
+    """Finalized aggregate columns from partials (floats only at the
+    edge, per the integer-cents convention)."""
+    return partials.select(
+        "bucket_ts",
+        *dims,
+        "n_events",
+        (F.col("sum_cents") / 100.0).alias("sum_value"),
+        (F.col("min_cents") / 100.0).alias("min_value"),
+        (F.col("max_cents") / 100.0).alias("max_value"),
+        (F.col("sum_cents") / 100.0 / F.col("n_events")).alias("avg_value"),
+    )
+
+
+def realtime_aggregate(
+    stored: DataFrame | None,
+    tail_partials: DataFrame,
+    dims: tuple[str, ...],
+) -> DataFrame:
+    """Stored rollup ∪ un-applied tail, merged — the real-time serving
+    view. Caller contract: tail events are DISJOINT from every applied
+    epoch (the stream's delivery boundary provides exactly this)."""
+    merged = (
+        tail_partials
+        if stored is None
+        else stored.unionByName(tail_partials)
+    )
+    return merge_partials(merged, dims)
+
+
+class RollupStore:
+    """Incrementally-maintained time-bucket rollup over an event stream.
+
+    ``grain`` is any Spark window duration ("1 hour", "15 minutes");
+    ``dims`` the grouping dimensions kept alongside the time bucket;
+    ``value_col`` aggregates as integer cents. Storage, atomic commit,
+    touched-bucket locality, and vacuum come from BucketedViewStore
+    (key = bucket_ts, so one time bucket's partials — all dims — live in
+    one hash bucket and late-merges rewrite only that bucket's dir).
+    """
+
+    def __init__(
+        self,
+        path: str,
+        grain: str = "1 hour",
+        dims: tuple[str, ...] = ("event_type",),
+        n_buckets: int = 32,
+        backend=None,
+        ts_col: str = "ts",
+        value_col: str = "value",
+    ):
+        self.grain = grain
+        self.dims = tuple(dims)
+        self.ts_col = ts_col
+        self.value_col = value_col
+        schema = T.StructType(
+            [T.StructField("bucket_ts", T.TimestampType())]
+            + [T.StructField(d, T.StringType()) for d in self.dims]
+            + _AGG_FIELDS
+        )
+        self._store = BucketedViewStore(
+            path,
+            n_buckets=n_buckets,
+            backend=backend,
+            schema=schema,
+            key_col="bucket_ts",
+        )
+
+    # -- aggregation --------------------------------------------------------
+
+    def partials(self, events: DataFrame) -> DataFrame:
+        """Events → partial rows at the store's grain (one shuffle,
+        map-side combined; output is bucket-grain, |batch|-independent)."""
+        cents = F.round(F.col(self.value_col) * 100, 0).cast("bigint")
+        return (
+            events.withColumn("__c", cents)
+            .groupBy(
+                F.window(F.col(self.ts_col), self.grain)["start"].alias(
+                    "bucket_ts"
+                ),
+                *[F.col(d).cast("string").alias(d) for d in self.dims],
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("__c").alias("sum_cents"),
+                F.min("__c").alias("min_cents"),
+                F.max("__c").alias("max_cents"),
+            )
+        )
+
+    # -- store passthrough --------------------------------------------------
+
+    def current(self) -> dict | None:
+        return self._store.current()
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        """The materialized partials table (None before the first epoch)."""
+        return self._store.read(spark)
+
+    def finalized(self, spark: SparkSession) -> DataFrame | None:
+        stored = self.read(spark)
+        return None if stored is None else finalize(stored, self.dims)
+
+    # -- write path ---------------------------------------------------------
+
+    def apply_batch(
+        self, spark: SparkSession, batch: DataFrame, epoch: int
+    ) -> None:
+        """foreachBatch body: strictly-monotone epoch guard (additive
+        state — replay must NEVER double-count, see module docstring),
+        then merge the batch's partials into only the touched buckets."""
+        cur = self.current()
+        if cur is not None and cur.get("epoch") is not None and epoch <= cur["epoch"]:
+            return
+        batch_partials = self.partials(batch)
+        touched = [
+            r[0]
+            for r in batch_partials.select(
+                _bucket_expr(self._store.n_buckets, "bucket_ts").alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        if not touched:
+            # empty batch still advances the epoch pointer, or a crash
+            # replaying it could land AFTER later epochs and double-apply
+            if cur is not None:
+                self._store._commit({**cur, "epoch": epoch}, expected=cur)
+            return
+        state_slice = (
+            self._store.read(spark, buckets=touched) if cur else None
+        )
+        merged = (
+            batch_partials
+            if state_slice is None
+            else merge_partials(
+                state_slice.unionByName(batch_partials), self.dims
+            )
+        )
+        cols = [f.name for f in self._store.schema.fields]
+        self._store.write_buckets(merged.select(*cols), touched, epoch)
+
+    def realtime(
+        self, spark: SparkSession, tail_events: DataFrame
+    ) -> DataFrame:
+        """Finalized real-time view: materialized history + the caller's
+        un-applied tail (disjointness is the caller's contract)."""
+        return finalize(
+            realtime_aggregate(
+                self.read(spark), self.partials(tail_events), self.dims
+            ),
+            self.dims,
+        )
+
+
+def start_rollup(
+    spark: SparkSession,
+    events: DataFrame,
+    store: RollupStore,
+    checkpoint_path: str,
+    trigger_seconds: int | None = None,
+):
+    """Wire a parsed event stream into the rollup store and start it —
+    the continuous-aggregate twin of ``start_projection``."""
+
+    def _apply(batch: DataFrame, epoch: int) -> None:
+        store.apply_batch(spark, batch, epoch)
+
+    writer = (
+        events.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(_apply)
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
