@@ -1,0 +1,187 @@
+"""Distributed BM25 full-text retrieval over the documents table.
+
+An inverted-index build + query-time scoring pass, entirely in Catalyst
+(no Python in any per-row path): tokenize → posting list (term, doc, tf)
+with document-frequency capping → denormalized per-posting idf/length —
+then a query is a BROADCAST join of its handful of terms against the
+postings, one integer-summed aggregation per (query, doc), and a per-query
+top-k window. Retrieval belongs in a training-data engine: corpus QA
+("which documents say X"), similarity-based decontamination, and
+hard-negative mining are all BM25 probes over the same postings.
+
+No reference counterpart (the reference serves key lookups only); the
+formula is the standard Robertson/Spärck-Jones BM25 (k1 tf saturation,
+b length normalization, the +0.5-smoothed idf).
+
+Scale shape (the 100 TB argument):
+- The posting build is ONE shuffle on the term key. ``max_df_frac``
+  drops stop-terms — simultaneously the ranking no-op (idf ≈ 0) and the
+  SKEW surface (a term in half the corpus is a posting list half the
+  corpus long); same cap discipline as ``max_gram_df`` in the dedup
+  chain. Shuffle bytes after the cap ∝ informative postings only.
+- Queries are tiny (tens of terms) → broadcast; the scoring join never
+  shuffles the postings side, and the per-(query, doc) aggregation is
+  map-side combined with |touched postings| input rows, not |corpus|.
+- Scores are summed as FIXED-POINT int64 (floor(x·2^20 + ½) per posting
+  before any summation — the repo's combine-order-independence
+  convention): ranking is bit-deterministic under any partitioning, AQE
+  re-plan, or combine order, and ties break on doc_id.
+- Top-k per query is a rank window → WindowGroupLimit map-side pre-drop;
+  the driver never sees more than queries×k rows.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["BM25Index", "build_bm25_index", "bm25_topk", "search_tokens"]
+
+#: fixed-point scale for score quantization (2^20 ≈ 1e-6 resolution —
+#: far below any meaningful BM25 score difference, far above double
+#: summation noise)
+SCORE_SCALE = 1 << 20
+
+
+def search_tokens(col: Column | str) -> Column:
+    """Search-grade tokenization: lowercase, split on non-alphanumeric
+    runs, drop empties. (Deliberately coarser than the quality tier's
+    whitespace convention — retrieval wants 'Spark,' == 'spark'.)"""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.split(F.lower(c), "[^a-z0-9]+"), lambda t: F.length(t) > 0
+    )
+
+
+@dataclass
+class BM25Index:
+    """Queryable BM25 index: denormalized postings + corpus scalars.
+
+    ``postings`` rows: (term, doc_id, tf, dl, idf) — idf and doc length
+    ride each posting so query time is join → score → sum, no extra
+    joins. Persist or write ``postings`` bucketed by term for repeated
+    query workloads (one shuffle amortized forever, like the view table).
+    """
+
+    postings: DataFrame
+    n_docs: int
+    avgdl: float
+    id_col: str = "doc_id"
+
+
+def build_bm25_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df_frac: float = 0.5,
+    min_df: int = 1,
+) -> BM25Index:
+    """Tokenize → per-(term, doc) tf → df-capped postings with idf.
+
+    Two tiny driver scalars (corpus size, average doc length) come from
+    one aggregate each; everything row-scaled stays distributed. Terms
+    with df > ``max_df_frac``·N (stop-terms: no ranking signal, maximal
+    posting skew) or df < ``min_df`` (hapax noise, optional) are dropped
+    from the index entirely.
+    """
+    toks = docs.select(
+        F.col(id_col), search_tokens(text_col).alias("__toks")
+    ).withColumn("dl", F.size("__toks"))
+    n_docs, avgdl = toks.select(
+        F.count(F.lit(1)), F.avg("dl")
+    ).first()
+    avgdl = float(avgdl or 0.0)
+    tf = (
+        toks.select(id_col, "dl", F.explode("__toks").alias("term"))
+        .groupBy("term", id_col, "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    max_df = int(max_df_frac * n_docs)
+    df = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") <= max_df) & (F.col("df") >= min_df))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+    )
+    postings = tf.join(df.select("term", "idf"), "term").select(
+        "term", id_col, "tf", "dl", "idf"
+    )
+    return BM25Index(postings, int(n_docs), avgdl, id_col)
+
+
+def bm25_topk(
+    index: BM25Index,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents per query: (query_id, doc_id, score, rank).
+
+    Query terms (with their in-query tf as a weight) broadcast against
+    the postings; per-posting contributions quantize to int64 BEFORE the
+    per-(query, doc) sum, so scores and ranks are partition-independent;
+    rank ties break on doc_id. ``score`` is the fixed-point sum scaled
+    back to double at the edge.
+    """
+    from pyspark.sql import Window
+
+    spark = index.postings.sparkSession
+    qrows = []
+    for qid, text in queries:
+        counts: dict[str, int] = {}
+        for t in _py_search_tokens(text):
+            counts[t] = counts.get(t, 0) + 1
+        for t, qtf in counts.items():
+            qrows.append((int(qid), t, int(qtf)))
+    qdf = spark.createDataFrame(
+        qrows, "query_id long, term string, qtf long"
+    )
+    dl_norm = F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(index.avgdl)
+    contrib = (
+        F.col("qtf").cast("double")
+        * F.col("idf")
+        * (F.col("tf") * F.lit(k1 + 1.0))
+        / (F.col("tf") + F.lit(k1) * dl_norm)
+    )
+    scored = (
+        index.postings.join(F.broadcast(qdf), "term")
+        .withColumn(
+            "__q",
+            F.floor(contrib * F.lit(float(SCORE_SCALE)) + F.lit(0.5)).cast(
+                "bigint"
+            ),
+        )
+        .groupBy("query_id", index.id_col)
+        .agg(F.sum("__q").alias("__score_q"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__score_q").desc(), F.col(index.id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            index.id_col,
+            (F.col("__score_q") / F.lit(float(SCORE_SCALE))).alias("score"),
+            "rank",
+        )
+    )
+
+
+def _py_search_tokens(text: str) -> list[str]:
+    """Driver-side twin of ``search_tokens`` for query strings (tiny).
+    Must tokenize EXACTLY like the Spark expression — pinned in tests."""
+    import re
+
+    return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]

@@ -1,0 +1,160 @@
+"""BM25 retrieval (operators/search.py) vs an exact driver-side oracle.
+
+The oracle reimplements the full chain in pure Python — tokenize, tf/df,
+df-cap, idf, quantized per-posting contributions, integer score sums,
+(score, doc_id) ranking — and the engine must match it EXACTLY (integer
+score equality, not approx): the fixed-point convention makes BM25
+ranking bit-deterministic, so the test can demand it. 500 synthetic docs
+(sf0.001) — the HARNESS centralizes them, the operator never does.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from nexus_event_stream_spark.io import load_table
+from nexus_event_stream_spark.operators.search import (
+    SCORE_SCALE,
+    _py_search_tokens,
+    bm25_topk,
+    build_bm25_index,
+    search_tokens,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+K1, B = 1.2, 0.75
+
+QUERIES = [
+    (1, "fast table scan"),
+    (2, "customer window merge"),
+    (3, "spark streaming join order"),
+    (4, "zzzunseen tokens only"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+
+
+# the synthetic corpus draws from a ~30-word vocabulary, so at the
+# engine's 0.5 default only one term survives the cap — rank against a
+# 0.98-cap index (idf still varies 10x across terms) and exercise the
+# cap itself in test_df_cap_drops_stop_terms
+@pytest.fixture(scope="module")
+def index(docs):
+    return build_bm25_index(docs, max_df_frac=0.98)
+
+
+@pytest.fixture(scope="module")
+def corpus(docs):
+    return [(int(r.doc_id), r.text) for r in docs.collect()]
+
+
+def oracle_topk(corpus, n_docs, avgdl, queries, k=10, max_df_frac=0.5):
+    toks = {d: _py_search_tokens(t) for d, t in corpus}
+    tf: dict[tuple[str, int], int] = {}
+    for d, ts in toks.items():
+        for t in ts:
+            tf[(t, d)] = tf.get((t, d), 0) + 1
+    df: dict[str, int] = {}
+    for (t, _d) in tf:
+        df[t] = df.get(t, 0) + 1
+    max_df = int(max_df_frac * n_docs)
+    idf = {
+        t: math.log(1.0 + (float(n_docs) - c + 0.5) / (c + 0.5))
+        for t, c in df.items()
+        if c <= max_df
+    }
+    out = {}
+    for qid, text in queries:
+        qtf: dict[str, int] = {}
+        for t in _py_search_tokens(text):
+            qtf[t] = qtf.get(t, 0) + 1
+        scores: dict[int, int] = {}
+        for d, ts in toks.items():
+            s = 0
+            dl = len(ts)
+            for t, qw in qtf.items():
+                if t not in idf or (t, d) not in tf:
+                    continue
+                c = (
+                    float(qw)
+                    * idf[t]
+                    * (tf[(t, d)] * (K1 + 1.0))
+                    / (tf[(t, d)] + K1 * ((1.0 - B) + B * dl / avgdl))
+                )
+                s += math.floor(c * float(SCORE_SCALE) + 0.5)
+            if s:
+                scores[d] = s
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        out[qid] = [(d, s, r + 1) for r, (d, s) in enumerate(ranked)]
+    return out
+
+
+def got_topk(result_df):
+    out: dict[int, list] = {}
+    for r in sorted(result_df.collect(), key=lambda r: (r.query_id, r.rank)):
+        q = int(round(r.score * SCORE_SCALE))
+        out.setdefault(int(r.query_id), []).append((int(r.doc_id), q, int(r.rank)))
+    return out
+
+
+def test_topk_matches_oracle_exactly(spark, index, corpus):
+    want = oracle_topk(corpus, index.n_docs, index.avgdl, QUERIES, max_df_frac=0.98)
+    got = got_topk(bm25_topk(index, QUERIES, k=10, k1=K1, b=B))
+    # query 4's terms are unseen → no rows at all
+    assert 4 not in got and want[4] == []
+    for qid in (1, 2, 3):
+        assert got[qid] == want[qid], qid
+        assert len(got[qid]) == 10
+
+
+def test_tokenizer_twins_agree_on_corpus(spark, docs, corpus):
+    got = {
+        int(r.doc_id): list(r.toks)
+        for r in docs.select(
+            "doc_id", search_tokens("text").alias("toks")
+        ).collect()
+    }
+    for d, t in corpus:
+        assert got[d] == _py_search_tokens(t), d
+    # and on punctuation/case/unicode-ish edges
+    edge = spark.createDataFrame(
+        [(0, "Spark, JOIN!  x2  café --- a_b"), (1, ""), (2, "...")],
+        "doc_id long, text string",
+    )
+    got_e = {
+        int(r.doc_id): list(r.toks)
+        for r in edge.select("doc_id", search_tokens("text").alias("toks")).collect()
+    }
+    for d, t in [(0, "Spark, JOIN!  x2  café --- a_b"), (1, ""), (2, "...")]:
+        assert got_e[d] == _py_search_tokens(t), (d, got_e[d])
+
+
+def test_df_cap_drops_stop_terms(spark, docs):
+    capped = build_bm25_index(docs, max_df_frac=0.5)
+    n = capped.n_docs
+    # "the" appears in far more than half the synthetic docs → capped out
+    n_the = docs.filter(F.col("text").rlike(r"\bthe\b")).count()
+    assert n_the > n // 2
+    assert capped.postings.filter(F.col("term") == "the").count() == 0
+    # a stop-term-only query returns nothing (idf≈0 terms carry no signal)
+    assert bm25_topk(capped, [(9, "the the")], k=5).count() == 0
+
+
+def test_partition_independence(spark, docs, corpus, index):
+    idx7 = build_bm25_index(docs.repartition(7), max_df_frac=0.98)
+    got1 = got_topk(bm25_topk(index, QUERIES[:3], k=10, k1=K1, b=B))
+    got7 = got_topk(bm25_topk(idx7, QUERIES[:3], k=10, k1=K1, b=B))
+    assert got1 == got7
+    assert (idx7.n_docs, idx7.avgdl) == (index.n_docs, index.avgdl)
+
+
+def test_plan_shape(index):
+    plan = bm25_topk(index, QUERIES[:2], k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan  # map-side top-k pre-drop
+    assert "Broadcast" in plan  # query terms broadcast, postings never shuffle to the query side
