@@ -431,6 +431,27 @@ def _stress_bench(
         ).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    # BM25 query throughput against a prebuilt index over the 25× mirror
+    # corpus (build outside the clock — an index is built once, probed
+    # forever; postings persisted like a deployment would store them)
+    from nexus_event_stream_spark.operators.search import (
+        bm25_topk,
+        build_bm25_index,
+    )
+
+    bm25_index = build_bm25_index(docs, max_df_frac=0.5)
+    bm25_index.postings.persist().count()
+    bm25_queries = [
+        (i, f"fast table scan merge batch window q{i}") for i in range(10)
+    ]
+
+    def run_bm25() -> float:
+        t0 = time.perf_counter()
+        bm25_topk(bm25_index, bm25_queries, k=20).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.perf_counter() - t0
+
     # the full composed pipeline (same recipe as corpus_pipeline, plus the
     # production bucket cap — mandatory on a mirror corpus)
     sources = [r.source for r in docs.select("source").distinct().collect()]
@@ -485,6 +506,7 @@ def _stress_bench(
         ("pack_sequences_25x", run_packing, n_docs),
         ("ivf_pq_search_25x", run_ivf_pq, n_vecs),
         ("semantic_dedup_25x", run_semantic_dedup, n_vecs),
+        ("bm25_search_25x", run_bm25, n_docs),
         ("cdc_dedup_25x", run_cdc_dedup, n_docs),
         ("corpus_pipeline_25x", run_pipeline, n_docs),
     ]
@@ -493,6 +515,7 @@ def _stress_bench(
         for name, fn, _ in workloads:
             runs[name].append(fn())
     index.unpersist()
+    bm25_index.postings.unpersist()
     shutil.rmtree(idx_dir, ignore_errors=True)
     return {name: (runs[name], n) for name, _, n in workloads}
 
