@@ -325,9 +325,14 @@ class BucketedViewStore:
         touched: list[int],
         epoch: int | None = None,
         run_token: str | None = None,
+        extra: dict | None = None,
     ) -> int:
         """Write ``df`` (rows of the touched buckets only) as the new
-        version of those buckets and commit the stitched manifest."""
+        version of those buckets and commit the stitched manifest.
+        ``extra`` rides the SAME atomic pointer commit — store-level
+        scalars (e.g. the search index's exact corpus counters) must
+        never land in a second commit, or a crash between the two leaves
+        data committed with its bookkeeping lost."""
         cur = self.current()
         version = (cur["version"] + 1) if cur else 0
         out = os.path.join(self.path, f"v={version}")
@@ -353,6 +358,7 @@ class BucketedViewStore:
         prev_refs = sorted({v for v in cur["manifest"].values()} | {cur["version"]}) if cur else []
         self._commit(
             {
+                **(extra or {}),
                 "version": version,
                 "epoch": epoch,
                 "run_token": run_token,

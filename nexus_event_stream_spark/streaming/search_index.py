@@ -1,0 +1,245 @@
+"""Incrementally-maintained BM25 postings — streaming upkeep for the
+lexical index, the retrieval twin of the streaming ANN index.
+
+``BM25IndexStore`` keeps (term, doc_id, tf, dl) postings on the
+BucketedViewStore machinery with **key = term**: a micro-batch of new
+documents appends postings to only the term buckets it touches, pointer
+committed last (both backends), and corpus scalars (doc count, total
+length) accumulate as exact integers in the pointer. Additive state ⇒
+the same strictly-monotone epoch guard as the rollup store (a replayed
+epoch must never re-append; see streaming/rollup.py).
+
+Two design points that differ from the batch ``build_bm25_index`` — both
+BECAUSE the corpus grows:
+
+- **No materialized idf.** The batch index denormalizes idf onto every
+  posting; under growth that goes stale with every epoch (idf depends on
+  N and df). Here df/idf are computed AT QUERY TIME from the query
+  terms' own postings — which cost nothing extra, because the read was
+  already pruned to exactly those terms' buckets. Corollary: the
+  ``max_df_frac`` stop-term cap is evaluated live too, so a term that
+  drifts common (today's meme flooding the crawl) starts being treated
+  as a stop-term the epoch it crosses the line — no index decay, no
+  rebuild. (The cap guards RANKING live; the skew a hot posting list
+  puts on its bucket's rewrite is bounded separately by the bucket
+  fan-out, and a full re-cap rebuild stays available as compaction.)
+- **Append-only contract.** Each doc_id enters once (the corpus-sink
+  model: documents are immutable, revisions are new ids). Re-ingesting
+  an id double-counts by design — dedup upstream, like the sharded sink.
+
+Query cost at 100 TB: the read touches |query terms| buckets out of
+``n_buckets`` (manifest-pruned paths, never a corpus scan), df/idf are
+one tiny aggregate over those postings, and scoring reuses the batch
+``bm25_topk`` — broadcast terms, fixed-point int64 sums, rank window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..operators.search import BM25Index, bm25_topk, search_tokens
+from .projection import BucketedViewStore, _bucket_expr
+
+__all__ = ["BM25IndexStore", "start_search_index"]
+
+_POSTING_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("tf", T.LongType()),
+        T.StructField("dl", T.IntegerType()),
+    ]
+)
+
+
+class BM25IndexStore:
+    """Streaming-maintained postings + exact corpus counters."""
+
+    def __init__(
+        self,
+        path: str,
+        n_buckets: int = 64,
+        backend=None,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ):
+        self.id_col = id_col
+        self.text_col = text_col
+        self._store = BucketedViewStore(
+            path,
+            n_buckets=n_buckets,
+            backend=backend,
+            schema=_POSTING_SCHEMA,
+            key_col="term",
+        )
+
+    def current(self) -> dict | None:
+        return self._store.current()
+
+    # -- write path ---------------------------------------------------------
+
+    def _batch_postings(self, docs: DataFrame) -> DataFrame:
+        # NULL text → empty token array (size(NULL) is -1, which would
+        # poison dl and the corpus length counter)
+        toks = docs.select(
+            F.col(self.id_col).alias("doc_id"),
+            search_tokens(
+                F.coalesce(F.col(self.text_col), F.lit(""))
+            ).alias("__toks"),
+        ).withColumn("dl", F.size("__toks").cast("int"))
+        return (
+            toks.select("doc_id", "dl", F.explode("__toks").alias("term"))
+            .groupBy("term", "doc_id", "dl")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .select("term", "doc_id", "tf", "dl")
+        )
+
+    def apply_batch(
+        self, spark: SparkSession, docs: DataFrame, epoch: int
+    ) -> None:
+        """Append the batch's postings into the touched term buckets and
+        advance the exact corpus counters; replays are suppressed
+        strictly monotonically (additive state)."""
+        cur = self.current()
+        if cur is not None and cur.get("epoch") is not None and epoch <= cur["epoch"]:
+            return
+        postings = self._batch_postings(docs)
+        touched = [
+            r[0]
+            for r in postings.select(
+                _bucket_expr(self._store.n_buckets, "term").alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        n_new, sum_dl_new = (
+            docs.select(
+                F.count(F.lit(1)),
+                F.sum(
+                    F.size(
+                        search_tokens(
+                            F.coalesce(F.col(self.text_col), F.lit(""))
+                        )
+                    )
+                ),
+            ).first()
+        )
+        if not touched:
+            # no postings, but the batch's docs still grew the corpus
+            # (empty/token-free texts shift N and avgdl for idf) — and the
+            # epoch guard must advance either way
+            base = cur or {
+                "version": -1,
+                "run_token": None,
+                "manifest": {},
+                "prev_refs": [],
+            }
+            self._store._commit(
+                {
+                    **base,
+                    "epoch": epoch,
+                    "n_docs": base.get("n_docs", 0) + int(n_new),
+                    "sum_dl": base.get("sum_dl", 0) + int(sum_dl_new or 0),
+                },
+                expected=cur,
+            )
+            return
+        old = self._store.read(spark, buckets=touched) if cur else None
+        merged = postings if old is None else old.unionByName(postings)
+        self._store.write_buckets(
+            merged.select(*[f.name for f in _POSTING_SCHEMA.fields]),
+            touched,
+            epoch,
+            extra={
+                "n_docs": (cur or {}).get("n_docs", 0) + int(n_new),
+                "sum_dl": (cur or {}).get("sum_dl", 0) + int(sum_dl_new or 0),
+            },
+        )
+
+    # -- query path ---------------------------------------------------------
+
+    def query(
+        self,
+        spark: SparkSession,
+        queries: list[tuple[int, str]],
+        k: int = 10,
+        k1: float = 1.2,
+        b: float = 0.75,
+        max_df_frac: float = 0.5,
+    ) -> DataFrame | None:
+        """Top-k per query from the live index: bucket-pruned postings
+        read, LIVE df/idf (+ live stop-term cap), then the batch scorer."""
+        from ..operators.search import _py_search_tokens
+
+        cur = self.current()
+        if cur is None or not cur.get("n_docs"):
+            return None
+        terms = sorted(
+            {t for _qid, text in queries for t in _py_search_tokens(text)}
+        )
+        if not terms:
+            return None
+        n_buckets = self._store.n_buckets
+        # same bucket function as the store key — pruned read
+        buckets = sorted(
+            {
+                r[0]
+                for r in spark.createDataFrame(
+                    [(t,) for t in terms], "term string"
+                )
+                .select(_bucket_expr(n_buckets, "term").alias("b"))
+                .collect()
+            }
+        )
+        slice_ = self._store.read(spark, buckets=buckets)
+        if slice_ is None:
+            return None
+        n_docs = int(cur["n_docs"])
+        avgdl = cur["sum_dl"] / n_docs
+        max_df = int(max_df_frac * n_docs)
+        postings = (
+            slice_.filter(F.col("term").isin(terms))
+            .join(
+                F.broadcast(
+                    slice_.filter(F.col("term").isin(terms))
+                    .groupBy("term")
+                    .agg(F.count(F.lit(1)).alias("df"))
+                    .filter(F.col("df") <= max_df)
+                ),
+                "term",
+            )
+            .withColumn(
+                "idf",
+                F.log(
+                    F.lit(1.0)
+                    + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                ),
+            )
+            .select("term", "doc_id", "tf", "dl", "idf")
+        )
+        return bm25_topk(
+            BM25Index(postings, n_docs, avgdl, "doc_id"), queries, k=k, k1=k1, b=b
+        )
+
+
+def start_search_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    store: BM25IndexStore,
+    checkpoint_path: str,
+    trigger_seconds: int | None = None,
+):
+    """Wire a document stream into the postings store and start it."""
+
+    def _apply(batch: DataFrame, epoch: int) -> None:
+        store.apply_batch(spark, batch, epoch)
+
+    writer = (
+        docs.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(_apply)
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -1,0 +1,165 @@
+"""Streaming BM25 index maintenance (streaming/search_index.py).
+
+Contracts pinned:
+- incrementally-built store answers queries EXACTLY like the one-shot
+  batch index over the same corpus (integer score equality), under both
+  commit backends
+- the stop-term cap is LIVE: a term that drifts common starts being
+  treated as a stop-term the epoch it crosses the df line — no index
+  decay, no rebuild (the staleness the batch index's materialized idf
+  would have)
+- query reads are bucket-pruned to the query terms' buckets
+- replays never re-append (strictly-monotone guard, additive state)
+- token-free docs still advance the corpus counters (they shift idf)
+- real Structured Streaming end-to-end run
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nexus_event_stream_spark.io import load_table
+from nexus_event_stream_spark.operators.search import (
+    SCORE_SCALE,
+    bm25_topk,
+    build_bm25_index,
+)
+from nexus_event_stream_spark.streaming.commit import (
+    ConditionalPutBackend,
+    PosixRenameBackend,
+)
+from nexus_event_stream_spark.streaming.search_index import (
+    BM25IndexStore,
+    start_search_index,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+QUERIES = [(1, "fast table scan"), (2, "customer window merge dup")]
+
+
+def topk_rows(df):
+    if df is None:
+        return {}
+    out = {}
+    for r in sorted(df.collect(), key=lambda r: (r.query_id, r.rank)):
+        out.setdefault(int(r.query_id), []).append(
+            (int(r.doc_id), int(round(r.score * SCORE_SCALE)), int(r.rank))
+        )
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+
+
+@pytest.mark.parametrize(
+    "backend_cls", [PosixRenameBackend, ConditionalPutBackend]
+)
+def test_incremental_equals_one_shot(spark, docs, tmp_path, backend_cls):
+    store = BM25IndexStore(
+        str(tmp_path / "idx"), n_buckets=8, backend=backend_cls()
+    )
+    for epoch in range(3):
+        store.apply_batch(
+            spark, docs.filter(F.col("doc_id") % 3 == epoch), epoch
+        )
+    got = topk_rows(store.query(spark, QUERIES, k=10, max_df_frac=0.98))
+    oneshot = build_bm25_index(docs, max_df_frac=0.98)
+    want = topk_rows(bm25_topk(oneshot, QUERIES, k=10))
+    assert got == want
+    assert got and all(len(v) == 10 for v in got.values())
+    cur = store.current()
+    assert cur["n_docs"] == oneshot.n_docs
+    assert cur["sum_dl"] / cur["n_docs"] == oneshot.avgdl
+
+
+def test_live_stop_term_cap(spark, tmp_path):
+    store = BM25IndexStore(str(tmp_path / "idx"), n_buckets=8)
+    early = spark.createDataFrame(
+        [(0, "meme origin story"), (1, "alpha beta"), (2, "gamma delta"), (3, "epsilon zeta")],
+        "doc_id long, text string",
+    )
+    store.apply_batch(spark, early, 0)
+    hit = store.query(spark, [(1, "meme")], k=5, max_df_frac=0.5)
+    assert topk_rows(hit)[1][0][0] == 0  # rare term → ranked
+    flood = spark.createDataFrame(
+        [(10 + i, f"meme flood variant {i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    store.apply_batch(spark, flood, 1)
+    # df("meme")=11 > 0.5·14 → live cap treats it as a stop-term NOW
+    after = store.query(spark, [(1, "meme")], k=5, max_df_frac=0.5)
+    assert after is None or after.count() == 0
+
+
+def test_query_reads_are_bucket_pruned(spark, docs, tmp_path, monkeypatch):
+    store = BM25IndexStore(str(tmp_path / "idx"), n_buckets=8)
+    store.apply_batch(spark, docs, 0)
+    seen = []
+    orig = store._store.read
+
+    def spy(spark_, buckets=None):
+        seen.append(buckets)
+        return orig(spark_, buckets=buckets)
+
+    monkeypatch.setattr(store._store, "read", spy)
+    res = store.query(spark, [(1, "dup")], k=5, max_df_frac=0.98)
+    assert res is not None and res.count() > 0
+    assert len(seen) == 1 and seen[0] is not None
+    assert len(seen[0]) == 1  # one term → one bucket out of 8
+
+
+def test_replay_never_reappends(spark, docs, tmp_path):
+    store = BM25IndexStore(str(tmp_path / "idx"), n_buckets=8)
+    store.apply_batch(spark, docs.filter(F.col("doc_id") % 2 == 0), 0)
+    store.apply_batch(spark, docs.filter(F.col("doc_id") % 2 == 1), 1)
+    cur = store.current()
+    n_postings = store._store.read(spark).count()
+    store.apply_batch(spark, docs.filter(F.col("doc_id") % 2 == 0), 0)
+    store.apply_batch(spark, docs.filter(F.col("doc_id") % 2 == 1), 1)
+    assert store.current() == cur
+    assert store._store.read(spark).count() == n_postings
+
+
+def test_token_free_docs_shift_counters(spark, tmp_path):
+    store = BM25IndexStore(str(tmp_path / "idx"), n_buckets=8)
+    blank = spark.createDataFrame(
+        [(0, ""), (1, None), (2, "...")], "doc_id long, text string"
+    )
+    store.apply_batch(spark, blank, 0)
+    cur = store.current()
+    assert cur["n_docs"] == 3 and cur["sum_dl"] == 0 and cur["epoch"] == 0
+    assert store._store.read(spark) is None  # no postings yet
+    store.apply_batch(
+        spark,
+        spark.createDataFrame([(3, "alpha beta")], "doc_id long, text string"),
+        1,
+    )
+    cur = store.current()
+    assert cur["n_docs"] == 4 and cur["sum_dl"] == 2
+    # idf uses N=4: the empty docs weigh in
+    got = topk_rows(store.query(spark, [(1, "alpha")], k=5, max_df_frac=0.98))
+    assert got[1][0][0] == 3
+
+
+def test_structured_streaming_end_to_end(spark, docs, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+            str(src / f"slice={i}")
+        )
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src) + "/slice=*")
+    store = BM25IndexStore(str(tmp_path / "idx"), n_buckets=8)
+    q = start_search_index(spark, stream, store, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    got = topk_rows(store.query(spark, QUERIES, k=10, max_df_frac=0.98))
+    want = topk_rows(
+        bm25_topk(build_bm25_index(docs, max_df_frac=0.98), QUERIES, k=10)
+    )
+    assert got == want
