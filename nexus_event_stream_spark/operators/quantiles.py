@@ -246,6 +246,19 @@ def quantile_sketch(
     return _freeze(out, n_total, float(lo_t), float(hi_t))
 
 
+def sketch_values(values: np.ndarray, k: int = DEFAULT_K) -> QuantileSketch:
+    """Build a sketch from an in-memory array (NaNs skipped) — the
+    executor-local builder the streaming rollup's per-batch partials use;
+    semantics identical to ``quantile_sketch`` on the same values."""
+    vals = np.asarray(values, dtype=np.float64)
+    vals = vals[~np.isnan(vals)]
+    if not len(vals):
+        return QuantileSketch(k=k, n=0, lo=0.0, hi=0.0, levels=((),))
+    c = _Compactor(k)
+    c.extend(vals)
+    return _freeze(c, len(vals), float(vals.min()), float(vals.max()))
+
+
 def quantile_merge(a: QuantileSketch, b: QuantileSketch) -> QuantileSketch:
     """Merge two sketches (different shards/epochs) driver-side; error is
     additive, total weight stays exact."""

@@ -59,6 +59,7 @@ __all__ = [
     "finalize",
     "merge_partials",
     "realtime_aggregate",
+    "rollup_quantiles",
     "start_rollup",
 ]
 
@@ -68,6 +69,9 @@ _AGG_FIELDS = [
     T.StructField("min_cents", T.LongType()),
     T.StructField("max_cents", T.LongType()),
 ]
+#: optional mergeable quantile-sketch column (operators/quantiles.py
+#: JSON form) — present when the store runs with ``quantile_k``
+_SKETCH_FIELD = T.StructField("qsketch", T.StringType())
 
 
 def _merge_exprs() -> list:
@@ -79,24 +83,107 @@ def _merge_exprs() -> list:
     ]
 
 
-def merge_partials(partials: DataFrame, dims: tuple[str, ...]) -> DataFrame:
-    """Merge partial rows sharing (bucket_ts, dims) — associative/
-    commutative exact-integer folds, safe under any combine order."""
-    return partials.groupBy("bucket_ts", *dims).agg(*_merge_exprs())
+def _schema(dims: tuple[str, ...], sketch: bool) -> T.StructType:
+    fields = (
+        [T.StructField("bucket_ts", T.TimestampType())]
+        + [T.StructField(d, T.StringType()) for d in dims]
+        + list(_AGG_FIELDS)
+    )
+    if sketch:
+        fields.append(_SKETCH_FIELD)
+    return T.StructType(fields)
+
+
+def merge_partials(
+    partials: DataFrame, dims: tuple[str, ...], sketch: bool = False
+) -> DataFrame:
+    """Merge partial rows sharing (bucket_ts, dims). The exact columns
+    are associative/commutative integer folds (safe under any combine
+    order); with ``sketch`` the qsketch column merges through
+    ``quantile_merge`` in a grouped Arrow pass — group input is partial
+    ROWS (one per upstream batch/epoch per key), never raw events."""
+    if not sketch:
+        return partials.groupBy("bucket_ts", *dims).agg(*_merge_exprs())
+
+    from ..operators.quantiles import QuantileSketch, quantile_merge
+
+    out_schema = _schema(dims, sketch=True)
+    keys = ["bucket_ts", *dims]
+
+    def merge(pdf):
+        import pandas as pd
+
+        sk = None
+        for s in pdf["qsketch"]:
+            cur = QuantileSketch.from_json(s)
+            sk = cur if sk is None else quantile_merge(sk, cur)
+        row = {k: [pdf[k].iloc[0]] for k in keys}
+        row.update(
+            {
+                "n_events": [int(pdf["n_events"].sum())],
+                "sum_cents": [int(pdf["sum_cents"].sum())],
+                "min_cents": [int(pdf["min_cents"].min())],
+                "max_cents": [int(pdf["max_cents"].max())],
+                "qsketch": [sk.to_json()],
+            }
+        )
+        return pd.DataFrame(row)
+
+    return partials.groupBy(*keys).applyInPandas(merge, out_schema)
 
 
 def coarsen(
-    partials: DataFrame, grain: str, dims: tuple[str, ...]
+    partials: DataFrame,
+    grain: str,
+    dims: tuple[str, ...],
+    sketch: bool = False,
 ) -> DataFrame:
-    """Re-bucket partials to a coarser ``grain`` and merge — EXACT (the
-    mergeable-partial property): hour→day from the stored rollup equals a
-    day rollup computed from raw events, without touching raw events."""
+    """Re-bucket partials to a coarser ``grain`` and merge — EXACT for
+    the integer columns (the mergeable-partial property): hour→day from
+    the stored rollup equals a day rollup computed from raw events,
+    without touching raw events. Sketches merge too (error stays within
+    the additive merge bound)."""
     return merge_partials(
         partials.withColumn(
             "bucket_ts", F.window(F.col("bucket_ts"), grain)["start"]
         ),
         dims,
+        sketch=sketch,
     )
+
+
+def rollup_quantiles(
+    partials: DataFrame, qs: list[float], dims: tuple[str, ...]
+) -> DataFrame:
+    """Per-bucket quantile estimates from the stored sketches:
+    (bucket_ts, dims..., p<q> ...) — one Arrow pass over bucket-grain
+    rows (bounded by grain×dims, never event volume)."""
+    from ..operators.quantiles import QuantileSketch
+
+    cols = [f"p{int(q * 100)}" for q in qs]
+    out_schema = T.StructType(
+        [T.StructField("bucket_ts", T.TimestampType())]
+        + [T.StructField(d, T.StringType()) for d in dims]
+        + [T.StructField(c, T.DoubleType()) for c in cols]
+    )
+    keys = ["bucket_ts", *dims]
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {k: pdf[k] for k in keys}
+            ests = [
+                QuantileSketch.from_json(s).quantiles(qs)
+                for s in pdf["qsketch"]
+            ]
+            for i, c in enumerate(cols):
+                out[c] = [e[i] for e in ests]
+            yield pd.DataFrame(out)
+
+    return partials.mapInPandas(run, out_schema)
 
 
 def finalize(partials: DataFrame, dims: tuple[str, ...]) -> DataFrame:
@@ -117,6 +204,7 @@ def realtime_aggregate(
     stored: DataFrame | None,
     tail_partials: DataFrame,
     dims: tuple[str, ...],
+    sketch: bool = False,
 ) -> DataFrame:
     """Stored rollup ∪ un-applied tail, merged — the real-time serving
     view. Caller contract: tail events are DISJOINT from every applied
@@ -126,7 +214,7 @@ def realtime_aggregate(
         if stored is None
         else stored.unionByName(tail_partials)
     )
-    return merge_partials(merged, dims)
+    return merge_partials(merged, dims, sketch=sketch)
 
 
 class RollupStore:
@@ -149,45 +237,95 @@ class RollupStore:
         backend=None,
         ts_col: str = "ts",
         value_col: str = "value",
+        quantile_k: int | None = None,
     ):
+        """``quantile_k`` opts into a mergeable quantile-sketch column
+        (p50/p95-per-bucket serving via ``rollup_quantiles``): partials
+        carry a sketch built per Arrow batch (two-level, like
+        ``quantile_sketch`` — no whole-group materialization) and merged
+        per epoch. The exact integer columns stay bit-identical to the
+        sketch-free mode; the sketch column is approximate (rank error
+        per the KLL-style bound) and, unlike them, not byte-identical
+        across partitionings."""
         self.grain = grain
         self.dims = tuple(dims)
         self.ts_col = ts_col
         self.value_col = value_col
-        schema = T.StructType(
-            [T.StructField("bucket_ts", T.TimestampType())]
-            + [T.StructField(d, T.StringType()) for d in self.dims]
-            + _AGG_FIELDS
-        )
+        self.quantile_k = quantile_k
         self._store = BucketedViewStore(
             path,
             n_buckets=n_buckets,
             backend=backend,
-            schema=schema,
+            schema=_schema(self.dims, sketch=quantile_k is not None),
             key_col="bucket_ts",
         )
 
     # -- aggregation --------------------------------------------------------
 
     def partials(self, events: DataFrame) -> DataFrame:
-        """Events → partial rows at the store's grain (one shuffle,
-        map-side combined; output is bucket-grain, |batch|-independent)."""
+        """Events → MERGED partial rows at the store's grain (one shuffle
+        either way: Catalyst partial agg in exact mode, per-Arrow-batch
+        sketch rows + grouped merge in quantile mode; output is
+        bucket-grain, |batch|-independent)."""
         cents = F.round(F.col(self.value_col) * 100, 0).cast("bigint")
-        return (
-            events.withColumn("__c", cents)
-            .groupBy(
-                F.window(F.col(self.ts_col), self.grain)["start"].alias(
-                    "bucket_ts"
-                ),
-                *[F.col(d).cast("string").alias(d) for d in self.dims],
-            )
-            .agg(
+        keyed = events.withColumn("__c", cents).withColumn(
+            "bucket_ts",
+            F.window(F.col(self.ts_col), self.grain)["start"],
+        ).select(
+            "bucket_ts",
+            *[F.col(d).cast("string").alias(d) for d in self.dims],
+            "__c",
+            F.col(self.value_col).cast("double").alias("__v"),
+        )
+        if self.quantile_k is None:
+            return keyed.groupBy("bucket_ts", *self.dims).agg(
                 F.count(F.lit(1)).alias("n_events"),
                 F.sum("__c").alias("sum_cents"),
                 F.min("__c").alias("min_cents"),
                 F.max("__c").alias("max_cents"),
             )
+        return merge_partials(
+            self._batch_sketch_rows(keyed), self.dims, sketch=True
         )
+
+    def _batch_sketch_rows(self, keyed: DataFrame) -> DataFrame:
+        """Per-Arrow-batch partial rows incl. a batch-local sketch — the
+        map-side 'combine' of quantile mode (state O(k·groups) per batch,
+        never whole-group arrays)."""
+        k = self.quantile_k
+        dims = self.dims
+        out_schema = _schema(dims, sketch=True)
+        keys = ["bucket_ts", *dims]
+
+        def gen(batches):
+            import numpy as np
+            import pandas as pd
+
+            from ..operators.quantiles import sketch_values
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                rows = {c: [] for c in [*keys, *(f.name for f in _AGG_FIELDS), "qsketch"]}
+                for key, g in pdf.groupby(keys, dropna=False, sort=False):
+                    key = key if isinstance(key, tuple) else (key,)
+                    for kc, kv in zip(keys, key):
+                        rows[kc].append(kv)
+                    # NULL values: counted in n_events, excluded from the
+                    # folds — the exact-mode F.sum/min/max semantics
+                    c = g["__c"].dropna().to_numpy(dtype=np.int64)
+                    rows["n_events"].append(len(g))
+                    rows["sum_cents"].append(int(c.sum()) if len(c) else None)
+                    rows["min_cents"].append(int(c.min()) if len(c) else None)
+                    rows["max_cents"].append(int(c.max()) if len(c) else None)
+                    rows["qsketch"].append(
+                        sketch_values(
+                            g["__v"].to_numpy(dtype=np.float64), k
+                        ).to_json()
+                    )
+                yield pd.DataFrame(rows)
+
+        return keyed.mapInPandas(gen, out_schema)
 
     # -- store passthrough --------------------------------------------------
 
@@ -235,7 +373,9 @@ class RollupStore:
             batch_partials
             if state_slice is None
             else merge_partials(
-                state_slice.unionByName(batch_partials), self.dims
+                state_slice.unionByName(batch_partials),
+                self.dims,
+                sketch=self.quantile_k is not None,
             )
         )
         cols = [f.name for f in self._store.schema.fields]
@@ -248,7 +388,10 @@ class RollupStore:
         un-applied tail (disjointness is the caller's contract)."""
         return finalize(
             realtime_aggregate(
-                self.read(spark), self.partials(tail_events), self.dims
+                self.read(spark),
+                self.partials(tail_events),
+                self.dims,
+                sketch=self.quantile_k is not None,
             ),
             self.dims,
         )

@@ -201,3 +201,99 @@ def test_structured_streaming_end_to_end(spark, events, tmp_path):
     q.stop()
     assert store.current()["epoch"] >= 1
     assert stored_rows(spark, store) == batch_rollup(events)
+
+
+def _exact_quantile(vals, q):
+    """Oracle rank interval: [q·n-th, …] value under the sketch's
+    smallest-value-reaching-rank semantics; we accept any value whose
+    rank error is within the bound, so return the sorted array."""
+    import numpy as np
+
+    return np.sort(np.asarray(vals, dtype=float))
+
+
+def test_quantile_mode_sketches_per_bucket(spark, events, tmp_path):
+    """Opt-in quantile partials: exact columns stay bit-identical to the
+    sketch-free store, p50/p95 estimates land within rank-error 0.05 of
+    the per-bucket exact distribution, late merges update the sketch,
+    and hour→day coarsening merges sketches too."""
+    import numpy as np
+
+    from nexus_event_stream_spark.streaming.rollup import rollup_quantiles
+
+    exact_store = RollupStore(str(tmp_path / "exact"), n_buckets=8)
+    sk_store = RollupStore(
+        str(tmp_path / "sk"), n_buckets=8, quantile_k=256
+    )
+    for epoch in range(3):
+        sl = events.filter(F.pmod(F.xxhash64("ts", "value"), F.lit(3)) == epoch)
+        exact_store.apply_batch(spark, sl, epoch)
+        sk_store.apply_batch(spark, sl, epoch)
+    # exact columns identical between modes (incl. after the late merges)
+    assert stored_rows(spark, sk_store) == stored_rows(spark, exact_store)
+
+    # per-bucket quantile estimates vs exact values
+    per_bucket: dict = {}
+    for r in events.select(
+        F.date_trunc("hour", "ts").alias("b"), "event_type", "value"
+    ).collect():
+        per_bucket.setdefault((r.b, r.event_type), []).append(r.value)
+    got = {
+        (r.bucket_ts, r.event_type): (r.p50, r.p95)
+        for r in rollup_quantiles(
+            sk_store.read(spark), [0.5, 0.95], ("event_type",)
+        ).collect()
+    }
+    assert set(got) == set(per_bucket)
+    for key, vals in per_bucket.items():
+        s = _exact_quantile(vals, 0.5)
+        n = len(s)
+        for q, est in zip((0.5, 0.95), got[key]):
+            # rank of the estimate within the exact values ∈ q ± 0.05
+            lo = np.searchsorted(s, est, side="left") / n
+            hi = np.searchsorted(s, est, side="right") / n
+            assert lo - 0.05 <= q <= hi + 0.05, (key, q, est)
+
+    # coarsening merges sketches: day-grain p50 within bound of all values
+    from nexus_event_stream_spark.streaming.rollup import coarsen
+
+    day = rollup_quantiles(
+        coarsen(sk_store.read(spark), "1 day", ("event_type",), sketch=True),
+        [0.5],
+        ("event_type",),
+    ).collect()
+    per_day: dict = {}
+    for r in events.select(
+        F.date_trunc("day", "ts").alias("b"), "event_type", "value"
+    ).collect():
+        per_day.setdefault((r.b, r.event_type), []).append(r.value)
+    assert {(r.bucket_ts, r.event_type) for r in day} == set(per_day)
+    for r in day:
+        s = _exact_quantile(per_day[(r.bucket_ts, r.event_type)], 0.5)
+        n = len(s)
+        lo = np.searchsorted(s, r.p50, side="left") / n
+        hi = np.searchsorted(s, r.p50, side="right") / n
+        assert lo - 0.05 <= 0.5 <= hi + 0.05
+
+
+def test_quantile_mode_realtime_and_nulls(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    rows = [
+        ("2026-01-01 10:05:00", "a", float(v)) for v in range(100)
+    ] + [("2026-01-01 10:06:00", "a", None)]
+    df = (
+        pytest.importorskip("pyspark").sql.SparkSession.getActiveSession()
+        .createDataFrame(rows, "ts string, event_type string, value double")
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    store = RollupStore(str(tmp_path / "sk"), n_buckets=4, quantile_k=128)
+    applied = df.filter(F.col("value").isNull() | (F.col("value") < 50))
+    tail = df.filter(F.col("value") >= 50)
+    store.apply_batch(spark, applied, 0)
+    # NULL counted in n_events, excluded from folds (exact-mode parity)
+    r = store.read(spark).collect()[0]
+    assert r.n_events == 51 and r.sum_cents == sum(v * 100 for v in range(50))
+    rt = store.realtime(spark, tail).collect()[0]
+    assert rt.n_events == 101
+    assert rt.sum_value == pytest.approx(sum(range(100)))
