@@ -59,6 +59,7 @@ __all__ = [
     "finalize",
     "merge_partials",
     "realtime_aggregate",
+    "rollup_distinct",
     "rollup_quantiles",
     "start_rollup",
 ]
@@ -72,6 +73,12 @@ _AGG_FIELDS = [
 #: optional mergeable quantile-sketch column (operators/quantiles.py
 #: JSON form) — present when the store runs with ``quantile_k``
 _SKETCH_FIELD = T.StructField("qsketch", T.StringType())
+#: optional mergeable KMV distinct-count column (operators/sketches.py
+#: dict form) — present when the store runs with ``distinct_col``.
+#: Unlike the quantile sketch, KMV union-merge is LOSSLESS (pinned in
+#: tests/test_sketches.py), so this column is bit-deterministic across
+#: partitionings and epoch splits — and EXACT below k distincts.
+_KMV_FIELD = T.StructField("kmv", T.StringType())
 
 
 def _merge_exprs() -> list:
@@ -83,7 +90,9 @@ def _merge_exprs() -> list:
     ]
 
 
-def _schema(dims: tuple[str, ...], sketch: bool) -> T.StructType:
+def _schema(
+    dims: tuple[str, ...], sketch: bool, distinct: bool = False
+) -> T.StructType:
     fields = (
         [T.StructField("bucket_ts", T.TimestampType())]
         + [T.StructField(d, T.StringType()) for d in dims]
@@ -91,32 +100,37 @@ def _schema(dims: tuple[str, ...], sketch: bool) -> T.StructType:
     )
     if sketch:
         fields.append(_SKETCH_FIELD)
+    if distinct:
+        fields.append(_KMV_FIELD)
     return T.StructType(fields)
 
 
 def merge_partials(
-    partials: DataFrame, dims: tuple[str, ...], sketch: bool = False
+    partials: DataFrame,
+    dims: tuple[str, ...],
+    sketch: bool = False,
+    distinct: bool = False,
 ) -> DataFrame:
     """Merge partial rows sharing (bucket_ts, dims). The exact columns
     are associative/commutative integer folds (safe under any combine
-    order); with ``sketch`` the qsketch column merges through
-    ``quantile_merge`` in a grouped Arrow pass — group input is partial
-    ROWS (one per upstream batch/epoch per key), never raw events."""
-    if not sketch:
+    order); with ``sketch``/``distinct`` the qsketch/kmv columns merge
+    through ``quantile_merge``/``kmv_merge`` in a grouped Arrow pass —
+    group input is partial ROWS (one per upstream batch/epoch per key),
+    never raw events."""
+    if not (sketch or distinct):
         return partials.groupBy("bucket_ts", *dims).agg(*_merge_exprs())
 
-    from ..operators.quantiles import QuantileSketch, quantile_merge
+    import json as _json
 
-    out_schema = _schema(dims, sketch=True)
+    from ..operators.quantiles import QuantileSketch, quantile_merge
+    from ..operators.sketches import KMVSketch, kmv_merge
+
+    out_schema = _schema(dims, sketch=sketch, distinct=distinct)
     keys = ["bucket_ts", *dims]
 
     def merge(pdf):
         import pandas as pd
 
-        sk = None
-        for s in pdf["qsketch"]:
-            cur = QuantileSketch.from_json(s)
-            sk = cur if sk is None else quantile_merge(sk, cur)
         row = {k: [pdf[k].iloc[0]] for k in keys}
         row.update(
             {
@@ -124,9 +138,20 @@ def merge_partials(
                 "sum_cents": [int(pdf["sum_cents"].sum())],
                 "min_cents": [int(pdf["min_cents"].min())],
                 "max_cents": [int(pdf["max_cents"].max())],
-                "qsketch": [sk.to_json()],
             }
         )
+        if sketch:
+            sk = None
+            for s in pdf["qsketch"]:
+                cur = QuantileSketch.from_json(s)
+                sk = cur if sk is None else quantile_merge(sk, cur)
+            row["qsketch"] = [sk.to_json()]
+        if distinct:
+            km = None
+            for s in pdf["kmv"]:
+                cur = KMVSketch.from_dict(_json.loads(s))
+                km = cur if km is None else kmv_merge(km, cur)
+            row["kmv"] = [_json.dumps(km.to_dict())]
         return pd.DataFrame(row)
 
     return partials.groupBy(*keys).applyInPandas(merge, out_schema)
@@ -137,18 +162,20 @@ def coarsen(
     grain: str,
     dims: tuple[str, ...],
     sketch: bool = False,
+    distinct: bool = False,
 ) -> DataFrame:
     """Re-bucket partials to a coarser ``grain`` and merge — EXACT for
     the integer columns (the mergeable-partial property): hour→day from
     the stored rollup equals a day rollup computed from raw events,
-    without touching raw events. Sketches merge too (error stays within
-    the additive merge bound)."""
+    without touching raw events. Sketches merge too (quantile error
+    stays within the additive merge bound; KMV merge is lossless)."""
     return merge_partials(
         partials.withColumn(
             "bucket_ts", F.window(F.col("bucket_ts"), grain)["start"]
         ),
         dims,
         sketch=sketch,
+        distinct=distinct,
     )
 
 
@@ -186,6 +213,42 @@ def rollup_quantiles(
     return partials.mapInPandas(run, out_schema)
 
 
+def rollup_distinct(
+    partials: DataFrame, dims: tuple[str, ...]
+) -> DataFrame:
+    """Per-bucket distinct-count estimates from the stored KMV sketches:
+    (bucket_ts, dims..., n_distinct, distinct_exact) — ``distinct_exact``
+    is True while the bucket's distincts stayed below k (the estimate is
+    then an exact count)."""
+    import json as _json
+
+    from ..operators.sketches import KMVSketch, kmv_estimate
+
+    out_schema = T.StructType(
+        [T.StructField("bucket_ts", T.TimestampType())]
+        + [T.StructField(d, T.StringType()) for d in dims]
+        + [
+            T.StructField("n_distinct", T.DoubleType()),
+            T.StructField("distinct_exact", T.BooleanType()),
+        ]
+    )
+    keys = ["bucket_ts", *dims]
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {k: pdf[k] for k in keys}
+            sks = [KMVSketch.from_dict(_json.loads(s)) for s in pdf["kmv"]]
+            out["n_distinct"] = [kmv_estimate(s) for s in sks]
+            out["distinct_exact"] = [s.exact for s in sks]
+            yield pd.DataFrame(out)
+
+    return partials.mapInPandas(run, out_schema)
+
+
 def finalize(partials: DataFrame, dims: tuple[str, ...]) -> DataFrame:
     """Finalized aggregate columns from partials (floats only at the
     edge, per the integer-cents convention)."""
@@ -205,6 +268,7 @@ def realtime_aggregate(
     tail_partials: DataFrame,
     dims: tuple[str, ...],
     sketch: bool = False,
+    distinct: bool = False,
 ) -> DataFrame:
     """Stored rollup ∪ un-applied tail, merged — the real-time serving
     view. Caller contract: tail events are DISJOINT from every applied
@@ -214,7 +278,7 @@ def realtime_aggregate(
         if stored is None
         else stored.unionByName(tail_partials)
     )
-    return merge_partials(merged, dims, sketch=sketch)
+    return merge_partials(merged, dims, sketch=sketch, distinct=distinct)
 
 
 class RollupStore:
@@ -238,6 +302,8 @@ class RollupStore:
         ts_col: str = "ts",
         value_col: str = "value",
         quantile_k: int | None = None,
+        distinct_col: str | None = None,
+        kmv_k: int = 256,
     ):
         """``quantile_k`` opts into a mergeable quantile-sketch column
         (p50/p95-per-bucket serving via ``rollup_quantiles``): partials
@@ -246,19 +312,35 @@ class RollupStore:
         per epoch. The exact integer columns stay bit-identical to the
         sketch-free mode; the sketch column is approximate (rank error
         per the KLL-style bound) and, unlike them, not byte-identical
-        across partitionings."""
+        across partitionings.
+
+        ``distinct_col`` opts into a KMV distinct-count column
+        ("distinct users per hour" via ``rollup_distinct``): the column
+        hashes through the repo's NULL-gated KMV domain, merges
+        LOSSLESSLY across batches/epochs (bit-deterministic, and exact
+        while a bucket's distincts stay below ``kmv_k``)."""
         self.grain = grain
         self.dims = tuple(dims)
         self.ts_col = ts_col
         self.value_col = value_col
         self.quantile_k = quantile_k
+        self.distinct_col = distinct_col
+        self.kmv_k = kmv_k
         self._store = BucketedViewStore(
             path,
             n_buckets=n_buckets,
             backend=backend,
-            schema=_schema(self.dims, sketch=quantile_k is not None),
+            schema=_schema(
+                self.dims,
+                sketch=quantile_k is not None,
+                distinct=distinct_col is not None,
+            ),
             key_col="bucket_ts",
         )
+
+    @property
+    def _sketchy(self) -> bool:
+        return self.quantile_k is not None or self.distinct_col is not None
 
     # -- aggregation --------------------------------------------------------
 
@@ -271,13 +353,19 @@ class RollupStore:
         keyed = events.withColumn("__c", cents).withColumn(
             "bucket_ts",
             F.window(F.col(self.ts_col), self.grain)["start"],
-        ).select(
-            "bucket_ts",
-            *[F.col(d).cast("string").alias(d) for d in self.dims],
-            "__c",
-            F.col(self.value_col).cast("double").alias("__v"),
         )
-        if self.quantile_k is None:
+        cols = [
+            F.col("bucket_ts"),
+            *[F.col(d).cast("string").alias(d) for d in self.dims],
+            F.col("__c"),
+            F.col(self.value_col).cast("double").alias("__v"),
+        ]
+        if self.distinct_col is not None:
+            from ..operators.sketches import _hv
+
+            cols.append(_hv(self.distinct_col).alias("__h"))
+        keyed = keyed.select(*cols)
+        if not self._sketchy:
             return keyed.groupBy("bucket_ts", *self.dims).agg(
                 F.count(F.lit(1)).alias("n_events"),
                 F.sum("__c").alias("sum_cents"),
@@ -285,28 +373,38 @@ class RollupStore:
                 F.max("__c").alias("max_cents"),
             )
         return merge_partials(
-            self._batch_sketch_rows(keyed), self.dims, sketch=True
+            self._batch_sketch_rows(keyed),
+            self.dims,
+            sketch=self.quantile_k is not None,
+            distinct=self.distinct_col is not None,
         )
 
     def _batch_sketch_rows(self, keyed: DataFrame) -> DataFrame:
-        """Per-Arrow-batch partial rows incl. a batch-local sketch — the
-        map-side 'combine' of quantile mode (state O(k·groups) per batch,
-        never whole-group arrays)."""
-        k = self.quantile_k
+        """Per-Arrow-batch partial rows incl. batch-local sketches — the
+        map-side 'combine' of the sketch modes (state O(k·groups) per
+        batch, never whole-group arrays)."""
+        qk = self.quantile_k
+        kmv_k = self.kmv_k
+        want_q = qk is not None
+        want_d = self.distinct_col is not None
         dims = self.dims
-        out_schema = _schema(dims, sketch=True)
+        out_schema = _schema(dims, sketch=want_q, distinct=want_d)
         keys = ["bucket_ts", *dims]
 
         def gen(batches):
+            import json as _json
+
             import numpy as np
             import pandas as pd
 
             from ..operators.quantiles import sketch_values
+            from ..operators.sketches import KMVSketch
 
             for pdf in batches:
                 if not len(pdf):
                     continue
-                rows = {c: [] for c in [*keys, *(f.name for f in _AGG_FIELDS), "qsketch"]}
+                names = [f.name for f in out_schema.fields]
+                rows = {c: [] for c in names}
                 for key, g in pdf.groupby(keys, dropna=False, sort=False):
                     key = key if isinstance(key, tuple) else (key,)
                     for kc, kv in zip(keys, key):
@@ -318,11 +416,23 @@ class RollupStore:
                     rows["sum_cents"].append(int(c.sum()) if len(c) else None)
                     rows["min_cents"].append(int(c.min()) if len(c) else None)
                     rows["max_cents"].append(int(c.max()) if len(c) else None)
-                    rows["qsketch"].append(
-                        sketch_values(
-                            g["__v"].to_numpy(dtype=np.float64), k
-                        ).to_json()
-                    )
+                    if want_q:
+                        rows["qsketch"].append(
+                            sketch_values(
+                                g["__v"].to_numpy(dtype=np.float64), qk
+                            ).to_json()
+                        )
+                    if want_d:
+                        hs = np.unique(
+                            g["__h"].dropna().to_numpy(dtype=np.int64)
+                        )
+                        rows["kmv"].append(
+                            _json.dumps(
+                                KMVSketch(
+                                    kmv_k, tuple(int(h) for h in hs[:kmv_k])
+                                ).to_dict()
+                            )
+                        )
                 yield pd.DataFrame(rows)
 
         return keyed.mapInPandas(gen, out_schema)
@@ -376,6 +486,7 @@ class RollupStore:
                 state_slice.unionByName(batch_partials),
                 self.dims,
                 sketch=self.quantile_k is not None,
+                distinct=self.distinct_col is not None,
             )
         )
         cols = [f.name for f in self._store.schema.fields]
@@ -392,6 +503,7 @@ class RollupStore:
                 self.partials(tail_events),
                 self.dims,
                 sketch=self.quantile_k is not None,
+                distinct=self.distinct_col is not None,
             ),
             self.dims,
         )

@@ -297,3 +297,115 @@ def test_quantile_mode_realtime_and_nulls(spark, tmp_path):
     rt = store.realtime(spark, tail).collect()[0]
     assert rt.n_events == 101
     assert rt.sum_value == pytest.approx(sum(range(100)))
+
+
+def test_distinct_mode_kmv_per_bucket(spark, tmp_path):
+    """distinct_col mode: exact below k, LOSSLESS merge (streamed sketch
+    bytes == one-shot sketch bytes), day-coarsening still exact, and the
+    above-k regime estimates within the KMV error bound."""
+    events = load_table(spark, SF_DIR, "events").select(
+        "ts", "event_type", "value", "user_id"
+    )
+    streamed = RollupStore(
+        str(tmp_path / "s"), n_buckets=8, distinct_col="user_id"
+    )
+    for epoch in range(3):
+        streamed.apply_batch(
+            spark,
+            events.filter(F.pmod(F.xxhash64("ts", "value"), F.lit(3)) == epoch),
+            epoch,
+        )
+    oneshot = RollupStore(
+        str(tmp_path / "o"), n_buckets=8, distinct_col="user_id"
+    )
+    oneshot.apply_batch(spark, events, 0)
+    from nexus_event_stream_spark.streaming.rollup import rollup_distinct
+
+    # lossless merge ⇒ identical sketch payloads, streamed or not
+    key = lambda r: ((r.bucket_ts, r.event_type))
+    s_rows = {key(r): r.kmv for r in streamed.read(spark).collect()}
+    o_rows = {key(r): r.kmv for r in oneshot.read(spark).collect()}
+    assert s_rows == o_rows
+
+    # exact regime (distincts per bucket « k=256): estimate == countDistinct
+    exact = {
+        (r.bucket_ts, r.event_type): r.nd
+        for r in events.groupBy(
+            F.date_trunc("hour", "ts").alias("bucket_ts"), "event_type"
+        )
+        .agg(F.countDistinct("user_id").alias("nd"))
+        .collect()
+    }
+    got = {
+        (r.bucket_ts, r.event_type): (r.n_distinct, r.distinct_exact)
+        for r in rollup_distinct(
+            streamed.read(spark), ("event_type",)
+        ).collect()
+    }
+    assert set(got) == set(exact)
+    for k2, (est, is_exact) in got.items():
+        assert is_exact and est == float(exact[k2]), k2
+
+    # day coarsening merges sketches losslessly → still exact
+    from nexus_event_stream_spark.streaming.rollup import coarsen
+
+    day_exact = {
+        (r.bucket_ts, r.event_type): r.nd
+        for r in events.groupBy(
+            F.date_trunc("day", "ts").alias("bucket_ts"), "event_type"
+        )
+        .agg(F.countDistinct("user_id").alias("nd"))
+        .collect()
+    }
+    day_got = {
+        (r.bucket_ts, r.event_type): (r.n_distinct, r.distinct_exact)
+        for r in rollup_distinct(
+            coarsen(streamed.read(spark), "1 day", ("event_type",), distinct=True),
+            ("event_type",),
+        ).collect()
+    }
+    assert set(day_got) == set(day_exact)
+    for k2, (est, is_exact) in day_got.items():
+        assert is_exact and est == float(day_exact[k2]), k2
+
+    # above-k regime: small k → approximate but flagged and bounded
+    small = RollupStore(
+        str(tmp_path / "k8"), n_buckets=8, distinct_col="user_id", kmv_k=8
+    )
+    small.apply_batch(spark, events, 0)
+    for r in rollup_distinct(small.read(spark), ("event_type",)).collect():
+        true = exact[(r.bucket_ts, r.event_type)]
+        if true < 8:
+            assert r.distinct_exact and r.n_distinct == float(true)
+        else:
+            assert not r.distinct_exact
+            assert 0.2 * true <= r.n_distinct <= 5.0 * true  # 4σ-ish at k=8
+
+
+def test_quantile_and_distinct_combined(spark, tmp_path):
+    events = load_table(spark, SF_DIR, "events").select(
+        "ts", "event_type", "value", "user_id"
+    )
+    store = RollupStore(
+        str(tmp_path / "both"),
+        n_buckets=8,
+        quantile_k=128,
+        distinct_col="user_id",
+    )
+    store.apply_batch(spark, events, 0)
+    from nexus_event_stream_spark.streaming.rollup import (
+        rollup_distinct,
+        rollup_quantiles,
+    )
+
+    df = store.read(spark)
+    assert {"qsketch", "kmv"} <= set(df.columns)
+    nd = rollup_distinct(df, ("event_type",)).collect()
+    qq = rollup_quantiles(df, [0.5], ("event_type",)).collect()
+    assert len(nd) == len(qq) == df.count() > 0
+    # exact columns still equal the sketch-free oracle
+    got = {
+        (r.bucket_ts, r.event_type): (r.n_events, r.sum_cents, r.min_cents, r.max_cents)
+        for r in df.collect()
+    }
+    assert got == batch_rollup(events.select("ts", "event_type", "value"))
