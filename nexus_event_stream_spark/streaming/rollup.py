@@ -131,13 +131,18 @@ def merge_partials(
     def merge(pdf):
         import pandas as pd
 
+        def _i(v):
+            # all-NULL buckets carry NULL folds (exact-mode F.sum/min/max
+            # semantics) — they arrive here as NaN and must stay NULL
+            return None if pd.isna(v) else int(v)
+
         row = {k: [pdf[k].iloc[0]] for k in keys}
         row.update(
             {
                 "n_events": [int(pdf["n_events"].sum())],
-                "sum_cents": [int(pdf["sum_cents"].sum())],
-                "min_cents": [int(pdf["min_cents"].min())],
-                "max_cents": [int(pdf["max_cents"].max())],
+                "sum_cents": [_i(pdf["sum_cents"].sum(min_count=1))],
+                "min_cents": [_i(pdf["min_cents"].min())],
+                "max_cents": [_i(pdf["max_cents"].max())],
             }
         )
         if sketch:
@@ -202,10 +207,14 @@ def rollup_quantiles(
             if not len(pdf):
                 continue
             out = {k: pdf[k] for k in keys}
-            ests = [
-                QuantileSketch.from_json(s).quantiles(qs)
-                for s in pdf["qsketch"]
-            ]
+            ests = []
+            for s in pdf["qsketch"]:
+                sk = QuantileSketch.from_json(s)
+                # a bucket whose values were all NULL has an empty
+                # sketch — its quantiles are NULL, not an error
+                ests.append(
+                    sk.quantiles(qs) if sk.n else [None] * len(qs)
+                )
             for i, c in enumerate(cols):
                 out[c] = [e[i] for e in ests]
             yield pd.DataFrame(out)

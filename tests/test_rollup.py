@@ -409,3 +409,29 @@ def test_quantile_and_distinct_combined(spark, tmp_path):
         for r in df.collect()
     }
     assert got == batch_rollup(events.select("ts", "event_type", "value"))
+
+
+def test_all_null_bucket_quantiles_are_null_not_error(spark, tmp_path):
+    from nexus_event_stream_spark.streaming.rollup import rollup_quantiles
+
+    rows = [("2026-01-01 10:00:00", "a", None), ("2026-01-01 11:00:00", "a", 7.0)]
+    df = spark.createDataFrame(
+        rows, "ts string, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    store = RollupStore(str(tmp_path / "sk"), n_buckets=4, quantile_k=64)
+    store.apply_batch(spark, df, 0)
+    got = {
+        r.bucket_ts.hour: r.p50
+        for r in rollup_quantiles(store.read(spark), [0.5], ("event_type",)).collect()
+    }
+    assert got[10] is None and got[11] == 7.0
+    # and a later real merge into the null bucket revives its sketch
+    late = spark.createDataFrame(
+        [("2026-01-01 10:30:00", "a", 3.0)], "ts string, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    store.apply_batch(spark, late, 1)
+    got = {
+        r.bucket_ts.hour: r.p50
+        for r in rollup_quantiles(store.read(spark), [0.5], ("event_type",)).collect()
+    }
+    assert got[10] == 3.0
