@@ -132,9 +132,11 @@ class CorpusRecipe:
     #: content distribution is what drifts, reweighting is policy) and
     #: FAILS CLOSED with CorpusDriftError if drift_report flags it: a
     #: production pipeline must refuse to publish a snapshot whose
-    #: distribution broke, not ship it and page later. This is the one
-    #: recipe field that makes prepare_training_corpus eager (profiling
-    #: is scan-shaped jobs) — gates that fail closed must evaluate.
+    #: distribution broke, not ship it and page later. This field makes
+    #: prepare_training_corpus eager (profiling is scan-shaped jobs) —
+    #: gates that fail closed must evaluate. (The semantic-dedup stage
+    #: is also eager unless ``semantic_params`` carries pretrained
+    #: ``centroids`` — k-means training runs jobs at recipe time.)
     reference_profile: object | None = None
     drift_thresholds: dict | None = None
     #: persist the corpus at the two dedup boundaries. The filter tiers

@@ -60,6 +60,7 @@ __all__ = [
     "merge_partials",
     "realtime_aggregate",
     "rollup_distinct",
+    "rollup_topk",
     "rollup_quantiles",
     "start_rollup",
 ]
@@ -79,6 +80,12 @@ _SKETCH_FIELD = T.StructField("qsketch", T.StringType())
 #: tests/test_sketches.py), so this column is bit-deterministic across
 #: partitionings and epoch splits — and EXACT below k distincts.
 _KMV_FIELD = T.StructField("kmv", T.StringType())
+#: optional mergeable Misra-Gries heavy-hitters column
+#: (operators/heavy_hitters.py JSON form) — present when the store runs
+#: with ``topk_col``. Exact (zero decrement mass) while a bucket's
+#: distinct items stay within ``mg_capacity``; above it, every served
+#: item carries sound [count_min, count_max] bounds.
+_MG_FIELD = T.StructField("mg", T.StringType())
 
 
 def _merge_exprs() -> list:
@@ -91,7 +98,10 @@ def _merge_exprs() -> list:
 
 
 def _schema(
-    dims: tuple[str, ...], sketch: bool, distinct: bool = False
+    dims: tuple[str, ...],
+    sketch: bool,
+    distinct: bool = False,
+    topk: bool = False,
 ) -> T.StructType:
     fields = (
         [T.StructField("bucket_ts", T.TimestampType())]
@@ -102,6 +112,8 @@ def _schema(
         fields.append(_SKETCH_FIELD)
     if distinct:
         fields.append(_KMV_FIELD)
+    if topk:
+        fields.append(_MG_FIELD)
     return T.StructType(fields)
 
 
@@ -110,6 +122,7 @@ def merge_partials(
     dims: tuple[str, ...],
     sketch: bool = False,
     distinct: bool = False,
+    topk: bool = False,
 ) -> DataFrame:
     """Merge partial rows sharing (bucket_ts, dims). The exact columns
     are associative/commutative integer folds (safe under any combine
@@ -117,15 +130,16 @@ def merge_partials(
     through ``quantile_merge``/``kmv_merge`` in a grouped Arrow pass —
     group input is partial ROWS (one per upstream batch/epoch per key),
     never raw events."""
-    if not (sketch or distinct):
+    if not (sketch or distinct or topk):
         return partials.groupBy("bucket_ts", *dims).agg(*_merge_exprs())
 
     import json as _json
 
+    from ..operators.heavy_hitters import MGSummary, mg_merge
     from ..operators.quantiles import QuantileSketch, quantile_merge
     from ..operators.sketches import KMVSketch, kmv_merge
 
-    out_schema = _schema(dims, sketch=sketch, distinct=distinct)
+    out_schema = _schema(dims, sketch=sketch, distinct=distinct, topk=topk)
     keys = ["bucket_ts", *dims]
 
     def merge(pdf):
@@ -157,6 +171,12 @@ def merge_partials(
                 cur = KMVSketch.from_dict(_json.loads(s))
                 km = cur if km is None else kmv_merge(km, cur)
             row["kmv"] = [_json.dumps(km.to_dict())]
+        if topk:
+            mg = None
+            for s in pdf["mg"]:
+                cur = MGSummary.from_json(s)
+                mg = cur if mg is None else mg_merge(mg, cur)
+            row["mg"] = [mg.to_json()]
         return pd.DataFrame(row)
 
     return partials.groupBy(*keys).applyInPandas(merge, out_schema)
@@ -168,6 +188,7 @@ def coarsen(
     dims: tuple[str, ...],
     sketch: bool = False,
     distinct: bool = False,
+    topk: bool = False,
 ) -> DataFrame:
     """Re-bucket partials to a coarser ``grain`` and merge — EXACT for
     the integer columns (the mergeable-partial property): hour→day from
@@ -181,6 +202,7 @@ def coarsen(
         dims,
         sketch=sketch,
         distinct=distinct,
+        topk=topk,
     )
 
 
@@ -258,6 +280,48 @@ def rollup_distinct(
     return partials.mapInPandas(run, out_schema)
 
 
+def rollup_topk(
+    partials: DataFrame, k: int, dims: tuple[str, ...]
+) -> DataFrame:
+    """Per-bucket heavy hitters from the stored MG sketches: ≤k rows per
+    bucket of (bucket_ts, dims..., item, count_min, count_max, rank) —
+    count bounds are SOUND (S ≤ true ≤ S + decrement mass), equal while
+    the bucket stayed within capacity."""
+    from ..operators.heavy_hitters import MGSummary
+
+    out_schema = T.StructType(
+        [T.StructField("bucket_ts", T.TimestampType())]
+        + [T.StructField(d, T.StringType()) for d in dims]
+        + [
+            T.StructField("item", T.StringType()),
+            T.StructField("count_min", T.LongType()),
+            T.StructField("count_max", T.LongType()),
+            T.StructField("rank", T.IntegerType()),
+        ]
+    )
+    keys = ["bucket_ts", *dims]
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = {c.name: [] for c in out_schema.fields}
+            for i in range(len(pdf)):
+                top = MGSummary.from_json(pdf["mg"].iloc[i]).top(k)
+                for r, (item, lo, hi) in enumerate(top):
+                    for kc in keys:
+                        rows[kc].append(pdf[kc].iloc[i])
+                    rows["item"].append(item)
+                    rows["count_min"].append(lo)
+                    rows["count_max"].append(hi)
+                    rows["rank"].append(r + 1)
+            yield pd.DataFrame(rows)
+
+    return partials.mapInPandas(run, out_schema)
+
+
 def finalize(partials: DataFrame, dims: tuple[str, ...]) -> DataFrame:
     """Finalized aggregate columns from partials (floats only at the
     edge, per the integer-cents convention)."""
@@ -278,6 +342,7 @@ def realtime_aggregate(
     dims: tuple[str, ...],
     sketch: bool = False,
     distinct: bool = False,
+    topk: bool = False,
 ) -> DataFrame:
     """Stored rollup ∪ un-applied tail, merged — the real-time serving
     view. Caller contract: tail events are DISJOINT from every applied
@@ -287,7 +352,9 @@ def realtime_aggregate(
         if stored is None
         else stored.unionByName(tail_partials)
     )
-    return merge_partials(merged, dims, sketch=sketch, distinct=distinct)
+    return merge_partials(
+        merged, dims, sketch=sketch, distinct=distinct, topk=topk
+    )
 
 
 class RollupStore:
@@ -313,6 +380,8 @@ class RollupStore:
         quantile_k: int | None = None,
         distinct_col: str | None = None,
         kmv_k: int = 256,
+        topk_col: str | None = None,
+        mg_capacity: int = 64,
     ):
         """``quantile_k`` opts into a mergeable quantile-sketch column
         (p50/p95-per-bucket serving via ``rollup_quantiles``): partials
@@ -327,7 +396,14 @@ class RollupStore:
         ("distinct users per hour" via ``rollup_distinct``): the column
         hashes through the repo's NULL-gated KMV domain, merges
         LOSSLESSLY across batches/epochs (bit-deterministic, and exact
-        while a bucket's distincts stay below ``kmv_k``)."""
+        while a bucket's distincts stay below ``kmv_k``).
+
+        ``topk_col`` opts into a Misra-Gries heavy-hitters column ("top
+        pages per hour" via ``rollup_topk``): exact counts while a
+        bucket's distinct items fit ``mg_capacity``; beyond it every
+        served item keeps sound [count_min, count_max] bounds (S ≤ true
+        ≤ S + decrement mass — the MG invariant, preserved by the
+        re-capping merge)."""
         self.grain = grain
         self.dims = tuple(dims)
         self.ts_col = ts_col
@@ -335,6 +411,8 @@ class RollupStore:
         self.quantile_k = quantile_k
         self.distinct_col = distinct_col
         self.kmv_k = kmv_k
+        self.topk_col = topk_col
+        self.mg_capacity = mg_capacity
         self._store = BucketedViewStore(
             path,
             n_buckets=n_buckets,
@@ -343,13 +421,18 @@ class RollupStore:
                 self.dims,
                 sketch=quantile_k is not None,
                 distinct=distinct_col is not None,
+                topk=topk_col is not None,
             ),
             key_col="bucket_ts",
         )
 
     @property
     def _sketchy(self) -> bool:
-        return self.quantile_k is not None or self.distinct_col is not None
+        return (
+            self.quantile_k is not None
+            or self.distinct_col is not None
+            or self.topk_col is not None
+        )
 
     # -- aggregation --------------------------------------------------------
 
@@ -373,6 +456,8 @@ class RollupStore:
             from ..operators.sketches import _hv
 
             cols.append(_hv(self.distinct_col).alias("__h"))
+        if self.topk_col is not None:
+            cols.append(F.col(self.topk_col).cast("string").alias("__t"))
         keyed = keyed.select(*cols)
         if not self._sketchy:
             return keyed.groupBy("bucket_ts", *self.dims).agg(
@@ -386,6 +471,7 @@ class RollupStore:
             self.dims,
             sketch=self.quantile_k is not None,
             distinct=self.distinct_col is not None,
+            topk=self.topk_col is not None,
         )
 
     def _batch_sketch_rows(self, keyed: DataFrame) -> DataFrame:
@@ -394,10 +480,14 @@ class RollupStore:
         batch, never whole-group arrays)."""
         qk = self.quantile_k
         kmv_k = self.kmv_k
+        mg_cap = self.mg_capacity
         want_q = qk is not None
         want_d = self.distinct_col is not None
+        want_t = self.topk_col is not None
         dims = self.dims
-        out_schema = _schema(dims, sketch=want_q, distinct=want_d)
+        out_schema = _schema(
+            dims, sketch=want_q, distinct=want_d, topk=want_t
+        )
         keys = ["bucket_ts", *dims]
 
         def gen(batches):
@@ -406,6 +496,7 @@ class RollupStore:
             import numpy as np
             import pandas as pd
 
+            from ..operators.heavy_hitters import MGSummary, _MGState
             from ..operators.quantiles import sketch_values
             from ..operators.sketches import KMVSketch
 
@@ -441,6 +532,19 @@ class RollupStore:
                                     kmv_k, tuple(int(h) for h in hs[:kmv_k])
                                 ).to_dict()
                             )
+                        )
+                    if want_t:
+                        st = _MGState(mg_cap)
+                        vc = g["__t"].dropna().value_counts()
+                        # heaviest first: bulk increments before any
+                        # decrement pressure (mg_partition_summaries'
+                        # convention)
+                        for item, w in vc.items():
+                            st.add(str(item), int(w))
+                        rows["mg"].append(
+                            MGSummary(
+                                mg_cap, st.summary(), st.dec
+                            ).to_json()
                         )
                 yield pd.DataFrame(rows)
 
@@ -496,6 +600,7 @@ class RollupStore:
                 self.dims,
                 sketch=self.quantile_k is not None,
                 distinct=self.distinct_col is not None,
+                topk=self.topk_col is not None,
             )
         )
         cols = [f.name for f in self._store.schema.fields]
@@ -513,6 +618,7 @@ class RollupStore:
                 self.dims,
                 sketch=self.quantile_k is not None,
                 distinct=self.distinct_col is not None,
+                topk=self.topk_col is not None,
             ),
             self.dims,
         )

@@ -435,3 +435,80 @@ def test_all_null_bucket_quantiles_are_null_not_error(spark, tmp_path):
         for r in rollup_quantiles(store.read(spark), [0.5], ("event_type",)).collect()
     }
     assert got[10] == 3.0
+
+
+def test_topk_mode_heavy_hitters_per_bucket(spark, tmp_path):
+    """topk_col mode: exact within capacity (streamed == one-shot ==
+    exact value counts, incl. after day coarsening), sound bounds when
+    capped."""
+    from nexus_event_stream_spark.streaming.rollup import (
+        coarsen,
+        rollup_topk,
+    )
+
+    events = load_table(spark, SF_DIR, "events").select(
+        "ts", "event_type", "value", "user_id"
+    )
+    streamed = RollupStore(
+        str(tmp_path / "s"), n_buckets=8, topk_col="user_id", mg_capacity=512
+    )
+    for epoch in range(3):
+        streamed.apply_batch(
+            spark,
+            events.filter(F.pmod(F.xxhash64("ts", "value"), F.lit(3)) == epoch),
+            epoch,
+        )
+    # exact oracle: user counts per (hour, type)
+    exact: dict = {}
+    for r in events.select(
+        F.date_trunc("hour", "ts").alias("b"), "event_type", "user_id"
+    ).collect():
+        exact.setdefault((r.b, r.event_type), {}).setdefault(
+            str(r.user_id), 0
+        )
+        exact[(r.b, r.event_type)][str(r.user_id)] += 1
+    got: dict = {}
+    for r in rollup_topk(streamed.read(spark), 3, ("event_type",)).collect():
+        got.setdefault((r.bucket_ts, r.event_type), []).append(
+            (r.item, r.count_min, r.count_max, r.rank)
+        )
+    assert set(got) == set(exact)
+    for key, rows in got.items():
+        want = sorted(exact[key].items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        assert [(i, c, c) for r_, (i, c) in enumerate(want)] == [
+            (i, lo, hi) for i, lo, hi, _ in sorted(rows, key=lambda t: t[3])
+        ]  # capacity 512 » distincts → zero decrement mass, exact counts
+
+    # day coarsening merges MG summaries — still exact at this capacity
+    day = rollup_topk(
+        coarsen(streamed.read(spark), "1 day", ("event_type",), topk=True),
+        1,
+        ("event_type",),
+    ).collect()
+    day_exact: dict = {}
+    for r in events.select(
+        F.date_trunc("day", "ts").alias("b"), "event_type", "user_id"
+    ).collect():
+        day_exact.setdefault((r.b, r.event_type), {}).setdefault(str(r.user_id), 0)
+        day_exact[(r.b, r.event_type)][str(r.user_id)] += 1
+    for r in day:
+        want_item, want_n = sorted(
+            day_exact[(r.bucket_ts, r.event_type)].items(),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[0]
+        assert (r.item, r.count_min, r.count_max) == (want_item, want_n, want_n)
+
+    # capped regime: capacity 2 on skewed data → bounds still sound
+    skew_rows = [("2026-01-01 10:00:00", "a", 1.0, "hot")] * 50 + [
+        ("2026-01-01 10:00:00", "a", 1.0, f"u{i}") for i in range(20)
+    ]
+    skew = spark.createDataFrame(
+        skew_rows, "ts string, event_type string, value double, user_id string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    capped = RollupStore(
+        str(tmp_path / "c"), n_buckets=4, topk_col="user_id", mg_capacity=2
+    )
+    capped.apply_batch(spark, skew, 0)
+    top = rollup_topk(capped.read(spark), 1, ("event_type",)).collect()
+    assert len(top) == 1 and top[0].item == "hot"
+    assert top[0].count_min <= 50 <= top[0].count_max
