@@ -85,6 +85,12 @@ def build_bm25_index(
     with df > ``max_df_frac``·N (stop-terms: no ranking signal, maximal
     posting skew) or df < ``min_df`` (hapax noise, optional) are dropped
     from the index entirely.
+
+    Cost: TWO tokenizing scans of ``docs`` (the scalar aggregate and the
+    posting build — Catalyst cannot CSE across the two jobs). Persist
+    ``docs`` for a one-scan build, or grow the index incrementally via
+    streaming/search_index.py, which pays per batch and keeps the
+    counters in its pointer.
     """
     toks = docs.select(
         F.col(id_col), search_tokens(text_col).alias("__toks")
