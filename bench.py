@@ -326,14 +326,14 @@ def _stress_bench(
 ) -> dict[str, tuple[list[float], int]]:
     """Scale-stress tier (VERDICT r6 #4): the sf0.1 catalog runs in a
     fixed-scheduler-cost regime (0.1–2.6 s/query) where per-operator
-    THROUGHPUT nonlinearities are invisible — these entries run the 4
+    THROUGHPUT nonlinearities are invisible — these entries run the
     most scale-critical operators on a deterministic 25× replication
     (125 k mirror docs / 50 k vectors) and record rows/s alongside the
     seconds.
 
     Measurement protocol (VERDICT r7 #3): the entries run under the same
     interleaved round-robin median discipline as the catalog — ``k``
-    passes over all four workloads (setup/training outside the clock,
+    passes over all workloads (setup/training outside the clock,
     once), so a host-load spike lands on one pass instead of every
     repeat of one entry. Single-shot 25× numbers swung 2.3× between
     builder and driver runs (ivf_pq_search_25x r7); k=2 bounds that.
