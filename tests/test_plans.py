@@ -285,3 +285,33 @@ def test_corpus_hygiene_broadcasts_benchmark_grams(spark, sf_dir):
     plan = physical_plan(CATALOG["q_corpus_hygiene"].build(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_rollup_exact_partials_single_shuffle_mapside_combine(spark, sf_dir):
+    """RollupStore exact-mode partials: one Exchange on (bucket_ts, dims)
+    with partial aggregation riding the map side — the shape that keeps
+    per-epoch shuffle bytes at bucket-grain, not event-grain."""
+    from nexus_event_stream_spark.io import load_table
+    from nexus_event_stream_spark.streaming.rollup import RollupStore
+
+    store = RollupStore("/tmp/_plan_pin_unused")
+    events = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    plan = physical_plan(store.partials(events))
+    assert plan.count(") Exchange") == 1
+    assert "partial_sum" in plan and "partial_count" in plan
+
+
+def test_bm25_postings_single_term_shuffle(spark, sf_dir):
+    """Posting build: the tf aggregation is the only exchange on the doc
+    side, map-side combined; df/idf join adds its own term-keyed hash
+    exchange, never a broadcast of the corpus-sized side."""
+    from nexus_event_stream_spark.io import load_table
+    from nexus_event_stream_spark.operators.search import build_bm25_index
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = build_bm25_index(docs, max_df_frac=0.98)
+    plan = physical_plan(idx.postings)
+    assert "partial_count" in plan  # tf and df both combine map-side
+    # two actual doc scans — the tf leg and the df leg — and no more
+    # (formatted mode prints each node twice: tree + details section)
+    assert plan.count("Scan parquet") <= 4
