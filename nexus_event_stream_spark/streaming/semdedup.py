@@ -146,6 +146,12 @@ def suppress_and_register_semantic(
     import numpy as np
 
     store.validate_centroids(centroids)
+    # rows with no embedding cannot be judged: they PASS THROUGH un-judged
+    # and unregistered (the CorpusRecipe convention — an embedding-coverage
+    # gap must not drop documents), instead of crashing the numpy kernels
+    judgeable = F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
+    unjudged = embs.filter(~judgeable)
+    embs = embs.filter(judgeable)
     cur = store.current()
     replay = (
         cur is not None
@@ -228,7 +234,9 @@ def suppress_and_register_semantic(
     else:
         suppressed = intra.distinct()
 
-    survivors = embs.join(suppressed, id_col, "left_anti")
+    survivors = embs.join(suppressed, id_col, "left_anti").unionByName(
+        unjudged
+    )
     if not replay and touched:
         rows = (
             assigned.join(suppressed, id_col, "left_anti")

@@ -214,3 +214,22 @@ def test_structured_streaming_end_to_end(spark, corpus, centroids, tmp_path):
     assert sorted(accepted) == sorted(
         i for i, _ in df_rows if i < 1_000_000
     )
+
+
+def test_null_embedding_rows_pass_through_unjudged(spark, corpus, centroids, tmp_path):
+    df_rows, base = corpus
+    store = EmbeddingStore(str(tmp_path / "es"))
+    b = base[0]
+    batch = spark.createDataFrame(
+        [r for r in df_rows if r[0] in (b, 1_000_000 + b)]
+        + [(7_000_000, None), (7_000_001, [])],
+        _SCHEMA,
+    )
+    surv = suppress_and_register_semantic(
+        spark, store, batch, centroids, 0, "t", eps=EPS
+    )
+    got = {int(r.vec_id) for r in surv.collect()}
+    # twin suppressed; embedding-less rows pass through but never register
+    assert got == {b, 7_000_000, 7_000_001}
+    stored = {int(r.vec_id) for r in store.read(spark).select("vec_id").collect()}
+    assert stored == {b}
