@@ -841,10 +841,10 @@ def main() -> None:
             total += best
             throughput[name] = int(n_rows / best)
 
-        # 50k-key streaming replay: bucketed-vs-full crossover, measured
+        # 800k-key streaming replay: bucketed-vs-full crossover, measured
         # (VERDICT r7 #7) — rows/s + bucket-touch counts in the sidecar.
-        replay_runs_50k, replay_info = _replay_stress_bench(spark)
-        for name, rr in replay_runs_50k.items():
+        replay_runs_800k, replay_info = _replay_stress_bench(spark)
+        for name, rr in replay_runs_800k.items():
             best = _extra(name, rr)
             total += best
             rows = (

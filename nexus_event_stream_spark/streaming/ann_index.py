@@ -19,11 +19,16 @@ Store contract — the package's standard shape (sources/shards.py,
 streaming/projection.py):
 
 - ``append(batch, epoch)`` is ``foreachBatch``-compatible and
-  idempotent: a replayed (run, epoch) whose directory is already in the
-  committed pointer is a no-op — regardless of run token, so crash
-  recovery that restarts the query under a NEW token cannot double-count
-  (pinned under both commit backends); ``n_indexed`` is derived from
-  per-directory row counts, never accumulated.
+  idempotent WITHIN a run identity: a replayed (run, epoch) whose
+  directory is already in the committed pointer is a no-op (pinned under
+  both commit backends, incl. ``run_token=None``). Exactly-once ACROSS
+  process restarts therefore requires a restart-STABLE token — wire
+  ``foreach_batch(checkpoint_path=...)`` (which persists the token
+  inside the checkpoint via ``run_token_for``) rather than minting a
+  uuid per start: a fresh token makes the restarted query a different
+  ingest stream, and its replayed epochs would append again.
+  ``n_indexed`` is derived from per-directory row counts, never
+  accumulated.
 - Each epoch's rows land in their own ``epochs/run-<token>/epoch-<n>``
   directory (token-namespaced so a fresh run reusing epoch numbers can
   never clobber a prior run's committed data), partitioned by
@@ -167,7 +172,13 @@ class PQIndexStore:
         cur = self.current()
         if not cur:
             return 0
-        return sum(cur["dir_rows"].values())
+        dr = cur.get("dir_rows")
+        if dr is None or set(cur["dirs"]) - set(dr):
+            # pre-upgrade pointer (no per-dir counts yet): the legacy
+            # accumulated figure is the best available until the next
+            # append backfills dir_rows
+            return int(cur.get("n_vectors", sum((dr or {}).values())))
+        return sum(dr.values())
 
     # -- append ---------------------------------------------------------------
 
@@ -183,13 +194,18 @@ class PQIndexStore:
 
         Replay/collision discipline (ADVICE r7): epoch dirs are
         namespaced by run token (``epochs/run-<token>/epoch-<n>``), so a
-        NEW run — crash recovery restarting the query with a fresh token,
-        or a fresh checkpoint — can never clobber a prior run's committed
-        data by reusing its epoch numbers. A replayed epoch is detected
-        by DIR MEMBERSHIP in the committed pointer, independent of the
-        token: if this (run, epoch) dir is already committed, the append
-        is a no-op — which also makes ``run_token=None`` replays
-        idempotent (they share the ``run-anon`` namespace)."""
+        run with a DIFFERENT token reusing epoch numbers — a separate
+        query legitimately feeding this store — can never clobber a
+        prior run's committed data. A replayed epoch is detected by DIR
+        MEMBERSHIP in the committed pointer: if this (run, epoch) dir is
+        already committed, the append is a no-op — which also makes
+        ``run_token=None`` replays idempotent (they share the
+        ``run-anon`` namespace). The membership check is necessarily
+        token-scoped, so exactly-once across PROCESS RESTARTS requires
+        the restarted query to present the SAME token — use
+        ``foreach_batch(checkpoint_path=...)`` / ``run_token_for`` to
+        persist it in the checkpoint; a per-start uuid would re-append
+        the crashed run's replayed epochs under a fresh namespace."""
         cur = self.current()
         out = os.path.join(
             self.path, "epochs", f"run-{run_token or 'anon'}",
@@ -208,7 +224,14 @@ class PQIndexStore:
             batch, self.centroids, self.codebooks, self.id_col, self.vec_col
         )
         n_batch = rows.count()
-        dir_rows = dict(cur["dir_rows"]) if cur else {}
+        dir_rows = dict(cur.get("dir_rows") or {}) if cur else {}
+        if cur:
+            # pre-upgrade pointers carry dirs without per-dir counts:
+            # backfill by counting once, so the derived total is honest
+            # from here on
+            for d in cur["dirs"]:
+                if d not in dir_rows:
+                    dir_rows[d] = batch.sparkSession.read.parquet(d).count()
         if n_batch == 0:
             # still advance the epoch so the replay guard stays monotone
             self.backend.commit(
@@ -270,7 +293,20 @@ class PQIndexStore:
             self.training_profile, profile, thresholds
         )
 
-    def foreach_batch(self, run_token: str | None = None):
+    def foreach_batch(
+        self,
+        run_token: str | None = None,
+        checkpoint_path: str | None = None,
+    ):
+        """foreachBatch body. Pass ``checkpoint_path`` (preferred) to
+        derive a restart-STABLE run token persisted inside the
+        checkpoint — the identity the replay guard needs to survive
+        crash recovery (see the append docstring)."""
+        if checkpoint_path is not None:
+            from .dedup import run_token_for
+
+            run_token = run_token_for(checkpoint_path)
+
         def fn(df: DataFrame, epoch: int) -> None:
             self.append(df, epoch, run_token)
 
@@ -319,7 +355,12 @@ class PQIndexStore:
         )
         df.write.mode("overwrite").partitionBy("centroid_id").parquet(out)
         old_dirs = cur["dirs"]
-        total = sum(cur["dir_rows"].values())
+        dr = cur.get("dir_rows") or {}
+        total = (
+            sum(dr.values())
+            if not (set(old_dirs) - set(dr))
+            else spark.read.parquet(out).count()  # pre-upgrade pointer
+        )
         self.backend.commit(
             self._pointer_path(),
             {
@@ -411,6 +452,7 @@ def _train_generation(
     ksub: int,
     iters: int,
     vec_col: str,
+    profile=None,
 ):
     from nexus_event_stream_spark.operators.drift import embedding_profile
     from nexus_event_stream_spark.operators.similarity import (
@@ -424,7 +466,11 @@ def _train_generation(
     books = pq_train_codebooks(
         corpus, m=m, ksub=ksub, iters=iters, vec_col=vec_col
     )
-    prof = embedding_profile(corpus, vec_col=vec_col)
+    # maybe_retrain already profiled this corpus for the drift trigger —
+    # reuse it rather than paying a second full-corpus scan
+    prof = profile if profile is not None else embedding_profile(
+        corpus, vec_col=vec_col
+    )
     return cents, books, prof
 
 
@@ -481,20 +527,23 @@ def retrain_swap(
     backend=None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    profile=None,
 ) -> dict:
     """Re-train quantizers on the CURRENT corpus, re-encode it into a new
     generation, swap the pointer atomically, vacuum superseded dirs.
 
     The old generation serves every read until the single pointer swing;
     a conflicted swing (CAS backends — another maintainer won the race)
-    removes the orphaned attempt dir and re-raises. Returns
-    ``{"gen", "dir", "n_vectors"}``."""
+    removes the orphaned attempt dir and re-raises. ``profile`` lets the
+    caller pass an already-computed embedding profile of ``corpus``
+    (maybe_retrain computed one for the trigger) instead of re-scanning.
+    Returns ``{"gen", "dir", "n_vectors"}``."""
     backend = backend or PosixRenameBackend()
     ptr = backend.read(_gen_pointer_path(root))
     if ptr is None:
         raise ValueError(f"no committed index generation at {root}")
     cents, books, prof = _train_generation(
-        corpus, n_centroids, m, ksub, iters, vec_col
+        corpus, n_centroids, m, ksub, iters, vec_col, profile=profile
     )
     gen = ptr["gen"] + 1
     dirname = f"gen-{gen}-{uuid.uuid4().hex[:8]}"
@@ -546,13 +595,12 @@ def maybe_retrain(
     active = active_index(
         root, backend=backend, id_col=id_col, vec_col=vec_col
     )
-    rep = active.needs_retrain(
-        embedding_profile(corpus, vec_col=vec_col), thresholds
-    )
+    prof = embedding_profile(corpus, vec_col=vec_col)
+    rep = active.needs_retrain(prof, thresholds)
     if not rep["drifted"]:
         return {"retrained": False, "report": rep, "swap": None}
     swap = retrain_swap(
         root, corpus, backend=backend, id_col=id_col, vec_col=vec_col,
-        **train_kwargs,
+        profile=prof, **train_kwargs,
     )
     return {"retrained": True, "report": rep, "swap": swap}

@@ -214,7 +214,7 @@ def rollup_quantiles(
     rows (bounded by grain×dims, never event volume)."""
     from ..operators.quantiles import QuantileSketch
 
-    cols = [f"p{int(q * 100)}" for q in qs]
+    cols = [f"p{round(q * 100)}" for q in qs]
     out_schema = T.StructType(
         [T.StructField("bucket_ts", T.TimestampType())]
         + [T.StructField(d, T.StringType()) for d in dims]

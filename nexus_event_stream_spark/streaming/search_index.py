@@ -78,22 +78,6 @@ class BM25IndexStore:
 
     # -- write path ---------------------------------------------------------
 
-    def _batch_postings(self, docs: DataFrame) -> DataFrame:
-        # NULL text → empty token array (size(NULL) is -1, which would
-        # poison dl and the corpus length counter)
-        toks = docs.select(
-            F.col(self.id_col).alias("doc_id"),
-            search_tokens(
-                F.coalesce(F.col(self.text_col), F.lit(""))
-            ).alias("__toks"),
-        ).withColumn("dl", F.size("__toks").cast("int"))
-        return (
-            toks.select("doc_id", "dl", F.explode("__toks").alias("term"))
-            .groupBy("term", "doc_id", "dl")
-            .agg(F.count(F.lit(1)).alias("tf"))
-            .select("term", "doc_id", "tf", "dl")
-        )
-
     def apply_batch(
         self, spark: SparkSession, docs: DataFrame, epoch: int
     ) -> None:
@@ -103,27 +87,47 @@ class BM25IndexStore:
         cur = self.current()
         if cur is not None and cur.get("epoch") is not None and epoch <= cur["epoch"]:
             return
-        postings = self._batch_postings(docs)
-        touched = [
-            r[0]
-            for r in postings.select(
-                _bucket_expr(self._store.n_buckets, "term").alias("b")
-            )
-            .distinct()
-            .collect()
-        ]
-        n_new, sum_dl_new = (
+        # Tokenize ONCE: the tokenized relation feeds the corpus counters,
+        # the touched-bucket probe, and the posting write — three actions
+        # that would otherwise each re-run search_tokens over the batch.
+        toks = (
             docs.select(
-                F.count(F.lit(1)),
-                F.sum(
-                    F.size(
-                        search_tokens(
-                            F.coalesce(F.col(self.text_col), F.lit(""))
-                        )
-                    )
-                ),
-            ).first()
+                F.col(self.id_col).alias("doc_id"),
+                search_tokens(
+                    F.coalesce(F.col(self.text_col), F.lit(""))
+                ).alias("__toks"),
+            )
+            .withColumn("dl", F.size("__toks").cast("int"))
+            .persist()
         )
+        try:
+            n_new, sum_dl_new = toks.select(
+                F.count(F.lit(1)), F.sum("dl")
+            ).first()
+            postings = (
+                toks.select("doc_id", "dl", F.explode("__toks").alias("term"))
+                .groupBy("term", "doc_id", "dl")
+                .agg(F.count(F.lit(1)).alias("tf"))
+                .select("term", "doc_id", "tf", "dl")
+            )
+            touched = [
+                r[0]
+                for r in postings.select(
+                    _bucket_expr(self._store.n_buckets, "term").alias("b")
+                )
+                .distinct()
+                .collect()
+            ]
+            self._apply_postings(
+                spark, cur, postings, touched, epoch,
+                int(n_new), int(sum_dl_new or 0),
+            )
+        finally:
+            toks.unpersist()
+
+    def _apply_postings(
+        self, spark, cur, postings, touched, epoch, n_new, sum_dl_new
+    ) -> None:
         if not touched:
             # no postings, but the batch's docs still grew the corpus
             # (empty/token-free texts shift N and avgdl for idf) — and the
@@ -194,6 +198,10 @@ class BM25IndexStore:
         slice_ = self._store.read(spark, buckets=buckets)
         if slice_ is None:
             return None
+        # the pruned slice is read twice — once by the broadcast df/idf
+        # build job, once by the scoring join — which is inherent to live
+        # idf (df must be global per term before any posting can score);
+        # both reads are bucket-pruned, never the whole index
         n_docs = int(cur["n_docs"])
         avgdl = cur["sum_dl"] / n_docs
         max_df = int(max_df_frac * n_docs)

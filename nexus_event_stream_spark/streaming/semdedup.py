@@ -41,7 +41,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-from ..operators.semdedup import semantic_dedup_pairs
+from ..operators.semdedup import _normalized, semantic_dedup_pairs
 from ..operators.similarity import ivf_assign
 from .projection import BucketedViewStore, _bucket_expr
 
@@ -187,11 +187,15 @@ def suppress_and_register_semantic(
     )
     stored = store.read_buckets(spark, touched) if touched else None
     if stored is not None and replay:
-        # rows this very epoch wrote must not suppress its own docs
+        # rows this very epoch wrote must not suppress its own docs.
+        # eqNullSafe, not ==: history registered by an un-tokened batch
+        # call has NULL run/epoch, and (NULL == token) is NULL — a plain
+        # != filter would three-valued-logic those rows OUT of the probe
+        # and make same-run replay non-idempotent against them
         stored = stored.filter(
             ~(
-                (F.col("run") == F.lit(run_token))
-                & (F.col("epoch") >= F.lit(epoch))
+                F.col("run").eqNullSafe(F.lit(run_token))
+                & (F.coalesce(F.col("epoch"), F.lit(-1)) >= F.lit(epoch))
             )
         )
     if stored is not None:
@@ -216,13 +220,9 @@ def suppress_and_register_semantic(
             h = pdf[pdf["__side"] == "h"]
             if not len(b) or not len(h):
                 return pd.DataFrame({id_col: []}).astype({id_col: "int64"})
-            mb = np.array(b["__hvec"].tolist(), dtype=np.float64)
-            mh = np.array(h["__hvec"].tolist(), dtype=np.float64)
-            nb = np.linalg.norm(mb, axis=1, keepdims=True)
-            nh = np.linalg.norm(mh, axis=1, keepdims=True)
-            nb[nb == 0.0] = 1.0
-            nh[nh == 0.0] = 1.0
-            hits = (((mb / nb) @ (mh / nh).T) >= eps).any(axis=1)
+            mb = _normalized(np.array(b["__hvec"].tolist(), dtype=np.float64))
+            mh = _normalized(np.array(h["__hvec"].tolist(), dtype=np.float64))
+            hits = ((mb @ mh.T) >= eps).any(axis=1)
             return pd.DataFrame({id_col: b["__hid"].to_numpy()[hits]})
 
         cross = (
@@ -264,10 +264,13 @@ def start_semantic_ingest(
 ):
     """Wire an embedding stream into the suppressor and start it.
     ``accepted_sink(survivors_df, epoch)`` receives each epoch's
-    survivors (e.g. an exactly-once corpus append)."""
-    import uuid
+    survivors (e.g. an exactly-once corpus append). The run token is
+    checkpoint-stable (``run_token_for``): a crash-recovery restart
+    presents the same identity, so replayed epochs skip the probe-filter
+    dance instead of relying on the cos-1 self-heal."""
+    from .dedup import run_token_for
 
-    run_token = uuid.uuid4().hex
+    run_token = run_token_for(checkpoint_path)
 
     def _apply(batch: DataFrame, epoch: int) -> None:
         surv = suppress_and_register_semantic(

@@ -377,3 +377,47 @@ def test_maybe_retrain_is_conditional(spark, tmp_path):
     # the new generation's trigger is quiet on the corpus it trained on
     out3 = maybe_retrain(root, drifted, n_centroids=6, m=8, ksub=16, iters=3)
     assert out3["retrained"] is False
+
+
+def test_checkpoint_stable_token_survives_restart(spark, tmp_path, corpus, quantizers):
+    """Review fix: foreach_batch(checkpoint_path=...) derives the run
+    token from the checkpoint, so a crash-recovery restart presents the
+    SAME identity and replayed epochs are suppressed — a per-start uuid
+    would re-append them under a fresh namespace."""
+    from nexus_event_stream_spark.streaming.dedup import run_token_for
+
+    cents, books = quantizers
+    store = PQIndexStore(str(tmp_path / "idx"), cents, books)
+    ckpt = str(tmp_path / "ckpt")
+    fb1 = store.foreach_batch(checkpoint_path=ckpt)
+    half = corpus.filter("vec_id % 2 = 0")
+    fb1(half, 0)
+    n = store.n_indexed
+    # "restart": a new foreach_batch over the same checkpoint replays 0
+    fb2 = store.foreach_batch(checkpoint_path=ckpt)
+    fb2(half, 0)
+    assert store.n_indexed == n  # no double-count
+    assert run_token_for(ckpt) == run_token_for(ckpt)
+
+
+def test_pre_upgrade_pointer_without_dir_rows(spark, tmp_path, corpus, quantizers):
+    """Review fix: a pointer committed before the derived-count upgrade
+    has dirs but no dir_rows — n_indexed falls back to the legacy
+    n_vectors figure instead of raising, and the next append backfills
+    per-dir counts."""
+    cents, books = quantizers
+    store = PQIndexStore(str(tmp_path / "idx"), cents, books)
+    half = corpus.filter("vec_id % 2 = 0")
+    n_half = half.count()
+    store.append(half, 0, "run")
+    # simulate the pre-upgrade pointer shape
+    cur = store.current()
+    legacy = {k: v for k, v in cur.items() if k != "dir_rows"}
+    store.backend.commit(store._pointer_path(), legacy, expected=cur)
+    assert store.n_indexed == n_half  # falls back, no KeyError
+    rest = corpus.filter("vec_id % 2 = 1")
+    store.append(rest, 1, "run")  # backfills dir_rows
+    assert store.n_indexed == corpus.count()
+    assert set(store.current()["dir_rows"]) == set(store.current()["dirs"])
+    assert store.compact(spark) == 2
+    assert store.n_indexed == corpus.count()

@@ -512,3 +512,18 @@ def test_topk_mode_heavy_hitters_per_bucket(spark, tmp_path):
     top = rollup_topk(capped.read(spark), 1, ("event_type",)).collect()
     assert len(top) == 1 and top[0].item == "hot"
     assert top[0].count_min <= 50 <= top[0].count_max
+
+
+def test_quantile_column_names_no_float_truncation(spark, tmp_path):
+    """Review fix: int(0.29*100) == 28 under float representation — the
+    column must be p29 (round, not truncate)."""
+    from nexus_event_stream_spark.streaming.rollup import rollup_quantiles
+
+    df = spark.createDataFrame(
+        [("2026-01-01 10:00:00", "a", float(v)) for v in range(10)],
+        "ts string, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    store = RollupStore(str(tmp_path / "sk"), n_buckets=4, quantile_k=64)
+    store.apply_batch(spark, df, 0)
+    out = rollup_quantiles(store.read(spark), [0.29, 0.58, 0.95], ("event_type",))
+    assert {"p29", "p58", "p95"} <= set(out.columns)

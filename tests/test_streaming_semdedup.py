@@ -233,3 +233,27 @@ def test_null_embedding_rows_pass_through_unjudged(spark, corpus, centroids, tmp
     assert got == {b, 7_000_000, 7_000_001}
     stored = {int(r.vec_id) for r in store.read(spark).select("vec_id").collect()}
     assert stored == {b}
+
+
+def test_replay_idempotent_against_untokened_history(spark, corpus, centroids, tmp_path):
+    """Review fix: history registered by an un-tokened batch call has
+    NULL run/epoch; the replay probe filter must keep those rows visible
+    (eqNullSafe) or a replayed epoch resurrects docs the original run
+    suppressed."""
+    df_rows, base = corpus
+    store = EmbeddingStore(str(tmp_path / "es"))
+    b = base[0]
+    seed = spark.createDataFrame([r for r in df_rows if r[0] == b], _SCHEMA)
+    # un-tokened seed (defaults: epoch=None, run_token=None → NULL cols)
+    suppress_and_register_semantic(spark, store, seed, centroids, eps=EPS)
+    twin = spark.createDataFrame(
+        [r for r in df_rows if r[0] == 1_000_000 + b], _SCHEMA
+    )
+    s1 = {int(r.vec_id) for r in suppress_and_register_semantic(
+        spark, store, twin, centroids, 0, "tok", eps=EPS).collect()}
+    assert s1 == set()  # suppressed by the seeded base vector
+    # crash-replay of epoch 0 under the same token: identical outcome —
+    # the NULL-run seed row must still be in the probe
+    s1_replay = {int(r.vec_id) for r in suppress_and_register_semantic(
+        spark, store, twin, centroids, 0, "tok", eps=EPS).collect()}
+    assert s1_replay == set()
