@@ -883,17 +883,23 @@ def main() -> None:
     except OSError as exc:
         print(f"spread sidecar write failed: {exc}", file=sys.stderr)
 
+    # Driver-facing line (VERDICT r8 #7): the driver's tail capture window
+    # is 2000 bytes and BENCH_r08.json recorded parsed:null because the
+    # 3-decimal + spaced + throughput-bearing line overflowed it. Emit the
+    # line compact — 2-decimal medians, no whitespace, throughput only in
+    # the committed BENCH_DETAIL.json sidecar — so it always fits
+    # (~1.6 KB for the current 67-entry catalog).
     print(
         json.dumps(
             {
                 "metric": "catalog_total_wall",
-                "value": round(total, 3),
+                "value": round(total, 2),
                 "unit": "sec",
-                "queries": per_query,
-                "throughput_rows_per_s": throughput,
+                "queries": {k: round(v, 2) for k, v in per_query.items()},
                 "k": k_runs,
                 "sf": sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
 

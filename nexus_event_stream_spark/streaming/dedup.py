@@ -55,6 +55,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from nexus_event_stream_spark.streaming.commit import PosixRenameBackend
+from nexus_event_stream_spark.streaming.replay import ReplayGuard
 from nexus_event_stream_spark.operators.dedup import (
     band_key_array,
     jaccard,
@@ -118,6 +119,11 @@ class SignatureStore:
         self.n_buckets = n_buckets
         self.compact_threshold = compact_threshold
         self.backend = backend or PosixRenameBackend()
+        #: idempotent replay discipline (streaming/replay.py): replayed
+        #: signature registration self-suppresses (an exact replay has
+        #: Jaccard 1), so cross-run re-applies are harmless and only
+        #: positively-identified same-run replays skip the append.
+        self.guard = ReplayGuard("idempotent")
         os.makedirs(path, exist_ok=True)
         #: paths touched by the most recent probe — lets tests pin the
         #: "no full rescan" contract.
@@ -345,14 +351,7 @@ def suppress_and_register(
     |stored bucket|, linear in the batch.
     """
     cur = store.current()
-    replay = (
-        cur is not None
-        and cur.get("epoch") is not None
-        and run_token is not None
-        and cur.get("run_token") == run_token
-        and epoch is not None
-        and epoch <= cur["epoch"]
-    )
+    replay = store.guard.is_replay(cur, epoch, run_token)
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(
         docs, num_perm, shingle_n, id_col, text_col
@@ -507,13 +506,7 @@ def start_dedup_ingest(
     store = SignatureStore(store_path, n_buckets=n_buckets)
 
     def _apply(batch: DataFrame, epoch: int) -> None:
-        cur = store.current()
-        if (
-            cur is not None
-            and cur.get("epoch") is not None
-            and cur.get("run_token") == run_token
-            and epoch <= cur["epoch"]
-        ):
+        if store.guard.is_replay(store.current(), epoch, run_token):
             return
         # the corpus write inside store.append materializes the survivors;
         # nothing further to execute here
@@ -585,14 +578,7 @@ def update_cluster_labels(
     )
 
     cur = store.current()
-    if (
-        cur is not None
-        and cur.get("epoch") is not None
-        and run_token is not None
-        and cur.get("run_token") == run_token
-        and epoch is not None
-        and epoch <= cur["epoch"]
-    ):
+    if store.guard.is_replay(cur, epoch, run_token):
         return  # already applied within this run
     labels = store.read(spark)
     if labels is None:
@@ -652,14 +638,7 @@ def update_cluster_labels_bucketed(
     from nexus_event_stream_spark.streaming.projection import _bucket_expr
 
     cur = store.current()
-    if (
-        cur is not None
-        and cur.get("epoch") is not None
-        and run_token is not None
-        and cur.get("run_token") == run_token
-        and epoch is not None
-        and epoch <= cur["epoch"]
-    ):
+    if store.guard.is_replay(cur, epoch, run_token):
         return  # already applied within this run
 
     edges = pairs.select(

@@ -42,6 +42,7 @@ from nexus_event_stream_spark.operators.lww import (
 )
 from nexus_event_stream_spark.schemas import STATE_SCHEMA
 from nexus_event_stream_spark.streaming.commit import PosixRenameBackend
+from nexus_event_stream_spark.streaming.replay import ReplayGuard
 
 POINTER = "_CURRENT"
 
@@ -73,11 +74,17 @@ class ParquetViewStore:
         partition_by: str | None = None,
         backend=None,
         schema=None,
+        guard_mode: str = "idempotent",
     ):
         self.path = path
         self.partition_by = partition_by
         self.backend = backend or PosixRenameBackend()
         self.schema = schema or STATE_SCHEMA
+        #: replay discipline, declared at construction (streaming/replay.py):
+        #: the LWW snapshot is idempotent under re-application, so the
+        #: default guard suppresses only positively-identified same-run
+        #: replays and lets cross-run re-applies through harmlessly.
+        self.guard = ReplayGuard(guard_mode)
         os.makedirs(path, exist_ok=True)
 
     # -- pointer ------------------------------------------------------------
@@ -159,13 +166,7 @@ def apply_batch(
     harmless, because the LWW merge is idempotent).
     """
     cur = store.current()
-    if (
-        cur is not None
-        and cur.get("epoch") is not None
-        and run_token is not None
-        and cur.get("run_token") == run_token
-        and epoch <= cur["epoch"]
-    ):
+    if store.guard.is_replay(cur, epoch, run_token):
         return  # already applied within this run
     state = store.read(spark)
     if state is None:
@@ -268,6 +269,7 @@ class BucketedViewStore:
         backend=None,
         schema=None,
         key_col: str = "id",
+        guard_mode: str = "idempotent",
     ):
         self.path = path
         self.n_buckets = n_buckets
@@ -277,6 +279,12 @@ class BucketedViewStore:
         #: relabel rewrite touches only affected components' buckets.
         self.schema = schema or STATE_SCHEMA
         self.key_col = key_col
+        #: replay discipline, declared at construction (streaming/replay.py).
+        #: Idempotent for LWW/label snapshots; ADDITIVE substrates (rollup
+        #: partials, BM25 postings — where a re-applied epoch double-counts)
+        #: must construct with guard_mode="additive" so a fresh-checkpoint
+        #: query can never be silently swallowed.
+        self.guard = ReplayGuard(guard_mode)
         os.makedirs(path, exist_ok=True)
 
     # -- pointer ------------------------------------------------------------
@@ -394,13 +402,7 @@ def apply_batch_bucketed(
     idempotent) with per-epoch cost bounded by the touched buckets.
     """
     cur = store.current()
-    if (
-        cur is not None
-        and cur.get("epoch") is not None
-        and run_token is not None
-        and cur.get("run_token") == run_token
-        and epoch <= cur["epoch"]
-    ):
+    if store.guard.is_replay(cur, epoch, run_token):
         return
     from pyspark.sql import functions as F
 

