@@ -476,16 +476,26 @@ def _stress_bench(
 
     # Semantic dedup over 25× vectors: the mirror corpus is the worst
     # realistic shape (every vector has 24 exact semantic twins → every
-    # cluster is wall-to-wall duplicate groups). Centroids are the same
-    # 16×64 k-means as the IVF entry (trained once, outside the clock — a
+    # cluster is wall-to-wall duplicate groups). k is DERIVED from the
+    # corpus size (derived_n_clusters: k ≈ n/avg_cluster_size, the
+    # SemDeDup-paper linear-k regime) so the per-cluster pairwise term
+    # stays bounded as sf grows — a fixed k=16 would scale this entry
+    # quadratically. avg_cluster_size=2048 keeps every cluster well under
+    # the 4096 exact-GEMM cap. Centroids trained once OUTSIDE the clock (a
     # deployment re-clusters per corpus snapshot, not per query); the
     # pairwise + components + keeper chain is what's timed.
-    from nexus_event_stream_spark.operators.semdedup import semantic_dedup
+    from nexus_event_stream_spark.operators.semdedup import (
+        derived_n_clusters,
+        semantic_dedup,
+    )
+
+    k_sem = derived_n_clusters(n_vecs, avg_cluster_size=2048)
+    cents_sem = ivf_train_centroids(emb25, n_centroids=k_sem, iters=3)
 
     def run_semantic_dedup() -> float:
         t0 = time.perf_counter()
         semantic_dedup(
-            emb25, eps=0.99, centroids=cents, max_pairwise=4096
+            emb25, eps=0.99, centroids=cents_sem, max_pairwise=4096
         ).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 

@@ -52,7 +52,33 @@ __all__ = [
     "semantic_dedup",
     "semantic_dedup_pairs",
     "centroid_distances",
+    "derived_n_clusters",
 ]
+
+
+def derived_n_clusters(
+    n_vectors: int,
+    avg_cluster_size: int = 4096,
+    max_clusters: int = 1 << 20,
+) -> int:
+    """Scale-respecting cluster count: ``k ≈ n / avg_cluster_size``.
+
+    The SemDeDup paper's regime — k grows LINEARLY with the corpus (50k
+    clusters at web scale) so the per-cluster pairwise term n²/k stays
+    O(n·avg_cluster_size), i.e. bounded per row as the corpus grows. A
+    fixed k would go quadratic: at 100 TB the pairwise GEMM, not the
+    clustering, dominates. The default ties the expected cluster size to
+    ``semantic_dedup``'s ``max_pairwise`` GEMM cap (4096), so the exact
+    path is the common case and the banded fallback stays the skew
+    exception. ``max_clusters`` bounds driver state (centroids are O(k·d)
+    on the driver) — 2^20 clusters × 64 dims × 8 B = 512 MB, the ceiling
+    before a coarse quantizer must itself be sharded.
+    """
+    import math
+
+    if n_vectors <= 0:
+        return 1
+    return max(1, min(int(max_clusters), math.ceil(n_vectors / float(avg_cluster_size))))
 
 _PAIR_SCHEMA = T.StructType(
     [
@@ -206,13 +232,14 @@ def centroid_distances(
 def semantic_dedup(
     embeddings: DataFrame,
     eps: float = 0.9,
-    n_clusters: int = 16,
+    n_clusters: int | None = None,
     iters: int = 4,
     centroids=None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_pairwise: int = 4096,
     keep: str = "farthest",
+    avg_cluster_size: int = 4096,
 ) -> DataFrame:
     """Canonical-representative mapping (id, keep_id) for semantic dedup.
 
@@ -220,6 +247,12 @@ def semantic_dedup(
     semantically deduplicated corpus; the mapping is the provenance record
     (same contract as ``dedup_groups`` for the lexical chain, so pipelines
     compose the two interchangeably).
+
+    ``n_clusters=None`` (the default) derives k from the corpus size —
+    ``derived_n_clusters(count, avg_cluster_size)`` — the paper's linear-k
+    regime, keeping per-cluster pairwise work bounded as n grows. The
+    count is one extra column-pruned job; pass an explicit ``n_clusters``
+    (or prebuilt ``centroids``) to skip it.
 
     ``keep='farthest'`` is the SemDeDup paper policy: per duplicate
     component keep the member with the greatest distance to its cluster
@@ -230,6 +263,10 @@ def semantic_dedup(
     if keep not in ("farthest", "min_id"):
         raise ValueError(f"keep must be 'farthest' or 'min_id', got {keep!r}")
     if centroids is None:
+        if n_clusters is None:
+            n_clusters = derived_n_clusters(
+                embeddings.count(), avg_cluster_size=avg_cluster_size
+            )
         centroids = ivf_train_centroids(
             embeddings, n_centroids=n_clusters, iters=iters, vec_col=vec_col
         )

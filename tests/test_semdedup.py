@@ -23,6 +23,7 @@ from pyspark.sql import types as T
 from nexus_event_stream_spark.io import load_table
 from nexus_event_stream_spark.operators.semdedup import (
     centroid_distances,
+    derived_n_clusters,
     semantic_dedup,
     semantic_dedup_pairs,
 )
@@ -198,3 +199,62 @@ def test_centroid_distances_matches_oracle(corpus, centroids):
 def test_keep_validation():
     with pytest.raises(ValueError):
         semantic_dedup(None, keep="nope")
+
+
+def test_derived_n_clusters_math():
+    """k ≈ n/avg_cluster_size, clamped to [1, max_clusters], monotone."""
+    assert derived_n_clusters(0) == 1
+    assert derived_n_clusters(1) == 1
+    assert derived_n_clusters(4096) == 1
+    assert derived_n_clusters(4097) == 2
+    assert derived_n_clusters(545, avg_cluster_size=64) == 9
+    assert derived_n_clusters(10**12) == 1 << 20  # driver-state ceiling
+    assert derived_n_clusters(10**9, max_clusters=100) == 100
+    # linear-k regime: n²/k = n·avg stays proportional to n
+    for n in (10_000, 100_000, 1_000_000):
+        k = derived_n_clusters(n, avg_cluster_size=2048)
+        assert n / k <= 2048  # expected cluster size never above the knob
+
+
+def test_cluster_size_distribution_under_derived_k(corpus):
+    """With k derived from the corpus (avg 64 → k=9 on 545 vectors), the
+    realized k-means cluster sizes stay near the target: no cluster
+    exceeds a small multiple of avg_cluster_size, so the per-cluster
+    pairwise GEMM term is bounded — the whole point of deriving k."""
+    from nexus_event_stream_spark.operators.semdedup import derived_n_clusters
+    from nexus_event_stream_spark.operators.similarity import ivf_assign
+
+    df, ids, _ = corpus
+    n = len(ids)
+    avg = 64
+    k = derived_n_clusters(n, avg_cluster_size=avg)
+    assert k == 9
+    cents = ivf_train_centroids(df, n_centroids=k, iters=3)
+    sizes = (
+        ivf_assign(df, cents)
+        .groupBy("centroid_id")
+        .count()
+        .collect()
+    )
+    total = sum(int(r["count"]) for r in sizes)
+    assert total == n
+    biggest = max(int(r["count"]) for r in sizes)
+    # bounded pairwise work: worst cluster ≤ 4× the target average
+    assert biggest <= 4 * avg, [int(r["count"]) for r in sizes]
+    # and the exact-GEMM cap is never hit at the derived k
+    assert biggest <= 4096
+
+
+def test_auto_k_semantic_dedup_collapses_planted(corpus):
+    """n_clusters=None derives k from the corpus count (545 → k=1 at the
+    default avg 4096 → single-cluster exact GEMM) and still collapses the
+    planted mirror trios to one keeper each."""
+    df, ids, _ = corpus
+    got = {
+        int(r.vec_id): int(r.keep_id)
+        for r in semantic_dedup(df, eps=EPS, keep="min_id").collect()
+    }
+    assert len(got) == len(ids)
+    for b in sorted(int(i) for i in ids if i < 1_000_000)[:N_PLANT]:
+        trio = [b, 1_000_000 + b, 2_000_000 + b]
+        assert got[trio[0]] == got[trio[1]] == got[trio[2]] == b
