@@ -37,7 +37,13 @@ from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["BM25Index", "build_bm25_index", "bm25_topk", "search_tokens"]
+__all__ = [
+    "BM25Index",
+    "build_bm25_index",
+    "bm25_topk",
+    "bm25_score_docs",
+    "search_tokens",
+]
 
 #: fixed-point scale for score quantization (2^20 ≈ 1e-6 resolution —
 #: far below any meaningful BM25 score difference, far above double
@@ -179,6 +185,80 @@ def bm25_topk(
         .select(
             "query_id",
             index.id_col,
+            (F.col("__score_q") / F.lit(float(SCORE_SCALE))).alias("score"),
+            "rank",
+        )
+    )
+
+
+def bm25_score_docs(
+    index: BM25Index,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 1,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Score every document in ``docs`` as a BM25 QUERY against a small
+    broadcastable index: (id_col, match_id, score, rank), top-k indexed
+    docs per input doc.
+
+    The inverse of ``bm25_topk``: there the queries are a driver-side
+    handful and the index is the corpus; here the index is the small side
+    (an eval-benchmark corpus, a blocklist, a seed set) and the "queries"
+    are the full distributed corpus. Retrieval-augmented decontamination
+    and hard-negative mining are this probe.
+
+    Scale shape: the index postings BROADCAST (the benchmark is
+    eval-suite-sized); the corpus side is one tokenize+explode projection
+    joined MAP-SIDE against the broadcast, which immediately drops every
+    token outside the index vocabulary. The only shuffle is the
+    per-(doc, match) partial-sum aggregation — map-side combined, its
+    input is |corpus tokens that hit the index| rows, never
+    |corpus|×|index|. The BM25 query-side weight is linear in qtf, so
+    each token OCCURRENCE contributes its posting weight once and no
+    per-(doc, term) qtf pre-aggregation (a full corpus-token shuffle) is
+    needed. Per-occurrence contributions quantize to int64 before
+    summation (the repo's combine-order convention) so scores and ranks
+    are partition-independent; ties break on match_id.
+    """
+    from pyspark.sql import Window
+
+    if index.id_col == id_col:
+        match_col = f"__match_{id_col}"
+    else:
+        match_col = index.id_col
+    postings = index.postings.withColumnRenamed(index.id_col, match_col)
+    occurrences = docs.select(
+        F.col(id_col), F.explode(search_tokens(text_col)).alias("term")
+    )
+    dl_norm = F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(index.avgdl)
+    contrib = (
+        F.col("idf")
+        * (F.col("tf") * F.lit(k1 + 1.0))
+        / (F.col("tf") + F.lit(k1) * dl_norm)
+    )
+    scored = (
+        occurrences.join(F.broadcast(postings), "term")
+        .withColumn(
+            "__q",
+            F.floor(contrib * F.lit(float(SCORE_SCALE)) + F.lit(0.5)).cast(
+                "bigint"
+            ),
+        )
+        .groupBy(id_col, match_col)
+        .agg(F.sum("__q").alias("__score_q"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__score_q").desc(), F.col(match_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            F.col(match_col).alias("match_id"),
             (F.col("__score_q") / F.lit(float(SCORE_SCALE))).alias("score"),
             "rank",
         )

@@ -12,6 +12,9 @@ object, entirely lazily (one Catalyst plan per stage, nothing collected):
 5. near-dup dedup        MinHash-LSH pairs → connected components →
                          keep the component representative
 6. decontamination       benchmark n-gram overlap → drop contaminated
+6b. BM25 decontamination benchmark-indexed retrieval probe → drop docs
+                         whose top BM25 match clears the score floor
+                         (catches paraphrases the exact n-grams miss)
 7. CDC shifted-copy gate content-defined-chunk duplicated-char
                          fraction ≤ threshold (near-copies at offsets)
 8. passage-level dedup   C4 span rule → text becomes the cleaned text
@@ -88,6 +91,21 @@ class CorpusRecipe:
     minhash_params: dict = field(default_factory=dict)
     benchmark: DataFrame | None = None
     decontaminate_n: int = 13
+    #: retrieval-augmented decontamination (operators/search.py
+    #: bm25_score_docs): when set (and ``benchmark`` is set), a BM25
+    #: index of the benchmark corpus is built and every surviving doc is
+    #: scored as a query against it; docs whose TOP match scores at or
+    #: above the floor drop. The semantic complement to the exact
+    #: ``decontaminate_n``-gram probe — a paraphrased eval question
+    #: shares no 13-gram but still shares the rare terms BM25 weights
+    #: highest. The floor is corpus-calibrated (scores grow with doc
+    #: length and term rarity); calibrate on a held-out clean slice.
+    #: Building the index runs two small jobs at recipe time (benchmark
+    #: scalars) — eval suites are tiny, the probe itself stays lazy.
+    bm25_decontaminate_floor: float | None = None
+    #: forwarded to build_bm25_index / bm25_score_docs (k1, b,
+    #: max_df_frac, min_df overrides)
+    bm25_params: dict = field(default_factory=dict)
     passage_dedup_n: int | None = None
     #: shift-robust duplicated-passage gate (cdc_dedup): drop documents
     #: whose content-defined-chunk duplicated-char fraction exceeds
@@ -267,6 +285,44 @@ def prepare_training_corpus(
             .drop("n_contaminated")
         )
         stages["decontaminated"] = cur
+
+    if (
+        recipe.bm25_decontaminate_floor is not None
+        and recipe.benchmark is not None
+    ):
+        from nexus_event_stream_spark.operators.search import (
+            bm25_score_docs,
+            build_bm25_index,
+        )
+
+        build_keys = ("max_df_frac", "min_df")
+        build_kw = {
+            k: v for k, v in recipe.bm25_params.items() if k in build_keys
+        }
+        score_kw = {
+            k: v for k, v in recipe.bm25_params.items() if k not in build_keys
+        }
+        bench = recipe.benchmark
+        if id_col in bench.columns:
+            bench_ids = bench.select(F.col(id_col), F.col(text_col))
+        else:
+            # provenance-only id: the benchmark row number never leaves
+            # the flag join, so any stable-unique id works
+            bench_ids = bench.select(
+                F.monotonically_increasing_id().alias(id_col),
+                F.col(text_col),
+            )
+        bidx = build_bm25_index(
+            bench_ids, id_col=id_col, text_col=text_col, **build_kw
+        )
+        top = bm25_score_docs(
+            bidx, cur, id_col=id_col, text_col=text_col, k=1, **score_kw
+        )
+        flagged = top.filter(
+            F.col("score") >= recipe.bm25_decontaminate_floor
+        ).select(id_col)
+        cur = cur.join(flagged, id_col, "left_anti")
+        stages["bm25_decontaminated"] = cur
 
     if recipe.cdc_divisor:
         from nexus_event_stream_spark.operators.quality import cdc_dedup

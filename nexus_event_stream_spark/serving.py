@@ -106,6 +106,57 @@ def groups_by_name(groups: DataFrame) -> list[Row]:
 
 
 @dataclass
+class RollupService:
+    """Read endpoint over a continuously-maintained rollup
+    (streaming/rollup.py RollupStore) — the analytics twin of
+    ``SignalService``, same envelope discipline as the reference's read
+    API (data-plane/internal/handler/signal.go:24-60): top-k list,
+    equality dim filters, NotFound when there is nothing to serve.
+
+    Every call is one DataFrame query over the store's finalized view;
+    the store's bucket layout (key = bucket_ts) keeps a filtered read
+    from rewriting anything — this is a pure read tier.
+    """
+
+    spark: SparkSession
+    store: object  # RollupStore (duck-typed: .finalized(spark) / .dims)
+
+    def list(
+        self, top: int = LIST_LIMIT, dims: dict[str, str] | None = None
+    ) -> list[Row]:
+        """Newest-first finalized buckets, capped at ``top``; ``dims``
+        are equality filters on the store's dimension columns.
+
+        Raises ``NotFoundError`` when the store has never committed an
+        epoch (no snapshot to serve — the 404 analogue; an EMPTY filter
+        result on a live store is a 200 empty list, matching the
+        unknown-priority quirk). Unknown dim names raise ``ValueError``
+        (caller error → 400, not a silent full scan)."""
+        df = self.store.finalized(self.spark)
+        if df is None:
+            raise NotFoundError("rollup")
+        known = set(self.store.dims)
+        for name, value in (dims or {}).items():
+            if name not in known:
+                raise ValueError(
+                    f"unknown dimension {name!r} (have {sorted(known)})"
+                )
+            df = df.filter(F.col(name) == F.lit(value))
+        order = [F.col("bucket_ts").desc()] + [
+            F.col(d).asc() for d in self.store.dims
+        ]
+        return df.orderBy(*order).limit(int(top)).collect()
+
+    def health(self) -> dict:
+        cur = self.store.current()
+        return {
+            "status": "ok",
+            "view_exists": cur is not None,
+            "epoch": None if cur is None else cur.get("epoch"),
+        }
+
+
+@dataclass
 class DirectoryService:
     """Control-plane auth read endpoints — the users/groups listings the
     reference serves next to signals (views.py:7-15, urls.py router)."""

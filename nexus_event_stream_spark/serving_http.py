@@ -6,6 +6,12 @@ Reference contracts (data-plane/internal/handler/signal.go:24-81):
 - ``GET /signals?priority=P``   → filtered; unknown P → empty list (200)
 - ``GET /signals/{id}``         → record or 404 ``{"error": "..."}``
 - ``GET /health``               → 200/503 with status body
+- ``GET /rollups``              → finalized time-bucket aggregates,
+  newest-first top-N (?top=, default 50), dim-equality query params
+  (?event_type=click); 404 envelope before the first committed epoch,
+  400 on unknown dimensions — the signals envelope contract extended to
+  the continuous-aggregate view (no reference counterpart endpoint; the
+  envelope/ordering discipline is handler/signal.go:24-60's)
 - errors use the ``{"error": msg}`` envelope; Content-Type is JSON
 
 Auth parity: the reference gates every endpoint with ``IsAuthenticated``
@@ -32,6 +38,7 @@ from urllib.parse import parse_qs, urlparse
 from nexus_event_stream_spark.serving import (
     DirectoryService,
     NotFoundError,
+    RollupService,
     SignalService,
 )
 
@@ -50,6 +57,7 @@ def make_handler(
     service: SignalService,
     directory: DirectoryService | None = None,
     auth_token: str | None = None,
+    rollups: RollupService | None = None,
 ):
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, payload) -> None:
@@ -88,6 +96,21 @@ def make_handler(
                         self._send(200, _row_to_dict(service.get(parts[1])))
                     except NotFoundError:
                         self._send(404, {"error": "signal not found"})
+                elif parts == ["rollups"] and rollups is not None:
+                    qs = parse_qs(url.query)
+                    try:
+                        top = int(qs.pop("top", ["50"])[0])
+                    except ValueError:
+                        self._send(400, {"error": "top must be an integer"})
+                        return
+                    dims = {k: v[0] for k, v in qs.items()}
+                    try:
+                        rows = rollups.list(top=top, dims=dims)
+                        self._send(200, [_row_to_dict(r) for r in rows])
+                    except NotFoundError:
+                        self._send(404, {"error": "rollup not found"})
+                    except ValueError as exc:
+                        self._send(400, {"error": str(exc)})
                 elif parts == ["users"] and directory is not None:
                     self._send(200, [_row_to_dict(r) for r in directory.users()])
                 elif parts == ["groups"] and directory is not None:
@@ -108,16 +131,22 @@ def serve(
     port: int = 0,
     directory: DirectoryService | None = None,
     auth_token: str | None = None,
+    rollups: RollupService | None = None,
 ) -> ThreadingHTTPServer:
     """Start the read API on a daemon thread; returns the server (use
     ``server.server_address[1]`` for the bound port, ``shutdown()`` to stop).
 
     ``directory`` optionally mounts the control-plane users/groups listings
-    (views.py:7-15) at ``/users`` and ``/groups``. ``auth_token`` arms the
-    bearer-token gate (401 envelope on every data endpoint; /health open).
+    (views.py:7-15) at ``/users`` and ``/groups``. ``rollups`` mounts the
+    continuous-aggregate read tier at ``/rollups`` (?top=N + dim-equality
+    query params; 404 envelope before the first committed epoch, 400 on an
+    unknown dimension — the signal endpoints' envelope discipline applied
+    to the analytics view). ``auth_token`` arms the bearer-token gate (401
+    envelope on every data endpoint; /health open).
     """
     server = ThreadingHTTPServer(
-        ("127.0.0.1", port), make_handler(service, directory, auth_token)
+        ("127.0.0.1", port),
+        make_handler(service, directory, auth_token, rollups),
     )
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()

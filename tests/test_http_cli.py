@@ -149,3 +149,110 @@ def test_cli_list_truncation_and_exit_codes(service, capsys):
     assert cli_main(service, ["get", "s1"]) == 0
     assert cli_main(service, ["get", "ghost"]) == 1  # ErrNotFound → exit 1
     assert cli_main(service, ["health"]) == 0
+
+
+# ---- GET /rollups: the continuous-aggregate read endpoint -----------------
+
+
+@pytest.fixture(scope="module")
+def rollup_service(spark, tmp_path_factory):
+    from nexus_event_stream_spark.io import load_table
+    from nexus_event_stream_spark.serving import RollupService
+    from nexus_event_stream_spark.streaming.rollup import RollupStore
+
+    store = RollupStore(
+        str(tmp_path_factory.mktemp("rollup")), n_buckets=4
+    )
+    events = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "ts", "event_type", "value"
+    )
+    store.apply_batch(spark, events, 0)
+    return RollupService(spark, store)
+
+
+def test_rollups_endpoint_order_filter_and_envelopes(service, rollup_service):
+    """handler/signal.go:24-60 envelope discipline on the analytics view:
+    newest-first top-N, dim-equality filters, 404-on-no-snapshot, 400 on
+    an unknown dimension."""
+    from nexus_event_stream_spark.serving import RollupService
+    from nexus_event_stream_spark.streaming.rollup import RollupStore
+
+    server = serve(service, rollups=rollup_service)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        status, ctype, body = get_json(f"{base}/rollups?top=5")
+        assert status == 200 and ctype == "application/json"
+        assert len(body) == 5
+        # newest-first, dims ascending within a bucket
+        keys = [(r["bucket_ts"], r["event_type"]) for r in body]
+        assert keys == sorted(keys, key=lambda k: (k[0],), reverse=True) or [
+            k[0] for k in keys
+        ] == sorted([k[0] for k in keys], reverse=True)
+        ts_desc = [r["bucket_ts"] for r in body]
+        assert ts_desc == sorted(ts_desc, reverse=True)
+        # finalized columns present with float values at the edge
+        for r in body:
+            assert {"n_events", "sum_value", "min_value", "max_value",
+                    "avg_value"} <= set(r)
+        # dim filter: only that event_type comes back, and it matches a
+        # direct finalized() query
+        etype = body[0]["event_type"]
+        status, _, filt = get_json(f"{base}/rollups?event_type={etype}&top=1000")
+        assert status == 200
+        assert {r["event_type"] for r in filt} == {etype}
+        want = (
+            rollup_service.store.finalized(rollup_service.spark)
+            .filter(f"event_type = '{etype}'")
+            .count()
+        )
+        assert len(filt) == want
+        # unknown dim VALUE → empty 200 (the unknown-priority quirk)
+        status, _, empty = get_json(f"{base}/rollups?event_type=zzz_nope")
+        assert status == 200 and empty == []
+        # unknown dim NAME → 400 envelope
+        try:
+            urllib.request.urlopen(f"{base}/rollups?bogus_dim=1")
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "bogus_dim" in json.load(e)["error"]
+        # non-integer top → 400 envelope
+        try:
+            urllib.request.urlopen(f"{base}/rollups?top=abc")
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400 and "top" in json.load(e)["error"]
+    finally:
+        server.shutdown()
+
+    # 404 envelope before the first committed epoch (empty store)
+    import tempfile
+
+    empty_store = RollupStore(tempfile.mkdtemp(prefix="rollup_empty_"))
+    empty_service = RollupService(rollup_service.spark, empty_store)
+    server = serve(service, rollups=empty_service)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        urllib.request.urlopen(f"{base}/rollups")
+        raise AssertionError("expected 404")
+    except urllib.error.HTTPError as e:
+        assert e.code == 404 and json.load(e) == {"error": "rollup not found"}
+    finally:
+        server.shutdown()
+
+
+def test_rollups_behind_bearer_gate(service, rollup_service):
+    server = serve(service, auth_token="sekret", rollups=rollup_service)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        try:
+            urllib.request.urlopen(f"{base}/rollups")
+            raise AssertionError("expected 401")
+        except urllib.error.HTTPError as e:
+            assert e.code == 401
+        req = urllib.request.Request(f"{base}/rollups?top=2")
+        req.add_header("Authorization", "Bearer sekret")
+        with urllib.request.urlopen(req) as resp:
+            assert resp.status == 200 and len(json.load(resp)) == 2
+    finally:
+        server.shutdown()

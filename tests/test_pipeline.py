@@ -307,3 +307,96 @@ def test_semantic_dedup_stage(spark):
     # exactly one of the semantic twins survives; 3 and 4 untouched
     assert len(surviving & {1, 2}) == 1
     assert {3, 4} <= surviving
+
+
+def test_bm25_decontamination_catches_paraphrase(spark):
+    """A paraphrased benchmark doc shares NO 13-gram with the benchmark
+    (the exact probe misses it) but shares its rare terms — the BM25
+    stage catches it, clean docs survive, and the scoring join stays
+    broadcast-probe shaped."""
+    bench = spark.createDataFrame(
+        [
+            (
+                9001,
+                "In what year did the quetzalcoatl glider cross the "
+                "zanzibar archipelago carrying iridescent cartography "
+                "equipment for the expedition",
+            )
+        ],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            # paraphrase: same rare terms, different order/phrasing —
+            # no shared 13-gram
+            (
+                1,
+                "The iridescent quetzalcoatl glider carried cartography "
+                "gear across zanzibar during an archipelago expedition",
+            ),
+            # clean docs: common words only
+            (2, "the quick brown fox jumps over the lazy dog every day"),
+            (3, "streaming joins aggregate events into windowed tables"),
+            (4, "a plain document about ordinary topics and daily life"),
+        ],
+        "doc_id long, text string",
+    )
+    recipe = CorpusRecipe(
+        quality=False,
+        redact_pii=False,
+        exact_dedup=False,
+        near_dedup=False,
+        benchmark=bench,
+        decontaminate_n=13,
+        # measured: paraphrase tops at 2.47, noisiest clean doc at 0.90
+        # (stop-words vs the 1-doc benchmark) — 1.5 splits them
+        bm25_decontaminate_floor=1.5,
+        bm25_params={"max_df_frac": 1.0},
+    )
+    corpus, stages = prepare_training_corpus(docs, recipe)
+    # the exact 13-gram stage missed the paraphrase…
+    assert {r.doc_id for r in stages["decontaminated"].collect()} == {1, 2, 3, 4}
+    # …the BM25 stage caught it and only it
+    survived = {r.doc_id for r in stages["bm25_decontaminated"].collect()}
+    assert survived == {2, 3, 4}
+    assert {r.doc_id for r in corpus.collect()} == {2, 3, 4}
+    # plan: benchmark postings broadcast, no cartesian anywhere
+    plan = (
+        stages["bm25_decontaminated"]
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_decontamination_benchmark_without_id_col(spark):
+    """A benchmark with only a text column still works (provenance ids
+    synthesized), and a floor above every score drops nothing."""
+    bench = spark.createDataFrame(
+        [("unique zanzibar cartography quetzalcoatl phrases",)],
+        "text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "zanzibar cartography notes with quetzalcoatl sightings"),
+            (2, "completely unrelated text about cooking pasta"),
+        ],
+        "doc_id long, text string",
+    )
+    low = CorpusRecipe(
+        quality=False, redact_pii=False, exact_dedup=False, near_dedup=False,
+        benchmark=bench, bm25_decontaminate_floor=0.001,
+        bm25_params={"max_df_frac": 1.0},
+    )
+    # decontaminate_n still runs (benchmark set): harmless, no 13-grams
+    corpus_low, _ = prepare_training_corpus(docs, low)
+    assert {r.doc_id for r in corpus_low.collect()} == {2}
+    high = CorpusRecipe(
+        quality=False, redact_pii=False, exact_dedup=False, near_dedup=False,
+        benchmark=bench, bm25_decontaminate_floor=1e9,
+        bm25_params={"max_df_frac": 1.0},
+    )
+    corpus_high, _ = prepare_training_corpus(docs, high)
+    assert {r.doc_id for r in corpus_high.collect()} == {1, 2}

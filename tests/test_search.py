@@ -158,3 +158,105 @@ def test_plan_shape(index):
     plan = bm25_topk(index, QUERIES[:2], k=5)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan  # map-side top-k pre-drop
     assert "Broadcast" in plan  # query terms broadcast, postings never shuffle to the query side
+
+
+# ---- bm25_score_docs: the corpus-as-queries inverse probe ----------------
+
+
+def oracle_score_docs(corpus, bench, k=1, max_df_frac=0.5):
+    """Pure-Python twin of bm25_score_docs: per-OCCURRENCE quantization,
+    top-k benchmark matches per corpus doc, (score desc, match_id asc)."""
+    btoks = {d: _py_search_tokens(t) for d, t in bench}
+    n_b = len(btoks)
+    avgdl = sum(len(ts) for ts in btoks.values()) / float(n_b)
+    tf: dict[tuple[str, int], int] = {}
+    for d, ts in btoks.items():
+        for t in ts:
+            tf[(t, d)] = tf.get((t, d), 0) + 1
+    df: dict[str, int] = {}
+    for (t, _d) in tf:
+        df[t] = df.get(t, 0) + 1
+    max_df = int(max_df_frac * n_b)
+    idf = {
+        t: math.log(1.0 + (float(n_b) - c + 0.5) / (c + 0.5))
+        for t, c in df.items()
+        if c <= max_df
+    }
+    out = {}
+    for did, text in corpus:
+        scores: dict[int, int] = {}
+        for t in _py_search_tokens(text):
+            if t not in idf:
+                continue
+            for bd, ts in btoks.items():
+                if (t, bd) not in tf:
+                    continue
+                dl = len(ts)
+                w = (
+                    idf[t]
+                    * (tf[(t, bd)] * (K1 + 1.0))
+                    / (tf[(t, bd)] + K1 * ((1.0 - B) + B * dl / avgdl))
+                )
+                scores[bd] = scores.get(bd, 0) + math.floor(
+                    w * float(SCORE_SCALE) + 0.5
+                )
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        if ranked:
+            out[did] = [(bd, s, r + 1) for r, (bd, s) in enumerate(ranked)]
+    return out
+
+
+def test_score_docs_matches_oracle_exactly(spark, docs, corpus):
+    from nexus_event_stream_spark.operators.search import bm25_score_docs
+
+    bench = corpus[:5]
+    bdf = spark.createDataFrame(bench, "doc_id long, text string")
+    bidx = build_bm25_index(bdf, max_df_frac=0.98)
+    want = oracle_score_docs(corpus, bench, k=2, max_df_frac=0.98)
+    got: dict[int, list] = {}
+    for r in sorted(
+        bm25_score_docs(bidx, docs, k=2, k1=K1, b=B).collect(),
+        key=lambda r: (r.doc_id, r.rank),
+    ):
+        q = int(round(r.score * SCORE_SCALE))
+        got.setdefault(int(r.doc_id), []).append(
+            (int(r.match_id), q, int(r.rank))
+        )
+    assert got == want
+    # the benchmark docs themselves rank self first (a doc is its own
+    # best BM25 match barring degenerate weights)
+    for bd, _ in bench:
+        assert got[bd][0][0] == bd
+
+
+def test_score_docs_partition_independence(spark, docs, corpus):
+    from nexus_event_stream_spark.operators.search import bm25_score_docs
+
+    bdf = spark.createDataFrame(corpus[:5], "doc_id long, text string")
+    bidx = build_bm25_index(bdf, max_df_frac=0.98)
+    one = {
+        (int(r.doc_id), int(r.match_id), int(round(r.score * SCORE_SCALE)))
+        for r in bm25_score_docs(bidx, docs.coalesce(1), k=1).collect()
+    }
+    many = {
+        (int(r.doc_id), int(r.match_id), int(round(r.score * SCORE_SCALE)))
+        for r in bm25_score_docs(bidx, docs.repartition(13), k=1).collect()
+    }
+    assert one == many
+
+
+def test_score_docs_plan_shape(spark, docs, corpus):
+    from nexus_event_stream_spark.operators.search import bm25_score_docs
+
+    bdf = spark.createDataFrame(corpus[:5], "doc_id long, text string")
+    bidx = build_bm25_index(bdf, max_df_frac=0.98)
+    plan = (
+        bm25_score_docs(bidx, docs, k=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # postings broadcast: the corpus side never shuffles into the join
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan  # map-side top-k pre-drop
+    assert "CartesianProduct" not in plan
