@@ -150,6 +150,72 @@ def jpeg_meta(payload: bytes) -> dict:
     return {**meta, "orientation": orientation}
 
 
+def jpeg_scan_ranges(payload: bytes) -> list[dict]:
+    """Byte ranges of every entropy-coded scan — the JPEG analogue of the
+    MP4 tier's per-sample ranges (functions/mp4.py sample_offsets/sizes).
+
+    A progressive JPEG carries MULTIPLE scans, each refining the image
+    (DC first, AC bands after); their boundaries live in the marker
+    stream, so range extraction — like metadata parsing — never needs a
+    pixel decode. Returns one dict per scan, in stream order::
+
+        {"scan_idx":    0-based scan number,
+         "sos_offset":  offset of the scan's FFDA marker,
+         "data_offset": first entropy-coded byte (after the SOS header),
+         "data_end":    offset of the next marker (exclusive),
+         "n_bytes":     data_end - data_offset}
+
+    ``payload[data_offset:data_end]`` is the scan's raw entropy data
+    (FF00 stuffing and FFD0-D7 restart markers intact, exactly as a
+    decoder consumes it); ``payload[:data_end] + FFD9`` is the standard
+    progressive-prefix trick for a coarse decodable rendering. Raises
+    ``ValueError`` on the same structural corruption ``jpeg_meta`` does.
+    """
+    if len(payload) < 4 or payload[0] != 0xFF or payload[1] != SOI:
+        raise ValueError("not a JPEG: missing FFD8 signature")
+    pos = 2
+    scans: list[dict] = []
+    while pos + 1 < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"marker expected at offset {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        marker_off = pos
+        pos += 2
+        if marker == EOI:
+            break
+        if marker in _STANDALONE:
+            continue
+        if pos + 2 > len(payload):
+            raise ValueError("truncated segment length")
+        seg_len = struct.unpack(">H", payload[pos : pos + 2])[0]
+        if seg_len < 2 or pos + seg_len > len(payload):
+            raise ValueError("invalid segment length")
+        pos += seg_len
+        if marker == SOS:
+            data_offset = pos
+            while pos + 1 < len(payload):
+                if payload[pos] == 0xFF and payload[pos + 1] not in (
+                    0x00, *range(0xD0, 0xD8),
+                ):
+                    break
+                pos += 1
+            scans.append(
+                {
+                    "scan_idx": len(scans),
+                    "sos_offset": marker_off,
+                    "data_offset": data_offset,
+                    "data_end": pos,
+                    "n_bytes": pos - data_offset,
+                }
+            )
+    if not scans:
+        raise ValueError("no SOS scan found")
+    return scans
+
+
 def synthesize_jpeg(
     width: int,
     height: int,
@@ -158,10 +224,14 @@ def synthesize_jpeg(
     orientation: int | None = None,
     scan_bytes: int = 64,
     exif_big_endian: bool = False,
+    n_scans: int = 1,
 ) -> bytes:
     """A structurally valid JPEG marker stream carrying exactly the
     metadata ``jpeg_meta`` parses (deterministic filler scan, placeholder
-    tables — see module docstring)."""
+    tables — see module docstring). ``n_scans > 1`` emits that many
+    SOS+scan segments with distinct spectral-selection headers and
+    distinct deterministic fillers — the multi-scan layout of a real
+    progressive file, for exercising ``jpeg_scan_ranges``."""
     if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
         raise ValueError("dimensions must fit u16")
     out = bytearray(b"\xff\xd8")
@@ -191,18 +261,25 @@ def synthesize_jpeg(
     # placeholder DHT
     dht = b"\x00" + bytes(16) + b""
     out += b"\xff\xc4" + struct.pack(">H", len(dht) + 2) + dht
-    # SOS header + deterministic filler scan (FF bytes stuffed as FF00)
-    sos = struct.pack(">B", n_components) + b"".join(
-        struct.pack(">BB", i + 1, 0) for i in range(n_components)
-    ) + b"\x00\x3f\x00"
-    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
-    scan = bytearray()
-    x = (width * 31 + height * 17) & 0xFF
-    while len(scan) < scan_bytes:
-        x = (x * 109 + 89) & 0xFF
-        scan.append(x)
-        if x == 0xFF:
-            scan.append(0x00)  # byte stuffing, as a real encoder would
-    out += scan
+    if n_scans < 1:
+        raise ValueError("n_scans must be >= 1")
+    for s in range(n_scans):
+        # SOS header + deterministic filler scan (FF bytes stuffed as
+        # FF00). Multi-scan: spectral selection Ss/Se varies per scan
+        # (DC pass then AC bands, the progressive layout) and the filler
+        # seed folds the scan index so every scan's bytes differ.
+        ss, se = (0, 0) if (n_scans > 1 and s == 0) else (s, 0x3F)
+        sos = struct.pack(">B", n_components) + b"".join(
+            struct.pack(">BB", i + 1, 0) for i in range(n_components)
+        ) + struct.pack(">BBB", ss, se, 0)
+        out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+        scan = bytearray()
+        x = (width * 31 + height * 17 + 57 * s) & 0xFF
+        while len(scan) < scan_bytes + 7 * s:
+            x = (x * 109 + 89) & 0xFF
+            scan.append(x)
+            if x == 0xFF:
+                scan.append(0x00)  # byte stuffing, as a real encoder would
+        out += scan
     out += b"\xff\xd9"
     return bytes(out)

@@ -43,7 +43,11 @@ from nexus_event_stream_spark.functions.png import (
     encode_png,
     resize_nearest,
 )
-from nexus_event_stream_spark.functions.jpeg import jpeg_meta, synthesize_jpeg
+from nexus_event_stream_spark.functions.jpeg import (
+    jpeg_meta,
+    jpeg_scan_ranges,
+    synthesize_jpeg,
+)
 from nexus_event_stream_spark.functions.wav import decode_wav, encode_wav
 
 #: Metadata schema carried beside every binary payload.
@@ -186,11 +190,15 @@ def sample_frames(media: DataFrame, n_frames: int = 4, frame_bytes: int = 16) ->
       are sliced out. Codec decode of those payloads (H.264 etc.) is the
       one environment-capped step — no media libraries in this box — so
       rows carry the encoded-frame bytes a downstream decoder wants.
-    - JPEG payloads: validated by the marker walk (functions/jpeg.py
-      jpeg_meta — structural corruption falls through to the byte-window
-      tier) and treated as a single-frame still: every sampled index
-      resolves to frame 0, the whole payload — the same shape a plain
-      (non-animated) PNG produces through decode_apng.
+    - JPEG payloads: the marker walk (functions/jpeg.py) resolves every
+      entropy-coded SCAN's byte range. A multi-scan (progressive) JPEG
+      samples ``n_frames`` evenly spaced scans and slices their raw
+      entropy bytes — the exact per-sample-range shape of the MP4 tier
+      (each row an encoded refinement pass; pixel decode stays the
+      environment-capped step). A single-scan JPEG is a still: every
+      sampled index resolves to frame 0, the whole payload — the same
+      shape a plain (non-animated) PNG produces through decode_apng.
+      Structural corruption falls through to the byte-window tier.
     - anything else: evenly spaced ``frame_bytes`` byte windows — the
       tolerant-reader fallback (consumer.go:39-44), same row shape.
     """
@@ -233,11 +241,25 @@ def sample_frames(media: DataFrame, n_frames: int = 4, frame_bytes: int = 16) ->
                     pass
                 if p[:2] == b"\xff\xd8":
                     try:
-                        jpeg_meta(p)  # structural validation only
-                        for i in range(n_frames):
-                            ids.append(mid)
-                            idxs.append(i)
-                            frames.append(p)
+                        jpeg_meta(p)  # structural validation
+                        scans = jpeg_scan_ranges(p)
+                        if len(scans) > 1:
+                            # progressive: sample scans like MP4 samples
+                            for i, k in enumerate(picks(len(scans))):
+                                ids.append(mid)
+                                idxs.append(i)
+                                frames.append(
+                                    p[
+                                        scans[k]["data_offset"] : scans[k][
+                                            "data_end"
+                                        ]
+                                    ]
+                                )
+                        else:  # single-scan still
+                            for i in range(n_frames):
+                                ids.append(mid)
+                                idxs.append(i)
+                                frames.append(p)
                         continue
                     except Exception:
                         pass

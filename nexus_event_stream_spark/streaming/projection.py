@@ -393,14 +393,35 @@ def apply_batch_bucketed(
     batch: DataFrame,
     epoch: int,
     run_token: str | None = None,
+    mode: str = "auto",
+    rewrite_frac: float = 0.6,
 ) -> None:
     """foreachBatch body against the bucketed store: idempotent-epoch guard,
-    then LWW-merge the batch against ONLY the state buckets it touches.
+    then LWW-merge the batch against the state it touches.
 
     Same delivery contract as ``apply_batch`` (epoch replay is a no-op
     within a run; cross-run replay is harmless because the merge is
     idempotent) with per-epoch cost bounded by the touched buckets.
+
+    ``mode`` picks the rewrite strategy per epoch — the two sides of the
+    measured ``replay800k_*`` crossover (SCALE.md: sparse epochs win
+    ~2.7× bucketed, an all-buckets epoch wins ~4× full — partial rewrite
+    degenerates to a full rewrite plus per-bucket file overhead when the
+    batch touches most buckets):
+
+    - ``"bucketed"``: always merge/rewrite only the touched buckets.
+    - ``"full"``: always merge against the whole view and rewrite every
+      bucket (also collapses the manifest to one version — the
+      compaction-style rewrite).
+    - ``"auto"`` (default): bucketed while the batch touches fewer than
+      ``rewrite_frac`` of the buckets, full at or above it. The
+      touched-bucket fraction is the signal the bracket actually
+      measured (batch keys spread over buckets vs view extent); the
+      probe that computes it is one bounded collect the bucketed path
+      pays anyway.
     """
+    if mode not in ("auto", "bucketed", "full"):
+        raise ValueError(f"mode must be auto|bucketed|full, got {mode!r}")
     cur = store.current()
     if store.guard.is_replay(cur, epoch, run_token):
         return
@@ -422,7 +443,19 @@ def apply_batch_bucketed(
     ]
     if not touched:
         return
-    state_slice = store.read(spark, buckets=touched) if cur else None
+    if mode == "full" or (
+        mode == "auto" and len(touched) >= rewrite_frac * store.n_buckets
+    ):
+        # dense epoch: partial rewrite would touch ~everything anyway —
+        # take the full-rewrite side of the crossover (and collapse the
+        # manifest to one version while at it)
+        touched = list(range(store.n_buckets))
+    full_rewrite = len(touched) == store.n_buckets
+    state_slice = (
+        store.read(spark, buckets=None if full_rewrite else touched)
+        if cur
+        else None
+    )
     if state_slice is None:
         merged = batch_latest
     else:
@@ -492,6 +525,7 @@ def start_projection(
     n_buckets: int = 64,
     serving_path: str | None = None,
     publish_every: int = 8,
+    rewrite_mode: str = "auto",
 ):
     """Wire a parsed event stream into the LWW view and start it.
 
@@ -508,6 +542,11 @@ def start_projection(
     Publish failures are logged-and-continued: the serving layout is a
     read optimization with its own staleness contract; it must never take
     down ingest.
+
+    ``rewrite_mode`` (bucketed mode) forwards to ``apply_batch_bucketed``:
+    ``"auto"`` picks bucketed-merge vs full-rewrite per epoch from the
+    touched-bucket fraction (the measured ``replay800k_*`` crossover);
+    ``"bucketed"``/``"full"`` pin either side.
     """
     import uuid
 
@@ -520,7 +559,9 @@ def start_projection(
         bstore = BucketedViewStore(view_path, n_buckets=n_buckets)
 
         def _apply(batch: DataFrame, epoch: int) -> None:
-            apply_batch_bucketed(spark, bstore, batch, epoch, run_token)
+            apply_batch_bucketed(
+                spark, bstore, batch, epoch, run_token, mode=rewrite_mode
+            )
             if serving_path is not None and epoch % publish_every == (
                 publish_every - 1
             ):

@@ -12,6 +12,7 @@ from hypothesis import strategies as st
 
 from nexus_event_stream_spark.functions.jpeg import (
     jpeg_meta,
+    jpeg_scan_ranges,
     synthesize_jpeg,
 )
 
@@ -104,3 +105,80 @@ def test_fuzz_mutated_valid_jpegs(data):
         jpeg_meta(bytes(base))
     except ValueError:
         pass
+
+
+# ---- per-scan byte ranges (the MP4-per-sample-range analogue) -------------
+
+
+def test_scan_ranges_closed_form_on_progressive():
+    """n_scans=3 progressive: three ranges, stream-ordered, disjoint,
+    each slice starting right after its SOS segment and ending at the
+    next marker; the synthesizer's deterministic fillers make every
+    boundary checkable closed-form against a re-walk of the stream."""
+    p = synthesize_jpeg(64, 48, progressive=True, n_scans=3, scan_bytes=32)
+    assert jpeg_meta(p)["progressive"] is True
+    scans = jpeg_scan_ranges(p)
+    assert [s["scan_idx"] for s in scans] == [0, 1, 2]
+    for s in scans:
+        # SOS marker where claimed, data starts after the SOS header
+        assert p[s["sos_offset"] : s["sos_offset"] + 2] == b"\xff\xda"
+        seg_len = struct.unpack(
+            ">H", p[s["sos_offset"] + 2 : s["sos_offset"] + 4]
+        )[0]
+        assert s["data_offset"] == s["sos_offset"] + 2 + seg_len
+        assert s["n_bytes"] == s["data_end"] - s["data_offset"] > 0
+        # scan data contains no unstuffed marker: every FF is followed
+        # by 00 or a restart marker
+        data = p[s["data_offset"] : s["data_end"]]
+        for i, b in enumerate(data[:-1]):
+            if b == 0xFF:
+                assert data[i + 1] == 0 or 0xD0 <= data[i + 1] <= 0xD7
+        # the next thing after a scan is a marker (next SOS or EOI)
+        nxt = p[s["data_end"] : s["data_end"] + 2]
+        assert nxt in (b"\xff\xda", b"\xff\xd9") or nxt[0:1] == b"\xff"
+    # stream-ordered and disjoint
+    for a, b in zip(scans, scans[1:]):
+        assert a["data_end"] <= b["sos_offset"]
+    # filler lengths grow with scan index (seeded per scan: 32+7s before
+    # stuffing) and the fillers are pairwise distinct
+    slices = [p[s["data_offset"] : s["data_end"]] for s in scans]
+    assert len(set(slices)) == 3
+    assert [s["n_bytes"] >= 32 + 7 * i for i, s in enumerate(scans)]
+    # last scan ends at EOI
+    assert p[scans[-1]["data_end"] :] == b"\xff\xd9"
+
+
+def test_scan_ranges_single_scan_and_errors():
+    p = synthesize_jpeg(8, 8, orientation=5)
+    scans = jpeg_scan_ranges(p)
+    assert len(scans) == 1 and scans[0]["scan_idx"] == 0
+    assert p[scans[0]["data_end"] :] == b"\xff\xd9"
+    with pytest.raises(ValueError):
+        jpeg_scan_ranges(b"\x00\x01\x02\x03")
+    with pytest.raises(ValueError):
+        jpeg_scan_ranges(p[: scans[0]["sos_offset"]])  # headers, no scan
+    # n_scans validation
+    with pytest.raises(ValueError):
+        synthesize_jpeg(8, 8, n_scans=0)
+
+
+@given(
+    w=st.integers(1, 300),
+    h=st.integers(1, 300),
+    n=st.integers(1, 5),
+    sb=st.integers(1, 80),
+)
+@settings(max_examples=40, deadline=None)
+def test_scan_ranges_roundtrip_property(w, h, n, sb):
+    """Every synthesized layout yields exactly n scans whose ranges tile
+    the post-header stream: each scan's data follows its SOS header, and
+    each next SOS starts where the previous scan ended."""
+    p = synthesize_jpeg(w, h, progressive=n > 1, n_scans=n, scan_bytes=sb)
+    scans = jpeg_scan_ranges(p)
+    assert len(scans) == n
+    for a, b in zip(scans, scans[1:]):
+        assert b["sos_offset"] == a["data_end"]
+    assert p[scans[-1]["data_end"] :] == b"\xff\xd9"
+    # jpeg_meta is unaffected by scan multiplicity
+    m = jpeg_meta(p)
+    assert (m["width"], m["height"]) == (w, h)

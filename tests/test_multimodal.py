@@ -200,6 +200,34 @@ def test_sample_frames_jpeg_still_tier(spark):
     assert all(len(f) <= 8 for f in by_media[2])  # tolerant fallback
 
 
+def test_sample_frames_progressive_jpeg_scan_tier(spark):
+    """A multi-scan (progressive) JPEG samples SCANS the way MP4 samples
+    frames: n_frames evenly spaced scans, each row the scan's raw
+    entropy bytes sliced at the ranges jpeg_scan_ranges resolves."""
+    from nexus_event_stream_spark.functions.jpeg import (
+        jpeg_scan_ranges,
+        synthesize_jpeg,
+    )
+
+    prog = synthesize_jpeg(64, 48, progressive=True, n_scans=5, scan_bytes=40)
+    scans = jpeg_scan_ranges(prog)
+    assert len(scans) == 5
+    media = spark.createDataFrame(
+        [(7, prog)], "media_id long, payload binary"
+    )
+    rows = sorted(
+        sample_frames(media, n_frames=3).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [r["frame_idx"] for r in rows] == [0, 1, 2]
+    # picks(5) with n_frames=3 → scans 0, 2, 4
+    want = [
+        prog[scans[k]["data_offset"] : scans[k]["data_end"]] for k in (0, 2, 4)
+    ]
+    assert [bytes(r["frame"]) for r in rows] == want
+    assert len({bytes(r["frame"]) for r in rows}) == 3  # distinct scans
+
+
 # -- APNG: real video frames -------------------------------------------------
 
 
