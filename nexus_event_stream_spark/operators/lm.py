@@ -1,0 +1,268 @@
+"""Character-n-gram language-model perplexity scoring (CCNet-style).
+
+The published pretraining recipe (CCNet, Wenzek et al. 2020,
+arXiv:1911.00359) filters crawled text by the perplexity of a language
+model trained on a trusted corpus: boilerplate, encoding garbage, and
+wrong-language text all score far from the in-domain distribution. CCNet
+uses a KenLM word model; the sandbox has no LM libraries, so this module
+trains its own CHARACTER n-gram model with stupid-backoff smoothing
+(Brants et al. 2007, "Large Language Models in Machine Translation" —
+the count-ratio backoff built for exactly this distributed-counting
+setting: no discounting pass, partial counts merge by addition). A char
+model needs no tokenizer, is language-agnostic, and its state is a few
+hundred thousand counters — broadcastable.
+
+No reference counterpart — north-star LLM-pipeline tier, sitting beside
+the heuristic quality signals (operators/quality.py) and the learned
+logreg gate (operators/classifier.py): rules catch structure, the
+classifier catches labeled badness, perplexity catches "not the trusted
+distribution" without labels.
+
+Scale shape (the 100 TB argument):
+- Training is ONE shuffle of PARTIAL gram counts: an Arrow kernel
+  hashes every order-k window (uint64 rolling hash, vectorized numpy),
+  pre-counts them per batch with ``np.unique``, and emits (order, hash,
+  partial) rows — shuffle bytes ∝ distinct grams per batch, not corpus
+  chars. ``min_count`` pruning and a per-order ``max_grams`` top-K cap
+  bound the model (and the driver collect) regardless of corpus size;
+  both caps are the df-cap discipline of the dedup/BM25 tiers.
+- Scoring is ZERO shuffle: the model broadcasts as sorted uint64
+  arrays, and each doc's per-char backoff chain is numpy
+  ``searchsorted`` lookups over its sliding windows — no Python loop
+  over characters, no per-row UDF.
+- Grams are stored as 64-bit hashes, never strings (collision odds at
+  1e6 grams ≈ 2.7e-8 — far below any filtering consequence; documented,
+  not hidden).
+
+Determinism: training counts are exact integers (partition-independent
+by commutativity); scoring is per-row float math against a frozen
+model, identical under any partitioning.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+__all__ = ["train_char_lm", "perplexity_score", "BACKOFF_ALPHA"]
+
+#: stupid-backoff weight (Brants et al. 2007 use 0.4 for every level)
+BACKOFF_ALPHA = 0.4
+#: rolling-hash base (FNV64 prime); uint64 wraparound IS the modulus
+_HASH_BASE = 1099511628211
+
+
+def _gram_hashes(cp, k):
+    """uint64 rolling hashes of every k-window of codepoint array ``cp``
+    (vectorized; wraparound multiplication is the hash's modulus)."""
+    import numpy as np
+
+    if len(cp) < k:
+        return np.empty(0, dtype=np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(cp, k).astype(np.uint64)
+    pows = np.power(
+        np.uint64(_HASH_BASE), np.arange(k, dtype=np.uint64)
+    )  # wraps — fine
+    return (win * pows).sum(axis=1, dtype=np.uint64)
+
+
+def _codepoints(text: str):
+    import numpy as np
+
+    return np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+
+
+def train_char_lm(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    min_count: int = 2,
+    max_grams: int = 200_000,
+) -> dict:
+    """Train the char-n-gram count model: one partial-count shuffle, one
+    bounded collect.
+
+    Returns ``{"n": n, "total_chars": int, "orders": {k: (hashes,
+    counts)}}`` with ``hashes`` a SORTED uint64 ndarray and ``counts``
+    int64 — the broadcast-ready lookup tables ``perplexity_score``
+    searches. Orders 1..n are all kept (the backoff chain needs every
+    level). Per order, grams below ``min_count`` are pruned and only the
+    ``max_grams`` most frequent survive (ties broken by hash for
+    determinism) — the model-size cap that keeps the driver collect and
+    the broadcast bounded at any corpus size.
+    """
+    import numpy as np
+
+    out_schema = T.StructType(
+        [
+            T.StructField("order", T.IntegerType()),
+            T.StructField("h", T.LongType()),  # uint64 bits as int64
+            T.StructField("c", T.LongType()),
+        ]
+    )
+
+    def partial_counts(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            per_order: dict[int, list] = {k: [] for k in range(1, n + 1)}
+            for text in pdf[text_col]:
+                if not text:
+                    continue
+                cp = _codepoints(text)
+                for k in range(1, n + 1):
+                    per_order[k].append(_gram_hashes(cp, k))
+            orders, hs, cs = [], [], []
+            for k, parts in per_order.items():
+                if not parts:
+                    continue
+                allh = np.concatenate(parts)
+                if not len(allh):
+                    continue
+                uniq, cnt = np.unique(allh, return_counts=True)
+                orders.append(np.full(len(uniq), k, dtype=np.int32))
+                hs.append(uniq.view(np.int64))
+                cs.append(cnt.astype(np.int64))
+            if orders:
+                yield pd.DataFrame(
+                    {
+                        "order": np.concatenate(orders),
+                        "h": np.concatenate(hs),
+                        "c": np.concatenate(cs),
+                    }
+                )
+
+    counts = (
+        docs.select(text_col)
+        .mapInPandas(partial_counts, out_schema)
+        .groupBy("order", "h")
+        .agg(F.sum("c").alias("c"))
+        .filter(F.col("c") >= min_count)
+    )
+    # per-order top-K cap: rank by (count desc, hash asc) — deterministic
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("order").orderBy(F.col("c").desc(), F.col("h").asc())
+    rows = (
+        counts.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= max_grams)
+        .select("order", "h", "c")
+        .collect()
+    )
+    orders: dict[int, tuple] = {}
+    by_order: dict[int, list] = {}
+    for r in rows:
+        by_order.setdefault(int(r["order"]), []).append(
+            (int(r["h"]), int(r["c"]))
+        )
+    for k, pairs in by_order.items():
+        pairs.sort()
+        h = np.array([p[0] for p in pairs], dtype=np.int64).view(np.uint64)
+        c = np.array([p[1] for p in pairs], dtype=np.int64)
+        orders[k] = (h, c)
+    total = int(docs.select(
+        F.sum(F.length(F.coalesce(F.col(text_col), F.lit("")))).alias("t")
+    ).first()["t"] or 0)
+    return {"n": n, "total_chars": total, "orders": orders}
+
+
+def _score_doc(cp, model):
+    """Sum of log10 stupid-backoff char probabilities for one doc
+    (vectorized: one searchsorted per order, then a per-char argmax of
+    the deepest available order)."""
+    import numpy as np
+
+    n = model["n"]
+    total = max(model["total_chars"], 1)
+    L = len(cp)
+    if L == 0:
+        return 0.0
+    # lookup(k, h) → counts aligned to positions, 0 where absent
+    def lookup(k, hashes):
+        tab = model["orders"].get(k)
+        if tab is None or not len(tab[0]):
+            return np.zeros(len(hashes), dtype=np.int64)
+        th, tc = tab
+        idx = np.searchsorted(th, hashes)
+        idx_c = np.minimum(idx, len(th) - 1)
+        hit = th[idx_c] == hashes
+        return np.where(hit, tc[idx_c], 0)
+
+    # per position i (char cp[i]): counts of the k-gram ENDING at i and
+    # its (k-1)-context, for k = n..1
+    gram_c = {}
+    for k in range(1, n + 1):
+        c = np.zeros(L, dtype=np.int64)
+        if L >= k:
+            c[k - 1 :] = lookup(k, _gram_hashes(cp, k))
+        gram_c[k] = c
+    # stupid backoff, vectorized over positions: start at the deepest
+    # order with both gram and context present; multiply alpha per level
+    # of backoff. Base: unigram count / total, OOV floor 1/(10*total).
+    logp = np.full(L, math.log10(1.0 / (10.0 * total)))
+    uni = gram_c[1]
+    has_uni = uni > 0
+    logp[has_uni] = np.log10(uni[has_uni] / total)
+    # climb orders from 2..n: where gram k and its context (the (k-1)-gram
+    # ending at i-1) both exist, the ratio replaces the backed-off value
+    alpha_pow = np.zeros(L)  # levels backed off from the deepest usable
+    for k in range(2, n + 1):
+        ctx = np.zeros(L, dtype=np.int64)
+        ctx[1:] = gram_c[k - 1][:-1]
+        ok = (gram_c[k] > 0) & (ctx > 0)
+        logp[ok] = np.log10(gram_c[k][ok] / ctx[ok])
+        alpha_pow[~ok & (np.arange(L) >= k - 1)] += 1.0
+        alpha_pow[ok] = 0.0
+    logp = logp + alpha_pow * math.log10(BACKOFF_ALPHA)
+    return float(logp.sum())
+
+
+def perplexity_score(
+    docs: DataFrame,
+    model: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: bool = False,
+) -> DataFrame:
+    """Per-document perplexity under the trained model: (id_col,
+    n_chars, log10_prob, ppl_char). Zero shuffle — one Arrow kernel with
+    the model's sorted-array tables in scope (broadcast with the task
+    closure; bounded by ``max_grams``·n entries).
+
+    ``ppl_char = 10^(−log10_prob / n_chars)`` — lower is more in-domain;
+    CCNet's head/middle/tail split or a plain ceiling both read off this
+    column. Empty/NULL docs score ppl 1.0 (no evidence ≠ bad).
+
+    ``keep_cols=True`` passes every input column through the kernel and
+    appends the three score columns — the filtering-stage shape (a gate
+    can filter on ppl_char and drop the scores with no join-back
+    shuffle)."""
+    base = docs if keep_cols else docs.select(id_col, text_col)
+    score_fields = [
+        T.StructField("n_chars", T.IntegerType()),
+        T.StructField("log10_prob", T.DoubleType()),
+        T.StructField("ppl_char", T.DoubleType()),
+    ]
+    out_schema = T.StructType(list(base.schema.fields) + score_fields)
+
+    def batches(it):
+        for pdf in it:
+            ncs, lps, ppls = [], [], []
+            for text in pdf[text_col]:
+                cp = _codepoints(text) if text else None
+                nc = 0 if cp is None else len(cp)
+                lp = 0.0 if nc == 0 else _score_doc(cp, model)
+                ncs.append(nc)
+                lps.append(lp)
+                ppls.append(1.0 if nc == 0 else 10.0 ** (-lp / nc))
+            out = pdf.copy()
+            out["n_chars"] = ncs
+            out["log10_prob"] = lps
+            out["ppl_char"] = ppls
+            yield out
+
+    scored = base.mapInPandas(batches, out_schema)
+    if keep_cols:
+        return scored
+    return scored.select(id_col, "n_chars", "log10_prob", "ppl_char")

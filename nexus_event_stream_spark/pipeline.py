@@ -7,6 +7,8 @@ object, entirely lazily (one Catalyst plan per stage, nothing collected):
 
 1. quality filter        quality_signals → keep quality_pass = 1
 2. learned quality gate  score_logreg on the same signals → threshold
+2b. LM perplexity gate   char-n-gram perplexity ≤ ceiling (CCNet-style
+                         out-of-distribution filtering, zero shuffle)
 3. PII redaction         pii_redact → text becomes the redacted text
 4. exact dedup           md5 digest groups → keep the min-id copy
 5. near-dup dedup        MinHash-LSH pairs → connected components →
@@ -134,6 +136,14 @@ class CorpusRecipe:
     #: columns (recomputed map-side, still zero shuffle) and docs below
     #: the threshold drop. The standard two-tier recipe: cheap rules
     #: first, learned scorer second.
+    #: LM perplexity gate (operators/lm.py, the CCNet recipe): a trained
+    #: char-n-gram model dict plus a per-char perplexity ceiling. Runs
+    #: right after the learned quality gate — rules catch structure, the
+    #: classifier catches labeled badness, perplexity catches
+    #: out-of-distribution text without labels. Zero shuffle (the scores
+    #: ride the doc rows through one Arrow kernel, filter, drop).
+    lm_model: dict | None = None
+    lm_ppl_max: float = 1_000.0
     quality_model: dict | None = None
     quality_model_features: tuple[str, ...] = (
         "n_words",
@@ -214,6 +224,18 @@ def prepare_training_corpus(
             F.col("quality_score") >= recipe.quality_model_threshold
         ).select(*docs.columns)
         stages["quality_model"] = cur
+
+    if recipe.lm_model is not None:
+        from nexus_event_stream_spark.operators.lm import perplexity_score
+
+        scored = perplexity_score(
+            cur, recipe.lm_model, id_col=id_col, text_col=text_col,
+            keep_cols=True,
+        )
+        cur = scored.filter(
+            F.col("ppl_char") <= recipe.lm_ppl_max
+        ).select(*docs.columns)
+        stages["lm_perplexity"] = cur
 
     if recipe.redact_pii:
         red = pii_redact(cur, text_col)

@@ -400,3 +400,44 @@ def test_bm25_decontamination_benchmark_without_id_col(spark):
     )
     corpus_high, _ = prepare_training_corpus(docs, high)
     assert {r.doc_id for r in corpus_high.collect()} == {1, 2}
+
+
+def test_lm_perplexity_gate_drops_out_of_distribution(spark, sf_dir):
+    """The CCNet-style gate: a char-LM trained on the corpus itself lets
+    corpus docs through and drops injected gibberish — zero shuffle, no
+    join-back."""
+    from nexus_event_stream_spark.operators.lm import (
+        perplexity_score,
+        train_char_lm,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    model = train_char_lm(docs, n=3, min_count=2)
+    gibberish = spark.createDataFrame(
+        [(10**9, "src0", "xq zvvkjq pf wjx qzkv jjj qqq zzz")],
+        "doc_id long, source string, text string",
+    )
+    mixed = docs.unionByName(gibberish)
+    # ceiling between the corpus band and the gibberish score
+    scores = {
+        int(r.doc_id): float(r.ppl_char)
+        for r in perplexity_score(mixed, model).collect()
+    }
+    corpus_max = max(v for k, v in scores.items() if k != 10**9)
+    assert scores[10**9] > corpus_max
+    ceiling = (corpus_max + scores[10**9]) / 2
+    recipe = CorpusRecipe(
+        quality=False, redact_pii=False, exact_dedup=False, near_dedup=False,
+        lm_model=model, lm_ppl_max=ceiling,
+    )
+    corpus, stages = prepare_training_corpus(mixed, recipe)
+    survived = {r.doc_id for r in stages["lm_perplexity"].collect()}
+    assert 10**9 not in survived
+    assert len(survived) == docs.count()
+    # zero shuffle: the gate is one Arrow kernel + filter
+    plan = (
+        stages["lm_perplexity"]._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
