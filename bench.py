@@ -499,6 +499,27 @@ def _stress_bench(
         ).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    # Char-LM perplexity scoring over 25× docs: the model trains once on
+    # the base table OUTSIDE the clock (a deployment trains on last
+    # snapshot's trusted slice, scores every crawl); the timed pass is
+    # the zero-shuffle scoring kernel — uint64 rolling-hash windows +
+    # searchsorted per doc.
+    from nexus_event_stream_spark.operators.lm import (
+        perplexity_score,
+        train_char_lm,
+    )
+
+    lm_model = train_char_lm(
+        load_table(spark, sf_dir, "documents"), n=3, min_count=2
+    )
+
+    def run_lm_ppl() -> float:
+        t0 = time.perf_counter()
+        perplexity_score(docs, lm_model).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.perf_counter() - t0
+
     def run_cdc_dedup() -> float:
         # content-defined-chunk dedup, Arrow convolution kernel (the
         # Catalyst HOF twin measures ~23× slower — interpreted lambdas;
@@ -517,6 +538,7 @@ def _stress_bench(
         ("ivf_pq_search_25x", run_ivf_pq, n_vecs),
         ("semantic_dedup_25x", run_semantic_dedup, n_vecs),
         ("bm25_search_25x", run_bm25, n_docs),
+        ("lm_ppl_25x", run_lm_ppl, n_docs),
         ("cdc_dedup_25x", run_cdc_dedup, n_docs),
         ("corpus_pipeline_25x", run_pipeline, n_docs),
     ]

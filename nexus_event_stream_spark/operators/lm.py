@@ -167,10 +167,75 @@ def train_char_lm(
     return {"n": n, "total_chars": total, "orders": orders}
 
 
+def _lookup(model, k, hashes):
+    """counts aligned to ``hashes`` from the order-k table, 0 where absent."""
+    import numpy as np
+
+    tab = model["orders"].get(k)
+    if tab is None or not len(tab[0]):
+        return np.zeros(len(hashes), dtype=np.int64)
+    th, tc = tab
+    idx = np.searchsorted(th, hashes)
+    idx_c = np.minimum(idx, len(th) - 1)
+    hit = th[idx_c] == hashes
+    return np.where(hit, tc[idx_c], 0)
+
+
+def _score_batch(cps, model):
+    """log10 stupid-backoff sums for a LIST of codepoint arrays in one
+    set of whole-batch numpy passes: all docs concatenate into one
+    array, each order's gram hashes and table lookups run once over the
+    concatenation, windows that straddle a doc boundary are masked
+    invalid, and per-doc sums come off one ``reduceat``. Bit-identical
+    to scoring docs one at a time (``_score_doc`` is the readable spec;
+    equivalence is pinned in tests) — this exists because per-doc numpy
+    calls are overhead-bound on short documents."""
+    import numpy as np
+
+    if not cps:
+        return np.empty(0, dtype=np.float64)
+    n = model["n"]
+    total = max(model["total_chars"], 1)
+    lens = np.array([len(c) for c in cps], dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    cat = np.concatenate(cps)
+    L = len(cat)
+    # start offset of the doc owning each position
+    owner_start = np.repeat(starts, lens)
+    pos = np.arange(L)
+    gram_c = {}
+    valid = {}
+    for k in range(1, n + 1):
+        c = np.zeros(L, dtype=np.int64)
+        if L >= k:
+            c[k - 1 :] = _lookup(model, k, _gram_hashes(cat, k))
+        gram_c[k] = c
+        valid[k] = (pos - owner_start) >= (k - 1)
+    logp = np.full(L, math.log10(1.0 / (10.0 * total)))
+    uni = gram_c[1]
+    has_uni = uni > 0
+    logp[has_uni] = np.log10(uni[has_uni] / total)
+    alpha_pow = np.zeros(L)
+    for k in range(2, n + 1):
+        ctx = np.zeros(L, dtype=np.int64)
+        ctx[1:] = gram_c[k - 1][:-1]
+        ok = valid[k] & (gram_c[k] > 0) & (ctx > 0)
+        ratios = np.ones(L)
+        np.divide(gram_c[k], ctx, out=ratios, where=ok)
+        logp[ok] = np.log10(ratios[ok])
+        alpha_pow[~ok & valid[k]] += 1.0
+        alpha_pow[ok] = 0.0
+    logp = logp + alpha_pow * math.log10(BACKOFF_ALPHA)
+    # reduceat needs non-empty slices: empty docs were filtered upstream
+    return np.add.reduceat(logp, starts)
+
+
 def _score_doc(cp, model):
     """Sum of log10 stupid-backoff char probabilities for one doc
     (vectorized: one searchsorted per order, then a per-char argmax of
-    the deepest available order)."""
+    the deepest available order). The readable single-doc spec —
+    ``_score_batch`` is the whole-batch twin the scorer actually runs;
+    their bit-equivalence is pinned in tests."""
     import numpy as np
 
     n = model["n"]
@@ -215,7 +280,11 @@ def _score_doc(cp, model):
         alpha_pow[~ok & (np.arange(L) >= k - 1)] += 1.0
         alpha_pow[ok] = 0.0
     logp = logp + alpha_pow * math.log10(BACKOFF_ALPHA)
-    return float(logp.sum())
+    # sequential (reduceat-order) summation — the batch twin sums each
+    # doc's slice with np.add.reduceat, and bit-identity between the two
+    # requires the same fold order (np.sum's pairwise tree differs in
+    # the last ulp)
+    return float(np.add.reduceat(logp, [0])[0])
 
 
 def perplexity_score(
@@ -247,17 +316,25 @@ def perplexity_score(
     out_schema = T.StructType(list(base.schema.fields) + score_fields)
 
     def batches(it):
+        import numpy as np
+
         for pdf in it:
-            ncs, lps, ppls = [], [], []
-            for text in pdf[text_col]:
+            cps, idxs = [], []
+            ncs = np.zeros(len(pdf), dtype=np.int64)
+            for i, text in enumerate(pdf[text_col]):
                 cp = _codepoints(text) if text else None
-                nc = 0 if cp is None else len(cp)
-                lp = 0.0 if nc == 0 else _score_doc(cp, model)
-                ncs.append(nc)
-                lps.append(lp)
-                ppls.append(1.0 if nc == 0 else 10.0 ** (-lp / nc))
+                if cp is not None and len(cp):
+                    cps.append(cp)
+                    idxs.append(i)
+                    ncs[i] = len(cp)
+            lps = np.zeros(len(pdf), dtype=np.float64)
+            if cps:
+                lps[np.array(idxs)] = _score_batch(cps, model)
+            ppls = np.ones(len(pdf), dtype=np.float64)
+            nz = ncs > 0
+            ppls[nz] = 10.0 ** (-lps[nz] / ncs[nz])
             out = pdf.copy()
-            out["n_chars"] = ncs
+            out["n_chars"] = ncs.astype("int32")
             out["log10_prob"] = lps
             out["ppl_char"] = ppls
             yield out

@@ -265,6 +265,63 @@ def bm25_score_docs(
     )
 
 
+def mine_hard_negatives(
+    index: BM25Index,
+    docs: DataFrame,
+    positives: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    exclude_self: bool = True,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_positives_per_doc: int = 1,
+) -> DataFrame:
+    """Top-k BM25 hard negatives per document: (id_col, match_id, score,
+    rank) — the highest-scoring indexed docs that are NOT the document
+    itself and NOT its known positives. The standard mining step for
+    contrastive retrieval/embedding training (negatives that lexically
+    resemble the query are the ones a random sample never surfaces).
+
+    ``positives`` is an optional (id_col, match_id) relation of known
+    relevant pairs to exclude (size the over-fetch with
+    ``max_positives_per_doc`` when a doc can have several). Built on
+    ``bm25_score_docs`` (broadcast postings, no corpus×index blowup):
+    over-fetch enough candidates to survive the exclusions, anti-join
+    them away, re-rank densely 1..k. The re-rank window shuffles only
+    the candidate rows (≤ docs·overfetch), never the corpus.
+    """
+    from pyspark.sql import Window
+
+    overfetch = k + (1 if exclude_self else 0) + (
+        max_positives_per_doc if positives is not None else 0
+    )
+    cand = bm25_score_docs(
+        index, docs, id_col=id_col, text_col=text_col, k=overfetch,
+        k1=k1, b=b,
+    )
+    if exclude_self:
+        cand = cand.filter(F.col(id_col) != F.col("match_id"))
+    if positives is not None:
+        pos = positives.select(
+            F.col(id_col), F.col("match_id").alias("__pos")
+        )
+        cand = cand.join(
+            pos,
+            (cand[id_col] == pos[id_col])
+            & (F.col("match_id") == F.col("__pos")),
+            "left_anti",
+        )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("rank").asc()  # original BM25 order, ties already broken
+    )
+    return (
+        cand.withColumn("__rr", F.row_number().over(w))
+        .filter(F.col("__rr") <= k)
+        .select(id_col, "match_id", "score", F.col("__rr").alias("rank"))
+    )
+
+
 def _py_search_tokens(text: str) -> list[str]:
     """Driver-side twin of ``search_tokens`` for query strings (tiny).
     Must tokenize EXACTLY like the Spark expression — pinned in tests."""

@@ -236,6 +236,19 @@ def compact_tombstones(
     return store.write(keep, cur.get("epoch"), cur.get("run_token"))
 
 
+def _manifest_versions(manifest: dict) -> set[int]:
+    """Every version referenced by a manifest — values are a single
+    owning version (merge stores) or a segment-version list (append
+    stores)."""
+    out: set[int] = set()
+    for v in manifest.values():
+        if isinstance(v, list):
+            out.update(v)
+        else:
+            out.add(v)
+    return out
+
+
 def _bucket_expr(n_buckets: int, key_col: str = "id"):
     """Stable key → bucket: pmod(xxhash64(key), B); NULL keys land in 0."""
     from pyspark.sql import functions as F
@@ -305,9 +318,12 @@ class BucketedViewStore:
         if buckets is not None:
             want = {str(b) for b in buckets}
             items = [(b, v) for b, v in manifest.items() if b in want]
+        # a manifest value is either one owning version (merge stores) or
+        # a LIST of segment versions (append stores) — reads union them
         return [
             os.path.join(self.path, f"v={ver}", f"__bucket={b}")
-            for b, ver in items
+            for b, vers in items
+            for ver in (vers if isinstance(vers, list) else [vers])
         ]
 
     def read(self, spark: SparkSession, buckets=None) -> DataFrame | None:
@@ -363,7 +379,70 @@ class BucketedViewStore:
                 # every key in the bucket was deleted upstream (compaction):
                 # the bucket's data is gone — drop it from the manifest
                 manifest.pop(str(b), None)
-        prev_refs = sorted({v for v in cur["manifest"].values()} | {cur["version"]}) if cur else []
+        prev_refs = sorted(_manifest_versions(cur["manifest"]) | {cur["version"]}) if cur else []
+        self._commit(
+            {
+                **(extra or {}),
+                "version": version,
+                "epoch": epoch,
+                "run_token": run_token,
+                "manifest": manifest,
+                "prev_refs": prev_refs,
+            },
+            expected=cur,
+        )
+        self._vacuum(manifest, prev_refs, version)
+        return version
+
+    def append_buckets(
+        self,
+        df: DataFrame,
+        touched: list[int],
+        epoch: int | None = None,
+        run_token: str | None = None,
+        extra: dict | None = None,
+    ) -> int:
+        """APPEND ``df``'s rows as a new SEGMENT of the touched buckets —
+        nothing already stored is read or rewritten; the manifest keeps a
+        segment-version LIST per bucket and reads union the segments.
+
+        The additive-store write path (BM25 postings and any
+        append-only substrate): per-epoch write cost is O(|batch|)
+        regardless of how many buckets the batch touches — a merge-store
+        ``write_buckets`` would re-read and re-write every touched
+        bucket's history, which for natural-language postings (every
+        batch touches nearly every term bucket) degenerates to rewriting
+        the whole index per epoch. Segment lists grow with epochs;
+        ``write_buckets`` (e.g. from a compaction read-union-rewrite)
+        collapses a bucket's list back to one owning version. Same
+        pointer-last atomic commit, same vacuum safety (every listed
+        segment version stays referenced)."""
+        cur = self.current()
+        version = (cur["version"] + 1) if cur else 0
+        out = os.path.join(self.path, f"v={version}")
+        (
+            df.withColumn("__bucket", _bucket_expr(self.n_buckets, self.key_col))
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(out)
+        )
+        manifest = dict(cur["manifest"]) if cur else {}
+        written = {
+            name.split("=", 1)[1]
+            for name in os.listdir(out)
+            if name.startswith("__bucket=")
+        }
+        for b in touched:
+            if str(b) not in written:
+                continue  # nothing landed in this bucket — no segment
+            prev = manifest.get(str(b))
+            if prev is None:
+                manifest[str(b)] = [version]
+            elif isinstance(prev, list):
+                manifest[str(b)] = prev + [version]
+            else:
+                manifest[str(b)] = [prev, version]
+        prev_refs = sorted(_manifest_versions(cur["manifest"]) | {cur["version"]}) if cur else []
         self._commit(
             {
                 **(extra or {}),
@@ -379,7 +458,7 @@ class BucketedViewStore:
         return version
 
     def _vacuum(self, manifest: dict, prev_refs: list[int], version: int) -> None:
-        keep = {f"v={v}" for v in manifest.values()}
+        keep = {f"v={v}" for v in _manifest_versions(manifest)}
         keep |= {f"v={v}" for v in prev_refs}
         keep.add(f"v={version}")
         for name in os.listdir(self.path):

@@ -3,9 +3,12 @@ lexical index, the retrieval twin of the streaming ANN index.
 
 ``BM25IndexStore`` keeps (term, doc_id, tf, dl) postings on the
 BucketedViewStore machinery with **key = term**: a micro-batch of new
-documents appends postings to only the term buckets it touches, pointer
-committed last (both backends), and corpus scalars (doc count, total
-length) accumulate as exact integers in the pointer. Additive state ⇒
+documents APPENDS its postings as a new segment of the buckets it
+touches (``append_buckets`` — the stored history is never read or
+rewritten, per-epoch write cost O(|batch postings|); ``compact()``
+folds segment lists, Lucene-merge style), pointer committed last (both
+backends), and corpus scalars (doc count, total length) accumulate as
+exact integers in the pointer. Additive state ⇒
 the shared ``ReplayGuard("additive")`` discipline (streaming/replay.py,
 same as the rollup store): a replayed epoch within the run token must
 never re-append (silent monotone suppression), and a DIFFERENT token
@@ -173,16 +176,47 @@ class BM25IndexStore:
                 expected=cur,
             )
             return
-        old = self._store.read(spark, buckets=touched) if cur else None
-        merged = postings if old is None else old.unionByName(postings)
-        self._store.write_buckets(
-            merged.select(*[f.name for f in _POSTING_SCHEMA.fields]),
+        # SEGMENT append: only the batch's postings are written — the
+        # stored history is never read or rewritten. Natural-language
+        # batches touch nearly every term bucket, so the merge-store
+        # write path (read old + union + rewrite touched) would
+        # degenerate to rewriting the whole index every epoch; the
+        # segment manifest makes the epoch cost O(|batch postings|) and
+        # compact() folds segment lists back when reads want fewer files.
+        self._store.append_buckets(
+            postings.select(*[f.name for f in _POSTING_SCHEMA.fields]),
             touched,
             epoch,
             run_token=run_token,
             extra={
                 "n_docs": (cur or {}).get("n_docs", 0) + int(n_new),
                 "sum_dl": (cur or {}).get("sum_dl", 0) + int(sum_dl_new or 0),
+            },
+        )
+
+    def compact(self, spark: SparkSession) -> int | None:
+        """Fold every bucket's segment list into one owning version
+        (read-union-rewrite through ``write_buckets``): query results are
+        identical before and after — this is pure file-count maintenance,
+        the Lucene-merge / parquet-compaction analogue. Returns the new
+        version, or None when there is nothing to compact. The corpus
+        counters, epoch, and run token ride the same pointer commit
+        unchanged."""
+        cur = self.current()
+        if cur is None or not cur["manifest"]:
+            return None
+        if not any(isinstance(v, list) and len(v) > 1 for v in cur["manifest"].values()):
+            return None
+        all_rows = self._store.read(spark)
+        touched = [int(b) for b in cur["manifest"]]
+        return self._store.write_buckets(
+            all_rows.select(*[f.name for f in _POSTING_SCHEMA.fields]),
+            touched,
+            cur.get("epoch"),
+            run_token=cur.get("run_token"),
+            extra={
+                "n_docs": cur.get("n_docs", 0),
+                "sum_dl": cur.get("sum_dl", 0),
             },
         )
 

@@ -168,3 +168,24 @@ def test_scoring_plan_zero_shuffle(spark, tiny):
         .toString()
     )
     assert "Exchange" not in plan  # pure map-side Arrow kernel
+
+
+def test_batch_scorer_bit_identical_to_single_doc_spec(spark, tiny):
+    """_score_batch (the whole-batch kernel the scorer runs) must be
+    BIT-identical to _score_doc (the readable per-doc spec), across doc
+    lengths shorter than the order and mixed orders."""
+    import numpy as np
+
+    from nexus_event_stream_spark.operators.lm import (
+        _codepoints,
+        _score_batch,
+        _score_doc,
+    )
+
+    df, texts = tiny
+    model = train_char_lm(df, n=3, min_count=1, max_grams=10**9)
+    probes = texts + ["a", "ab", "zzqx unseen", "the cat", "x"]
+    cps = [_codepoints(t) for t in probes]
+    got = _score_batch(cps, model)
+    want = np.array([_score_doc(c, model) for c in cps])
+    assert (got == want).all()  # bit identity, not approx

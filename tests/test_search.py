@@ -260,3 +260,52 @@ def test_score_docs_plan_shape(spark, docs, corpus):
     assert "BroadcastHashJoin" in plan
     assert "WindowGroupLimit" in plan  # map-side top-k pre-drop
     assert "CartesianProduct" not in plan
+
+
+def test_mine_hard_negatives_excludes_self_and_positives(spark, docs, corpus):
+    from nexus_event_stream_spark.operators.search import (
+        bm25_score_docs,
+        mine_hard_negatives,
+    )
+
+    # index the whole corpus; mine negatives for 20 of its own docs —
+    # self-match is the trivial top hit and must be gone
+    bidx = build_bm25_index(
+        spark.createDataFrame(corpus[:50], "doc_id long, text string"),
+        max_df_frac=0.98,
+    )
+    probe = docs.filter(F.col("doc_id") < 20)
+    negs = mine_hard_negatives(bidx, probe, k=3).collect()
+    by_doc: dict[int, list] = {}
+    for r in sorted(negs, key=lambda r: (r.doc_id, r.rank)):
+        by_doc.setdefault(int(r.doc_id), []).append(
+            (int(r.match_id), float(r.score), int(r.rank))
+        )
+    # oracle: bm25_score_docs top-4, drop self, keep 3, dense re-rank
+    want_rows = bm25_score_docs(bidx, probe, k=4).collect()
+    want: dict[int, list] = {}
+    for r in sorted(want_rows, key=lambda r: (r.doc_id, r.rank)):
+        if int(r.match_id) == int(r.doc_id):
+            continue
+        lst = want.setdefault(int(r.doc_id), [])
+        if len(lst) < 3:
+            lst.append((int(r.match_id), float(r.score), len(lst) + 1))
+    assert by_doc == want
+    for d, lst in by_doc.items():
+        assert all(m != d for m, _s, _r in lst)
+        assert [r for _m, _s, r in lst] == list(range(1, len(lst) + 1))
+    # positives exclusion: declare each doc's current top negative as a
+    # known positive — it must disappear and the list stay full at k=2
+    pos = spark.createDataFrame(
+        [(d, lst[0][0]) for d, lst in by_doc.items()],
+        "doc_id long, match_id long",
+    )
+    negs2 = mine_hard_negatives(bidx, probe, positives=pos, k=2).collect()
+    by_doc2: dict[int, list] = {}
+    for r in sorted(negs2, key=lambda r: (r.doc_id, r.rank)):
+        by_doc2.setdefault(int(r.doc_id), []).append(int(r.match_id))
+    for d, lst in by_doc.items():
+        banned = {d, lst[0][0]}
+        assert banned.isdisjoint(by_doc2.get(d, []))
+        # the old rank-2/3 survivors shift up
+        assert by_doc2[d][: len(lst) - 1] == [m for m, _s, _r in lst[1:]]

@@ -163,3 +163,88 @@ def test_structured_streaming_end_to_end(spark, docs, tmp_path):
         bm25_topk(build_bm25_index(docs, max_df_frac=0.98), QUERIES, k=10)
     )
     assert got == want
+
+
+@pytest.mark.parametrize(
+    "backend_cls", [PosixRenameBackend, ConditionalPutBackend]
+)
+def test_segment_append_never_rewrites_history(
+    spark, docs, tmp_path, backend_cls
+):
+    """The additive write path is a SEGMENT append: each epoch writes
+    only its own batch's postings (manifest lists grow, earlier segment
+    files stay byte-identical on disk), yet reads union everything."""
+    import os
+
+    store = BM25IndexStore(
+        str(tmp_path / "idx"), n_buckets=8, backend=backend_cls()
+    )
+    store.apply_batch(spark, docs.filter(F.col("doc_id") % 3 == 0), 0)
+    m0 = store.current()["manifest"]
+    # every bucket holds exactly one segment so far
+    assert all(v == [0] for v in m0.values())
+    # fingerprint every v=0 parquet file (path, size, mtime)
+    def files_of(version):
+        out = {}
+        root = os.path.join(store._store.path, f"v={version}")
+        for dirpath, _dirs, names in os.walk(root):
+            for nm in names:
+                p = os.path.join(dirpath, nm)
+                st = os.stat(p)
+                out[p] = (st.st_size, st.st_mtime_ns)
+        return out
+    f0 = files_of(0)
+    store.apply_batch(spark, docs.filter(F.col("doc_id") % 3 == 1), 1)
+    m1 = store.current()["manifest"]
+    # dense text batch: buckets accumulate segments, v=0 untouched
+    assert any(v == [0, 1] for v in m1.values())
+    assert files_of(0) == f0
+    store.apply_batch(spark, docs.filter(F.col("doc_id") % 3 == 2), 2)
+    assert files_of(0) == f0
+    # and the union read serves the exact one-shot ranking
+    got = topk_rows(store.query(spark, QUERIES, k=10, max_df_frac=0.98))
+    oneshot = build_bm25_index(docs, max_df_frac=0.98)
+    assert got == topk_rows(bm25_topk(oneshot, QUERIES, k=10))
+
+
+@pytest.mark.parametrize(
+    "backend_cls", [PosixRenameBackend, ConditionalPutBackend]
+)
+def test_compaction_folds_segments_identically(
+    spark, docs, tmp_path, backend_cls
+):
+    import os
+
+    store = BM25IndexStore(
+        str(tmp_path / "idx"), n_buckets=8, backend=backend_cls()
+    )
+    for epoch in range(4):
+        store.apply_batch(
+            spark, docs.filter(F.col("doc_id") % 4 == epoch), epoch
+        )
+    before = topk_rows(store.query(spark, QUERIES, k=10, max_df_frac=0.98))
+    cur_before = store.current()
+    assert any(
+        isinstance(v, list) and len(v) > 1
+        for v in cur_before["manifest"].values()
+    )
+    v = store.compact(spark)
+    assert v is not None
+    cur = store.current()
+    # every bucket collapsed to the single compacted version
+    assert set(
+        x if not isinstance(x, list) else tuple(x)
+        for x in cur["manifest"].values()
+    ) == {v}
+    # counters / epoch / token survived the fold
+    for k in ("n_docs", "sum_dl", "epoch", "run_token"):
+        assert cur.get(k) == cur_before.get(k)
+    # identical ranking, and a second compact is a no-op
+    assert topk_rows(store.query(spark, QUERIES, k=10, max_df_frac=0.98)) == before
+    assert store.compact(spark) is None
+    # vacuum (after one more append) drops the pre-compaction segments
+    store.apply_batch(spark, docs.filter(F.col("doc_id") % 17 == 0), 4)
+    store.apply_batch(spark, docs.filter(F.col("doc_id") % 17 == 1), 5)
+    live = {f"v={x}" for x in range(v)} & set(os.listdir(store._store.path))
+    assert not live  # every pre-compaction segment dir vacuumed
+    assert topk_rows(store.query(spark, QUERIES, k=10, max_df_frac=0.98))
