@@ -45,7 +45,13 @@ import math
 
 from pyspark.sql import DataFrame, functions as F, types as T
 
-__all__ = ["train_char_lm", "perplexity_score", "BACKOFF_ALPHA"]
+__all__ = [
+    "train_char_lm",
+    "perplexity_score",
+    "importance_weights",
+    "dsir_select",
+    "BACKOFF_ALPHA",
+]
 
 #: stupid-backoff weight (Brants et al. 2007 use 0.4 for every level)
 BACKOFF_ALPHA = 0.4
@@ -343,3 +349,113 @@ def perplexity_score(
     if keep_cols:
         return scored
     return scored.select(id_col, "n_chars", "log10_prob", "ppl_char")
+
+
+def importance_weights(
+    docs: DataFrame,
+    target_model: dict,
+    raw_model: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    normalize: str = "per_char",
+) -> DataFrame:
+    """DSIR-style importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023, arXiv:2302.03169): per document,
+    ``log10_ratio = log10 p_target(x) − log10 p_raw(x)`` under two
+    trained char-LMs, plus ``weight = 10^ratio`` ready for the
+    weighted sampler. The paper's estimator uses hashed-n-gram bag
+    models; the char-LM twins here play the same role (both are cheap
+    n-gram likelihoods — the ratio is what matters) and reuse this
+    module's whole-batch kernel.
+
+    ``normalize='per_char'`` (default) divides the log-ratio by doc
+    length before exponentiating — the geometric-mean ratio. Raw
+    full-document ratios grow linearly in length, so long documents
+    dominate any finite sample AND overflow float64; the per-char form
+    is length-fair and bounded. ``normalize='none'`` keeps the paper's
+    raw full-sequence ratio (right when the corpus is pre-chunked to
+    fixed lengths, as DSIR's inputs are), with the weight clamped to
+    float64 range.
+
+    Zero shuffle: one Arrow kernel scores BOTH models per batch — the
+    text decodes to codepoints once.
+    """
+    if normalize not in ("per_char", "none"):
+        raise ValueError(f"normalize must be per_char|none, got {normalize!r}")
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("n_chars", T.IntegerType()),
+            T.StructField("log10_ratio", T.DoubleType()),
+            T.StructField("weight", T.DoubleType()),
+        ]
+    )
+
+    def batches(it):
+        import numpy as np
+
+        for pdf in it:
+            cps, idxs = [], []
+            ncs = np.zeros(len(pdf), dtype=np.int64)
+            for i, text in enumerate(pdf[text_col]):
+                cp = _codepoints(text) if text else None
+                if cp is not None and len(cp):
+                    cps.append(cp)
+                    idxs.append(i)
+                    ncs[i] = len(cp)
+            ratio = np.zeros(len(pdf), dtype=np.float64)
+            if cps:
+                ix = np.array(idxs)
+                ratio[ix] = _score_batch(cps, target_model) - _score_batch(
+                    cps, raw_model
+                )
+            if normalize == "per_char":
+                nz = ncs > 0
+                ratio[nz] = ratio[nz] / ncs[nz]
+            # clamp the exponent so the weight stays a normal float64
+            # (an inf weight would pin the sampler key at 0 for every
+            # such row, erasing their relative order)
+            w = 10.0 ** np.clip(ratio, -300.0, 300.0)
+            import pandas as pd
+
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_chars": ncs.astype("int32"),
+                    "log10_ratio": ratio,
+                    "weight": w,
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(batches, out_schema)
+
+
+def dsir_select(
+    docs: DataFrame,
+    target_model: dict,
+    raw_model: dict,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    normalize: str = "per_char",
+) -> DataFrame:
+    """Select ``k`` documents by importance resampling: importance
+    weights (above) fed to the deterministic Efraimidis–Spirakis
+    weighted sampler — sampling WITHOUT replacement with inclusion
+    probability ∝ p_target/p_raw, the DSIR selection step. Returns the
+    selected docs (original columns + log10_ratio + weight).
+
+    Plan: zero-shuffle weighting kernel + the sampler's
+    TakeOrderedAndProject (per-task heap, no corpus shuffle) + one
+    broadcast-able semi-join back to the doc columns.
+    """
+    from .sampling import weighted_sample
+
+    weights = importance_weights(
+        docs, target_model, raw_model,
+        id_col=id_col, text_col=text_col, normalize=normalize,
+    )
+    picked = weighted_sample(weights, "weight", k, key_col=id_col)
+    return docs.join(
+        picked.select(id_col, "log10_ratio", "weight"), id_col
+    )

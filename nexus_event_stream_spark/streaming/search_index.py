@@ -297,17 +297,36 @@ def start_search_index(
     store: BM25IndexStore,
     checkpoint_path: str,
     trigger_seconds: int | None = None,
+    compact_every: int | None = 16,
 ):
     """Wire a document stream into the postings store and start it. The
     run token is checkpoint-stable (``run_token_for``): crash-recovery
     restarts replay silently, a checkpoint reset fails loudly (additive
-    guard) instead of silently dropping the new run's postings."""
+    guard) instead of silently dropping the new run's postings.
+
+    ``compact_every`` schedules inline segment-fold maintenance: every N
+    epochs the segment lists collapse to one version (``compact()``), so
+    a long-running stream's per-query file count stays bounded at
+    O(n_buckets + N) instead of growing with epochs — the same
+    inline-scheduled-maintenance shape as ``start_projection``'s serving
+    publish. Compaction failures are logged-and-continued (it is pure
+    read maintenance; it must never take down ingest). None disables."""
+    import sys
+
     from .dedup import run_token_for
 
     run_token = run_token_for(checkpoint_path)
 
     def _apply(batch: DataFrame, epoch: int) -> None:
         store.apply_batch(spark, batch, epoch, run_token)
+        if compact_every and epoch % compact_every == compact_every - 1:
+            try:
+                store.compact(spark)
+            except Exception as exc:  # noqa: BLE001 — ingest must survive
+                print(
+                    f"bm25 segment compaction failed (epoch {epoch}): {exc}",
+                    file=sys.stderr,
+                )
 
     writer = (
         docs.writeStream.outputMode("update")

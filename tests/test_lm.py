@@ -189,3 +189,79 @@ def test_batch_scorer_bit_identical_to_single_doc_spec(spark, tiny):
     got = _score_batch(cps, model)
     want = np.array([_score_doc(c, model) for c in cps])
     assert (got == want).all()  # bit identity, not approx
+
+
+# ---- DSIR importance resampling -------------------------------------------
+
+
+def test_importance_weights_match_spec(spark, tiny):
+    import numpy as np
+
+    from nexus_event_stream_spark.operators.lm import (
+        _codepoints,
+        _score_doc,
+        importance_weights,
+    )
+
+    df, texts = tiny
+    target = train_char_lm(df.filter("doc_id < 2"), n=3, min_count=1)
+    raw = train_char_lm(df, n=3, min_count=1)
+    got = {
+        int(r.doc_id): (float(r.log10_ratio), float(r.weight))
+        for r in importance_weights(df, target, raw).collect()
+    }
+    for i, t in enumerate(texts):
+        cp = _codepoints(t)
+        want = (_score_doc(cp, target) - _score_doc(cp, raw)) / len(t)
+        assert got[i][0] == pytest.approx(want, abs=1e-12)
+        assert got[i][1] == pytest.approx(10.0 ** want, rel=1e-12)
+    # raw full-sequence mode
+    got_raw = {
+        int(r.doc_id): float(r.log10_ratio)
+        for r in importance_weights(df, target, raw, normalize="none").collect()
+    }
+    for i, t in enumerate(texts):
+        cp = _codepoints(t)
+        assert got_raw[i] == pytest.approx(
+            _score_doc(cp, target) - _score_doc(cp, raw), abs=1e-9
+        )
+    with pytest.raises(ValueError):
+        importance_weights(df, target, raw, normalize="nope")
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    """Two disjoint styles; the target LM is trained on style A only.
+    Selecting half the corpus must overwhelmingly pick style-A docs —
+    the DSIR selection property — and be replayable."""
+    import random
+
+    from nexus_event_stream_spark.operators.lm import dsir_select
+
+    rng = random.Random(42)
+    a_words = ["table", "join", "window", "stream", "merge", "filter"]
+    b_words = ["zyx", "qwv", "kjh", "pqr", "xxz", "vvq"]
+    rows = []
+    for i in range(200):
+        words = a_words if i % 2 == 0 else b_words
+        rows.append(
+            (i, " ".join(rng.choice(words) for _ in range(20)))
+        )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = train_char_lm(
+        docs.filter("doc_id % 2 = 0"), n=3, min_count=1
+    )
+    raw = train_char_lm(docs, n=3, min_count=1)
+    picked = dsir_select(docs, target, raw, k=100).collect()
+    assert len(picked) == 100
+    a_frac = sum(1 for r in picked if r.doc_id % 2 == 0) / 100
+    assert a_frac > 0.9  # style A dominates the selection
+    # replayable: identical selection on a different partitioning
+    again = {
+        int(r.doc_id)
+        for r in dsir_select(
+            docs.repartition(7), target, raw, k=100
+        ).collect()
+    }
+    assert again == {int(r.doc_id) for r in picked}
+    # selected rows carry the provenance columns
+    assert {"log10_ratio", "weight"} <= set(picked[0].asDict())

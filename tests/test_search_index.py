@@ -248,3 +248,35 @@ def test_compaction_folds_segments_identically(
     live = {f"v={x}" for x in range(v)} & set(os.listdir(store._store.path))
     assert not live  # every pre-compaction segment dir vacuumed
     assert topk_rows(store.query(spark, QUERIES, k=10, max_df_frac=0.98))
+
+
+def test_streaming_inline_compaction_bounds_segments(spark, docs, tmp_path):
+    """compact_every=2 over a 4-file stream: after the run every bucket's
+    manifest entry is folded (no list longer than the window), and the
+    live ranking equals the one-shot index."""
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(4):
+        docs.filter(F.col("doc_id") % 4 == i).coalesce(1).write.parquet(
+            str(src / f"slice={i}")
+        )
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src) + "/slice=*")
+    store = BM25IndexStore(str(tmp_path / "idx"), n_buckets=8)
+    q = start_search_index(
+        spark, stream, store, str(tmp_path / "ckpt"), compact_every=2
+    )
+    q.processAllAvailable()
+    q.stop()
+    manifest = store.current()["manifest"]
+    # the last compaction ran at epoch 3 (the final epoch): everything
+    # is folded to a single owning version per bucket
+    assert all(
+        not isinstance(v, list) or len(v) <= 2 for v in manifest.values()
+    )
+    got = topk_rows(store.query(spark, QUERIES, k=10, max_df_frac=0.98))
+    want = topk_rows(
+        bm25_topk(build_bm25_index(docs, max_df_frac=0.98), QUERIES, k=10)
+    )
+    assert got == want
