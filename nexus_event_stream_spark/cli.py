@@ -43,7 +43,28 @@ def render_get(row) -> str:
     )
 
 
-def main(service: SignalService, argv: list[str] | None = None) -> int:
+def render_rollups(rows, dims: tuple[str, ...]) -> str:
+    dim_hdr = " ".join(f"{d.upper():<12}" for d in dims)
+    header = (
+        f"{'BUCKET':<17} {dim_hdr}{'N':>8} {'SUM':>12} {'MIN':>10} "
+        f"{'MAX':>10} {'AVG':>10}"
+    )
+    lines = [header]
+    for r in rows:
+        dim_vals = " ".join(f"{_trunc(str(r[d]))[:12]:<12}" for d in dims)
+        lines.append(
+            f"{_fmt_ts(r['bucket_ts']):<17} {dim_vals}{r['n_events']:>8} "
+            f"{r['sum_value']:>12.2f} {r['min_value']:>10.2f} "
+            f"{r['max_value']:>10.2f} {r['avg_value']:>10.2f}"
+        )
+    return "\n".join(lines)
+
+
+def main(
+    service: SignalService,
+    argv: list[str] | None = None,
+    rollups=None,
+) -> int:
     parser = argparse.ArgumentParser(prog="nexus-spark-cli")
     sub = parser.add_subparsers(dest="cmd", required=True)
     lp = sub.add_parser("list")
@@ -51,6 +72,12 @@ def main(service: SignalService, argv: list[str] | None = None) -> int:
     gp = sub.add_parser("get")
     gp.add_argument("id")
     sub.add_parser("health")
+    rp = sub.add_parser("rollups")
+    rp.add_argument("--top", type=int, default=50)
+    rp.add_argument(
+        "--dim", action="append", default=[], metavar="NAME=VALUE",
+        help="equality filter on a rollup dimension (repeatable)",
+    )
     args = parser.parse_args(argv)
 
     if args.cmd == "list":
@@ -67,4 +94,25 @@ def main(service: SignalService, argv: list[str] | None = None) -> int:
         h = service.health()
         print(f"status: {h['status']} rows: {h['rows']}")
         return 0 if h["view_exists"] else 1
+    if args.cmd == "rollups":
+        if rollups is None:
+            print("error: no rollup store configured", file=sys.stderr)
+            return 2
+        dims = {}
+        for spec in args.dim:
+            name, sep, value = spec.partition("=")
+            if not sep:
+                print(f"error: --dim expects NAME=VALUE, got {spec!r}", file=sys.stderr)
+                return 2
+            dims[name] = value
+        try:
+            rows = rollups.list(top=args.top, dims=dims)
+        except NotFoundError:
+            print("error: rollup not found", file=sys.stderr)
+            return 1
+        except ValueError as exc:
+            print(f"error: {exc}", file=sys.stderr)
+            return 2
+        print(render_rollups(rows, tuple(rollups.store.dims)))
+        return 0
     return 2

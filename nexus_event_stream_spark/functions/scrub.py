@@ -1,0 +1,144 @@
+"""Media metadata scrubbing — the multimodal twin of the text tier's
+``pii_redact`` (operators/quality.py).
+
+Crawled media carries personal data OUTSIDE the pixels/samples: JPEG
+EXIF blocks hold GPS coordinates, device serials, and timestamps; PNG
+text chunks hold author/software/comment strings; RIFF LIST/INFO chunks
+hold artist/engineer names. A training-data pipeline that redacts
+emails from text but ships EXIF GPS has not redacted anything. These
+scrubbers remove the metadata CONTAINERS wholesale (never parse-and-
+filter inside them — an unrecognized field in a dropped block can't
+leak) while leaving the coded image/audio bytes byte-identical:
+
+- JPEG: drop APP1 (EXIF/XMP), APP2-APP15 (ICC beyond identification,
+  vendor notes), and COM segments; keep APP0 (JFIF — structural),
+  tables, frame headers, and every entropy-coded scan VERBATIM.
+- PNG: drop the ancillary metadata chunks tEXt/zTXt/iTXt/eXIf/tIME;
+  keep critical and structural chunks (IHDR/PLTE/IDAT/IEND, the APNG
+  acTL/fcTL/fdAT family, transparency/gamma) with their original CRCs.
+- WAV/RIFF: drop LIST (INFO), 'bext' (broadcast-wave originator), and
+  'iXML' chunks; keep fmt /data verbatim (sizes re-summed in the RIFF
+  header).
+
+Each scrubber returns ``(clean_bytes, dropped_tags)`` so the pipeline
+can account for what it removed; unrecognized FORMATS are the caller's
+problem (the Spark kernel in operators/multimodal.py passes them
+through flagged, tolerant-reader style), but unrecognized CHUNKS within
+a known format are KEPT — dropping only a known-metadata denylist means
+a structural chunk this module has never heard of cannot be destroyed.
+
+Format facts are public (ITU-T T.81/JFIF/EXIF, the PNG spec, the RIFF
+spec). No reference counterpart — north-star privacy tier.
+"""
+
+from __future__ import annotations
+
+import struct
+
+__all__ = ["scrub_jpeg", "scrub_png", "scrub_wav"]
+
+#: PNG ancillary chunks that exist to carry metadata (PII surface)
+_PNG_DROP = {b"tEXt", b"zTXt", b"iTXt", b"eXIf", b"tIME"}
+#: RIFF chunks that carry provenance/author metadata
+_WAV_DROP = {b"LIST", b"bext", b"iXML"}
+_STANDALONE = {0xD8, 0xD9, 0x01} | set(range(0xD0, 0xD8))
+
+
+def scrub_jpeg(payload: bytes) -> tuple[bytes, list[str]]:
+    """Strip APP1-APP15 and COM segments from a JPEG; everything else —
+    including every entropy-coded scan — is copied verbatim. Raises
+    ``ValueError`` on the same structural corruption ``jpeg_meta``
+    does."""
+    if len(payload) < 4 or payload[0] != 0xFF or payload[1] != 0xD8:
+        raise ValueError("not a JPEG: missing FFD8 signature")
+    out = bytearray(b"\xff\xd8")
+    dropped: list[str] = []
+    pos = 2
+    while pos + 1 < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"marker expected at offset {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        seg_start = pos
+        pos += 2
+        if marker == 0xD9:  # EOI
+            out += b"\xff\xd9"
+            break
+        if marker in _STANDALONE:
+            out += payload[seg_start:pos]
+            continue
+        if pos + 2 > len(payload):
+            raise ValueError("truncated segment length")
+        seg_len = struct.unpack(">H", payload[pos : pos + 2])[0]
+        if seg_len < 2 or pos + seg_len > len(payload):
+            raise ValueError("invalid segment length")
+        seg_end = pos + seg_len
+        drop = (0xE1 <= marker <= 0xEF) or marker == 0xFE  # APP1-15, COM
+        if drop:
+            dropped.append(
+                "COM" if marker == 0xFE else f"APP{marker - 0xE0}"
+            )
+        else:
+            out += payload[seg_start:seg_end]
+        pos = seg_end
+        if marker == 0xDA:  # copy the scan verbatim up to the next marker
+            scan_start = pos
+            while pos + 1 < len(payload):
+                if payload[pos] == 0xFF and payload[pos + 1] not in (
+                    0x00, *range(0xD0, 0xD8),
+                ):
+                    break
+                pos += 1
+            out += payload[scan_start:pos]
+    return bytes(out), dropped
+
+
+def scrub_png(payload: bytes) -> tuple[bytes, list[str]]:
+    """Strip the metadata chunks (``_PNG_DROP``) from a PNG/APNG; kept
+    chunks are copied verbatim (original bytes, original CRCs)."""
+    from .png import SIGNATURE
+
+    if not payload.startswith(SIGNATURE):
+        raise ValueError("not a PNG: bad signature")
+    out = bytearray(SIGNATURE)
+    dropped: list[str] = []
+    pos = len(SIGNATURE)
+    while pos + 8 <= len(payload):
+        length = struct.unpack(">I", payload[pos : pos + 4])[0]
+        tag = payload[pos + 4 : pos + 8]
+        end = pos + 8 + length + 4
+        if end > len(payload):
+            raise ValueError("truncated PNG chunk")
+        if tag in _PNG_DROP:
+            dropped.append(tag.decode("latin-1"))
+        else:
+            out += payload[pos:end]
+        pos = end
+        if tag == b"IEND":
+            break
+    return bytes(out), dropped
+
+
+def scrub_wav(payload: bytes) -> tuple[bytes, list[str]]:
+    """Strip LIST/bext/iXML chunks from a RIFF/WAVE file; fmt /data (and
+    any other unrecognized chunk) are copied verbatim and the RIFF size
+    re-summed."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    body = bytearray(b"WAVE")
+    dropped: list[str] = []
+    pos = 12
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        length = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        end = pos + 8 + length + (length & 1)  # chunks are word-aligned
+        if pos + 8 + length > len(payload):
+            raise ValueError("truncated RIFF chunk")
+        if tag in _WAV_DROP:
+            dropped.append(tag.decode("latin-1").strip())
+        else:
+            body += payload[pos : min(end, len(payload))]
+        pos = end
+    return b"RIFF" + struct.pack("<I", len(body)) + bytes(body), dropped

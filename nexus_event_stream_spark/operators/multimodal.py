@@ -166,6 +166,71 @@ def resize_images(media: DataFrame, target_w: int = 32, target_h: int = 32) -> D
     return media.select("media_id", "payload").mapInPandas(batches, RESIZED_SCHEMA)
 
 
+SCRUBBED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("scrubbed", T.BooleanType()),
+        T.StructField("dropped_tags", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def scrub_media(media: DataFrame) -> DataFrame:
+    """Strip embedded metadata (EXIF/GPS, PNG text chunks, RIFF INFO)
+    from every recognized payload — the multimodal twin of the text
+    tier's ``pii_redact``: (media_id, payload, scrubbed, dropped_tags).
+
+    Format sniffing by signature: JPEG/PNG/WAV payloads run the matching
+    ``functions/scrub.py`` scrubber (coded image/audio bytes stay
+    byte-identical — only metadata containers drop); unrecognized or
+    structurally corrupt payloads pass through UNCHANGED with
+    ``scrubbed=false`` (tolerant reader — a scrub stage must never
+    destroy data it cannot parse, and the flag is the audit trail for
+    quarantining what it could not clean). One Arrow pass, zero shuffle,
+    payloads never cross the driver."""
+    from nexus_event_stream_spark.functions.scrub import (
+        scrub_jpeg,
+        scrub_png,
+        scrub_wav,
+    )
+    from nexus_event_stream_spark.functions.png import SIGNATURE
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            outs, flags, tags = [], [], []
+            for p in pdf["payload"]:
+                p = p or b""
+                try:
+                    if p[:2] == b"\xff\xd8":
+                        clean, dropped = scrub_jpeg(p)
+                    elif p.startswith(SIGNATURE):
+                        clean, dropped = scrub_png(p)
+                    elif p[:4] == b"RIFF":
+                        clean, dropped = scrub_wav(p)
+                    else:
+                        raise ValueError("unrecognized format")
+                    outs.append(clean)
+                    flags.append(True)
+                    tags.append(dropped)
+                except Exception:
+                    outs.append(p)
+                    flags.append(False)
+                    tags.append([])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": outs,
+                    "scrubbed": flags,
+                    "dropped_tags": tags,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, SCRUBBED_SCHEMA
+    )
+
+
 FRAMES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),

@@ -201,3 +201,37 @@ def weighted_sample_per_group(
         .filter(F.col("__rn") <= n_per_group)
         .drop("__rn")
     )
+
+
+def temperature_mixture_weights(
+    sizes: dict[str, float],
+    alpha: float = 0.3,
+    target_total: float | None = None,
+) -> dict[str, float]:
+    """Temperature-smoothed per-source weights for ``mix_corpus`` — the
+    published multilingual sampling rule (exponential smoothing, as in
+    XLM-R / mBERT: sample source i with probability
+    ``q_i = p_i^alpha / sum_j p_j^alpha`` where ``p_i`` is the source's
+    share of the corpus). ``alpha < 1`` flattens the distribution
+    (upweights small sources, tames head domination); ``alpha = 1`` is
+    natural proportions; ``alpha = 0`` is uniform across sources.
+
+    ``sizes`` maps source → its size (docs or tokens — whatever unit the
+    mixture should be fair in). The returned weights are the per-doc
+    copy factors that realize q: ``w_i = q_i / p_i``, scaled so the
+    expected output size equals ``target_total`` (default: the input
+    total — a reshuffle, not a grow). Pure driver math on |sources|
+    numbers; feed the result straight to ``mix_corpus``.
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    pos = {s: float(n) for s, n in sizes.items() if n and n > 0}
+    if not pos:
+        raise ValueError("sizes must contain at least one positive entry")
+    total = sum(pos.values())
+    p = {s: n / total for s, n in pos.items()}
+    smoothed = {s: v**alpha for s, v in p.items()}
+    z = sum(smoothed.values())
+    q = {s: v / z for s, v in smoothed.items()}
+    out_total = float(target_total) if target_total is not None else total
+    return {s: q[s] * out_total / pos[s] for s in pos}

@@ -256,3 +256,49 @@ def test_rollups_behind_bearer_gate(service, rollup_service):
             assert resp.status == 200 and len(json.load(resp)) == 2
     finally:
         server.shutdown()
+
+
+def test_cli_rollups_command(service, rollup_service, capsys):
+    from nexus_event_stream_spark.cli import main as cli
+
+    # no store configured → usage error
+    assert cli(service, ["rollups"]) == 2
+    # happy path: header + top rows, newest-first
+    assert cli(service, ["rollups", "--top", "3"], rollups=rollup_service) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0].startswith("BUCKET") and "EVENT_TYPE" in out[0]
+    assert len(out) == 4
+    # dim filter matches the service
+    etype = rollup_service.list(top=1)[0]["event_type"]
+    assert (
+        cli(
+            service,
+            ["rollups", "--dim", f"event_type={etype}", "--top", "5"],
+            rollups=rollup_service,
+        )
+        == 0
+    )
+    body = capsys.readouterr().out
+    assert etype in body
+    # unknown dim → exit 2 with the error on stderr; malformed --dim too
+    assert (
+        cli(service, ["rollups", "--dim", "bogus=1"], rollups=rollup_service)
+        == 2
+    )
+    assert "bogus" in capsys.readouterr().err
+    assert (
+        cli(service, ["rollups", "--dim", "novalue"], rollups=rollup_service)
+        == 2
+    )
+    # empty store → exit 1, the 404 analogue
+    import tempfile
+
+    from nexus_event_stream_spark.serving import RollupService
+    from nexus_event_stream_spark.streaming.rollup import RollupStore
+
+    empty = RollupService(
+        rollup_service.spark, RollupStore(tempfile.mkdtemp(prefix="rcli_"))
+    )
+    capsys.readouterr()
+    assert cli(service, ["rollups"], rollups=empty) == 1
+    assert "rollup not found" in capsys.readouterr().err

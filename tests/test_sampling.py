@@ -287,3 +287,49 @@ def test_weighted_sample_per_group_matches_global_on_each_group(spark):
         )
     )
     assert "WindowGroupLimit" in plan
+
+
+def test_temperature_mixture_weights_math(spark):
+    from nexus_event_stream_spark.operators.sampling import (
+        mix_corpus,
+        temperature_mixture_weights,
+    )
+
+    sizes = {"big": 8000.0, "mid": 1500.0, "small": 500.0}
+    # alpha=1: natural proportions → every weight exactly 1 (a no-op mix)
+    w1 = temperature_mixture_weights(sizes, alpha=1.0)
+    assert all(v == pytest.approx(1.0) for v in w1.values())
+    # alpha=0: uniform across sources — each source's expected mass is
+    # total/3, so weight = (total/3)/size
+    w0 = temperature_mixture_weights(sizes, alpha=0.0)
+    total = sum(sizes.values())
+    for s, n in sizes.items():
+        assert w0[s] == pytest.approx((total / 3) / n)
+    # 0<alpha<1: monotone — smaller sources get strictly larger weights,
+    # expected output mass == input total
+    w = temperature_mixture_weights(sizes, alpha=0.3)
+    assert w["small"] > w["mid"] > w["big"]
+    assert sum(w[s] * sizes[s] for s in sizes) == pytest.approx(total)
+    # target_total rescales linearly
+    w2 = temperature_mixture_weights(sizes, alpha=0.3, target_total=2 * total)
+    for s in sizes:
+        assert w2[s] == pytest.approx(2 * w[s])
+    # validation
+    with pytest.raises(ValueError):
+        temperature_mixture_weights(sizes, alpha=-0.1)
+    with pytest.raises(ValueError):
+        temperature_mixture_weights({"a": 0})
+    # end-to-end: the realized mix matches the smoothed shares within
+    # the fractional-gate tolerance
+    rows = [(i, "big" if i < 800 else ("mid" if i < 950 else "small"))
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    counts = {"big": 800.0, "mid": 150.0, "small": 50.0}
+    wts = temperature_mixture_weights(counts, alpha=0.3)
+    mixed = mix_corpus(df, wts).groupBy("source").count().collect()
+    got = {r["source"]: int(r["count"]) for r in mixed}
+    p = {s: n / 1000 for s, n in counts.items()}
+    z = sum(v**0.3 for v in p.values())
+    for s in counts:
+        want = (p[s] ** 0.3 / z) * 1000
+        assert abs(got[s] - want) <= max(3, 0.05 * want), (s, got[s], want)

@@ -1,0 +1,137 @@
+"""Media metadata scrubbing (functions/scrub.py + operators/multimodal.py
+scrub_media): metadata containers drop, coded bytes stay byte-identical,
+unparseable payloads pass through flagged."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from nexus_event_stream_spark.functions.jpeg import (
+    jpeg_meta,
+    jpeg_scan_ranges,
+    synthesize_jpeg,
+)
+from nexus_event_stream_spark.functions.png import (
+    SIGNATURE,
+    decode_png,
+    encode_png,
+)
+from nexus_event_stream_spark.functions.scrub import (
+    scrub_jpeg,
+    scrub_png,
+    scrub_wav,
+)
+from nexus_event_stream_spark.functions.wav import decode_wav, encode_wav
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def _splice_png_meta(png: bytes) -> bytes:
+    """Insert tEXt + tIME chunks right after IHDR (legal placement)."""
+    ihdr_end = len(SIGNATURE) + 8 + 13 + 4
+    meta = _png_chunk(b"tEXt", b"Author\x00Jane Q. Public") + _png_chunk(
+        b"tIME", struct.pack(">HBBBBB", 2026, 8, 15, 12, 0, 0)
+    )
+    return png[:ihdr_end] + meta + png[ihdr_end:]
+
+
+def test_scrub_jpeg_drops_exif_and_comments_keeps_scans():
+    p = synthesize_jpeg(40, 30, orientation=6, n_scans=3, progressive=True)
+    # splice a COM segment after SOI
+    com = b"\xff\xfe" + struct.pack(">H", 14) + b"shot by Jane"
+    p = p[:2] + com + p[2:]
+    assert jpeg_meta(p)["orientation"] == 6
+    clean, dropped = scrub_jpeg(p)
+    assert sorted(dropped) == ["APP1", "COM"]
+    m = jpeg_meta(clean)
+    assert m["orientation"] is None  # EXIF gone
+    assert (m["width"], m["height"], m["progressive"]) == (40, 30, True)
+    # every scan's entropy bytes byte-identical
+    before = [
+        p[s["data_offset"] : s["data_end"]] for s in jpeg_scan_ranges(p)
+    ]
+    after = [
+        clean[s["data_offset"] : s["data_end"]]
+        for s in jpeg_scan_ranges(clean)
+    ]
+    assert before == after
+    # idempotent: a second scrub drops nothing
+    clean2, dropped2 = scrub_jpeg(clean)
+    assert clean2 == clean and dropped2 == []
+    with pytest.raises(ValueError):
+        scrub_jpeg(b"\x00\x01")
+
+
+def test_scrub_png_drops_text_chunks_keeps_pixels():
+    pixels = bytes((i * 7) % 256 for i in range(20 * 10))
+    png = encode_png(20, 10, pixels, 0)
+    dirty = _splice_png_meta(png)
+    clean, dropped = scrub_png(dirty)
+    assert sorted(dropped) == ["tEXt", "tIME"]
+    assert clean == png  # byte-identical to the never-dirty encoding
+    w, h, ct, out_pixels = decode_png(clean)
+    assert (w, h, out_pixels) == (20, 10, pixels)
+    assert b"Jane Q. Public" not in clean
+    assert scrub_png(clean) == (clean, [])
+    with pytest.raises(ValueError):
+        scrub_png(b"not a png")
+
+
+def test_scrub_wav_drops_info_list_keeps_samples():
+    samples = [((i * 37) % 65536) - 32768 for i in range(200)]
+    wav = encode_wav(samples, sample_rate=8000)
+    # splice a LIST/INFO chunk (artist name) before data
+    info = b"INFOIART" + struct.pack("<I", 8) + b"Jane Doe"
+    lst = b"LIST" + struct.pack("<I", len(info)) + info
+    # insert after fmt chunk: RIFF(12) + fmt(8+16)
+    at = 12 + 8 + 16
+    dirty = wav[:at] + lst + wav[at:]
+    dirty = dirty[:4] + struct.pack("<I", len(dirty) - 8) + dirty[8:]
+    clean, dropped = scrub_wav(dirty)
+    assert dropped == ["LIST"]
+    assert clean == wav
+    rate, ch, out = decode_wav(clean)
+    assert (rate, ch, out) == (8000, 1, samples)
+    assert b"Jane Doe" not in clean
+    with pytest.raises(ValueError):
+        scrub_wav(b"RIFFxxxxNOPE")
+
+
+def test_scrub_media_kernel_mixed_formats(spark):
+    from nexus_event_stream_spark.operators.multimodal import scrub_media
+
+    jpeg = synthesize_jpeg(8, 8, orientation=3)
+    png = _splice_png_meta(encode_png(4, 4, bytes(16), 0))
+    wav = encode_wav([0, 1, -1, 2])
+    junk = b"\x00\x01\x02 not media"
+    media = spark.createDataFrame(
+        [(1, jpeg), (2, png), (3, wav), (4, junk), (5, None)],
+        "media_id long, payload binary",
+    )
+    rows = {
+        int(r.media_id): r for r in scrub_media(media).collect()
+    }
+    assert rows[1].scrubbed and list(rows[1].dropped_tags) == ["APP1"]
+    assert jpeg_meta(bytes(rows[1].payload))["orientation"] is None
+    assert rows[2].scrubbed and "tEXt" in list(rows[2].dropped_tags)
+    assert decode_png(bytes(rows[2].payload))[3] == bytes(16)
+    assert rows[3].scrubbed and list(rows[3].dropped_tags) == []
+    # unrecognized / NULL payloads pass through UNCHANGED, flagged
+    assert not rows[4].scrubbed and bytes(rows[4].payload) == junk
+    assert not rows[5].scrubbed and bytes(rows[5].payload or b"") == b""
+    # zero shuffle
+    plan = (
+        scrub_media(media)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
