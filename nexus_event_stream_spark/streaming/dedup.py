@@ -306,6 +306,76 @@ class SignatureStore:
         return version
 
 
+def forget_signatures(
+    spark: SparkSession, store: SignatureStore, doc_ids
+) -> int:
+    """Right-to-be-forgotten maintenance for the lexical suppression
+    store: remove every LSH posting of ``doc_ids`` (the BM25/embedding
+    stores' ``forget`` twin — a doc's band keys scatter across buckets,
+    so this is a full-sweep compact-with-filter run at takedown cadence).
+    Returns how many distinct victim docs held postings. A forgotten
+    doc stops suppressing future near-duplicates of itself; docs it
+    already suppressed stay suppressed. Epoch/token/corpus references
+    ride through unchanged (the survivor CORPUS dirs are the caller's
+    to redact — this sweeps the signature index)."""
+    import os
+    import shutil
+
+    cur = store.current()
+    if cur is None or not cur["buckets"]:
+        return 0
+    ids = [int(d) for d in doc_ids]
+    if not ids:
+        return 0
+    targets = sorted(cur["buckets"], key=int)
+    df = store.read_buckets(spark, targets)
+    if df is None:
+        return 0
+    idf = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    n_gone = (
+        df.join(F.broadcast(idf), "doc_id", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .count()
+    )
+    if not n_gone:
+        return 0
+    kept = df.join(F.broadcast(idf), "doc_id", "left_anti")
+    version = cur["version"] + 1
+    out = os.path.join(store.path, f"v={version}")
+    (
+        kept.withColumn(
+            "__bucket", _bucket_of(F.col("bucket_key"), store.n_buckets)
+        )
+        .write.mode("overwrite")
+        .partitionBy("__bucket")
+        .parquet(out)
+    )
+    written = {
+        name.split("=", 1)[1]
+        for name in os.listdir(out)
+        if name.startswith("__bucket=")
+    }
+    new_buckets = {
+        b: ([version] if b in written else []) for b in cur["buckets"]
+    }
+    store._commit(
+        {
+            "version": version,
+            "epoch": cur.get("epoch"),
+            "run_token": cur.get("run_token"),
+            "buckets": new_buckets,
+            "corpus_versions": cur.get("corpus_versions", []),
+        },
+        expected=cur,
+    )
+    referenced = {ver for vs in new_buckets.values() for ver in vs} | {version}
+    for name in os.listdir(store.path):
+        if name.startswith("v=") and int(name.split("=", 1)[1]) not in referenced:
+            shutil.rmtree(os.path.join(store.path, name), ignore_errors=True)
+    return int(n_gone)
+
+
 def suppress_and_register(
     spark: SparkSession,
     store: SignatureStore,

@@ -220,6 +220,56 @@ class BM25IndexStore:
             },
         )
 
+    def forget(self, spark: SparkSession, doc_ids) -> int:
+        """Right-to-be-forgotten maintenance: remove every posting of
+        ``doc_ids`` and decrement the exact corpus counters, one atomic
+        pointer swing. Returns how many documents were actually present.
+
+        A full postings sweep (the postings are term-keyed; a doc's
+        terms are scattered across every bucket — the deletion workload
+        is a compaction with a filter, run at takedown cadence, not
+        epoch cadence). Because df/idf are computed LIVE at query time,
+        the post-forget index answers queries EXACTLY as if the docs had
+        never been ingested — no stale-idf shadow of the deleted
+        document survives (pinned in tests). Epoch and run token ride
+        through unchanged, so the owning stream keeps appending.
+
+        Boundary: a TOKEN-FREE document (empty text — it contributed to
+        n_docs but has no postings) is invisible to this sweep; its
+        counter contribution stays, which only nudges idf's N. There is
+        nothing of the document itself to remove."""
+        cur = self.current()
+        if cur is None or not cur["manifest"]:
+            return 0
+        ids = [int(d) for d in doc_ids]
+        if not ids:
+            return 0
+        all_rows = self._store.read(spark)
+        spark_ids = spark.createDataFrame(
+            [(i,) for i in ids], "doc_id long"
+        )
+        gone = all_rows.join(F.broadcast(spark_ids), "doc_id", "left_semi")
+        # one pass computes what leaves: distinct docs + their lengths
+        gone_docs = (
+            gone.select("doc_id", "dl").distinct().collect()
+        )
+        if not gone_docs:
+            return 0
+        kept = all_rows.join(F.broadcast(spark_ids), "doc_id", "left_anti")
+        touched = [int(b) for b in cur["manifest"]]
+        self._store.write_buckets(
+            kept.select(*[f.name for f in _POSTING_SCHEMA.fields]),
+            touched,
+            cur.get("epoch"),
+            run_token=cur.get("run_token"),
+            extra={
+                "n_docs": cur.get("n_docs", 0) - len(gone_docs),
+                "sum_dl": cur.get("sum_dl", 0)
+                - sum(int(r["dl"]) for r in gone_docs),
+            },
+        )
+        return len(gone_docs)
+
     # -- query path ---------------------------------------------------------
 
     def query(

@@ -127,6 +127,53 @@ class EmbeddingStore:
             extra={"centroids": [list(map(float, c)) for c in centroids]},
         )
 
+    def forget(self, spark: SparkSession, vec_ids) -> int:
+        """Right-to-be-forgotten maintenance: drop ``vec_ids``' vectors
+        from the accepted store, one atomic pointer swing (the BM25
+        store's ``forget`` twin). Returns how many were present.
+
+        The store is centroid-bucketed, so only the buckets actually
+        holding the victims rewrite. Consequence to know: a forgotten
+        vector stops suppressing future near-duplicates of itself —
+        that IS the semantics of forgetting (its content must not keep
+        influencing the corpus); docs it already suppressed stay
+        suppressed (suppression decisions are not re-litigated).
+        Centroids, epoch, and run token ride through unchanged."""
+        from pyspark.sql import functions as F
+
+        from .projection import _bucket_expr
+
+        cur = self.current()
+        if cur is None or not cur["manifest"]:
+            return 0
+        ids = [int(v) for v in vec_ids]
+        if not ids:
+            return 0
+        idf = spark.createDataFrame([(i,) for i in ids], "vec_id long")
+        allrows = self._store.read(spark)
+        victims = allrows.join(F.broadcast(idf), "vec_id", "left_semi")
+        touched = [
+            int(r[0])
+            for r in victims.select(
+                _bucket_expr(self.n_buckets, "centroid_id").alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        if not touched:
+            return 0
+        n_gone = victims.count()
+        slice_ = self._store.read(spark, buckets=touched)
+        kept = slice_.join(F.broadcast(idf), "vec_id", "left_anti")
+        self._store.write_buckets(
+            kept.select(*[f.name for f in _STORE_SCHEMA.fields]),
+            touched,
+            cur.get("epoch"),
+            cur.get("run_token"),
+            extra={"centroids": cur.get("centroids")},
+        )
+        return int(n_gone)
+
 
 def suppress_and_register_semantic(
     spark: SparkSession,

@@ -280,3 +280,41 @@ def test_streaming_inline_compaction_bounds_segments(spark, docs, tmp_path):
         bm25_topk(build_bm25_index(docs, max_df_frac=0.98), QUERIES, k=10)
     )
     assert got == want
+
+
+@pytest.mark.parametrize(
+    "backend_cls", [PosixRenameBackend, ConditionalPutBackend]
+)
+def test_forget_equals_never_ingested(spark, docs, tmp_path, backend_cls):
+    """Right-to-be-forgotten: after forget(ids), every query answers
+    EXACTLY as an index built without those docs — postings gone,
+    counters exact, live idf leaves no shadow. Epoch/token preserved so
+    the stream keeps appending afterwards."""
+    store = BM25IndexStore(
+        str(tmp_path / "idx"), n_buckets=8, backend=backend_cls()
+    )
+    for epoch in range(2):
+        store.apply_batch(
+            spark, docs.filter(F.col("doc_id") % 2 == epoch), epoch
+        )
+    victims = [int(r.doc_id) for r in docs.limit(5).collect()]
+    n_before = store.current()["n_docs"]
+    assert store.forget(spark, victims) == 5
+    cur = store.current()
+    assert cur["n_docs"] == n_before - 5
+    assert cur["epoch"] == 1  # maintenance, not an epoch
+    survivors = docs.filter(~F.col("doc_id").isin(victims))
+    want_idx = build_bm25_index(survivors, max_df_frac=0.98)
+    got = topk_rows(store.query(spark, QUERIES, k=10, max_df_frac=0.98))
+    want = topk_rows(bm25_topk(want_idx, QUERIES, k=10))
+    assert got == want
+    assert cur["sum_dl"] / cur["n_docs"] == want_idx.avgdl
+    # no posting of any victim anywhere
+    remaining = store._store.read(spark)
+    assert remaining.filter(F.col("doc_id").isin(victims)).count() == 0
+    # forgetting the already-gone ids (or nothing) is a no-op
+    assert store.forget(spark, victims) == 0
+    assert store.forget(spark, []) == 0
+    # the stream keeps appending after the maintenance swing
+    store.apply_batch(spark, docs.limit(0), 2)
+    assert store.current()["epoch"] == 2

@@ -559,3 +559,31 @@ def test_streaming_hygiene_pipeline_quality_gate_plus_suppression(
         assert "secret.address" not in rows[4]
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_forget_signatures_removes_postings_and_stops_suppression(
+    spark, store_dir
+):
+    """Takedown sweep: victims' postings leave the index, a near-dup of
+    a forgotten doc is accepted afterwards, untouched docs keep
+    suppressing, and the sweep is a no-op on absent/empty id lists."""
+    from nexus_event_stream_spark.streaming.dedup import forget_signatures
+
+    store = SignatureStore(store_dir, n_buckets=16)
+    assert surviving_ids(spark, store, [(1, A_TEXT), (2, B_TEXT)], 0) == [1, 2]
+    # near-dup of A suppressed while A is present
+    assert surviving_ids(spark, store, [(3, A_NEAR)], 1) == []
+    # forget A
+    assert forget_signatures(spark, store, [1]) == 1
+    assert stored_doc_ids(spark, store) == {2}
+    cur = store.current()
+    assert cur["epoch"] == 1 and cur["run_token"] == "run1"
+    # A's near-dup is accepted now; B's twin is still suppressed
+    assert surviving_ids(spark, store, [(4, A_NEAR)], 2) == [4]
+    assert surviving_ids(spark, store, [(5, B_TEXT)], 3) == []
+    # no-ops
+    assert forget_signatures(spark, store, [1]) == 0
+    assert forget_signatures(spark, store, []) == 0
+    # the stream keeps appending afterwards
+    assert surviving_ids(spark, store, [(6, C_TEXT)], 4) == [6]
+    assert 6 in stored_doc_ids(spark, store)

@@ -257,3 +257,56 @@ def test_replay_idempotent_against_untokened_history(spark, corpus, centroids, t
     s1_replay = {int(r.vec_id) for r in suppress_and_register_semantic(
         spark, store, twin, centroids, 0, "tok", eps=EPS).collect()}
     assert s1_replay == set()
+
+
+def test_forget_removes_vectors_and_stops_future_suppression(
+    spark, corpus, centroids, tmp_path
+):
+    """forget(ids): victims leave the store (only their centroid buckets
+    rewrite), a re-arriving near-duplicate of a forgotten vector is now
+    ACCEPTED (forgetting means its content stops influencing the
+    corpus), and untouched vectors keep suppressing."""
+    df_rows, base = corpus
+    df = spark.createDataFrame(df_rows, _SCHEMA)
+    store = EmbeddingStore(str(tmp_path / "es"), n_buckets=16)
+    surv = suppress_and_register_semantic(
+        spark, store, df, centroids, 0, "t", eps=EPS
+    )
+    kept = {int(r.vec_id) for r in surv.collect()}
+    b0, b1 = base[0], base[1]
+    assert b0 in kept and b1 in kept
+    m_before = dict(store.current()["manifest"])
+    # forget b0's whole clique (base + mirrors, whatever survived)
+    victims = [b0, 1_000_000 + b0, 2_000_000 + b0]
+    n_gone = store.forget(spark, victims)
+    assert n_gone >= 1
+    cur = store.current()
+    # only the victims' buckets moved
+    moved = [b for b in cur["manifest"] if cur["manifest"][b] != m_before.get(b)]
+    assert 0 < len(moved) < len(m_before)
+    remaining = store.read(spark)
+    assert remaining.filter(F.col("vec_id").isin(victims)).count() == 0
+    # centroids still pinned; epoch/token preserved
+    assert store.pinned_centroids() is not None
+    assert cur["epoch"] == 0 and cur["run_token"] == "t"
+    # a fresh near-duplicate of the FORGOTTEN vector is accepted now…
+    by_id = {i: v for i, v in df_rows}
+    probe = spark.createDataFrame(
+        [
+            (5_000_000 + b0, by_id[b0]),  # twin of forgotten
+            (5_000_000 + b1, by_id[b1]),  # twin of still-present
+        ],
+        _SCHEMA,
+    )
+    surv2 = {
+        int(r.vec_id)
+        for r in suppress_and_register_semantic(
+            spark, store, probe, centroids, 1, "t", eps=EPS
+        ).collect()
+    }
+    assert 5_000_000 + b0 in surv2
+    # …while the untouched vector still suppresses its twin
+    assert 5_000_000 + b1 not in surv2
+    # no-ops
+    assert store.forget(spark, victims) == 0
+    assert store.forget(spark, []) == 0
