@@ -1,0 +1,133 @@
+"""WARC source (sources/warc.py): spec-shaped synthesis → distributed
+parse roundtrip, both framings, tolerant of corrupt members."""
+
+from __future__ import annotations
+
+import pytest
+
+from nexus_event_stream_spark.sources.warc import (
+    http_body,
+    parse_warc_records,
+    read_warc,
+    synthesize_warc,
+)
+
+RECS = [
+    {
+        "type": "warcinfo",
+        "date": "2026-08-15T00:00:00Z",
+        "content_type": "application/warc-fields",
+        "payload": b"software: synthetic\r\n",
+    },
+    {
+        "type": "response",
+        "uri": "https://example.com/a",
+        "date": "2026-08-15T00:00:01Z",
+        "content_type": "application/http; msgtype=response",
+        "payload": (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            b"<html>hello warc</html>"
+        ),
+    },
+    {
+        "type": "response",
+        "uri": "https://example.com/b",
+        "date": "2026-08-15T00:00:02Z",
+        "content_type": "application/http; msgtype=response",
+        "payload": b"HTTP/1.1 404 Not Found\r\n\r\nmissing",
+    },
+    {
+        "type": "request",
+        "uri": "https://example.com/b",
+        "date": "2026-08-15T00:00:02Z",
+        "payload": b"GET /b HTTP/1.1\r\nHost: example.com\r\n\r\n",
+    },
+]
+
+
+@pytest.mark.parametrize("gz", [True, False])
+def test_parse_roundtrip_both_framings(gz):
+    blob = synthesize_warc(RECS, gzip_members=gz)
+    records, skipped = parse_warc_records(blob)
+    assert skipped == 0
+    assert len(records) == 4
+    assert [h["warc-type"] for h, _p in records] == [
+        "warcinfo", "response", "response", "request",
+    ]
+    assert records[1][0]["warc-target-uri"] == "https://example.com/a"
+    assert records[1][1] == RECS[1]["payload"]
+    # binary-exact payloads (Content-Length framing, not delimiter)
+    assert records[2][1] == RECS[2]["payload"]
+
+
+def test_http_body_extraction():
+    assert http_body(RECS[1]["payload"]) == b"<html>hello warc</html>"
+    assert http_body(b"no http header here") == b"no http header here"
+
+
+def test_corrupt_members_skipped_not_fatal():
+    good = synthesize_warc(RECS[:2])
+    # truncate the last gzip member mid-stream
+    truncated = good[:-20]
+    records, _sk = parse_warc_records(truncated)
+    assert len(records) == 1  # first member intact
+    # a non-WARC gzip member in the middle is skipped, the rest parse
+    import gzip, io
+
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as z:
+        z.write(b"not a warc record at all")
+    mixed = (
+        synthesize_warc(RECS[:1]) + buf.getvalue() + synthesize_warc(RECS[1:2])
+    )
+    records, skipped = parse_warc_records(mixed)
+    assert len(records) == 2 and skipped == 1
+
+
+def test_read_warc_distributed(spark, tmp_path):
+    from nexus_event_stream_spark.operators.quality import quality_signals
+
+    d = tmp_path / "warc"
+    d.mkdir()
+    (d / "part-0.warc.gz").write_bytes(synthesize_warc(RECS))
+    (d / "part-1.warc").write_bytes(
+        synthesize_warc(
+            [
+                {
+                    "type": "response",
+                    "uri": "https://example.com/c",
+                    "payload": b"HTTP/1.1 200 OK\r\n\r\nplain framing body",
+                }
+            ],
+            gzip_members=False,
+        )
+    )
+    df = read_warc(spark, str(d) + "/*")
+    rows = df.collect()
+    assert len(rows) == 5
+    by_uri = {r.target_uri: r for r in rows if r.target_uri}
+    assert bytes(by_uri["https://example.com/a"].payload) == RECS[1]["payload"]
+    assert (
+        http_body(bytes(by_uri["https://example.com/c"].payload))
+        == b"plain framing body"
+    )
+    # the published consumption shape: responses → http body → text tier
+    # (pure Catalyst: decode + locate the header/body blank line)
+    from pyspark.sql import functions as F
+
+    s = F.decode(F.col("payload"), "ISO-8859-1")
+    sep = F.instr(s, "\r\n\r\n")
+    body_text = F.when(
+        (sep > 0) & s.startswith("HTTP/"), F.substring(s, sep + 4, 1 << 24)
+    ).otherwise(s)
+    texts = (
+        df.filter(F.col("warc_type") == "response")
+        .select(
+            F.monotonically_increasing_id().alias("doc_id"),
+            body_text.alias("text"),
+        )
+    )
+    assert quality_signals(texts).count() == 3
+    # zero shuffle for the read itself
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
