@@ -181,3 +181,64 @@ def sample_token_budget(
         order_cols=["__sub", key_col],
     )
     return pref.filter(F.col("__pfx") < budget).drop("__sub", "__pfx")
+
+
+def materialize_packed(
+    docs: DataFrame,
+    placement: DataFrame,
+    seq_len: int,
+    order_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = " ",
+) -> DataFrame:
+    """Turn the ``pack_sequences`` placement map into the actual packed
+    training sequences: (seq_id, seq_text, n_tokens, n_docs) — each
+    sequence the in-order concatenation of its document SPANS (a doc's
+    tokens sliced at ``doc_token_start``/``tokens_in_seq``), joined with
+    ``sep``.
+
+    The loader-facing materialization: the placement map is the durable
+    artifact (tiny, provenance-complete), this turns it into bytes when
+    a run wants eager sequences instead of loader-side assembly. Token
+    slicing uses the same whitespace convention as ``token_count`` —
+    the counts the placement was computed from — so every sequence
+    except the last holds exactly ``seq_len`` tokens (pinned).
+
+    Shape: one broadcast-or-hash join placement⋈docs on ``order_col``
+    (placement rows ≈ docs rows), a per-row slice, then ONE shuffle on
+    ``seq_id`` with ``collect_list`` of (offset, piece) structs sorted
+    in-place — sequences are seq_len-bounded, so a group is at most
+    seq_len tokens of text.
+    """
+    from nexus_event_stream_spark.functions.text import tokens
+
+    pieces = placement.join(
+        docs.select(F.col(order_col), tokens(text_col).alias("__toks")),
+        order_col,
+    ).select(
+        "seq_id",
+        "offset_in_seq",
+        "tokens_in_seq",
+        F.array_join(
+            F.slice(
+                F.col("__toks"),
+                F.col("doc_token_start").cast("int") + 1,
+                F.col("tokens_in_seq").cast("int"),
+            ),
+            " ",
+        ).alias("__piece"),
+    )
+    ordered = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct("offset_in_seq", "__piece"))
+        ),
+        lambda x: x["__piece"],
+    )
+    return (
+        pieces.groupBy("seq_id")
+        .agg(
+            F.array_join(ordered, sep).alias("seq_text"),
+            F.sum("tokens_in_seq").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )

@@ -201,3 +201,40 @@ def test_token_budget_zero_and_columns(spark):
     assert sample_token_budget(df, 0).count() == 0
     out = sample_token_budget(df, 100)
     assert out.columns == df.columns  # helper columns dropped
+
+
+def test_materialize_packed_reassembles_the_stream(spark):
+    """Packed sequences, materialized: concatenating the sequences in
+    seq_id order reproduces the original doc-order token stream exactly;
+    every sequence except the last is exactly seq_len tokens."""
+    from nexus_event_stream_spark.operators.packing import (
+        materialize_packed,
+        pack_sequences,
+    )
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        (i, " ".join(f"d{i}t{j}" for j in range(5 + (i * 7) % 13)))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    with_counts = docs.withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), " "))
+    )
+    seq_len = 32
+    placement = pack_sequences(with_counts, seq_len)
+    seqs = sorted(
+        materialize_packed(docs, placement, seq_len).collect(),
+        key=lambda r: r.seq_id,
+    )
+    # seq_len everywhere but the tail
+    for r in seqs[:-1]:
+        assert int(r.n_tokens) == seq_len
+        assert len(r.seq_text.split(" ")) == seq_len
+    # the concatenation is the original stream
+    stream = " ".join(r.seq_text for r in seqs).split(" ")
+    want = [t for _i, txt in rows for t in txt.split(" ")]
+    assert stream == want
+    # n_docs accounting: every (doc, seq) span counted once
+    assert sum(int(r.n_docs) for r in seqs) == placement.count()
