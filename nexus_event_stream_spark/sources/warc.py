@@ -36,9 +36,15 @@ import io
 import zlib
 from typing import Iterator
 
-from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql import DataFrame, SparkSession, types as T
 
-__all__ = ["read_warc", "parse_warc_records", "synthesize_warc", "http_body"]
+__all__ = [
+    "read_warc",
+    "read_warc_stream",
+    "parse_warc_records",
+    "synthesize_warc",
+    "http_body",
+]
 
 WARC_SCHEMA = T.StructType(
     [
@@ -124,36 +130,63 @@ def parse_warc_records(blob: bytes):
     return records, skipped
 
 
+def _records_kernel(it):
+    """Shared Arrow kernel: (path, content) batches → WARC record rows."""
+    import pandas as pd
+
+    for pdf in it:
+        rows: dict[str, list] = {f.name: [] for f in WARC_SCHEMA.fields}
+        for fname, blob in zip(pdf["path"], pdf["content"]):
+            recs, skipped = parse_warc_records(bytes(blob or b""))
+            for i, (hdr, payload) in enumerate(recs):
+                rows["file"].append(fname)
+                rows["record_idx"].append(i)
+                rows["warc_type"].append(hdr.get("warc-type"))
+                rows["target_uri"].append(hdr.get("warc-target-uri"))
+                rows["warc_date"].append(hdr.get("warc-date"))
+                rows["record_id"].append(hdr.get("warc-record-id"))
+                rows["content_type"].append(hdr.get("content-type"))
+                rows["payload"].append(payload)
+                rows["skipped_in_file"].append(skipped)
+        yield pd.DataFrame(rows)
+
+
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """Distributed WARC reader: one row per record — (file, record_idx,
     warc_type, target_uri, warc_date, record_id, content_type, payload,
     skipped_in_file). ``binaryFile`` hands whole files to executors; an
     Arrow kernel walks the records. Filter ``warc_type = 'response'``
     and feed ``http_body(payload)`` to the text tiers."""
-    import pandas as pd
-
     files = spark.read.format("binaryFile").load(path).select(
         "path", "content"
     )
+    return files.mapInPandas(_records_kernel, WARC_SCHEMA)
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            rows: dict[str, list] = {f.name: [] for f in WARC_SCHEMA.fields}
-            for fname, blob in zip(pdf["path"], pdf["content"]):
-                recs, skipped = parse_warc_records(bytes(blob or b""))
-                for i, (hdr, payload) in enumerate(recs):
-                    rows["file"].append(fname)
-                    rows["record_idx"].append(i)
-                    rows["warc_type"].append(hdr.get("warc-type"))
-                    rows["target_uri"].append(hdr.get("warc-target-uri"))
-                    rows["warc_date"].append(hdr.get("warc-date"))
-                    rows["record_id"].append(hdr.get("warc-record-id"))
-                    rows["content_type"].append(hdr.get("content-type"))
-                    rows["payload"].append(payload)
-                    rows["skipped_in_file"].append(skipped)
-            yield pd.DataFrame(rows)
 
-    return files.mapInPandas(batches, WARC_SCHEMA)
+def read_warc_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming twin of ``read_warc``: new WARC files landing under
+    ``path`` become record rows per micro-batch (Structured Streaming's
+    file source tracks arrivals exactly-once through its checkpoint).
+    The continuous-crawl ingestion front end — feed it straight into
+    ``start_dedup_ingest`` / ``start_search_index``. Same kernel as the
+    batch reader, so the two cannot drift."""
+    # binaryFile's schema is FIXED by the source; the stream API just
+    # requires it stated explicitly
+    binfile_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("modificationTime", T.TimestampType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(binfile_schema)
+        .load(path)
+        .select("path", "content")
+    )
+    return files.mapInPandas(_records_kernel, WARC_SCHEMA)
 
 
 def http_body(payload: bytes) -> bytes:

@@ -1,0 +1,127 @@
+"""Embedding plumbing (operators/embedding.py) + the chunk→embed→ANN
+end-to-end composition."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from nexus_event_stream_spark.io import load_table
+from nexus_event_stream_spark.operators.chunking import chunk_documents
+from nexus_event_stream_spark.operators.embedding import (
+    embed_documents,
+    hashed_bow_encoder,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_matches_driver_encoder_and_determinism(spark):
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    out = {
+        int(r.doc_id): np.array(r.embedding)
+        for r in embed_documents(docs, dim=32).collect()
+    }
+    enc = hashed_bow_encoder(32)
+    rows = docs.collect()
+    want = enc([r.text for r in rows])
+    for r, w in zip(rows, want):
+        assert np.allclose(out[int(r.doc_id)], w, atol=1e-12)
+    # unit norm (or zero for empty), partition independent
+    for v in out.values():
+        n = np.linalg.norm(v)
+        assert n == pytest.approx(1.0, abs=1e-9) or n == 0.0
+    out7 = {
+        int(r.doc_id): np.array(r.embedding)
+        for r in embed_documents(docs.repartition(7), dim=32).collect()
+    }
+    assert all(np.array_equal(out[d], out7[d]) for d in out)
+    # empty/NULL text → zero vector, row preserved
+    edge = spark.createDataFrame(
+        [(1, ""), (2, None)], "doc_id long, text string"
+    )
+    for r in embed_documents(edge, dim=8).collect():
+        assert list(r.embedding) == [0.0] * 8
+
+
+def test_encoder_contract_enforced(spark):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+
+    def bad(texts):
+        return np.zeros(3)  # wrong rank
+
+    with pytest.raises(Exception):
+        embed_documents(docs, encoder_fn=bad).collect()
+
+
+def test_chunk_embed_ann_end_to_end(spark):
+    """The full RAG-prep flow on real docs: chunk → embed → IVF index →
+    retrieve. A query made from a known chunk's text must retrieve that
+    chunk first, and IVF at full probe must agree with brute force."""
+    from nexus_event_stream_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        ivf_train_centroids,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    planted = spark.createDataFrame(
+        [
+            (
+                999_999,
+                "zanzibar quetzalcoatl cartography iridescent archipelago "
+                "glider expedition plumage "
+                + " ".join(f"uniq{i}" for i in range(40)),
+            )
+        ],
+        "doc_id long, text string",
+    )
+    chunks = chunk_documents(
+        docs.unionByName(planted), size=30, overlap=5
+    ).withColumn("vec_id", F.col("doc_id") * 1000 + F.col("chunk_idx"))
+    emb = embed_documents(
+        chunks.select("vec_id", F.col("chunk_text").alias("text")),
+        dim=32,
+        id_col="vec_id",
+    ).persist()
+    n = emb.count()
+    assert n == chunks.count() > 500
+    # retrieval: a query embedded from the PLANTED chunk's text (query
+    # ids outside the corpus) must hit that chunk first at cosine ≈ 1
+    planted_chunk = (
+        chunks.filter(F.col("doc_id") == 999_999)
+        .orderBy("chunk_idx")
+        .first()
+    )
+    enc = hashed_bow_encoder(32)
+    qvec = list(map(float, enc([planted_chunk.chunk_text])[0]))
+    queries = [(-1, qvec)]
+    cents = ivf_train_centroids(emb, n_centroids=8, iters=3)
+    hits = sorted(
+        ivf_topk(emb, cents, queries, k=3, nprobe=8).collect(),
+        key=lambda r: r.rank,
+    )  # full probe = exact
+    assert int(hits[0].vec_id) == int(planted_chunk.vec_id)
+    assert float(hits[0].cosine) == pytest.approx(1.0, abs=1e-6)
+    assert [float(r.cosine) for r in hits] == sorted(
+        (float(r.cosine) for r in hits), reverse=True
+    )
+    # full-probe IVF ≡ brute force seeded at the planted corpus vector
+    qid = int(planted_chunk.vec_id)
+    bf = [
+        (int(r.vec_id), round(float(r.cosine), 9))
+        for r in brute_force_topk(emb, qid, k=3).collect()
+    ]
+    ivf_self = [
+        (int(r.vec_id), round(float(r.cosine), 9))
+        for r in sorted(
+            ivf_topk(
+                emb, cents, [(qid, list(map(float, enc(
+                    [planted_chunk.chunk_text])[0])))], k=3, nprobe=8
+            ).collect(),
+            key=lambda r: r.rank,
+        )
+    ]
+    assert ivf_self == bf
+    emb.unpersist()

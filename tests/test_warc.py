@@ -131,3 +131,34 @@ def test_read_warc_distributed(spark, tmp_path):
     # zero shuffle for the read itself
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_read_warc_stream_end_to_end(spark, tmp_path):
+    """Streaming twin: files arriving become record rows per micro-batch
+    through a real Structured Streaming run, identical rows to the batch
+    reader."""
+    from nexus_event_stream_spark.sources.warc import read_warc_stream
+
+    src = tmp_path / "crawl"
+    src.mkdir()
+    (src / "a.warc.gz").write_bytes(synthesize_warc(RECS[:2]))
+    (src / "b.warc.gz").write_bytes(synthesize_warc(RECS[2:]))
+    out = tmp_path / "out"
+    stream = read_warc_stream(spark, str(src) + "/*")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.target_uri, bytes(r.payload))
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    want = {
+        (r.target_uri, bytes(r.payload))
+        for r in read_warc(spark, str(src) + "/*").collect()
+    }
+    assert got == want and len(got) == 4
