@@ -92,34 +92,71 @@ def _exif_orientation(app1: bytes) -> int | None:
     return None
 
 
-def jpeg_meta(payload: bytes) -> dict:
-    """Parse ``{width, height, n_components, progressive, orientation}``
-    from a JPEG byte string. Raises ``ValueError`` on structural
-    corruption (bad signature, truncated segment, missing SOF);
-    orientation is None when no valid EXIF tag exists."""
-    if len(payload) < 4 or payload[0] != 0xFF or payload[1] != SOI:
+def _segments(payload: bytes):
+    """Yield every JPEG segment as ``(marker, marker_off, body_start,
+    body_end, scan_start, scan_end)`` — THE marker walk; ``jpeg_meta``,
+    ``jpeg_scan_ranges``, and ``functions/scrub.py`` are all thin
+    consumers so a framing fix lands once. ``body_*`` are None for
+    standalone markers (SOI/EOI/RSTn/TEM); ``scan_*`` are set only on
+    SOS and cover the entropy-coded bytes after the header. A scan that
+    runs to END-OF-PAYLOAD (truncated file, no EOI) ends at
+    ``len(payload)`` — the final byte is scan data, not dropped. Raises
+    ``ValueError`` on structural corruption."""
+    n = len(payload)
+    if n < 4 or payload[0] != 0xFF or payload[1] != SOI:
         raise ValueError("not a JPEG: missing FFD8 signature")
+    yield (SOI, 0, None, None, None, None)
     pos = 2
-    meta: dict | None = None
-    orientation: int | None = None
-    while pos + 1 < len(payload):
+    while pos + 1 < n:
         if payload[pos] != 0xFF:
             raise ValueError(f"marker expected at offset {pos}")
         marker = payload[pos + 1]
         if marker == 0xFF:  # fill byte padding before a marker
             pos += 1
             continue
+        marker_off = pos
         pos += 2
         if marker == EOI:
-            break
+            yield (marker, marker_off, None, None, None, None)
+            return
         if marker in _STANDALONE:
+            yield (marker, marker_off, None, None, None, None)
             continue
-        if pos + 2 > len(payload):
+        if pos + 2 > n:
             raise ValueError("truncated segment length")
         seg_len = struct.unpack(">H", payload[pos : pos + 2])[0]
-        if seg_len < 2 or pos + seg_len > len(payload):
+        if seg_len < 2 or pos + seg_len > n:
             raise ValueError("invalid segment length")
-        body = payload[pos + 2 : pos + seg_len]
+        body_start, body_end = pos + 2, pos + seg_len
+        pos += seg_len
+        scan_start = scan_end = None
+        if marker == SOS:
+            # entropy-coded data: skip to the next real marker (FF00 is
+            # a stuffed byte, FFD0-D7 are restart markers inside the scan)
+            scan_start = pos
+            while pos + 1 < n:
+                if payload[pos] == 0xFF and payload[pos + 1] not in (
+                    0x00, *range(0xD0, 0xD8),
+                ):
+                    break
+                pos += 1
+            else:
+                pos = n  # scan runs to EOF — the tail byte is scan data
+            scan_end = pos
+        yield (marker, marker_off, body_start, body_end, scan_start, scan_end)
+
+
+def jpeg_meta(payload: bytes) -> dict:
+    """Parse ``{width, height, n_components, progressive, orientation}``
+    from a JPEG byte string. Raises ``ValueError`` on structural
+    corruption (bad signature, truncated segment, missing SOF);
+    orientation is None when no valid EXIF tag exists."""
+    meta: dict | None = None
+    orientation: int | None = None
+    for marker, _off, b0, b1, _s0, _s1 in _segments(payload):
+        if b0 is None:
+            continue
+        body = payload[b0:b1]
         if marker in _SOF_MARKERS:
             if len(body) < 6:
                 raise ValueError("truncated SOF segment")
@@ -133,16 +170,6 @@ def jpeg_meta(payload: bytes) -> dict:
                 }
         elif marker == APP1 and orientation is None:
             orientation = _exif_orientation(body)
-        pos += seg_len
-        if marker == SOS:
-            # entropy-coded data: skip to the next real marker (FF00 is
-            # a stuffed byte, FFD0-D7 are restart markers inside the scan)
-            while pos + 1 < len(payload):
-                if payload[pos] == 0xFF and payload[pos + 1] not in (
-                    0x00, *range(0xD0, 0xD8),
-                ):
-                    break
-                pos += 1
         if meta is not None and orientation is not None:
             break
     if meta is None:
@@ -168,47 +195,21 @@ def jpeg_scan_ranges(payload: bytes) -> list[dict]:
     ``payload[data_offset:data_end]`` is the scan's raw entropy data
     (FF00 stuffing and FFD0-D7 restart markers intact, exactly as a
     decoder consumes it); ``payload[:data_end] + FFD9`` is the standard
-    progressive-prefix trick for a coarse decodable rendering. Raises
-    ``ValueError`` on the same structural corruption ``jpeg_meta`` does.
+    progressive-prefix trick for a coarse decodable rendering. A scan
+    truncated at end-of-payload (no EOI) ends at ``len(payload)``.
+    Raises ``ValueError`` on the same structural corruption
+    ``jpeg_meta`` does.
     """
-    if len(payload) < 4 or payload[0] != 0xFF or payload[1] != SOI:
-        raise ValueError("not a JPEG: missing FFD8 signature")
-    pos = 2
     scans: list[dict] = []
-    while pos + 1 < len(payload):
-        if payload[pos] != 0xFF:
-            raise ValueError(f"marker expected at offset {pos}")
-        marker = payload[pos + 1]
-        if marker == 0xFF:
-            pos += 1
-            continue
-        marker_off = pos
-        pos += 2
-        if marker == EOI:
-            break
-        if marker in _STANDALONE:
-            continue
-        if pos + 2 > len(payload):
-            raise ValueError("truncated segment length")
-        seg_len = struct.unpack(">H", payload[pos : pos + 2])[0]
-        if seg_len < 2 or pos + seg_len > len(payload):
-            raise ValueError("invalid segment length")
-        pos += seg_len
+    for marker, marker_off, _b0, _b1, s0, s1 in _segments(payload):
         if marker == SOS:
-            data_offset = pos
-            while pos + 1 < len(payload):
-                if payload[pos] == 0xFF and payload[pos + 1] not in (
-                    0x00, *range(0xD0, 0xD8),
-                ):
-                    break
-                pos += 1
             scans.append(
                 {
                     "scan_idx": len(scans),
                     "sos_offset": marker_off,
-                    "data_offset": data_offset,
-                    "data_end": pos,
-                    "n_bytes": pos - data_offset,
+                    "data_offset": s0,
+                    "data_end": s1,
+                    "n_bytes": s1 - s0,
                 }
             )
     if not scans:

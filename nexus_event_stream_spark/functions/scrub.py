@@ -41,57 +41,28 @@ __all__ = ["scrub_jpeg", "scrub_png", "scrub_wav"]
 _PNG_DROP = {b"tEXt", b"zTXt", b"iTXt", b"eXIf", b"tIME"}
 #: RIFF chunks that carry provenance/author metadata
 _WAV_DROP = {b"LIST", b"bext", b"iXML"}
-_STANDALONE = {0xD8, 0xD9, 0x01} | set(range(0xD0, 0xD8))
 
 
 def scrub_jpeg(payload: bytes) -> tuple[bytes, list[str]]:
     """Strip APP1-APP15 and COM segments from a JPEG; everything else —
-    including every entropy-coded scan — is copied verbatim. Raises
-    ``ValueError`` on the same structural corruption ``jpeg_meta``
-    does."""
-    if len(payload) < 4 or payload[0] != 0xFF or payload[1] != 0xD8:
-        raise ValueError("not a JPEG: missing FFD8 signature")
-    out = bytearray(b"\xff\xd8")
+    including every entropy-coded scan — is copied verbatim (consumer
+    of ``functions/jpeg.py``'s shared segment walk, so framing fixes
+    land once). Raises ``ValueError`` on the same structural corruption
+    ``jpeg_meta`` does."""
+    from .jpeg import _segments
+
+    out = bytearray()
     dropped: list[str] = []
-    pos = 2
-    while pos + 1 < len(payload):
-        if payload[pos] != 0xFF:
-            raise ValueError(f"marker expected at offset {pos}")
-        marker = payload[pos + 1]
-        if marker == 0xFF:  # fill byte
-            pos += 1
+    for marker, off, b0, b1, s0, s1 in _segments(payload):
+        if b0 is None:  # standalone marker (SOI/EOI/RSTn/TEM)
+            out += payload[off : off + 2]
             continue
-        seg_start = pos
-        pos += 2
-        if marker == 0xD9:  # EOI
-            out += b"\xff\xd9"
-            break
-        if marker in _STANDALONE:
-            out += payload[seg_start:pos]
+        if (0xE1 <= marker <= 0xEF) or marker == 0xFE:  # APP1-15, COM
+            dropped.append("COM" if marker == 0xFE else f"APP{marker - 0xE0}")
             continue
-        if pos + 2 > len(payload):
-            raise ValueError("truncated segment length")
-        seg_len = struct.unpack(">H", payload[pos : pos + 2])[0]
-        if seg_len < 2 or pos + seg_len > len(payload):
-            raise ValueError("invalid segment length")
-        seg_end = pos + seg_len
-        drop = (0xE1 <= marker <= 0xEF) or marker == 0xFE  # APP1-15, COM
-        if drop:
-            dropped.append(
-                "COM" if marker == 0xFE else f"APP{marker - 0xE0}"
-            )
-        else:
-            out += payload[seg_start:seg_end]
-        pos = seg_end
-        if marker == 0xDA:  # copy the scan verbatim up to the next marker
-            scan_start = pos
-            while pos + 1 < len(payload):
-                if payload[pos] == 0xFF and payload[pos + 1] not in (
-                    0x00, *range(0xD0, 0xD8),
-                ):
-                    break
-                pos += 1
-            out += payload[scan_start:pos]
+        out += payload[off:b1]  # marker + length + body, verbatim
+        if s0 is not None:
+            out += payload[s0:s1]  # scan entropy bytes, verbatim
     return bytes(out), dropped
 
 

@@ -163,10 +163,13 @@ def train_char_lm(
             (int(r["h"]), int(r["c"]))
         )
     for k, pairs in by_order.items():
-        pairs.sort()
+        # sort in UNSIGNED order — the lookup searchsorts uint64 views,
+        # and a signed sort misplaces every hash with bit 63 set (13 %
+        # of trigrams on non-ASCII text; pinned in tests)
         h = np.array([p[0] for p in pairs], dtype=np.int64).view(np.uint64)
         c = np.array([p[1] for p in pairs], dtype=np.int64)
-        orders[k] = (h, c)
+        order = np.argsort(h, kind="stable")
+        orders[k] = (h[order], c[order])
     total = int(docs.select(
         F.sum(F.length(F.coalesce(F.col(text_col), F.lit("")))).alias("t")
     ).first()["t"] or 0)
@@ -249,24 +252,14 @@ def _score_doc(cp, model):
     L = len(cp)
     if L == 0:
         return 0.0
-    # lookup(k, h) → counts aligned to positions, 0 where absent
-    def lookup(k, hashes):
-        tab = model["orders"].get(k)
-        if tab is None or not len(tab[0]):
-            return np.zeros(len(hashes), dtype=np.int64)
-        th, tc = tab
-        idx = np.searchsorted(th, hashes)
-        idx_c = np.minimum(idx, len(th) - 1)
-        hit = th[idx_c] == hashes
-        return np.where(hit, tc[idx_c], 0)
-
     # per position i (char cp[i]): counts of the k-gram ENDING at i and
-    # its (k-1)-context, for k = n..1
+    # its (k-1)-context, for k = n..1 (table lookups via the shared
+    # _lookup — one implementation for spec, batch kernel, and trainer)
     gram_c = {}
     for k in range(1, n + 1):
         c = np.zeros(L, dtype=np.int64)
         if L >= k:
-            c[k - 1 :] = lookup(k, _gram_hashes(cp, k))
+            c[k - 1 :] = _lookup(model, k, _gram_hashes(cp, k))
         gram_c[k] = c
     # stupid backoff, vectorized over positions: start at the deepest
     # order with both gram and context present; multiply alpha per level

@@ -306,7 +306,10 @@ def sample_frames(media: DataFrame, n_frames: int = 4, frame_bytes: int = 16) ->
                     pass
                 if p[:2] == b"\xff\xd8":
                     try:
-                        jpeg_meta(p)  # structural validation
+                        # one marker walk does double duty: it raises on
+                        # the same structural corruption jpeg_meta does
+                        # AND yields the scan ranges (a second full walk
+                        # per payload would dominate this hot kernel)
                         scans = jpeg_scan_ranges(p)
                         if len(scans) > 1:
                             # progressive: sample scans like MP4 samples

@@ -186,7 +186,6 @@ def sample_token_budget(
 def materialize_packed(
     docs: DataFrame,
     placement: DataFrame,
-    seq_len: int,
     order_col: str = "doc_id",
     text_col: str = "text",
     sep: str = " ",
@@ -202,7 +201,8 @@ def materialize_packed(
     a run wants eager sequences instead of loader-side assembly. Token
     slicing uses the same whitespace convention as ``token_count`` —
     the counts the placement was computed from — so every sequence
-    except the last holds exactly ``seq_len`` tokens (pinned).
+    except the last holds exactly the placement's ``seq_len`` tokens
+    (pinned; the length lives in the placement map, not here).
 
     Shape: one broadcast-or-hash join placement⋈docs on ``order_col``
     (placement rows ≈ docs rows), a per-row slice, then ONE shuffle on

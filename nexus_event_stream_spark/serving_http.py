@@ -100,8 +100,13 @@ def make_handler(
                     qs = parse_qs(url.query)
                     try:
                         top = int(qs.pop("top", ["50"])[0])
+                        if top < 0:
+                            raise ValueError
                     except ValueError:
-                        self._send(400, {"error": "top must be an integer"})
+                        self._send(
+                            400,
+                            {"error": "top must be a non-negative integer"},
+                        )
                         return
                     dims = {k: v[0] for k, v in qs.items()}
                     try:

@@ -61,16 +61,24 @@ WARC_SCHEMA = T.StructType(
 )
 
 
-def _gzip_members(blob: bytes) -> Iterator[bytes]:
+def _gzip_members(blob: bytes) -> Iterator[bytes | None]:
     """Decompress a concatenation of gzip members one member at a time
-    (the Common Crawl record framing)."""
+    (the Common Crawl record framing). A corrupt/truncated member yields
+    ``None`` (so the caller can COUNT it) and the walk RESYNCS at the
+    next gzip magic — one bad member loses itself, never the file's
+    tail."""
     pos = 0
     while pos < len(blob):
         d = zlib.decompressobj(wbits=31)
         try:
             out = d.decompress(blob[pos:])
         except zlib.error:
-            return  # truncated/corrupt tail member — tolerant reader
+            yield None
+            nxt = blob.find(b"\x1f\x8b", pos + 2)
+            if nxt < 0:
+                return
+            pos = nxt
+            continue
         yield out + d.flush()
         consumed = len(blob) - pos - len(d.unused_data)
         if consumed <= 0:
@@ -103,22 +111,35 @@ def _parse_record(raw: bytes):
     return headers, raw[body_start : body_start + length]
 
 
+def _split_records(data: bytes) -> list[bytes]:
+    """Split a decompressed byte run into record chunks: records are
+    separated by ``\\r\\n\\r\\n`` after payloads, so split on version
+    lines (a payload containing ``\\r\\n\\r\\nWARC/`` is pathological
+    and lands in the skip counter)."""
+    parts = data.split(b"\r\n\r\nWARC/")
+    return [parts[0]] + [b"WARC/" + p for p in parts[1:]]
+
+
 def parse_warc_records(blob: bytes):
-    """All records of one WARC file (plain or per-record-gzip), plus the
-    count of malformed records skipped. Pure function — the Spark kernel
-    and tests share it."""
+    """All records of one WARC file, plus the count of malformed
+    records/members skipped. Handles all three framings in the wild:
+    per-record gzip members (Common Crawl — a corrupt member is counted
+    and the walk resyncs at the next magic), whole-file gzip (one member
+    holding many records — each member is re-split on record
+    boundaries), and plain WARC. Pure function — the Spark kernel and
+    tests share it."""
     records = []
     skipped = 0
     if blob[:2] == b"\x1f\x8b":
-        chunks: Iterator[bytes] = _gzip_members(blob)
+        pieces: list[bytes] = []
+        for member in _gzip_members(blob):
+            if member is None:
+                skipped += 1
+                continue
+            pieces.extend(_split_records(member))
+        chunks: Iterator[bytes] = iter(pieces)
     else:
-        # plain WARC: records separated by \r\n\r\n after payloads; split
-        # on version lines (a payload containing "WARC/1." at a line
-        # start after a blank line is pathological and lands in skipped)
-        parts = blob.split(b"\r\n\r\nWARC/")
-        chunks = iter(
-            [parts[0]] + [b"WARC/" + p for p in parts[1:]]
-        )
+        chunks = iter(_split_records(blob))
     for raw in chunks:
         if not raw.strip(b"\r\n"):
             continue

@@ -216,12 +216,14 @@ def test_rollups_endpoint_order_filter_and_envelopes(service, rollup_service):
         except urllib.error.HTTPError as e:
             assert e.code == 400
             assert "bogus_dim" in json.load(e)["error"]
-        # non-integer top → 400 envelope
-        try:
-            urllib.request.urlopen(f"{base}/rollups?top=abc")
-            raise AssertionError("expected 400")
-        except urllib.error.HTTPError as e:
-            assert e.code == 400 and "top" in json.load(e)["error"]
+        # non-integer and negative top → 400 envelope (client error,
+        # never a 500 from DataFrame.limit)
+        for bad_top in ("abc", "-5"):
+            try:
+                urllib.request.urlopen(f"{base}/rollups?top={bad_top}")
+                raise AssertionError("expected 400")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400 and "top" in json.load(e)["error"]
     finally:
         server.shutdown()
 

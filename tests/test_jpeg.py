@@ -182,3 +182,24 @@ def test_scan_ranges_roundtrip_property(w, h, n, sb):
     # jpeg_meta is unaffected by scan multiplicity
     m = jpeg_meta(p)
     assert (m["width"], m["height"]) == (w, h)
+
+
+def test_truncated_scan_runs_to_eof():
+    """A JPEG whose trailing EOI is stripped (crawl truncation): the last
+    scan's range ends at len(payload) — the final entropy byte is scan
+    data, not dropped — and scrub_jpeg preserves it byte-exactly."""
+    from nexus_event_stream_spark.functions.scrub import scrub_jpeg
+
+    p = synthesize_jpeg(8, 8, n_scans=2, progressive=True)
+    trunc = p[:-2]  # strip EOI
+    scans = jpeg_scan_ranges(trunc)
+    assert len(scans) == 2
+    assert scans[-1]["data_end"] == len(trunc)
+    assert (
+        trunc[scans[-1]["data_offset"] :]
+        == p[scans[-1]["data_offset"] : -2]
+    )
+    # scrub of the truncated file keeps every entropy byte
+    clean, dropped = scrub_jpeg(trunc)
+    assert dropped == []
+    assert clean == trunc

@@ -265,3 +265,53 @@ def test_dsir_select_prefers_target_like_docs(spark):
     assert again == {int(r.doc_id) for r in picked}
     # selected rows carry the provenance columns
     assert {"log10_ratio", "weight"} <= set(picked[0].asDict())
+
+
+def test_non_ascii_grams_survive_the_table(spark):
+    """Regression (review r9): gram hashes with bit 63 set were sorted
+    SIGNED while lookups searchsort unsigned — non-ASCII grams silently
+    missed. Train on CJK/emoji text; every trained gram must look up at
+    its exact count, and in-domain CJK text must beat gibberish CJK."""
+    import numpy as np
+
+    from nexus_event_stream_spark.operators.lm import (
+        _codepoints,
+        _gram_hashes,
+        _lookup,
+    )
+
+    texts = [
+        "数据 处理 管道 的 质量 过滤 阶段 😀",
+        "数据 管道 的 过滤 阶段 很 重要 😀",
+        "データ パイプライン の 品質 フィルタ",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    n = 3
+    model = train_char_lm(df, n=n, min_count=1, max_grams=10**9)
+    # the tables must be sorted UNSIGNED (monotone as uint64)
+    for k in range(1, n + 1):
+        h, _c = model["orders"][k]
+        assert (np.diff(h.astype(np.uint64).view(np.uint64)) > 0).all()
+    # every oracle gram hits its exact count — including bit-63 hashes
+    want = oracle_counts(texts, n)
+    hit63 = 0
+    for k in range(1, n + 1):
+        for g, cnt in want[k].items():
+            hv = _gram_hashes(_codepoints(g), k)[:1]
+            if int(hv[0]) >> 63:
+                hit63 += 1
+            got = int(_lookup(model, k, hv)[0])
+            assert got == cnt, (k, g, got, cnt)
+    assert hit63 > 0  # the regression surface was actually exercised
+    # and the gate signal works on non-ASCII: in-domain < gibberish
+    probes = spark.createDataFrame(
+        [(0, texts[0]), (1, "㑇 ㅱ ㊋ 🜚 𐃯 ꬿ")],
+        "doc_id long, text string",
+    )
+    ppl = {
+        int(r.doc_id): float(r.ppl_char)
+        for r in perplexity_score(probes, model).collect()
+    }
+    assert ppl[0] < ppl[1]

@@ -225,7 +225,7 @@ def test_materialize_packed_reassembles_the_stream(spark):
     seq_len = 32
     placement = pack_sequences(with_counts, seq_len)
     seqs = sorted(
-        materialize_packed(docs, placement, seq_len).collect(),
+        materialize_packed(docs, placement).collect(),
         key=lambda r: r.seq_id,
     )
     # seq_len everywhere but the tail

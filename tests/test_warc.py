@@ -162,3 +162,27 @@ def test_read_warc_stream_end_to_end(spark, tmp_path):
         for r in read_warc(spark, str(src) + "/*").collect()
     }
     assert got == want and len(got) == 4
+
+
+def test_mid_file_corruption_resyncs_and_whole_file_gzip_splits():
+    """Regression (review r9): (a) a corrupt gzip member mid-file must
+    COUNT as skipped and the walk must resync — the tail records
+    survive; (b) whole-file gzip (one member, many records) yields every
+    record, not just the first."""
+    import gzip, io
+
+    # (a) good + corrupt + good
+    good_a = synthesize_warc(RECS[:1])
+    good_b = synthesize_warc(RECS[1:2])
+    corrupt = bytearray(synthesize_warc(RECS[2:3]))
+    corrupt[15] ^= 0xFF  # breaks the deflate stream, keeps the magic
+    records, skipped = parse_warc_records(good_a + bytes(corrupt) + good_b)
+    assert len(records) == 2 and skipped == 1
+    assert records[1][0]["warc-target-uri"] == "https://example.com/a"
+    # (b) `gzip file.warc` framing: one member, all records inside
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as z:
+        z.write(synthesize_warc(RECS, gzip_members=False))
+    records, skipped = parse_warc_records(buf.getvalue())
+    assert skipped == 0 and len(records) == 4
+    assert records[1][1] == RECS[1]["payload"]
