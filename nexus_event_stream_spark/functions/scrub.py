@@ -19,6 +19,10 @@ leak) while leaving the coded image/audio bytes byte-identical:
 - WAV/RIFF: drop LIST (INFO), 'bext' (broadcast-wave originator), and
   'iXML' chunks; keep fmt /data verbatim (sizes re-summed in the RIFF
   header).
+- MP4 (ISO BMFF): neutralize ``udta``/``meta`` boxes IN PLACE as
+  same-size ``free`` boxes — removal would shift the absolute ``stco``
+  chunk offsets and break every demux; same-size zeroing keeps the
+  sample tables byte-valid.
 
 Each scrubber returns ``(clean_bytes, dropped_tags)`` so the pipeline
 can account for what it removed; unrecognized FORMATS are the caller's
@@ -35,7 +39,7 @@ from __future__ import annotations
 
 import struct
 
-__all__ = ["scrub_jpeg", "scrub_png", "scrub_wav"]
+__all__ = ["scrub_jpeg", "scrub_png", "scrub_wav", "scrub_mp4"]
 
 #: PNG ancillary chunks that exist to carry metadata (PII surface)
 _PNG_DROP = {b"tEXt", b"zTXt", b"iTXt", b"eXIf", b"tIME"}
@@ -113,3 +117,50 @@ def scrub_wav(payload: bytes) -> tuple[bytes, list[str]]:
             body += payload[pos : min(end, len(payload))]
         pos = end
     return b"RIFF" + struct.pack("<I", len(body)) + bytes(body), dropped
+
+
+def scrub_mp4(payload: bytes) -> tuple[bytes, list[str]]:
+    """Neutralize MP4 metadata boxes IN PLACE: every ``udta`` (user
+    data — GPS location, author, device strings) and ``meta`` box at the
+    top level or directly inside ``moov``/``trak`` becomes a ``free``
+    box of the SAME SIZE with a zeroed payload.
+
+    Same-size replacement is the point, not a shortcut: ``stco`` chunk
+    offsets are ABSOLUTE file offsets, so removing bytes ahead of
+    ``mdat`` would silently break every sample table downstream
+    (functions/mp4.py parse_mp4 and every real demuxer). The classic
+    in-place scrub keeps the byte layout identical — sample extraction
+    before and after is byte-exact (pinned). Returns
+    ``(clean_bytes, dropped_tags)`` with tags like ``"udta"``/
+    ``"moov/meta"``. Raises ``ValueError`` on a malformed box walk."""
+    out = bytearray(payload)
+    dropped: list[str] = []
+
+    def neutralize(start: int, end: int) -> None:
+        out[start + 4 : start + 8] = b"free"
+        out[start + 8 : end] = bytes(end - start - 8)
+
+    def walk(lo: int, hi: int, prefix: str, depth: int) -> None:
+        pos = lo
+        while pos + 8 <= hi:
+            size = struct.unpack(">I", out[pos : pos + 4])[0]
+            typ = bytes(out[pos + 4 : pos + 8])
+            if size == 1:  # 64-bit largesize — not emitted by our writer
+                if pos + 16 > hi:
+                    raise ValueError("truncated largesize box header")
+                size = struct.unpack(">Q", out[pos + 8 : pos + 16])[0]
+            if size < 8 or pos + size > hi:
+                raise ValueError(f"invalid box size at offset {pos}")
+            if typ in (b"udta", b"meta"):
+                dropped.append(prefix + typ.decode("latin-1"))
+                neutralize(pos, pos + size)
+            elif typ in (b"moov", b"trak") and depth < 2:
+                walk(pos + 8, pos + size, prefix + typ.decode("latin-1") + "/", depth + 1)
+            pos += size
+        if pos != hi:
+            raise ValueError("trailing bytes are not a whole box")
+
+    if len(payload) < 8:
+        raise ValueError("not an MP4: too short for a box header")
+    walk(0, len(out), "", 0)
+    return bytes(out), dropped

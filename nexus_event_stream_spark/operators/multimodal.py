@@ -191,6 +191,7 @@ def scrub_media(media: DataFrame) -> DataFrame:
     payloads never cross the driver."""
     from nexus_event_stream_spark.functions.scrub import (
         scrub_jpeg,
+        scrub_mp4,
         scrub_png,
         scrub_wav,
     )
@@ -208,6 +209,8 @@ def scrub_media(media: DataFrame) -> DataFrame:
                         clean, dropped = scrub_png(p)
                     elif p[:4] == b"RIFF":
                         clean, dropped = scrub_wav(p)
+                    elif p[4:8] == b"ftyp":
+                        clean, dropped = scrub_mp4(p)
                     else:
                         raise ValueError("unrecognized format")
                     outs.append(clean)

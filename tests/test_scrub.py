@@ -135,3 +135,65 @@ def test_scrub_media_kernel_mixed_formats(spark):
         scrub_media(media)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_scrub_mp4_neutralizes_udta_in_place():
+    """udta/meta boxes (GPS, author, device strings) become same-size
+    free boxes — byte length identical, every demuxed sample byte-exact
+    (stco offsets are absolute; removal would corrupt them)."""
+    import struct as _st
+
+    from nexus_event_stream_spark.functions.mp4 import encode_mp4, parse_mp4
+    from nexus_event_stream_spark.functions.scrub import scrub_mp4
+
+    frames = [bytes([i] * (6 + i)) for i in range(5)]
+    base = encode_mp4(frames)
+
+    def box(tag: bytes, payload: bytes) -> bytes:
+        return _st.pack(">I", 8 + len(payload)) + tag + payload
+
+    gps = box(b"udta", box(b"\xa9xyz", b"+37.7749-122.4194/"))
+    author = box(b"meta", b"\x00" * 4 + box(b"ilst", b"Jane Doe shot this"))
+    # real muxers put metadata at the file tail or inside moov (ahead of
+    # mdat would shift stco offsets) — test both supported placements:
+    # meta as a moov child (moov rebuilt to include it), udta trailing
+    moov_start = base.find(b"moov") - 4
+    moov_size = _st.unpack(">I", base[moov_start : moov_start + 4])[0]
+    moov_end = moov_start + moov_size
+    moov_body = base[moov_start + 8 : moov_end]
+    new_moov = box(b"moov", moov_body + author)
+    dirty = base[:moov_start] + new_moov + base[moov_end:] + gps
+    before = parse_mp4(dirty)
+    clean, dropped = scrub_mp4(dirty)
+    assert sorted(dropped) == ["moov/meta", "udta"]
+    assert len(clean) == len(dirty)  # in-place: byte length identical
+    assert b"Jane Doe" not in clean and b"122.4194" not in clean
+    after = parse_mp4(clean)
+    assert after["sample_offsets"] == before["sample_offsets"]
+    assert after["sample_sizes"] == before["sample_sizes"]
+    for off, sz in zip(after["sample_offsets"], after["sample_sizes"]):
+        assert clean[off : off + sz] == dirty[off : off + sz]
+    # idempotent; malformed raises
+    again, dropped2 = scrub_mp4(clean)
+    assert again == clean and dropped2 == []
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        scrub_mp4(b"\x00\x00\x00\x05xxxx")
+
+
+def test_scrub_media_routes_mp4(spark):
+    import struct as _st
+
+    from nexus_event_stream_spark.functions.mp4 import encode_mp4
+    from nexus_event_stream_spark.operators.multimodal import scrub_media
+
+    base = encode_mp4([b"abcdef", b"ghijkl"])
+    udta = _st.pack(">I", 8 + 10) + b"udta" + b"author: me"
+    media = spark.createDataFrame(
+        [(1, base + udta)], "media_id long, payload binary"
+    )
+    r = scrub_media(media).collect()[0]
+    assert r.scrubbed and list(r.dropped_tags) == ["udta"]
+    assert b"author" not in bytes(r.payload)
+    assert len(bytes(r.payload)) == len(base) + 18
