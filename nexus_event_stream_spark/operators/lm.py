@@ -190,6 +190,15 @@ def _lookup(model, k, hashes):
     return np.where(hit, tc[idx_c], 0)
 
 
+#: cap on the per-call concatenation (chars): above it, _score_batch
+#: recurses on halves. Bounds the working set — every order holds ~5
+#: L-sized temporaries (window matrix, hashes, counts, masks), so 2M
+#: chars ≈ 80 MB per order instead of a whole 10k-doc Arrow batch's
+#: ~700 MB (measured: the unchunked kernel thrashed allocation on sf0.1
+#: and lm_ppl_25x ran 3× slower than the chunked one).
+_SCORE_CHUNK_CHARS = 2_000_000
+
+
 def _score_batch(cps, model):
     """log10 stupid-backoff sums for a LIST of codepoint arrays in one
     set of whole-batch numpy passes: all docs concatenate into one
@@ -198,11 +207,18 @@ def _score_batch(cps, model):
     invalid, and per-doc sums come off one ``reduceat``. Bit-identical
     to scoring docs one at a time (``_score_doc`` is the readable spec;
     equivalence is pinned in tests) — this exists because per-doc numpy
-    calls are overhead-bound on short documents."""
+    calls are overhead-bound on short documents. Concatenations above
+    ``_SCORE_CHUNK_CHARS`` split into doc-aligned halves (per-doc math
+    is independent, so chunking cannot change a single bit)."""
     import numpy as np
 
     if not cps:
         return np.empty(0, dtype=np.float64)
+    if len(cps) > 1 and sum(len(c) for c in cps) > _SCORE_CHUNK_CHARS:
+        mid = len(cps) // 2
+        return np.concatenate(
+            [_score_batch(cps[:mid], model), _score_batch(cps[mid:], model)]
+        )
     n = model["n"]
     total = max(model["total_chars"], 1)
     lens = np.array([len(c) for c in cps], dtype=np.int64)
