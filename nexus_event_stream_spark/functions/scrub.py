@@ -10,9 +10,11 @@ scrubbers remove the metadata CONTAINERS wholesale (never parse-and-
 filter inside them — an unrecognized field in a dropped block can't
 leak) while leaving the coded image/audio bytes byte-identical:
 
-- JPEG: drop APP1 (EXIF/XMP), APP2-APP15 (ICC beyond identification,
-  vendor notes), and COM segments; keep APP0 (JFIF — structural),
-  tables, frame headers, and every entropy-coded scan VERBATIM.
+- JPEG: drop APP1 (EXIF/XMP), vendor APPn notes, and COM segments;
+  keep APP0 (JFIF — structural), APP2 (ICC color profile) and APP14
+  (Adobe color-transform flag — decoders need it to pick YCCK/CMYK
+  handling), tables, frame headers, and every entropy-coded scan
+  VERBATIM.
 - PNG: drop the ancillary metadata chunks tEXt/zTXt/iTXt/eXIf/tIME;
   keep critical and structural chunks (IHDR/PLTE/IDAT/IEND, the APNG
   acTL/fcTL/fdAT family, transparency/gamma) with their original CRCs.
@@ -48,20 +50,26 @@ _WAV_DROP = {b"LIST", b"bext", b"iXML"}
 
 
 def scrub_jpeg(payload: bytes) -> tuple[bytes, list[str]]:
-    """Strip APP1-APP15 and COM segments from a JPEG; everything else —
-    including every entropy-coded scan — is copied verbatim (consumer
-    of ``functions/jpeg.py``'s shared segment walk, so framing fixes
-    land once). Raises ``ValueError`` on the same structural corruption
-    ``jpeg_meta`` does."""
+    """Strip metadata APPn and COM segments from a JPEG; everything
+    else — including every entropy-coded scan — is copied verbatim
+    (consumer of ``functions/jpeg.py``'s shared segment walk, so
+    framing fixes land once). APP0 (JFIF), APP2 (ICC profile) and
+    APP14 (Adobe color-transform marker) are structural/color
+    metadata, not PII, and are KEPT — Adobe YCCK/CMYK files decode
+    with wrong colors without APP14. Raises ``ValueError`` on the
+    same structural corruption ``jpeg_meta`` does."""
     from .jpeg import _segments
 
     out = bytearray()
     dropped: list[str] = []
+    keep_app = {0xE0, 0xE2, 0xEE}  # APP0 JFIF, APP2 ICC, APP14 Adobe
     for marker, off, b0, b1, s0, s1 in _segments(payload):
         if b0 is None:  # standalone marker (SOI/EOI/RSTn/TEM)
             out += payload[off : off + 2]
             continue
-        if (0xE1 <= marker <= 0xEF) or marker == 0xFE:  # APP1-15, COM
+        if (
+            0xE0 <= marker <= 0xEF and marker not in keep_app
+        ) or marker == 0xFE:  # metadata APPn, COM
             dropped.append("COM" if marker == 0xFE else f"APP{marker - 0xE0}")
             continue
         out += payload[off:b1]  # marker + length + body, verbatim
@@ -136,24 +144,31 @@ def scrub_mp4(payload: bytes) -> tuple[bytes, list[str]]:
     out = bytearray(payload)
     dropped: list[str] = []
 
-    def neutralize(start: int, end: int) -> None:
+    def neutralize(start: int, end: int, body: int) -> None:
+        # ``body`` is the first payload byte: start+8 for a 32-bit
+        # header, start+16 when a 64-bit largesize header is in use —
+        # the largesize field itself must survive (a ``free`` box with
+        # size==1 + largesize is valid ISO BMFF; zeroing it would make
+        # downstream parsers read largesize=0 on a size==1 box).
         out[start + 4 : start + 8] = b"free"
-        out[start + 8 : end] = bytes(end - start - 8)
+        out[body:end] = bytes(end - body)
 
     def walk(lo: int, hi: int, prefix: str, depth: int) -> None:
         pos = lo
         while pos + 8 <= hi:
             size = struct.unpack(">I", out[pos : pos + 4])[0]
             typ = bytes(out[pos + 4 : pos + 8])
+            body = pos + 8
             if size == 1:  # 64-bit largesize — not emitted by our writer
                 if pos + 16 > hi:
                     raise ValueError("truncated largesize box header")
                 size = struct.unpack(">Q", out[pos + 8 : pos + 16])[0]
-            if size < 8 or pos + size > hi:
+                body = pos + 16
+            if size < (body - pos) or pos + size > hi:
                 raise ValueError(f"invalid box size at offset {pos}")
             if typ in (b"udta", b"meta"):
                 dropped.append(prefix + typ.decode("latin-1"))
-                neutralize(pos, pos + size)
+                neutralize(pos, pos + size, body)
             elif typ in (b"moov", b"trak") and depth < 2:
                 walk(pos + 8, pos + size, prefix + typ.decode("latin-1") + "/", depth + 1)
             pos += size

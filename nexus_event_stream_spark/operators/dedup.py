@@ -306,6 +306,17 @@ def minhash_lsh_candidates(
     keyed = sigs.select(
         "doc_id", F.explode(band_key_array(bands, rows_per_band)).alias("bucket")
     )
+    return bucket_candidates(keyed, max_bucket_size)
+
+
+def bucket_candidates(
+    keyed: DataFrame, max_bucket_size: int | None = None
+) -> DataFrame:
+    """Candidate pairs from a (doc_id, bucket) relation: per-bucket
+    self-join with the hot-bucket star fallback — the shared primitive
+    under MinHash banding (minhash_lsh_candidates) and perceptual-hash
+    banding (operators/phash.py). See minhash_lsh_candidates for the
+    cap semantics; output: (doc_a, doc_b) distinct."""
     if max_bucket_size is not None:
         # One window over the same key the join shuffles on (co-partitioned
         # — AQE reuses the exchange): bucket size + hub in a single pass.

@@ -72,9 +72,11 @@ def embed_documents(
     semdedup.py / streaming/ann_index.py (``vec_id``-style long id +
     ``array<double>``)."""
     encode = encoder_fn or hashed_bow_encoder(dim)
+    # id type mirrors the input schema (string/int ids fail at the API
+    # boundary, not inside the Arrow kernel)
     out_schema = T.StructType(
         [
-            T.StructField(id_col, T.LongType()),
+            docs.schema[id_col],
             T.StructField("embedding", T.ArrayType(T.DoubleType())),
         ]
     )

@@ -391,9 +391,12 @@ def importance_weights(
     """
     if normalize not in ("per_char", "none"):
         raise ValueError(f"normalize must be per_char|none, got {normalize!r}")
+    # the id rides through untouched — its type comes from the input
+    # schema, not a LongType assumption (string/int ids fail at the API
+    # boundary, not inside the Arrow kernel)
     out_schema = T.StructType(
         [
-            T.StructField(id_col, T.LongType()),
+            docs.schema[id_col],
             T.StructField("n_chars", T.IntegerType()),
             T.StructField("log10_ratio", T.DoubleType()),
             T.StructField("weight", T.DoubleType()),

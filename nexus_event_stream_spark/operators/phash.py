@@ -1,0 +1,327 @@
+"""Perceptual near-duplicate detection for image columns.
+
+Byte-exact dedup (``exact_dedup`` on an md5 of the payload) misses the
+dominant duplicate class in crawled media: the SAME picture re-encoded,
+resized, or converted between color types. This module closes that gap
+with a difference hash (dHash — the standard perceptual-hash family
+member: grayscale → fixed tiny grid → adjacent-cell brightness
+comparisons → 64-bit fingerprint), computed in an Arrow kernel over the
+repo's pure-stdlib PNG decoder, then clustered with EXACTLY the banded
+machinery lexical dedup uses (operators/dedup.py): band the 64 bits,
+bucket-join, verify full Hamming distance, connected components.
+
+Why dHash survives the transforms that break md5:
+- resize: the hash is computed on an area-averaged ``(hash_size+1) ×
+  hash_size`` grid, so any input resolution lands on the same grid;
+- re-encode / color-type conversion: decode happens first — an RGB
+  encoding of a gray image produces the same luma plane;
+- brightness/contrast shifts: comparisons are RELATIVE (is the left
+  cell brighter than its right neighbor), monotone tone changes
+  preserve every bit.
+
+Banding is EXACT here, not probabilistic: with ``bands ≥ max_hamming+1``
+two fingerprints within the Hamming threshold must agree on at least
+one whole band (pigeonhole), so every qualifying pair is surfaced and
+then verified with the true ``bit_count(a XOR b)`` — 100% recall at the
+declared threshold, unlike MinHash's probabilistic bands.
+
+Decode boundary (the embedding.py ``encoder_fn`` convention): the
+default decoder is the REAL PNG/APNG pixel decode (functions/png.py);
+formats whose pixel decode is environment-capped in this container
+(JPEG entropy decode, video codecs) return ``phash = NULL`` with
+``decoded = false`` — tolerant-reader, never a crash — and a real
+deployment passes ``decoder_fn`` backed by its codec library to light
+them up. The Spark-side plumbing (schema, banding, verification,
+clustering) is identical either way and fully tested.
+
+Scale shape (100 TB of media):
+- the hash kernel is one Arrow-batched pass, zero shuffle, and emits 8
+  BYTES per image — the 100-MB payloads never move again;
+- candidate generation is ONE shuffle of (id, band-key) rows — ``bands``
+  × |images| short strings — with the ``max_bucket_size`` hot-bucket
+  star cap (flat-color thumbnails are the boilerplate of images);
+- verification is a join on the candidate pairs only; components are
+  iterative min-label propagation, never a driver graph.
+
+No reference counterpart — north-star multimodal × dedup tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "default_image_decoder",
+    "dhash_bytes",
+    "perceptual_hashes",
+    "phash_band_keys",
+    "phash_pairs",
+    "perceptual_dedup",
+]
+
+#: dHash grid height (bits = hash_size * hash_size must be 64: the
+#: fingerprint is banded as a single int64 column)
+HASH_SIZE = 8
+
+
+def default_image_decoder(payload: bytes):
+    """bytes → grayscale float64 ndarray (H, W), or None if this
+    environment cannot pixel-decode the format (tolerant-reader).
+
+    Real decode for the PNG family (plain + APNG first frame) via
+    functions/png.py; JPEG/video pixel decode is environment-capped
+    (see operators/multimodal.py) — plug a codec-backed ``decoder_fn``
+    into :func:`perceptual_hashes` to cover them in production.
+    """
+    import numpy as np
+
+    from nexus_event_stream_spark.functions.png import (
+        CHANNELS,
+        SIGNATURE,
+        decode_apng,
+        decode_png,
+    )
+
+    if not payload or bytes(payload[:8]) != SIGNATURE:
+        return None
+    try:
+        w, h, ct, pixels = decode_png(bytes(payload))
+    except ValueError:
+        try:
+            w, h, ct, frames = decode_apng(bytes(payload))
+            pixels = frames[0]
+        except (ValueError, IndexError):
+            return None
+    ch = CHANNELS[ct]
+    a = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, ch).astype(np.float64)
+    if ch == 1:
+        return a[:, :, 0]
+    # BT.601 luma; alpha (RGBA) is not part of perceived brightness
+    return 0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]
+
+
+def _area_downsample(gray, out_h: int, out_w: int):
+    """Mean-pool an (H, W) array onto an (out_h, out_w) grid with an
+    integral image — each output cell is the exact mean of its source
+    rectangle (never-empty: boundaries are clamped to advance ≥1), so
+    the SAME image at any resolution lands on (nearly) the same grid."""
+    import numpy as np
+
+    H, W = gray.shape
+    integ = np.zeros((H + 1, W + 1), dtype=np.float64)
+    integ[1:, 1:] = gray.cumsum(axis=0).cumsum(axis=1)
+    ys = (np.arange(out_h + 1) * H) // out_h
+    xs = (np.arange(out_w + 1) * W) // out_w
+    y0, y1 = ys[:-1], np.maximum(ys[1:], ys[:-1] + 1).clip(max=H)
+    x0, x1 = xs[:-1], np.maximum(xs[1:], xs[:-1] + 1).clip(max=W)
+    y0 = np.minimum(y0, H - 1)
+    x0 = np.minimum(x0, W - 1)
+    area = (y1 - y0)[:, None] * (x1 - x0)[None, :]
+    rect = (
+        integ[y1][:, x1]
+        - integ[y1][:, x0]
+        - integ[y0][:, x1]
+        + integ[y0][:, x0]
+    )
+    return rect / area
+
+
+def dhash_bytes(gray, hash_size: int = HASH_SIZE) -> int:
+    """dHash of a grayscale (H, W) array → signed int64 (uint64 bits in
+    two's complement, the repo's sketch convention). Bit ``r*size + c``
+    is set iff grid[r, c] > grid[r, c+1] on the ``(size+1) × size``
+    area-averaged grid."""
+    import numpy as np
+
+    grid = _area_downsample(gray, hash_size, hash_size + 1)
+    bits = (grid[:, :-1] > grid[:, 1:]).ravel()
+    v = np.uint64(0)
+    for i, b in enumerate(bits):
+        if b:
+            v |= np.uint64(1) << np.uint64(i)
+    return int(np.int64(v))
+
+
+def perceptual_hashes(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    hash_size: int = HASH_SIZE,
+    decoder_fn=None,
+) -> DataFrame:
+    """(id_col, phash, width, height, decoded) — one Arrow-batched pass,
+    zero shuffle. ``phash`` is NULL (``decoded = false``) for payloads
+    ``decoder_fn`` can't turn into pixels; those rows stay singletons
+    downstream. The id column mirrors its input type."""
+    if hash_size * hash_size != 64:
+        raise ValueError("hash_size**2 must be 64 — phash is one int64")
+    decode = decoder_fn or default_image_decoder
+    out_schema = T.StructType(
+        [
+            media.schema[id_col],
+            T.StructField("phash", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("decoded", T.BooleanType()),
+        ]
+    )
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            hashes, ws, hs, oks = [], [], [], []
+            for p in pdf[payload_col]:
+                gray = None
+                if p is not None:
+                    try:
+                        gray = decode(bytes(p))
+                    except Exception:
+                        gray = None
+                if gray is None or gray.size == 0:
+                    hashes.append(None)
+                    ws.append(None)
+                    hs.append(None)
+                    oks.append(False)
+                else:
+                    hashes.append(dhash_bytes(gray, hash_size))
+                    hs.append(int(gray.shape[0]))
+                    ws.append(int(gray.shape[1]))
+                    oks.append(True)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "phash": pd.array(hashes, dtype="Int64"),
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "decoded": oks,
+                }
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(batches, out_schema)
+
+
+def _bands_for(max_hamming: int) -> int:
+    """Smallest divisor of 64 that is ≥ max_hamming+1 — the pigeonhole
+    guarantee: a pair within the threshold agrees on ≥1 whole band."""
+    for b in (1, 2, 4, 8, 16, 32, 64):
+        if b >= max_hamming + 1:
+            return b
+    raise ValueError(f"max_hamming {max_hamming} out of range for 64 bits")
+
+
+def phash_band_keys(
+    phash: Column | str, bands: int
+) -> Column:
+    """Array of ``"i:slice"`` bucket keys from a 64-bit fingerprint —
+    the band_key_array twin for int64 hashes. Slices are contiguous
+    bit ranges extracted with an unsigned shift (bit 63 must not smear)."""
+    if 64 % bands:
+        raise ValueError(f"bands must divide 64, got {bands}")
+    width = 64 // bands
+    c = F.col(phash) if isinstance(phash, str) else phash
+    mask = F.lit(-1) if bands == 1 else F.lit((1 << width) - 1)
+    return F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(i),
+                F.shiftrightunsigned(c, i * width).bitwiseAND(mask),
+            )
+            for i in range(bands)
+        ]
+    )
+
+
+def phash_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 3,
+    bands: int | None = None,
+    id_col: str = "media_id",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup image pairs: (id_a, id_b, hamming) with hamming ≤
+    ``max_hamming``, from one banded bucket shuffle + pair-only
+    verification (``bit_count(a XOR b)`` — exact, so this operator has
+    100% recall at the threshold when ``bands ≥ max_hamming+1``, the
+    default). ``max_bucket_size`` is the hot-bucket star cap shared
+    with minhash_lsh_candidates (flat-color images are the image
+    corpus's boilerplate bucket)."""
+    from pyspark import StorageLevel
+
+    from .dedup import bucket_candidates
+
+    if bands is None:
+        bands = _bands_for(max_hamming)
+    # the fingerprint relation feeds the band explode + both verify
+    # sides; without a persist the upstream DECODE kernel runs 3× —
+    # same discipline as minhash_dedup's signature persist. 9 bytes a
+    # row, spillable.
+    sigs = (
+        hashes.filter(F.col("phash").isNotNull())
+        .select(F.col(id_col).alias("doc_id"), "phash")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    keyed = sigs.select(
+        "doc_id", F.explode(phash_band_keys("phash", bands)).alias("bucket")
+    )
+    cands = bucket_candidates(keyed, max_bucket_size)
+    ham = F.bit_count(F.col("ha.phash").bitwiseXOR(F.col("hb.phash")))
+    return (
+        cands.join(sigs.alias("ha"), F.col("doc_a") == F.col("ha.doc_id"))
+        .join(sigs.alias("hb"), F.col("doc_b") == F.col("hb.doc_id"))
+        .select(
+            F.col("doc_a").alias("id_a"),
+            F.col("doc_b").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def perceptual_dedup(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+    bands: int | None = None,
+    max_bucket_size: int | None = None,
+    decoder_fn=None,
+) -> DataFrame:
+    """Canonical-keeper mapping for an image corpus: (id_col, keep_id,
+    decoded) where keep_id is the smallest id in the image's perceptual
+    near-dup component — the dedup_groups contract applied to pixels.
+    ``media.filter(id == keep_id)`` is the deduplicated corpus.
+    Undecodable payloads (decoded = false) always map to themselves:
+    no pixels, no similarity claim."""
+    from pyspark import StorageLevel
+
+    from .dedup import connected_components
+
+    # persisted: the decode kernel is the expensive stage and the hash
+    # relation is consumed by both the pair generation and the final
+    # keeper join
+    hashes = perceptual_hashes(
+        media, id_col, payload_col, decoder_fn=decoder_fn
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = phash_pairs(
+        hashes,
+        max_hamming=max_hamming,
+        bands=bands,
+        id_col=id_col,
+        max_bucket_size=max_bucket_size,
+    )
+    comp = connected_components(pairs, a_col="id_a", b_col="id_b").select(
+        F.col("node").alias(id_col), F.col("comp").alias("keep_id")
+    )
+    return (
+        hashes.select(id_col, "decoded")
+        .join(comp, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("keep_id"), F.col(id_col)).alias("keep_id"),
+            "decoded",
+        )
+    )

@@ -353,6 +353,8 @@ def decontaminate(
     text_col: str = "text",
     hash_grams: bool = False,
     id_col: str = "doc_id",
+    broadcast: bool = True,
+    max_broadcast_grams: int | None = 50_000_000,
 ) -> DataFrame:
     """Per-document benchmark-overlap counts (GPT-3-style decontamination).
 
@@ -367,7 +369,22 @@ def decontaminate(
     out of a single per-doc rollup. ``hash_grams`` must match the flag
     ``bench_grams`` was built with (see benchmark_ngrams — digests
     shrink join/broadcast bytes).
+
+    The broadcast is GUARDED above ``max_broadcast_grams`` benchmark
+    grams (the ``max_gram_df`` cap convention): a "benchmark" the size
+    of a corpus would OOM every executor — raise the cap only with the
+    memory to back it, or pass ``broadcast=False`` to shuffle-join.
     """
+    from .search import _guard_broadcast_rows
+
+    if broadcast:
+        _guard_broadcast_rows(
+            bench_grams,
+            max_broadcast_grams,
+            "bench_grams",
+            "decontaminate",
+            "max_broadcast_grams",
+        )
     gram_arr = F.array_distinct(ngrams_from_tokens(F.col("__toks"), n))
     if hash_grams:
         gram_arr = F.transform(gram_arr, F.md5)
@@ -375,8 +392,11 @@ def decontaminate(
         df.select(F.col(id_col).alias("doc_id"), tokens(_col(text_col)).alias("__toks"))
         .select("doc_id", F.explode_outer(gram_arr).alias("g"))
     )
+    bench_side = bench_grams.withColumn("__hit", F.lit(1))
     marked = grams.join(
-        F.broadcast(bench_grams.withColumn("__hit", F.lit(1))), "g", "left"
+        F.broadcast(bench_side) if broadcast else bench_side.hint("shuffle_hash"),
+        "g",
+        "left",
     )
     return (
         marked.groupBy("doc_id")

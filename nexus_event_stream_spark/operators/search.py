@@ -51,6 +51,38 @@ __all__ = [
 SCORE_SCALE = 1 << 20
 
 
+def _require_scorable(index: "BM25Index", fn: str) -> None:
+    """An index built from empty/token-free docs has ``avgdl == 0`` —
+    the BM25 length norm divides by it and every score silently becomes
+    NaN/inf. Fail loudly at the API boundary instead."""
+    if not index.avgdl or index.avgdl <= 0.0:
+        raise ValueError(
+            f"{fn}: index.avgdl={index.avgdl!r} — the index holds no "
+            "tokens (empty corpus or all-empty docs); scoring against "
+            "it is undefined"
+        )
+
+
+def _guard_broadcast_rows(
+    small: DataFrame, cap: int | None, what: str, fn: str, knob: str
+) -> None:
+    """Broadcast-cap discipline (the ``max_bucket_size`` /
+    ``max_gram_df`` convention applied to broadcast sides): count the
+    SMALL side (one cheap job — it is small by contract) and refuse to
+    hand Catalyst a broadcast that would OOM every executor at scale.
+    The caller documents the fallback in the raised message."""
+    if cap is None:
+        return
+    n = small.count()
+    if n > cap:
+        raise ValueError(
+            f"{fn}: {what} has {n} rows, above the broadcast cap "
+            f"{knob}={cap}; shrink the small side or raise the cap "
+            f"only if executors have the memory (pass {knob}=None to "
+            "skip the guard and broadcast=False to shuffle-join instead)"
+        )
+
+
 def search_tokens(col: Column | str) -> Column:
     """Search-grade tokenization: lowercase, split on non-alphanumeric
     runs, drop empties. (Deliberately coarser than the quality tier's
@@ -99,7 +131,12 @@ def build_bm25_index(
     counters in its pointer.
     """
     toks = docs.select(
-        F.col(id_col), search_tokens(text_col).alias("__toks")
+        F.col(id_col),
+        # NULL text tokenizes to the empty array, NOT null — F.size(null)
+        # is -1 and would silently drag avgdl down
+        F.coalesce(
+            search_tokens(text_col), F.array().cast("array<string>")
+        ).alias("__toks"),
     ).withColumn("dl", F.size("__toks"))
     n_docs, avgdl = toks.select(
         F.count(F.lit(1)), F.avg("dl")
@@ -147,6 +184,7 @@ def bm25_topk(
     """
     from pyspark.sql import Window
 
+    _require_scorable(index, "bm25_topk")
     spark = index.postings.sparkSession
     qrows = []
     for qid, text in queries:
@@ -199,6 +237,8 @@ def bm25_score_docs(
     k: int = 1,
     k1: float = 1.2,
     b: float = 0.75,
+    broadcast: bool = True,
+    max_broadcast_postings: int | None = 20_000_000,
 ) -> DataFrame:
     """Score every document in ``docs`` as a BM25 QUERY against a small
     broadcastable index: (id_col, match_id, score, rank), top-k indexed
@@ -222,9 +262,24 @@ def bm25_score_docs(
     needed. Per-occurrence contributions quantize to int64 before
     summation (the repo's combine-order convention) so scores and ranks
     are partition-independent; ties break on match_id.
+
+    The broadcast is GUARDED: above ``max_broadcast_postings`` posting
+    rows the call raises instead of OOMing every executor (the
+    ``max_bucket_size``/``max_gram_df`` cap convention). Pass
+    ``broadcast=False`` to shuffle-join an index too big to broadcast —
+    both sides then shuffle on the term key, correct at any size.
     """
     from pyspark.sql import Window
 
+    _require_scorable(index, "bm25_score_docs")
+    if broadcast:
+        _guard_broadcast_rows(
+            index.postings,
+            max_broadcast_postings,
+            "index.postings",
+            "bm25_score_docs",
+            "max_broadcast_postings",
+        )
     if index.id_col == id_col:
         match_col = f"__match_{id_col}"
     else:
@@ -239,8 +294,13 @@ def bm25_score_docs(
         * (F.col("tf") * F.lit(k1 + 1.0))
         / (F.col("tf") + F.lit(k1) * dl_norm)
     )
-    scored = (
+    joined = (
         occurrences.join(F.broadcast(postings), "term")
+        if broadcast
+        else occurrences.join(postings.hint("shuffle_hash"), "term")
+    )
+    scored = (
+        joined
         .withColumn(
             "__q",
             F.floor(contrib * F.lit(float(SCORE_SCALE)) + F.lit(0.5)).cast(
@@ -276,6 +336,8 @@ def mine_hard_negatives(
     k1: float = 1.2,
     b: float = 0.75,
     max_positives_per_doc: int = 1,
+    broadcast: bool = True,
+    max_broadcast_postings: int | None = 20_000_000,
 ) -> DataFrame:
     """Top-k BM25 hard negatives per document: (id_col, match_id, score,
     rank) — the highest-scoring indexed docs that are NOT the document
@@ -298,7 +360,8 @@ def mine_hard_negatives(
     )
     cand = bm25_score_docs(
         index, docs, id_col=id_col, text_col=text_col, k=overfetch,
-        k1=k1, b=b,
+        k1=k1, b=b, broadcast=broadcast,
+        max_broadcast_postings=max_broadcast_postings,
     )
     if exclude_self:
         cand = cand.filter(F.col(id_col) != F.col("match_id"))

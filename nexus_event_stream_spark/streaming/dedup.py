@@ -299,11 +299,26 @@ class SignatureStore:
             },
             expected=cur,
         )
-        referenced = {ver for vs in new_buckets.values() for ver in vs} | {version}
-        for name in os.listdir(self.path):
-            if name.startswith("v=") and int(name.split("=", 1)[1]) not in referenced:
-                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+        _vacuum_with_grace(self.path, cur, new_buckets, version)
         return version
+
+
+def _vacuum_with_grace(
+    path: str, prev: dict, new_buckets: dict, version: int
+) -> None:
+    """Sweep version dirs no longer referenced — EXCEPT those the
+    PREVIOUS pointer referenced (one-generation grace window, the
+    BucketedViewStore._vacuum discipline): a concurrent reader that
+    resolved its paths from the previous pointer must not fail
+    mid-read. Previous-generation dirs fall out on the NEXT sweep,
+    when no live pointer can still name them."""
+    referenced = {ver for vs in new_buckets.values() for ver in vs} | {version}
+    prev_refs = {ver for vs in prev["buckets"].values() for ver in vs}
+    prev_refs.add(prev["version"])
+    keep = referenced | prev_refs
+    for name in os.listdir(path):
+        if name.startswith("v=") and int(name.split("=", 1)[1]) not in keep:
+            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
 
 
 def forget_signatures(
@@ -319,7 +334,6 @@ def forget_signatures(
     ride through unchanged (the survivor CORPUS dirs are the caller's
     to redact — this sweeps the signature index)."""
     import os
-    import shutil
 
     cur = store.current()
     if cur is None or not cur["buckets"]:
@@ -369,10 +383,7 @@ def forget_signatures(
         },
         expected=cur,
     )
-    referenced = {ver for vs in new_buckets.values() for ver in vs} | {version}
-    for name in os.listdir(store.path):
-        if name.startswith("v=") and int(name.split("=", 1)[1]) not in referenced:
-            shutil.rmtree(os.path.join(store.path, name), ignore_errors=True)
+    _vacuum_with_grace(store.path, cur, new_buckets, version)
     return int(n_gone)
 
 

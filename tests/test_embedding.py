@@ -125,3 +125,19 @@ def test_chunk_embed_ann_end_to_end(spark):
     ]
     assert ivf_self == bf
     emb.unpersist()
+
+
+def test_embed_string_ids(spark):
+    """embed_documents mirrors the input id type — string chunk ids
+    (e.g. 'doc-3#2') work without a LongType cast failure."""
+    docs = spark.createDataFrame(
+        [("doc-1#0", "alpha beta"), ("doc-2#0", "gamma")],
+        "chunk_id string, text string",
+    )
+    out = embed_documents(docs, dim=8, id_col="chunk_id")
+    assert dict(out.dtypes)["chunk_id"] == "string"
+    rows = {r.chunk_id: list(r.embedding) for r in out.collect()}
+    enc = hashed_bow_encoder(8)
+    want = enc(["alpha beta", "gamma"])
+    assert rows["doc-1#0"] == pytest.approx(list(want[0]))
+    assert rows["doc-2#0"] == pytest.approx(list(want[1]))

@@ -315,3 +315,22 @@ def test_non_ascii_grams_survive_the_table(spark):
         for r in perplexity_score(probes, model).collect()
     }
     assert ppl[0] < ppl[1]
+
+
+def test_importance_weights_string_ids(spark, tiny):
+    """The id column rides through with its INPUT type — a string doc id
+    must work end-to-end, not fail inside the Arrow kernel."""
+    from nexus_event_stream_spark.operators.lm import importance_weights
+
+    df, texts = tiny
+    target = train_char_lm(df.filter("doc_id < 2"), n=3, min_count=1)
+    raw = train_char_lm(df, n=3, min_count=1)
+    sdf = df.selectExpr("concat('doc-', doc_id) AS doc_id", "text")
+    got = importance_weights(sdf, target, raw)
+    assert dict(got.dtypes)["doc_id"] == "string"
+    rows = {r.doc_id: float(r.log10_ratio) for r in got.collect()}
+    base = {
+        f"doc-{int(r.doc_id)}": float(r.log10_ratio)
+        for r in importance_weights(df, target, raw).collect()
+    }
+    assert rows == base

@@ -1,0 +1,213 @@
+"""Perceptual image near-dup dedup (operators/phash.py): planted
+resized/re-encoded PNG duplicates collapse to one keeper, distinct
+images survive, banding is exact at the threshold (brute-force oracle),
+undecodable formats pass through as singletons, and the plan is one
+band shuffle — no cartesian, no per-pair decode."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from nexus_event_stream_spark.functions.jpeg import synthesize_jpeg
+from nexus_event_stream_spark.functions.png import encode_png, resize_nearest
+from nexus_event_stream_spark.operators.phash import (
+    default_image_decoder,
+    dhash_bytes,
+    perceptual_dedup,
+    perceptual_hashes,
+    phash_pairs,
+)
+
+
+def make_img(seed: int, w: int = 64, h: int = 48) -> np.ndarray:
+    """Deterministic smooth test image (low-frequency sinusoids — the
+    regime where nearest-resize keeps the perceptual signature)."""
+    rng = np.random.RandomState(seed)
+    x = np.linspace(0, 1, w)[None, :]
+    y = np.linspace(0, 1, h)[:, None]
+    f = rng.uniform(0.5, 1.2, 4)
+    p = rng.uniform(0, 2 * np.pi, 2)
+    img = (
+        128
+        + 70 * np.sin(2 * np.pi * f[0] * x + p[0]) * np.cos(2 * np.pi * f[1] * y + p[1])
+        + 40 * np.sin(2 * np.pi * (f[2] * x + f[3] * y))
+    )
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def variants(seed: int) -> list[bytes]:
+    """Original + nearest-downscale + nearest-upscale + RGB re-encode of
+    the same picture — the duplicate classes md5 dedup misses."""
+    img = make_img(seed)
+    return [
+        encode_png(64, 48, img.tobytes(), 0),
+        encode_png(32, 24, resize_nearest(img.tobytes(), 64, 48, 32, 24, 1), 0),
+        encode_png(96, 80, resize_nearest(img.tobytes(), 64, 48, 96, 80, 1), 0),
+        encode_png(64, 48, np.repeat(img[:, :, None], 3, 2).tobytes(), 2),
+    ]
+
+
+SEEDS = [1, 3, 7, 9]
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = []
+    mid = 0
+    for s in SEEDS:
+        for payload in variants(s):
+            rows.append((mid, s, payload))
+            mid += 1
+    # undecodable tail: a (filler-scan) JPEG, junk bytes, NULL
+    rows += [
+        (100, -1, synthesize_jpeg(8, 8)),
+        (101, -1, b"\x00\x01 not an image"),
+        (102, -1, None),
+    ]
+    return spark.createDataFrame(
+        rows, "media_id long, seed long, payload binary"
+    )
+
+
+def test_dhash_invariances_and_separation():
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")
+    hashes = {}
+    for s in SEEDS:
+        hs = [dhash_bytes(default_image_decoder(p)) for p in variants(s)]
+        hashes[s] = hs
+        assert max(ham(a, b) for a in hs for b in hs) <= 3
+    # brightness shift flips nothing (comparisons are relative)
+    img = make_img(1)
+    shifted = np.clip(img.astype(int) + 30, 0, 255).astype(np.float64)
+    assert ham(dhash_bytes(img.astype(np.float64)), dhash_bytes(shifted)) == 0
+    # distinct pictures are far apart
+    for i, a in enumerate(SEEDS):
+        for b in SEEDS[i + 1 :]:
+            assert min(ham(x, y) for x in hashes[a] for y in hashes[b]) > 10
+
+
+def test_perceptual_hashes_kernel(spark, media):
+    rows = {int(r.media_id): r for r in perceptual_hashes(media).collect()}
+    assert len(rows) == len(SEEDS) * 4 + 3
+    # driver-twin equality for every decodable payload
+    mid = 0
+    for s in SEEDS:
+        for payload in variants(s):
+            r = rows[mid]
+            assert r.decoded and r.phash == dhash_bytes(
+                default_image_decoder(payload)
+            )
+            mid += 1
+    # dimensions come from the DECODED image
+    assert (rows[0].width, rows[0].height) == (64, 48)
+    assert (rows[1].width, rows[1].height) == (32, 24)
+    # undecodable: flagged, null hash, never a crash
+    for bad in (100, 101, 102):
+        assert not rows[bad].decoded and rows[bad].phash is None
+    # zero shuffle
+    plan = perceptual_hashes(media)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_phash_pairs_match_bruteforce_oracle(spark, media):
+    """Banding at bands >= max_hamming+1 is EXACT (pigeonhole): the
+    operator must return precisely the brute-force pair set."""
+    hashes = perceptual_hashes(media)
+    got = {
+        (int(r.id_a), int(r.id_b), int(r.hamming))
+        for r in phash_pairs(hashes, max_hamming=3).collect()
+    }
+    hs = {
+        int(r.media_id): int(r.phash)
+        for r in hashes.collect()
+        if r.phash is not None
+    }
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")
+    ids = sorted(hs)
+    want = {
+        (a, b, ham(hs[a], hs[b]))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if ham(hs[a], hs[b]) <= 3
+    }
+    assert got == want and len(want) >= len(SEEDS) * 6  # 4 variants → C(4,2)
+
+
+def test_perceptual_dedup_collapses_variants(spark, media):
+    out = perceptual_dedup(media).collect()
+    keep = {int(r.media_id): int(r.keep_id) for r in out}
+    decoded = {int(r.media_id): bool(r.decoded) for r in out}
+    # each seed's 4 variants collapse to the smallest id of the group
+    mid = 0
+    for s in SEEDS:
+        group = list(range(mid, mid + 4))
+        assert {keep[m] for m in group} == {group[0]}
+        mid += 4
+    # distinct seeds keep distinct keepers; undecodables map to self
+    assert len({keep[m] for m in range(0, len(SEEDS) * 4, 4)}) == len(SEEDS)
+    for bad in (100, 101, 102):
+        assert keep[bad] == bad and not decoded[bad]
+    # the deduplicated corpus: one keeper per seed + the 3 singletons
+    kept = sorted({k for k in keep.values()})
+    assert kept == [0, 4, 8, 12, 100, 101, 102]
+
+
+def test_hot_bucket_star_cap_keeps_groups(spark):
+    """Many copies of one flat image (the image-corpus boilerplate
+    bucket): the star cap bounds pair traffic but the component — and
+    therefore the keeper mapping — is unchanged."""
+    img = make_img(1)
+    png = encode_png(64, 48, img.tobytes(), 0)
+    media = spark.createDataFrame(
+        [(i, png) for i in range(30)] + [(99, encode_png(64, 48, make_img(3).tobytes(), 0))],
+        "media_id long, payload binary",
+    )
+    exact = {
+        (int(r.media_id), int(r.keep_id))
+        for r in perceptual_dedup(media).collect()
+    }
+    capped = {
+        (int(r.media_id), int(r.keep_id))
+        for r in perceptual_dedup(media, max_bucket_size=5).collect()
+    }
+    assert capped == exact
+    assert {k for _m, k in exact} == {0, 99}
+
+
+def test_decoder_fn_boundary(spark):
+    """A production decoder plugs in per-format without touching the
+    Spark plumbing — here a fake 'raw gray' format."""
+
+    def raw_decoder(payload: bytes):
+        if payload[:4] != b"RAW0":
+            return None
+        w = payload[4]
+        h = payload[5]
+        return np.frombuffer(payload[6 : 6 + w * h], dtype=np.uint8).reshape(
+            h, w
+        ).astype(np.float64)
+
+    img = make_img(1)
+    raw = b"RAW0" + bytes([64, 48]) + img.tobytes()
+    media = spark.createDataFrame(
+        [(1, raw), (2, raw), (3, b"RAW0" + bytes([64, 48]) + make_img(3).tobytes())],
+        "media_id long, payload binary",
+    )
+    keep = {
+        int(r.media_id): int(r.keep_id)
+        for r in perceptual_dedup(media, decoder_fn=raw_decoder).collect()
+    }
+    assert keep == {1: 1, 2: 1, 3: 3}
+
+
+def test_pairs_plan_shape(spark, media):
+    plan = (
+        phash_pairs(perceptual_hashes(media), max_hamming=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -197,3 +197,58 @@ def test_scrub_media_routes_mp4(spark):
     assert r.scrubbed and list(r.dropped_tags) == ["udta"]
     assert b"author" not in bytes(r.payload)
     assert len(bytes(r.payload)) == len(base) + 18
+
+
+def test_scrub_jpeg_keeps_icc_and_adobe_markers():
+    """APP2 (ICC profile) and APP14 (Adobe color-transform flag) are
+    color-structural, not PII — scrubbing must keep them or Adobe
+    YCCK/CMYK files decode with wrong colors."""
+    p = synthesize_jpeg(8, 8, orientation=1)
+    icc = b"\xff\xe2" + struct.pack(">H", 2 + 14) + b"ICC_PROFILE\x00ab"
+    adobe = b"\xff\xee" + struct.pack(">H", 2 + 12) + b"Adobe\x00" + bytes(6)
+    vendor = b"\xff\xe5" + struct.pack(">H", 2 + 6) + b"vendor"
+    dirty = p[:2] + icc + adobe + vendor + p[2:]
+    clean, dropped = scrub_jpeg(dirty)
+    assert sorted(dropped) == ["APP1", "APP5"]
+    assert b"ICC_PROFILE" in clean and b"Adobe" in clean
+    assert b"vendor" not in clean
+    # idempotent — the kept markers don't re-drop
+    clean2, dropped2 = scrub_jpeg(clean)
+    assert clean2 == clean and dropped2 == []
+
+
+def test_scrub_mp4_preserves_largesize_header():
+    """A udta/meta box using a 64-bit largesize (size==1) header keeps
+    bytes 8-16 (the largesize field itself) when neutralized — zeroing
+    it would leave a size==1 box claiming largesize=0, structurally
+    invalid for every downstream parser."""
+    import struct as _st
+
+    from nexus_event_stream_spark.functions.mp4 import encode_mp4, parse_mp4
+    from nexus_event_stream_spark.functions.scrub import scrub_mp4
+
+    base = encode_mp4([b"abcdef", b"ghijkl"])
+    payload = b"author: Jane Doe, GPS +37.77"
+    big = (
+        _st.pack(">I", 1)
+        + b"udta"
+        + _st.pack(">Q", 16 + len(payload))
+        + payload
+    )
+    dirty = base + big
+    before = parse_mp4(dirty)
+    clean, dropped = scrub_mp4(dirty)
+    assert dropped == ["udta"]
+    assert len(clean) == len(dirty)
+    off = len(base)
+    # header: size==1, type rewritten to free, largesize INTACT
+    assert _st.unpack(">I", clean[off : off + 4])[0] == 1
+    assert clean[off + 4 : off + 8] == b"free"
+    assert _st.unpack(">Q", clean[off + 8 : off + 16])[0] == 16 + len(payload)
+    assert clean[off + 16 :] == bytes(len(payload))
+    assert b"Jane Doe" not in clean
+    # the scrubbed file still walks + demuxes identically
+    after = parse_mp4(clean)
+    assert after["sample_offsets"] == before["sample_offsets"]
+    again, dropped2 = scrub_mp4(clean)
+    assert again == clean and dropped2 == []

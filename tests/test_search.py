@@ -309,3 +309,63 @@ def test_mine_hard_negatives_excludes_self_and_positives(spark, docs, corpus):
         assert banned.isdisjoint(by_doc2.get(d, []))
         # the old rank-2/3 survivors shift up
         assert by_doc2[d][: len(lst) - 1] == [m for m, _s, _r in lst[1:]]
+
+
+def test_empty_index_avgdl_guard(spark):
+    """An index built from token-free docs has avgdl=0 — scoring against
+    it must raise, not silently produce NaN/inf scores."""
+    from nexus_event_stream_spark.operators.search import bm25_score_docs
+
+    empty = spark.createDataFrame(
+        [(1, ""), (2, "!!! ???"), (3, None)], "doc_id long, text string"
+    )
+    bidx = build_bm25_index(empty)
+    assert bidx.avgdl == 0.0
+    probe = spark.createDataFrame([(9, "anything")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="avgdl"):
+        bm25_topk(bidx, [(1, "anything")])
+    with pytest.raises(ValueError, match="avgdl"):
+        bm25_score_docs(bidx, probe)
+
+
+def test_score_docs_broadcast_cap_and_shuffle_fallback(spark, docs, corpus):
+    """Above the posting cap the broadcast refuses loudly; the
+    broadcast=False shuffle path produces bit-identical results with no
+    broadcast join in the plan."""
+    from nexus_event_stream_spark.operators.search import bm25_score_docs
+
+    bdf = spark.createDataFrame(corpus[:5], "doc_id long, text string")
+    bidx = build_bm25_index(bdf, max_df_frac=0.98)
+    with pytest.raises(ValueError, match="max_broadcast_postings"):
+        bm25_score_docs(bidx, docs, k=1, max_broadcast_postings=3)
+    # under the cap: unchanged; over the cap with broadcast=False: the
+    # shuffle twin matches the broadcast plan exactly
+    key = lambda rows: sorted(
+        (int(r.doc_id), int(r.match_id), int(round(r.score * SCORE_SCALE)), int(r.rank))
+        for r in rows
+    )
+    bc = bm25_score_docs(bidx, docs, k=2)
+    sh = bm25_score_docs(bidx, docs, k=2, broadcast=False)
+    assert key(bc.collect()) == key(sh.collect())
+    # the scoring join itself must not be a broadcast join
+    plan = sh._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_decontaminate_broadcast_cap_and_shuffle_fallback(spark, docs):
+    from nexus_event_stream_spark.operators.quality import (
+        benchmark_ngrams,
+        decontaminate,
+    )
+
+    bench = docs.limit(5)
+    grams = benchmark_ngrams(bench, n=3)
+    with pytest.raises(ValueError, match="max_broadcast_grams"):
+        decontaminate(docs, grams, n=3, max_broadcast_grams=2).collect()
+    probe = docs.limit(50)
+    bc = decontaminate(probe, grams, n=3).collect()
+    sh = decontaminate(probe, grams, n=3, broadcast=False).collect()
+    key = lambda rows: sorted(
+        (int(r.doc_id), int(r.n_grams), int(r.n_contaminated)) for r in rows
+    )
+    assert key(bc) == key(sh)

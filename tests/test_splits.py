@@ -174,13 +174,21 @@ def test_leakage_pairs_releases_corpus_cache(spark):
     spark.catalog.clearCache()
     sc = spark.sparkContext
 
+    # baseline-relative: earlier suites in the same session may leave
+    # localCheckpoint RDDs (connected_components) that catalog
+    # clearCache doesn't cover and the ContextCleaner releases lazily —
+    # this test owns only the entries IT creates
+    def live_ids():
+        return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+
+    base = live_ids()
     pairs = leakage_pairs(hash_split(corpus), threshold=0.5)
     pairs.count()
     # the signature relation must already be gone; only pairs' own cache
-    assert len(sc._jsc.getPersistentRDDs()) <= 1
+    assert len(live_ids() - base) <= 1
     pairs.unpersist()
-    assert len(sc._jsc.getPersistentRDDs()) == 0
+    assert len(live_ids() - base) == 0
 
     out = leakage_safe_split(corpus, threshold=0.5)
     out.count()
-    assert len(sc._jsc.getPersistentRDDs()) == 0  # plan-embedded leaked ids
+    assert len(live_ids() - base) == 0  # plan-embedded leaked ids

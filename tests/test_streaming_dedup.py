@@ -587,3 +587,30 @@ def test_forget_signatures_removes_postings_and_stops_suppression(
     # the stream keeps appending afterwards
     assert surviving_ids(spark, store, [(6, C_TEXT)], 4) == [6]
     assert 6 in stored_doc_ids(spark, store)
+
+
+def test_vacuum_grace_window_protects_previous_pointer(spark, store_dir):
+    """compact/forget sweep version dirs with a ONE-GENERATION grace
+    window (the BucketedViewStore._vacuum discipline): dirs the previous
+    pointer referenced survive the sweep that dereferences them — a
+    concurrent reader that resolved paths from the old pointer can
+    finish its read — and fall out on the NEXT sweep."""
+    from nexus_event_stream_spark.streaming.dedup import forget_signatures
+
+    store = SignatureStore(store_dir, n_buckets=8)
+    surviving_ids(spark, store, [(1, A_TEXT)], 0)   # v=0
+    surviving_ids(spark, store, [(2, B_TEXT)], 1)   # v=1
+    versions = lambda: {
+        n for n in os.listdir(store_dir) if n.startswith("v=")
+    }
+    assert versions() == {"v=0", "v=1"}
+    store.compact(spark)                            # v=2 folds v0+v1
+    # grace: v0/v1 were referenced by the previous pointer — still here
+    assert versions() == {"v=0", "v=1", "v=2"}
+    forget_signatures(spark, store, [2])            # v=3 rewrites v2
+    # second sweep: v0/v1 (no longer in any live pointer) vacuumed;
+    # v2 is the new grace generation
+    assert versions() == {"v=2", "v=3"}
+    # state stays correct throughout
+    assert stored_doc_ids(spark, store) == {1}
+    assert surviving_ids(spark, store, [(9, A_NEAR)], 2) == []
