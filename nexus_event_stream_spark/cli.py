@@ -60,10 +60,28 @@ def render_rollups(rows, dims: tuple[str, ...]) -> str:
     return "\n".join(lines)
 
 
+def render_search(rows) -> str:
+    header = f"{'RANK':>4} {'DOC':>12} {'SCORE':>12}"
+    lines = [header]
+    for r in rows:
+        lines.append(f"{r['rank']:>4} {r['doc_id']:>12} {r['score']:>12.4f}")
+    return "\n".join(lines)
+
+
+def render_similar(rows) -> str:
+    header = f"{'RANK':>4} {'VEC':>12} {'COSINE':>10}"
+    lines = [header]
+    for r in rows:
+        lines.append(f"{r['rank']:>4} {r['vec_id']:>12} {r['cosine']:>10.4f}")
+    return "\n".join(lines)
+
+
 def main(
     service: SignalService,
     argv: list[str] | None = None,
     rollups=None,
+    search=None,
+    similar=None,
 ) -> int:
     parser = argparse.ArgumentParser(prog="nexus-spark-cli")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -78,6 +96,13 @@ def main(
         "--dim", action="append", default=[], metavar="NAME=VALUE",
         help="equality filter on a rollup dimension (repeatable)",
     )
+    sp = sub.add_parser("search")
+    sp.add_argument("query")
+    sp.add_argument("--top", type=int, default=10)
+    mp = sub.add_parser("similar")
+    mp.add_argument("vec_id", type=int)
+    mp.add_argument("--top", type=int, default=10)
+    mp.add_argument("--nprobe", type=int, default=4)
     args = parser.parse_args(argv)
 
     if args.cmd == "list":
@@ -114,5 +139,30 @@ def main(
             print(f"error: {exc}", file=sys.stderr)
             return 2
         print(render_rollups(rows, tuple(rollups.store.dims)))
+        return 0
+    if args.cmd == "search":
+        if search is None:
+            print("error: no search index configured", file=sys.stderr)
+            return 2
+        try:
+            rows = search.search(args.query, k=args.top)
+        except NotFoundError:
+            print("error: search index not found", file=sys.stderr)
+            return 1
+        except ValueError as exc:
+            print(f"error: {exc}", file=sys.stderr)
+            return 2
+        print(render_search(rows))
+        return 0
+    if args.cmd == "similar":
+        if similar is None:
+            print("error: no similarity index configured", file=sys.stderr)
+            return 2
+        try:
+            rows = similar.similar(args.vec_id, k=args.top, nprobe=args.nprobe)
+        except NotFoundError as exc:
+            print(f"error: not found: {exc}", file=sys.stderr)
+            return 1
+        print(render_similar(rows))
         return 0
     return 2

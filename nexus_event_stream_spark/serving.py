@@ -157,6 +157,97 @@ class RollupService:
 
 
 @dataclass
+class SearchService:
+    """Read endpoint over the streaming BM25 index
+    (streaming/search_index.py BM25IndexStore) — full-text retrieval
+    behind the reference's read-API envelope discipline
+    (data-plane/internal/handler/signal.go:24-60): ``NotFoundError``
+    before the first committed epoch (404), ``ValueError`` on a missing/
+    blank query (caller error → 400), an all-unknown-terms query returns
+    an EMPTY list (200 — the unknown-priority quirk: unmatchable input
+    is not an error). Every call is one bucket-pruned DataFrame query."""
+
+    spark: SparkSession
+    store: object  # BM25IndexStore (duck-typed: .query / .current)
+    #: live stop-term cap forwarded to every query (deployment knob —
+    #: small/specialized corpora want it near 1.0)
+    max_df_frac: float = 0.5
+
+    def search(self, q: str, k: int = LIST_LIMIT) -> list[Row]:
+        if not q or not q.strip():
+            raise ValueError("q must be a non-empty query string")
+        cur = self.store.current()
+        if cur is None or not cur.get("n_docs"):
+            raise NotFoundError("search index")
+        df = self.store.query(
+            self.spark, [(0, q)], k=int(k), max_df_frac=self.max_df_frac
+        )
+        if df is None:  # tokenized to nothing / no recognizable terms
+            return []
+        return sorted(df.collect(), key=lambda r: r.rank)
+
+    def health(self) -> dict:
+        cur = self.store.current()
+        return {
+            "status": "ok",
+            "view_exists": cur is not None,
+            "n_docs": 0 if cur is None else cur.get("n_docs", 0),
+        }
+
+
+@dataclass
+class SimilarService:
+    """Read endpoint over the streaming ANN index
+    (streaming/ann_index.py PQIndexStore / ``active_index``) — "more
+    like this" by id, same envelope discipline: unknown id or an index
+    with nothing committed → ``NotFoundError`` (404). The query vector
+    is looked up from the corpus relation by id, searched through the
+    committed IVF-PQ index, and the document itself is excluded from
+    its own neighbor list (ranks re-densified 1..k)."""
+
+    spark: SparkSession
+    store: object  # PQIndexStore (duck-typed: .search/.current/.id_col/.vec_col)
+    embeddings: DataFrame  # corpus relation with the true float vectors
+
+    def similar(self, vec_id: int, k: int = 10, nprobe: int = 4) -> list[Row]:
+        cur = self.store.current()
+        if cur is None or not cur.get("dirs"):
+            raise NotFoundError("similarity index")
+        id_col = self.store.id_col
+        vec_rows = (
+            self.embeddings.filter(F.col(id_col) == F.lit(int(vec_id)))
+            .limit(1)
+            .collect()
+        )
+        if not vec_rows:
+            raise NotFoundError(str(vec_id))
+        vec = [float(x) for x in vec_rows[0][self.store.vec_col]]
+        # over-fetch one: the doc itself is the trivial top hit
+        res = self.store.search(
+            self.embeddings, [(0, vec)], k=int(k) + 1, nprobe=int(nprobe)
+        )
+        out = []
+        for r in sorted(res.collect(), key=lambda r: r.rank):
+            if int(r[id_col]) == int(vec_id):
+                continue
+            d = r.asDict()
+            d.pop("query_id", None)
+            d["rank"] = len(out) + 1
+            out.append(Row(**d))
+            if len(out) >= int(k):
+                break
+        return out
+
+    def health(self) -> dict:
+        cur = self.store.current()
+        return {
+            "status": "ok",
+            "view_exists": cur is not None,
+            "n_vectors": getattr(self.store, "n_indexed", 0),
+        }
+
+
+@dataclass
 class DirectoryService:
     """Control-plane auth read endpoints — the users/groups listings the
     reference serves next to signals (views.py:7-15, urls.py router)."""

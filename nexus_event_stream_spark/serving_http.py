@@ -39,7 +39,9 @@ from nexus_event_stream_spark.serving import (
     DirectoryService,
     NotFoundError,
     RollupService,
+    SearchService,
     SignalService,
+    SimilarService,
 )
 
 
@@ -58,6 +60,8 @@ def make_handler(
     directory: DirectoryService | None = None,
     auth_token: str | None = None,
     rollups: RollupService | None = None,
+    search: SearchService | None = None,
+    similar: SimilarService | None = None,
 ):
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, payload) -> None:
@@ -116,6 +120,53 @@ def make_handler(
                         self._send(404, {"error": "rollup not found"})
                     except ValueError as exc:
                         self._send(400, {"error": str(exc)})
+                elif parts == ["search"] and search is not None:
+                    qs = parse_qs(url.query)
+                    q = qs.get("q", [None])[0]
+                    if q is None:
+                        self._send(400, {"error": "missing query parameter q"})
+                        return
+                    try:
+                        k = int(qs.get("k", ["10"])[0])
+                        if k < 0:
+                            raise ValueError
+                    except ValueError:
+                        self._send(
+                            400, {"error": "k must be a non-negative integer"}
+                        )
+                        return
+                    try:
+                        rows = search.search(q, k=k)
+                        self._send(200, [_row_to_dict(r) for r in rows])
+                    except NotFoundError:
+                        self._send(404, {"error": "search index not found"})
+                    except ValueError as exc:
+                        self._send(400, {"error": str(exc)})
+                elif parts == ["similar"] and similar is not None:
+                    qs = parse_qs(url.query)
+                    try:
+                        vid = int(qs.get("id", [""])[0])
+                    except ValueError:
+                        self._send(
+                            400, {"error": "id must be an integer vector id"}
+                        )
+                        return
+                    try:
+                        k = int(qs.get("k", ["10"])[0])
+                        nprobe = int(qs.get("nprobe", ["4"])[0])
+                        if k < 0 or nprobe < 1:
+                            raise ValueError
+                    except ValueError:
+                        self._send(
+                            400,
+                            {"error": "k must be >= 0 and nprobe >= 1"},
+                        )
+                        return
+                    try:
+                        rows = similar.similar(vid, k=k, nprobe=nprobe)
+                        self._send(200, [_row_to_dict(r) for r in rows])
+                    except NotFoundError as exc:
+                        self._send(404, {"error": f"not found: {exc}"})
                 elif parts == ["users"] and directory is not None:
                     self._send(200, [_row_to_dict(r) for r in directory.users()])
                 elif parts == ["groups"] and directory is not None:
@@ -137,6 +188,8 @@ def serve(
     directory: DirectoryService | None = None,
     auth_token: str | None = None,
     rollups: RollupService | None = None,
+    search: SearchService | None = None,
+    similar: SimilarService | None = None,
 ) -> ThreadingHTTPServer:
     """Start the read API on a daemon thread; returns the server (use
     ``server.server_address[1]`` for the bound port, ``shutdown()`` to stop).
@@ -146,12 +199,18 @@ def serve(
     continuous-aggregate read tier at ``/rollups`` (?top=N + dim-equality
     query params; 404 envelope before the first committed epoch, 400 on an
     unknown dimension — the signal endpoints' envelope discipline applied
-    to the analytics view). ``auth_token`` arms the bearer-token gate (401
-    envelope on every data endpoint; /health open).
+    to the analytics view). ``search`` mounts the BM25 read tier at
+    ``/search`` (?q=text&k=N; 400 on missing q / bad k, 404 before the
+    first committed epoch, empty 200 when no query term is indexed — the
+    unknown-priority quirk). ``similar`` mounts the ANN read tier at
+    ``/similar`` (?id=vec_id&k=N&nprobe=M; 400 on a non-integer id, 404
+    for an unknown id or an empty index, the doc excluded from its own
+    neighbors). ``auth_token`` arms the bearer-token gate (401 envelope
+    on every data endpoint; /health open).
     """
     server = ThreadingHTTPServer(
         ("127.0.0.1", port),
-        make_handler(service, directory, auth_token, rollups),
+        make_handler(service, directory, auth_token, rollups, search, similar),
     )
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()

@@ -144,7 +144,10 @@ class SignatureStore:
 
     def read_buckets(self, spark: SparkSession, buckets) -> DataFrame | None:
         """Postings of ``buckets`` only — the probe path; never the whole
-        store."""
+        store. Postings of queued-takedown docs (``tombstones`` in the
+        pointer) are filtered HERE, so every consumer — the suppression
+        probe, forget counting, compaction's fold — sees them as already
+        gone the moment the forget pointer lands."""
         cur = self.current()
         if cur is None:
             self.last_probe_paths = []
@@ -157,7 +160,13 @@ class SignatureStore:
         self.last_probe_paths = paths
         if not paths:
             return None
-        return spark.read.schema(POSTING_SCHEMA).parquet(*paths)
+        df = spark.read.schema(POSTING_SCHEMA).parquet(*paths)
+        tomb = [int(d) for d in cur.get("tombstones", [])]
+        if tomb:
+            # literal-list filter: parquet-pushable, and the queue is
+            # bounded by compaction cadence
+            df = df.filter(~F.col("doc_id").isin(tomb))
+        return df
 
     # -- write --------------------------------------------------------------
 
@@ -214,6 +223,8 @@ class SignatureStore:
                 "run_token": run_token,
                 "buckets": buckets,
                 "corpus_versions": corpus_versions,
+                # queued takedowns ride through every append
+                "tombstones": (cur or {}).get("tombstones", []),
             },
             expected=cur,
         )
@@ -287,6 +298,11 @@ class SignatureStore:
             # folded buckets now live solely in the new version; a target
             # whose postings were all empty keeps an empty list
             new_buckets[b] = [version] if b in written else []
+        # a FULL fold (every bucket rewritten through the tombstone-
+        # filtered read) has physically removed every queued victim —
+        # clear the queue; a partial fold keeps it (victims may still
+        # have postings in unfolded buckets)
+        full = set(targets) == set(cur["buckets"])
         self._commit(
             {
                 "version": version,
@@ -296,6 +312,7 @@ class SignatureStore:
                 # corpus dirs live under their own root and are NOT part
                 # of posting compaction — carry the references through
                 "corpus_versions": cur.get("corpus_versions", []),
+                "tombstones": [] if full else cur.get("tombstones", []),
             },
             expected=cur,
         )
@@ -322,12 +339,21 @@ def _vacuum_with_grace(
 
 
 def forget_signatures(
-    spark: SparkSession, store: SignatureStore, doc_ids
+    spark: SparkSession, store: SignatureStore, doc_ids, mode: str = "tombstone"
 ) -> int:
     """Right-to-be-forgotten maintenance for the lexical suppression
     store: remove every LSH posting of ``doc_ids`` (the BM25/embedding
     stores' ``forget`` twin — a doc's band keys scatter across buckets,
-    so this is a full-sweep compact-with-filter run at takedown cadence).
+    so the physical removal is a full-sweep compact-with-filter).
+
+    ``mode='tombstone'`` (default) amortizes that sweep: victims queue
+    in the pointer (one read-only counting job + one atomic pointer
+    swing, zero data writes), ``read_buckets`` anti-filters the queue
+    so every probe treats them as gone IMMEDIATELY, and the next FULL
+    ``store.compact()`` folds the physical removal in for free — N
+    takedowns between compactions cost one sweep. ``mode='sweep'``
+    rewrites now, clearing the queue alongside.
+
     Returns how many distinct victim docs held postings. A forgotten
     doc stops suppressing future near-duplicates of itself; docs it
     already suppressed stay suppressed. Epoch/token/corpus references
@@ -335,6 +361,8 @@ def forget_signatures(
     to redact — this sweeps the signature index)."""
     import os
 
+    if mode not in ("tombstone", "sweep"):
+        raise ValueError(f"mode must be tombstone|sweep, got {mode!r}")
     cur = store.current()
     if cur is None or not cur["buckets"]:
         return 0
@@ -342,18 +370,28 @@ def forget_signatures(
     if not ids:
         return 0
     targets = sorted(cur["buckets"], key=int)
+    # read_buckets already excludes previously-queued victims — a
+    # repeated takedown request counts (and queues) nothing twice
     df = store.read_buckets(spark, targets)
     if df is None:
         return 0
     idf = spark.createDataFrame([(i,) for i in ids], "doc_id long")
-    n_gone = (
-        df.join(F.broadcast(idf), "doc_id", "left_semi")
+    present = [
+        int(r.doc_id)
+        for r in df.join(F.broadcast(idf), "doc_id", "left_semi")
         .select("doc_id")
         .distinct()
-        .count()
-    )
+        .collect()
+    ]
+    n_gone = len(present)
     if not n_gone:
         return 0
+    if mode == "tombstone":
+        queued = sorted(
+            {int(d) for d in cur.get("tombstones", [])} | set(present)
+        )
+        store._commit({**cur, "tombstones": queued}, expected=cur)
+        return n_gone
     kept = df.join(F.broadcast(idf), "doc_id", "left_anti")
     version = cur["version"] + 1
     out = os.path.join(store.path, f"v={version}")
@@ -380,6 +418,8 @@ def forget_signatures(
             "run_token": cur.get("run_token"),
             "buckets": new_buckets,
             "corpus_versions": cur.get("corpus_versions", []),
+            # the filtered read swept queued victims too — queue clears
+            "tombstones": [],
         },
         expected=cur,
     )

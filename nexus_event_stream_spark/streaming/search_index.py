@@ -151,6 +151,20 @@ class BM25IndexStore:
         finally:
             toks.unpersist()
 
+    def _tombstones(self, cur: dict | None) -> list[int]:
+        return [int(d) for d in (cur or {}).get("tombstones", [])]
+
+    def _exclude_tombstones(self, df: DataFrame, cur: dict | None) -> DataFrame:
+        """Postings of tombstoned docs are dead the moment the forget
+        pointer lands — every read path routes through this filter until
+        ``compact()`` sweeps them physically. The queue is bounded by
+        compaction cadence, so an ``isin`` literal list (parquet-pushable)
+        beats a join."""
+        tomb = self._tombstones(cur)
+        if not tomb:
+            return df
+        return df.filter(~F.col("doc_id").isin(tomb))
+
     def _apply_postings(
         self, spark, cur, postings, touched, epoch, n_new, sum_dl_new,
         run_token=None,
@@ -191,6 +205,9 @@ class BM25IndexStore:
             extra={
                 "n_docs": (cur or {}).get("n_docs", 0) + int(n_new),
                 "sum_dl": (cur or {}).get("sum_dl", 0) + int(sum_dl_new or 0),
+                # the pointer is rebuilt from extra each commit — an
+                # append must not drop queued takedowns
+                "tombstones": self._tombstones(cur),
             },
         )
 
@@ -198,16 +215,22 @@ class BM25IndexStore:
         """Fold every bucket's segment list into one owning version
         (read-union-rewrite through ``write_buckets``): query results are
         identical before and after — this is pure file-count maintenance,
-        the Lucene-merge / parquet-compaction analogue. Returns the new
+        the Lucene-merge / parquet-compaction analogue. Queued takedown
+        tombstones are swept PHYSICALLY here (the filter rides the fold
+        for free) and the queue clears — N ``forget`` calls between
+        compactions cost N pointer swings and ONE sweep. Returns the new
         version, or None when there is nothing to compact. The corpus
         counters, epoch, and run token ride the same pointer commit
         unchanged."""
         cur = self.current()
         if cur is None or not cur["manifest"]:
             return None
-        if not any(isinstance(v, list) and len(v) > 1 for v in cur["manifest"].values()):
+        tomb = self._tombstones(cur)
+        if not tomb and not any(
+            isinstance(v, list) and len(v) > 1 for v in cur["manifest"].values()
+        ):
             return None
-        all_rows = self._store.read(spark)
+        all_rows = self._exclude_tombstones(self._store.read(spark), cur)
         touched = [int(b) for b in cur["manifest"]]
         return self._store.write_buckets(
             all_rows.select(*[f.name for f in _POSTING_SCHEMA.fields]),
@@ -217,34 +240,48 @@ class BM25IndexStore:
             extra={
                 "n_docs": cur.get("n_docs", 0),
                 "sum_dl": cur.get("sum_dl", 0),
+                "tombstones": [],
             },
         )
 
-    def forget(self, spark: SparkSession, doc_ids) -> int:
+    def forget(self, spark: SparkSession, doc_ids, mode: str = "tombstone") -> int:
         """Right-to-be-forgotten maintenance: remove every posting of
-        ``doc_ids`` and decrement the exact corpus counters, one atomic
-        pointer swing. Returns how many documents were actually present.
+        ``doc_ids`` and decrement the exact corpus counters. Returns how
+        many documents were actually present.
 
-        A full postings sweep (the postings are term-keyed; a doc's
-        terms are scattered across every bucket — the deletion workload
-        is a compaction with a filter, run at takedown cadence, not
-        epoch cadence). Because df/idf are computed LIVE at query time,
-        the post-forget index answers queries EXACTLY as if the docs had
+        ``mode='tombstone'`` (default) AMORTIZES the physical rewrite:
+        the victims' ids queue in the pointer (one READ job to collect
+        their lengths for the exact counters, one atomic pointer swing,
+        ZERO data writes), every query anti-filters the queue
+        immediately, and the next scheduled ``compact()`` folds the
+        physical sweep in for free — N takedowns between compactions
+        cost ONE sweep, not N full index rewrites. ``mode='sweep'``
+        rewrites now (the takedown-cadence compaction-with-filter),
+        clearing the queue alongside.
+
+        Either way, because df/idf are computed LIVE at query time, the
+        post-forget index answers queries EXACTLY as if the docs had
         never been ingested — no stale-idf shadow of the deleted
         document survives (pinned in tests). Epoch and run token ride
         through unchanged, so the owning stream keeps appending.
 
-        Boundary: a TOKEN-FREE document (empty text — it contributed to
-        n_docs but has no postings) is invisible to this sweep; its
-        counter contribution stays, which only nudges idf's N. There is
-        nothing of the document itself to remove."""
+        Boundaries: a TOKEN-FREE document (empty text — it contributed
+        to n_docs but has no postings) is invisible to this sweep; its
+        counter contribution stays, which only nudges idf's N. A
+        tombstoned id must not be RE-INGESTED before the next compact
+        (the queue would hide the new postings) — the append-only
+        contract already rules that out (ids enter once)."""
+        if mode not in ("tombstone", "sweep"):
+            raise ValueError(f"mode must be tombstone|sweep, got {mode!r}")
         cur = self.current()
         if cur is None or not cur["manifest"]:
             return 0
         ids = [int(d) for d in doc_ids]
         if not ids:
             return 0
-        all_rows = self._store.read(spark)
+        # already-queued victims are invisible to this read — no double
+        # counting when a takedown request repeats
+        all_rows = self._exclude_tombstones(self._store.read(spark), cur)
         spark_ids = spark.createDataFrame(
             [(i,) for i in ids], "doc_id long"
         )
@@ -255,6 +292,17 @@ class BM25IndexStore:
         )
         if not gone_docs:
             return 0
+        n_docs = cur.get("n_docs", 0) - len(gone_docs)
+        sum_dl = cur.get("sum_dl", 0) - sum(int(r["dl"]) for r in gone_docs)
+        if mode == "tombstone":
+            queued = sorted(
+                set(self._tombstones(cur)) | {int(r["doc_id"]) for r in gone_docs}
+            )
+            self._store._commit(
+                {**cur, "n_docs": n_docs, "sum_dl": sum_dl, "tombstones": queued},
+                expected=cur,
+            )
+            return len(gone_docs)
         kept = all_rows.join(F.broadcast(spark_ids), "doc_id", "left_anti")
         touched = [int(b) for b in cur["manifest"]]
         self._store.write_buckets(
@@ -263,9 +311,9 @@ class BM25IndexStore:
             cur.get("epoch"),
             run_token=cur.get("run_token"),
             extra={
-                "n_docs": cur.get("n_docs", 0) - len(gone_docs),
-                "sum_dl": cur.get("sum_dl", 0)
-                - sum(int(r["dl"]) for r in gone_docs),
+                "n_docs": n_docs,
+                "sum_dl": sum_dl,
+                "tombstones": [],
             },
         )
         return len(gone_docs)
@@ -308,6 +356,9 @@ class BM25IndexStore:
         slice_ = self._store.read(spark, buckets=buckets)
         if slice_ is None:
             return None
+        # queued takedowns are dead immediately — BEFORE the live df
+        # build, so a tombstoned doc leaves no idf shadow either
+        slice_ = self._exclude_tombstones(slice_, cur)
         # the pruned slice is read twice — once by the broadcast df/idf
         # build job, once by the scoring join — which is inherent to live
         # idf (df must be global per term before any posting can score);

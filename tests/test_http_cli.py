@@ -304,3 +304,205 @@ def test_cli_rollups_command(service, rollup_service, capsys):
     capsys.readouterr()
     assert cli(service, ["rollups"], rollups=empty) == 1
     assert "rollup not found" in capsys.readouterr().err
+
+
+# ---------------------------------------------------------------------------
+# /search (BM25IndexStore) + /similar (PQIndexStore) read tiers — the
+# retrieval indexes behind the same envelope discipline
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def search_service(spark, tmp_path_factory):
+    from nexus_event_stream_spark.io import load_table
+    from nexus_event_stream_spark.serving import SearchService
+    from nexus_event_stream_spark.streaming.search_index import BM25IndexStore
+
+    store = BM25IndexStore(str(tmp_path_factory.mktemp("bm25")), n_buckets=8)
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    store.apply_batch(spark, docs, 0)
+    # the sf0.001 corpus draws from a ~30-word vocabulary — nearly every
+    # term is above the 0.5 df cap; serve with the cap effectively open
+    return SearchService(spark, store, max_df_frac=0.98)
+
+
+@pytest.fixture(scope="module")
+def similar_service(spark, tmp_path_factory):
+    from nexus_event_stream_spark.io import load_table
+    from nexus_event_stream_spark.operators.similarity import (
+        ivf_train_centroids,
+        pq_train_codebooks,
+    )
+    from nexus_event_stream_spark.serving import SimilarService
+    from nexus_event_stream_spark.streaming.ann_index import PQIndexStore
+
+    corpus = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = ivf_train_centroids(corpus, n_centroids=8, iters=3)
+    books = pq_train_codebooks(corpus, m=8, ksub=16, iters=3)
+    store = PQIndexStore(str(tmp_path_factory.mktemp("pq")), cents, books)
+    store.append(corpus, 0, "run")
+    return SimilarService(spark, store, corpus)
+
+
+def test_search_endpoint_order_and_envelopes(service, search_service):
+    """GET /search?q= — ranked list matching a direct index query, 400
+    on missing q / bad k, empty 200 for unindexed terms, 404 before the
+    first committed epoch."""
+    from nexus_event_stream_spark.serving import SearchService
+    from nexus_event_stream_spark.streaming.search_index import BM25IndexStore
+
+    server = serve(service, search=search_service)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        status, ctype, body = get_json(f"{base}/search?q=fast+table+scan&k=5")
+        assert status == 200 and ctype == "application/json"
+        assert len(body) == 5
+        assert [r["rank"] for r in body] == [1, 2, 3, 4, 5]
+        # matches the direct store query exactly
+        want = search_service.store.query(
+            search_service.spark, [(0, "fast table scan")], k=5,
+            max_df_frac=0.98,
+        ).collect()
+        want_rows = sorted(
+            (int(r.doc_id), round(float(r.score), 9), int(r.rank)) for r in want
+        )
+        got_rows = sorted(
+            (int(r["doc_id"]), round(float(r["score"]), 9), int(r["rank"]))
+            for r in body
+        )
+        assert got_rows == want_rows
+        # unindexed vocabulary → empty 200 (the unknown-priority quirk)
+        status, _, empty = get_json(f"{base}/search?q=zzzunseen+nonsense")
+        assert status == 200 and empty == []
+        # missing q / blank q / bad k → 400 envelope
+        for bad in ("search", "search?q=++", "search?q=x&k=abc", "search?q=x&k=-1"):
+            try:
+                urllib.request.urlopen(f"{base}/{bad}")
+                raise AssertionError("expected 400")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400 and "error" in json.load(e)
+    finally:
+        server.shutdown()
+
+    # 404 before the first committed epoch
+    import tempfile
+
+    empty = SearchService(
+        search_service.spark,
+        BM25IndexStore(tempfile.mkdtemp(prefix="bm25_empty_")),
+    )
+    server = serve(service, search=empty)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        urllib.request.urlopen(f"{base}/search?q=anything")
+        raise AssertionError("expected 404")
+    except urllib.error.HTTPError as e:
+        assert e.code == 404 and json.load(e) == {"error": "search index not found"}
+    finally:
+        server.shutdown()
+
+
+def test_similar_endpoint_excludes_self_and_envelopes(service, similar_service):
+    """GET /similar?id= — neighbor list from the committed IVF-PQ index,
+    self excluded, ranks densified; 400 non-integer id, 404 unknown id."""
+    server = serve(service, similar=similar_service)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    probe = int(similar_service.embeddings.first()["vec_id"])
+    try:
+        status, _, body = get_json(f"{base}/similar?id={probe}&k=5")
+        assert status == 200 and len(body) == 5
+        assert [r["rank"] for r in body] == [1, 2, 3, 4, 5]
+        assert all(int(r["vec_id"]) != probe for r in body)
+        # oracle: direct store.search over-fetch + self-drop
+        raw = similar_service.store.search(
+            similar_service.embeddings, [(0, [
+                float(x) for x in similar_service.embeddings.filter(
+                    f"vec_id = {probe}"
+                ).first()["embedding"]
+            ])], k=6, nprobe=4,
+        ).collect()
+        want = [
+            int(r.vec_id)
+            for r in sorted(raw, key=lambda r: r.rank)
+            if int(r.vec_id) != probe
+        ][:5]
+        assert [int(r["vec_id"]) for r in body] == want
+        # bad id / bad knobs → 400
+        for bad in ("similar?id=abc", "similar", f"similar?id={probe}&k=-1",
+                    f"similar?id={probe}&nprobe=0"):
+            try:
+                urllib.request.urlopen(f"{base}/{bad}")
+                raise AssertionError("expected 400")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+        # unknown id → 404 envelope
+        try:
+            urllib.request.urlopen(f"{base}/similar?id=99999999")
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404 and "99999999" in json.load(e)["error"]
+    finally:
+        server.shutdown()
+
+
+def test_retrieval_endpoints_behind_bearer_gate(
+    service, search_service, similar_service
+):
+    server = serve(
+        service, auth_token="sekret", search=search_service,
+        similar=similar_service,
+    )
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        for path in ("search?q=x", "similar?id=1"):
+            try:
+                urllib.request.urlopen(f"{base}/{path}")
+                raise AssertionError("expected 401")
+            except urllib.error.HTTPError as e:
+                assert e.code == 401
+        req = urllib.request.Request(f"{base}/search?q=fast+scan&k=2")
+        req.add_header("Authorization", "Bearer sekret")
+        with urllib.request.urlopen(req) as resp:
+            assert resp.status == 200 and len(json.load(resp)) == 2
+    finally:
+        server.shutdown()
+
+
+def test_cli_search_and_similar_commands(
+    service, search_service, similar_service, capsys
+):
+    from nexus_event_stream_spark.cli import main as cli
+
+    # unconfigured → usage error
+    assert cli(service, ["search", "x"]) == 2
+    assert cli(service, ["similar", "1"]) == 2
+    capsys.readouterr()
+    # search happy path: header + top rows, ranks dense
+    assert cli(service, ["search", "fast table scan", "--top", "3"],
+               search=search_service) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0].split() == ["RANK", "DOC", "SCORE"]
+    assert len(out) == 4 and out[1].split()[0] == "1"
+    # similar happy path
+    probe = int(similar_service.embeddings.first()["vec_id"])
+    assert cli(service, ["similar", str(probe), "--top", "3"],
+               similar=similar_service) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0].split() == ["RANK", "VEC", "COSINE"]
+    assert len(out) == 4 and str(probe) not in [l.split()[1] for l in out[1:]]
+    # 404 analogues → exit 1
+    import tempfile
+
+    from nexus_event_stream_spark.serving import SearchService
+    from nexus_event_stream_spark.streaming.search_index import BM25IndexStore
+
+    empty = SearchService(
+        search_service.spark,
+        BM25IndexStore(tempfile.mkdtemp(prefix="bm25_cli_")),
+    )
+    assert cli(service, ["search", "x"], search=empty) == 1
+    assert "search index not found" in capsys.readouterr().err
+    assert cli(service, ["similar", "99999999"], similar=similar_service) == 1
+    assert "not found" in capsys.readouterr().err

@@ -299,7 +299,7 @@ def test_forget_equals_never_ingested(spark, docs, tmp_path, backend_cls):
         )
     victims = [int(r.doc_id) for r in docs.limit(5).collect()]
     n_before = store.current()["n_docs"]
-    assert store.forget(spark, victims) == 5
+    assert store.forget(spark, victims, mode="sweep") == 5
     cur = store.current()
     assert cur["n_docs"] == n_before - 5
     assert cur["epoch"] == 1  # maintenance, not an epoch
@@ -313,8 +313,62 @@ def test_forget_equals_never_ingested(spark, docs, tmp_path, backend_cls):
     remaining = store._store.read(spark)
     assert remaining.filter(F.col("doc_id").isin(victims)).count() == 0
     # forgetting the already-gone ids (or nothing) is a no-op
-    assert store.forget(spark, victims) == 0
+    assert store.forget(spark, victims, mode="sweep") == 0
     assert store.forget(spark, []) == 0
     # the stream keeps appending after the maintenance swing
     store.apply_batch(spark, docs.limit(0), 2)
     assert store.current()["epoch"] == 2
+
+
+@pytest.mark.parametrize(
+    "backend_cls", [PosixRenameBackend, ConditionalPutBackend]
+)
+def test_tombstone_forget_amortizes_sweep(spark, docs, tmp_path, backend_cls):
+    """Default forget mode queues victims in the pointer: queries answer
+    as never-ingested IMMEDIATELY, N forget calls write NO data versions,
+    and the next compact() folds the single physical sweep in and clears
+    the queue."""
+    store = BM25IndexStore(
+        str(tmp_path / "idx"), n_buckets=8, backend=backend_cls()
+    )
+    for epoch in range(2):
+        store.apply_batch(
+            spark, docs.filter(F.col("doc_id") % 2 == epoch), epoch
+        )
+    v_before = store.current()["version"]
+    n_before = store.current()["n_docs"]
+
+    # two takedown calls, five victims total — zero data writes
+    victims1 = [int(r.doc_id) for r in docs.limit(3).collect()]
+    victims2 = [int(r.doc_id) for r in docs.limit(5).collect()[3:]]
+    assert store.forget(spark, victims1) == 3
+    assert store.forget(spark, victims2) == 2
+    cur = store.current()
+    assert cur["version"] == v_before  # pointer swings only, no sweep yet
+    assert sorted(cur["tombstones"]) == sorted(victims1 + victims2)
+    assert cur["n_docs"] == n_before - 5
+
+    # queries exclude victims immediately — exactly the never-ingested index
+    victims = victims1 + victims2
+    survivors = docs.filter(~F.col("doc_id").isin(victims))
+    want = topk_rows(bm25_topk(build_bm25_index(survivors, max_df_frac=0.98), QUERIES, k=10))
+    assert topk_rows(store.query(spark, QUERIES, k=10, max_df_frac=0.98)) == want
+
+    # repeated takedown of queued ids: counted zero, queue unchanged
+    assert store.forget(spark, victims1) == 0
+    assert sorted(store.current()["tombstones"]) == sorted(victims)
+
+    # appends carry the queue through the pointer rebuild
+    store.apply_batch(spark, docs.limit(0), 2)
+    assert sorted(store.current()["tombstones"]) == sorted(victims)
+
+    # ONE compact = the single physical sweep: victims leave the parquet,
+    # the queue clears, queries unchanged
+    assert store.compact(spark) is not None
+    cur2 = store.current()
+    assert cur2["tombstones"] == []
+    raw = store._store.read(spark)
+    assert raw.filter(F.col("doc_id").isin(victims)).count() == 0
+    assert topk_rows(store.query(spark, QUERIES, k=10, max_df_frac=0.98)) == want
+    # nothing left to compact
+    assert store.compact(spark) is None

@@ -607,10 +607,72 @@ def test_vacuum_grace_window_protects_previous_pointer(spark, store_dir):
     store.compact(spark)                            # v=2 folds v0+v1
     # grace: v0/v1 were referenced by the previous pointer — still here
     assert versions() == {"v=0", "v=1", "v=2"}
-    forget_signatures(spark, store, [2])            # v=3 rewrites v2
+    forget_signatures(spark, store, [2], mode="sweep")  # v=3 rewrites v2
     # second sweep: v0/v1 (no longer in any live pointer) vacuumed;
     # v2 is the new grace generation
     assert versions() == {"v=2", "v=3"}
     # state stays correct throughout
     assert stored_doc_ids(spark, store) == {1}
     assert surviving_ids(spark, store, [(9, A_NEAR)], 2) == []
+
+
+def test_tombstone_forget_amortizes_signature_sweep(spark, store_dir):
+    """Default forget mode: victims queue in the pointer (zero data
+    writes), probes treat them as gone immediately, and ONE full
+    compact() performs the physical sweep for N takedowns."""
+    from nexus_event_stream_spark.streaming.dedup import forget_signatures
+
+    store = SignatureStore(store_dir, n_buckets=16)
+    assert surviving_ids(spark, store, [(1, A_TEXT), (2, B_TEXT)], 0) == [1, 2]
+    assert surviving_ids(spark, store, [(3, C_TEXT)], 1) == [3]
+    v_before = store.current()["version"]
+
+    # two takedowns — pointer swings only
+    assert forget_signatures(spark, store, [1]) == 1
+    assert forget_signatures(spark, store, [2]) == 1
+    cur = store.current()
+    assert cur["version"] == v_before and cur["tombstones"] == [1, 2]
+    # probes see them gone immediately: near-dups of both accepted,
+    # untouched doc still suppresses
+    assert stored_doc_ids(spark, store) == {3}
+    assert surviving_ids(spark, store, [(7, A_NEAR)], 2) == [7]
+    assert surviving_ids(spark, store, [(8, B_TEXT)], 3) == [8]
+    assert surviving_ids(spark, store, [(9, C_TEXT)], 4) == []
+    # repeated takedown: nothing double-counted
+    assert forget_signatures(spark, store, [1]) == 0
+    # appends carried the queue through
+    assert store.current()["tombstones"] == [1, 2]
+
+    # one FULL compact sweeps physically and clears the queue
+    store.compact(spark)
+    cur2 = store.current()
+    assert cur2["tombstones"] == []
+    import pyspark.sql.functions as SF
+
+    from nexus_event_stream_spark.streaming.dedup import POSTING_SCHEMA
+
+    raw = spark.read.schema(POSTING_SCHEMA).parquet(
+        *[
+            os.path.join(store_dir, f"v={v}", f"__bucket={b}")
+            for b, vs in cur2["buckets"].items()
+            for v in vs
+        ]
+    )
+    assert raw.filter(SF.col("doc_id").isin([1, 2])).count() == 0
+    # suppression unchanged after the sweep
+    assert surviving_ids(spark, store, [(10, C_TEXT)], 5) == []
+
+
+def test_partial_compact_keeps_tombstone_queue(spark, store_dir):
+    """A PARTIAL compact (scheduled hot-bucket fold) must NOT clear the
+    queue — victims may still hold postings in unfolded buckets."""
+    from nexus_event_stream_spark.streaming.dedup import forget_signatures
+
+    store = SignatureStore(store_dir, n_buckets=16)
+    assert surviving_ids(spark, store, [(1, A_TEXT), (2, B_TEXT)], 0) == [1, 2]
+    assert forget_signatures(spark, store, [1]) == 1
+    some_bucket = sorted(store.current()["buckets"])[:1]
+    store.compact(spark, buckets=some_bucket)
+    assert store.current()["tombstones"] == [1]
+    # still excluded from probes
+    assert surviving_ids(spark, store, [(5, A_NEAR)], 1) == [5]
