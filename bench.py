@@ -762,6 +762,20 @@ def main() -> None:
             build(spark, warm_sf).write.format("noop").mode("overwrite").save()
         except Exception:
             pass
+    # One untimed job at the TARGET SF before the clock starts: the
+    # sf0.001 warmup compiles every plan but the first measured entry
+    # still absorbed target-scale session warmup (scheduler pools,
+    # shuffle tracker, target-size page-cache residency) — r9 showed
+    # q_latest_state at 0.31 s on pass 1 vs 0.11 s steady-state. The
+    # first catalog query runs once at sf_dir outside the clock so
+    # pass-1 of the measured loop starts from the same warm state every
+    # later pass enjoys.
+    try:
+        next(iter(qs.values()))(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except Exception:
+        pass
 
     # Measured runs: k passes over the WHOLE catalog, interleaved
     # round-robin (q1..qN, q1..qN, ...) rather than k back-to-back runs

@@ -48,6 +48,7 @@ from pyspark.sql import DataFrame, functions as F, types as T
 __all__ = [
     "train_char_lm",
     "perplexity_score",
+    "lm_gate",
     "importance_weights",
     "dsir_select",
     "BACKOFF_ALPHA",
@@ -358,6 +359,34 @@ def perplexity_score(
     if keep_cols:
         return scored
     return scored.select(id_col, "n_chars", "log10_prob", "ppl_char")
+
+
+def lm_gate(
+    docs: DataFrame,
+    model: dict,
+    ppl_max: float = 1_000.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep only documents whose per-char perplexity under ``model`` is
+    ≤ ``ppl_max`` — the CCNet-style OOD gate as a standalone stage,
+    returning the input columns unchanged.
+
+    STATELESS, so it composes onto batch pipelines
+    (``CorpusRecipe.lm_model`` routes here) and STREAMING micro-batches
+    alike — a readStream hygiene chain can gate gibberish before it
+    ever reaches the signature store or corpus sink (pinned in
+    tests/test_streaming_dedup.py across a checkpoint restart). The
+    model rides each task's serialized closure (Spark broadcasts
+    closure constants per stage); ``train_char_lm``'s min_count +
+    per-order top-K caps are what keep it broadcast-sized at any
+    corpus scale."""
+    scored = perplexity_score(
+        docs, model, id_col=id_col, text_col=text_col, keep_cols=True
+    )
+    return scored.filter(F.col("ppl_char") <= F.lit(float(ppl_max))).select(
+        *docs.columns
+    )
 
 
 def importance_weights(

@@ -226,15 +226,12 @@ def prepare_training_corpus(
         stages["quality_model"] = cur
 
     if recipe.lm_model is not None:
-        from nexus_event_stream_spark.operators.lm import perplexity_score
+        from nexus_event_stream_spark.operators.lm import lm_gate
 
-        scored = perplexity_score(
-            cur, recipe.lm_model, id_col=id_col, text_col=text_col,
-            keep_cols=True,
+        cur = lm_gate(
+            cur, recipe.lm_model, ppl_max=recipe.lm_ppl_max,
+            id_col=id_col, text_col=text_col,
         )
-        cur = scored.filter(
-            F.col("ppl_char") <= recipe.lm_ppl_max
-        ).select(*docs.columns)
         stages["lm_perplexity"] = cur
 
     if recipe.redact_pii:
@@ -428,3 +425,34 @@ def prepare_training_corpus(
         )
 
     return cur, stages
+
+
+def warc_corpus(
+    spark,
+    warc_path: str,
+    recipe: CorpusRecipe | None = None,
+) -> tuple[DataFrame, dict[str, DataFrame]]:
+    """Common-Crawl-shaped WARC files → prepared training corpus, the
+    end-to-end recipe a crawl consumer actually runs: ``read_warc``
+    (file-grain distributed parse) → ``warc_documents`` (response
+    records, HTTP headers stripped in-expression, deterministic
+    ``xxhash64(file, record_idx)`` doc ids) → ``prepare_training_corpus``
+    with ``recipe`` (default ``CorpusRecipe()``: rule quality gate, PII
+    redaction, exact + MinHash-CC near dedup).
+
+    Returns ``(corpus, stages)`` exactly like ``prepare_training_corpus``
+    — ``stages`` additionally leads with ``"documents"`` (the decoded
+    pre-hygiene relation) so row accounting covers the ingest boundary:
+    counting each stage gives the monotone crawl → corpus funnel.
+
+    Everything stays lazy: this composes two mapInPandas scans and the
+    recipe's Catalyst stages into ONE plan; nothing runs until the
+    caller writes or counts. The deterministic doc ids make the whole
+    funnel replayable — re-running over the same WARC files reproduces
+    identical keeper decisions.
+    """
+    from nexus_event_stream_spark.sources.warc import read_warc, warc_documents
+
+    docs = warc_documents(read_warc(spark, warc_path))
+    corpus, stages = prepare_training_corpus(docs, recipe or CorpusRecipe())
+    return corpus, {"documents": docs, **stages}

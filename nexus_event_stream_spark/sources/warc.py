@@ -36,7 +36,7 @@ import io
 import zlib
 from typing import Iterator
 
-from pyspark.sql import DataFrame, SparkSession, types as T
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 __all__ = [
     "read_warc",
@@ -44,6 +44,7 @@ __all__ = [
     "parse_warc_records",
     "synthesize_warc",
     "http_body",
+    "warc_documents",
 ]
 
 WARC_SCHEMA = T.StructType(
@@ -208,6 +209,38 @@ def read_warc_stream(spark: SparkSession, path: str) -> DataFrame:
         .select("path", "content")
     )
     return files.mapInPandas(_records_kernel, WARC_SCHEMA)
+
+
+def warc_documents(records: DataFrame) -> DataFrame:
+    """Response records → the engine's document relation
+    ``(doc_id, url, fetched_at, text)`` — the published
+    Common-Crawl-to-corpus front half, pure Catalyst on top of
+    ``read_warc``/``read_warc_stream`` rows (works on both).
+
+    - ``doc_id`` is deterministic: ``xxhash64(file, record_idx)`` — a
+      re-run over the same files mints the same ids, which is what makes
+      downstream dedup keepers and forget requests replayable (record
+      ids alone are NOT unique across independently-written files).
+    - the HTTP header block is stripped in-expression (the
+      ``http_body`` twin: locate the first blank line after an
+      ``HTTP/`` status line); non-HTTP payloads pass through whole.
+    - bytes decode as ISO-8859-1 — the lossless byte↔char map, so no
+      payload can fail the scan; charset NORMALIZATION (meta/BOM
+      sniffing) is a production kernel behind the usual environment
+      boundary, same stance as codec decode.
+    """
+    s = F.decode(F.col("payload"), "ISO-8859-1")
+    sep = F.instr(s, "\r\n\r\n")
+    body = F.when(
+        (sep > 0) & s.startswith("HTTP/"),
+        F.substring(s, sep + 4, 1 << 24),
+    ).otherwise(s)
+    return records.filter(F.col("warc_type") == "response").select(
+        F.xxhash64("file", "record_idx").alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        F.col("warc_date").alias("fetched_at"),
+        body.alias("text"),
+    )
 
 
 def http_body(payload: bytes) -> bytes:

@@ -387,6 +387,7 @@ class RollupStore:
         kmv_k: int = 256,
         topk_col: str | None = None,
         mg_capacity: int = 64,
+        write_mode: str = "merge",
     ):
         """``quantile_k`` opts into a mergeable quantile-sketch column
         (p50/p95-per-bucket serving via ``rollup_quantiles``): partials
@@ -408,7 +409,25 @@ class RollupStore:
         bucket's distinct items fit ``mg_capacity``; beyond it every
         served item keeps sound [count_min, count_max] bounds (S ≤ true
         ≤ S + decrement mass — the MG invariant, preserved by the
-        re-capping merge)."""
+        re-capping merge).
+
+        ``write_mode`` picks the epoch write path. ``"merge"`` (default)
+        read-merge-rewrites the touched time buckets — right when
+        batches touch FEW buckets (the common real-time shape: events
+        land in the current hour). ``"append"`` writes the batch's
+        partials as a new SEGMENT of the touched buckets
+        (``append_buckets``, the shape the BM25 index uses): per-epoch
+        write cost is O(|batch partials|) with the stored history never
+        read or rewritten — right for LATE-DATA-HEAVY streams whose
+        batches scatter across many old time buckets (each late sliver
+        no longer drags its whole bucket's rewrite). Reads merge the
+        segments at read time (partials are mergeable — that is the
+        rollup invariant) and scheduled ``compact()`` folds segment
+        lists back to one merged row per key. Open a store with the
+        same mode it is written with."""
+        if write_mode not in ("merge", "append"):
+            raise ValueError(f"write_mode must be merge|append, got {write_mode!r}")
+        self.write_mode = write_mode
         self.grain = grain
         self.dims = tuple(dims)
         self.ts_col = ts_col
@@ -563,8 +582,22 @@ class RollupStore:
         return self._store.current()
 
     def read(self, spark: SparkSession) -> DataFrame | None:
-        """The materialized partials table (None before the first epoch)."""
-        return self._store.read(spark)
+        """The materialized partials table (None before the first epoch):
+        one row per (bucket_ts, dims). In ``append`` mode the stored
+        segments hold one PARTIAL per epoch per key — the read merges
+        them (mergeability is the rollup invariant, so this is exact);
+        in ``merge`` mode rows are already unique per key and the read
+        is the plain union."""
+        df = self._store.read(spark)
+        if df is None or self.write_mode == "merge":
+            return df
+        return merge_partials(
+            df,
+            self.dims,
+            sketch=self.quantile_k is not None,
+            distinct=self.distinct_col is not None,
+            topk=self.topk_col is not None,
+        )
 
     def finalized(self, spark: SparkSession) -> DataFrame | None:
         stored = self.read(spark)
@@ -614,6 +647,18 @@ class RollupStore:
                     expected=cur,
                 )
             return
+        cols = [f.name for f in self._store.schema.fields]
+        if self.write_mode == "append":
+            # SEGMENT append: only this batch's partials are written —
+            # the stored history is never read or rewritten, so a late
+            # sliver touching an old time bucket costs O(sliver), not
+            # O(that bucket's history). Reads merge segments; compact()
+            # folds them back.
+            self._store.append_buckets(
+                batch_partials.select(*cols), touched, epoch,
+                run_token=run_token,
+            )
+            return
         state_slice = (
             self._store.read(spark, buckets=touched) if cur else None
         )
@@ -628,9 +673,37 @@ class RollupStore:
                 topk=self.topk_col is not None,
             )
         )
-        cols = [f.name for f in self._store.schema.fields]
         self._store.write_buckets(
             merged.select(*cols), touched, epoch, run_token=run_token
+        )
+
+    def compact(self, spark: SparkSession) -> int | None:
+        """Fold every bucket's segment list into ONE merged row per
+        (bucket_ts, dims) — pure file-count/read-amplification
+        maintenance for ``append``-mode stores, the same scheduled shape
+        as the BM25 index's compaction. Finalized results are identical
+        before and after (pinned); epoch and run token ride the pointer
+        commit unchanged. Returns the new version or None when no bucket
+        holds more than one segment."""
+        cur = self.current()
+        if cur is None or not cur["manifest"]:
+            return None
+        if not any(
+            isinstance(v, list) and len(v) > 1 for v in cur["manifest"].values()
+        ):
+            return None
+        merged = merge_partials(
+            self._store.read(spark),
+            self.dims,
+            sketch=self.quantile_k is not None,
+            distinct=self.distinct_col is not None,
+            topk=self.topk_col is not None,
+        )
+        cols = [f.name for f in self._store.schema.fields]
+        touched = [int(b) for b in cur["manifest"]]
+        return self._store.write_buckets(
+            merged.select(*cols), touched, cur.get("epoch"),
+            run_token=cur.get("run_token"),
         )
 
     def realtime(
@@ -657,19 +730,35 @@ def start_rollup(
     store: RollupStore,
     checkpoint_path: str,
     trigger_seconds: int | None = None,
+    compact_every: int | None = None,
 ):
     """Wire a parsed event stream into the rollup store and start it —
     the continuous-aggregate twin of ``start_projection``. The run token
     is checkpoint-stable (``run_token_for``): a crash-recovery restart
     presents the same identity (replays suppress silently), while a
     checkpoint RESET presents a fresh one — which the additive guard
-    rejects loudly instead of swallowing the new run's epochs."""
+    rejects loudly instead of swallowing the new run's epochs.
+
+    ``compact_every`` schedules inline segment-fold maintenance for
+    ``append``-mode stores (every N epochs; the start_search_index
+    shape) — logged-and-continued, never fatal to ingest. None (default)
+    disables; merge-mode stores never need it."""
+    import sys
+
     from .dedup import run_token_for
 
     run_token = run_token_for(checkpoint_path)
 
     def _apply(batch: DataFrame, epoch: int) -> None:
         store.apply_batch(spark, batch, epoch, run_token)
+        if compact_every and epoch % compact_every == compact_every - 1:
+            try:
+                store.compact(spark)
+            except Exception as exc:  # noqa: BLE001 — ingest must survive
+                print(
+                    f"rollup segment compaction failed (epoch {epoch}): {exc}",
+                    file=sys.stderr,
+                )
 
     writer = (
         events.writeStream.outputMode("update")

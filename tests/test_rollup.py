@@ -529,3 +529,146 @@ def test_quantile_column_names_no_float_truncation(spark, tmp_path):
     store.apply_batch(spark, df, 0)
     out = rollup_quantiles(store.read(spark), [0.29, 0.58, 0.95], ("event_type",))
     assert {"p29", "p58", "p95"} <= set(out.columns)
+
+
+# ---------------------------------------------------------------------------
+# append write mode (segment lists, the BM25-index shape) — for
+# late-data-heavy streams whose batches scatter across old time buckets
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("backend_cls", [PosixRenameBackend, ConditionalPutBackend])
+def test_append_mode_equals_merge_mode_and_oracle(
+    spark, events, tmp_path, backend_cls
+):
+    """append-mode epochs write O(batch) segments (history byte-identical
+    on disk), reads merge segments exactly — streamed ≡ one-shot."""
+    import os
+
+    store = RollupStore(
+        str(tmp_path / "ra"), backend=backend_cls(), n_buckets=8,
+        write_mode="append",
+    )
+
+    def files_of(version):
+        out = {}
+        root = os.path.join(store._store.path, f"v={version}")
+        for dirpath, _dirs, names in os.walk(root):
+            for nm in names:
+                p = os.path.join(dirpath, nm)
+                st = os.stat(p)
+                out[p] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    store.apply_batch(
+        spark, events.filter(F.pmod(F.xxhash64("ts", "value"), F.lit(3)) == 0), 0
+    )
+    m0 = store.current()["manifest"]
+    assert all(v == [0] for v in m0.values())
+    f0 = files_of(0)
+    for epoch in (1, 2):
+        store.apply_batch(
+            spark,
+            events.filter(F.pmod(F.xxhash64("ts", "value"), F.lit(3)) == epoch),
+            epoch,
+        )
+        # earlier segments never rewritten — per-epoch write is O(batch)
+        assert files_of(0) == f0
+    m2 = store.current()["manifest"]
+    assert any(isinstance(v, list) and len(v) > 1 for v in m2.values())
+    # merged read ≡ the exact one-shot oracle
+    assert stored_rows(spark, store) == batch_rollup(events)
+    # replay still suppressed (additive guard rides append commits too)
+    store.apply_batch(
+        spark, events.filter(F.pmod(F.xxhash64("ts", "value"), F.lit(3)) == 1), 1
+    )
+    assert stored_rows(spark, store) == batch_rollup(events)
+
+
+def test_append_mode_late_data_is_a_new_segment(spark, events, tmp_path):
+    """A late sliver for an old bucket lands as ONE small segment — the
+    old bucket's history is not re-read or rewritten — and the merged
+    view equals as-if-on-time."""
+    store = RollupStore(str(tmp_path / "rl"), n_buckets=8, write_mode="append")
+    hours = sorted(
+        r[0] for r in events.select(F.date_trunc("hour", "ts")).distinct().collect()
+    )
+    first = hours[0]
+    on_time = events.filter(F.date_trunc("hour", "ts") != F.lit(first))
+    late = events.filter(F.date_trunc("hour", "ts") == F.lit(first))
+    store.apply_batch(spark, on_time, 0)
+    store.apply_batch(spark, late, 1)
+    assert stored_rows(spark, store) == batch_rollup(events)
+
+
+@pytest.mark.parametrize("backend_cls", [PosixRenameBackend, ConditionalPutBackend])
+def test_append_mode_compact_folds_identically(
+    spark, events, tmp_path, backend_cls
+):
+    store = RollupStore(
+        str(tmp_path / "rc"), backend=backend_cls(), n_buckets=8,
+        write_mode="append",
+    )
+    for epoch in range(3):
+        store.apply_batch(
+            spark,
+            events.filter(F.pmod(F.xxhash64("ts", "value"), F.lit(3)) == epoch),
+            epoch,
+        )
+    before = stored_rows(spark, store)
+    fin_before = {
+        (r.bucket_ts, r.event_type): (r.n_events, float(r.avg_value))
+        for r in store.finalized(spark).collect()
+    }
+    assert store.compact(spark) is not None
+    cur = store.current()
+    # every bucket folded to one owning version; epoch/token preserved
+    assert all(not isinstance(v, list) or len(v) == 1 for v in cur["manifest"].values())
+    assert cur["epoch"] == 2
+    assert stored_rows(spark, store) == before
+    fin_after = {
+        (r.bucket_ts, r.event_type): (r.n_events, float(r.avg_value))
+        for r in store.finalized(spark).collect()
+    }
+    assert fin_after == fin_before
+    # nothing left to fold; the stream keeps appending afterwards
+    assert store.compact(spark) is None
+    store.apply_batch(spark, events.limit(0), 3)
+    assert store.current()["epoch"] == 3
+
+
+def test_append_mode_streaming_with_scheduled_compaction(
+    spark, events, tmp_path
+):
+    """Real Structured Streaming run with compact_every: segment lists
+    stay bounded through a live stream and the result is exact."""
+    import os
+
+    src = str(tmp_path / "src")
+    parts = [
+        events.filter(F.pmod(F.xxhash64("ts", "value"), F.lit(4)) == i)
+        for i in range(4)
+    ]
+    parts[0].coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b0"))
+    store = RollupStore(str(tmp_path / "rs"), n_buckets=8, write_mode="append")
+    stream = spark.readStream.schema(
+        "ts timestamp, event_type string, value double"
+    ).option("maxFilesPerTrigger", "1").parquet(src + "/*")
+    q = start_rollup(
+        spark, stream, store, str(tmp_path / "ckpt"), compact_every=2
+    )
+    try:
+        q.processAllAvailable()
+        for i in (1, 2, 3):
+            parts[i].coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(src, f"b{i}")
+            )
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    assert stored_rows(spark, store) == batch_rollup(events)
+    # compaction ran: manifests are bounded (≤ compact_every segments)
+    assert all(
+        len(v) <= 2 if isinstance(v, list) else True
+        for v in store.current()["manifest"].values()
+    )

@@ -186,3 +186,86 @@ def test_mid_file_corruption_resyncs_and_whole_file_gzip_splits():
     records, skipped = parse_warc_records(buf.getvalue())
     assert skipped == 0 and len(records) == 4
     assert records[1][1] == RECS[1]["payload"]
+
+
+LONG_A = (
+    "the quick brown fox jumps over the lazy dog while the old river bank "
+    "slowly erodes under heavy spring rain and the village children watch "
+    "from the wooden bridge every single morning before school begins"
+)
+
+
+def _http(body: str) -> bytes:
+    return (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body.encode()
+    )
+
+
+def test_warc_corpus_end_to_end_recipe(spark, tmp_path):
+    """The Common-Crawl-to-corpus path a user actually runs: synthesized
+    WARC files (both framings) → warc_documents → the full default
+    hygiene recipe, with monotone row accounting at every stage and
+    deterministic, replayable doc ids."""
+    from nexus_event_stream_spark.pipeline import CorpusRecipe, warc_corpus
+    from nexus_event_stream_spark.sources.warc import warc_documents
+
+    near = LONG_A.replace("wooden", "stone")
+    pii = (
+        "reach the maintainer at crawl.owner@example.org for takedown "
+        "requests about this long and perfectly reasonable document"
+    )
+    low_q = "a a a a a a a a a a a a a a a a a a"
+    recs1 = [
+        {"type": "warcinfo", "payload": b"software: synthetic\r\n"},
+        {"type": "response", "uri": "https://a.example/1",
+         "date": "2026-08-15T00:00:01Z", "payload": _http(LONG_A)},
+        {"type": "response", "uri": "https://a.example/dup",
+         "payload": _http(LONG_A)},  # exact duplicate, different uri
+        {"type": "request", "uri": "https://a.example/1",
+         "payload": b"GET /1 HTTP/1.1\r\n\r\n"},
+    ]
+    recs2 = [
+        {"type": "response", "uri": "https://b.example/near",
+         "payload": _http(near)},  # near-dup (one word changed)
+        {"type": "response", "uri": "https://b.example/pii",
+         "payload": _http(pii)},
+        {"type": "response", "uri": "https://b.example/lowq",
+         "payload": _http(low_q)},
+    ]
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "part-1.warc.gz").write_bytes(synthesize_warc(recs1, gzip_members=True))
+    (d / "part-2.warc").write_bytes(synthesize_warc(recs2, gzip_members=False))
+
+    corpus, stages = warc_corpus(spark, str(d) + "/*", CorpusRecipe())
+    # row accounting: the crawl → corpus funnel is monotone
+    order = ["documents", "quality", "pii", "exact_dedup", "near_dedup"]
+    assert list(stages) == order
+    counts = {name: stages[name].count() for name in order}
+    assert counts["documents"] == 5  # responses only; warcinfo/request dropped
+    vals = [counts[n] for n in order]
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+    assert counts["quality"] == 4  # low-quality doc gated
+    assert counts["exact_dedup"] == 3  # exact copy collapsed
+    assert counts["near_dedup"] == 2  # near-dup collapsed
+
+    rows = corpus.collect()
+    texts = {r.url: r.text for r in rows}
+    assert len(rows) == 2
+    # the keeper for the LONG_A group is ONE of the copies; PII redacted
+    assert any(LONG_A in t for t in texts.values())
+    pii_text = texts["https://b.example/pii"]
+    assert "<EMAIL>" in pii_text and "crawl.owner" not in pii_text
+    # metadata rides through the whole funnel
+    assert all(r.doc_id is not None and r.url for r in rows)
+
+    # deterministic ids: a re-run over the same files reproduces the
+    # exact same keeper decisions
+    again, _ = warc_corpus(spark, str(d) + "/*", CorpusRecipe())
+    assert {r.doc_id for r in again.collect()} == {r.doc_id for r in rows}
+
+    # warc_documents alone: ids unique, header block stripped
+    docs = warc_documents(read_warc(spark, str(d) + "/*"))
+    ids = [r.doc_id for r in docs.collect()]
+    assert len(ids) == len(set(ids)) == 5
+    assert not any("HTTP/1.1" in (r.text or "") for r in docs.collect())
