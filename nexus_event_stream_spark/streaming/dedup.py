@@ -114,10 +114,17 @@ class SignatureStore:
         n_buckets: int = 64,
         compact_threshold: int | None = 8,
         backend=None,
+        schema: T.StructType | None = None,
     ):
         self.path = path
         self.n_buckets = n_buckets
         self.compact_threshold = compact_threshold
+        #: posting row schema — default is the lexical MinHash shape;
+        #: other suppression tiers (streaming/phash_dedup.py) reuse the
+        #: whole store with their own payload columns, as long as
+        #: ``bucket_key`` (string) and ``doc_id`` (long) stay: bucketing,
+        #: probes, tombstones, forget, and compaction key on those two.
+        self.schema = schema or POSTING_SCHEMA
         self.backend = backend or PosixRenameBackend()
         #: idempotent replay discipline (streaming/replay.py): replayed
         #: signature registration self-suppresses (an exact replay has
@@ -160,7 +167,7 @@ class SignatureStore:
         self.last_probe_paths = paths
         if not paths:
             return None
-        df = spark.read.schema(POSTING_SCHEMA).parquet(*paths)
+        df = spark.read.schema(self.schema).parquet(*paths)
         tomb = [int(d) for d in cur.get("tombstones", [])]
         if tomb:
             # literal-list filter: parquet-pushable, and the queue is

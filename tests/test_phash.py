@@ -211,3 +211,101 @@ def test_pairs_plan_shape(spark, media):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# audio fingerprints (real WAV decode) — the same perceptual family
+# ---------------------------------------------------------------------------
+
+
+def make_audio(seed: int, n: int = 8000, sr: int = 8000) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    t = np.arange(n) / sr
+    f = rng.uniform(100, 900, 3)
+    envf = rng.uniform(0.5, 3.0, 2)
+    env = 0.6 + 0.4 * np.sin(2 * np.pi * envf[0] * t + rng.uniform(0, 6)) * np.cos(
+        2 * np.pi * envf[1] * t
+    )
+    sig = env * (np.sin(2 * np.pi * f[0] * t) + 0.5 * np.sin(2 * np.pi * f[1] * t))
+    return np.clip(sig * 12000, -32768, 32767).astype(np.int16)
+
+
+def _resample_nearest(x: np.ndarray, m: int) -> np.ndarray:
+    return x[(np.arange(m) * len(x)) // m]
+
+
+def audio_variants(seed: int) -> list[bytes]:
+    """Original + volume-scaled + down/up-resampled + stereo twin of the
+    same clip — the duplicate classes an exact byte hash misses."""
+    from nexus_event_stream_spark.functions.wav import encode_wav
+
+    a = make_audio(seed)
+    stereo = np.repeat(a, 2)  # L == R interleaved
+    return [
+        encode_wav(a.tolist(), 8000),
+        encode_wav((a * 0.3).astype(np.int16).tolist(), 8000),
+        encode_wav(_resample_nearest(a, 5512).tolist(), 5512),
+        encode_wav(_resample_nearest(a, 11025).tolist(), 11025),
+        encode_wav(stereo.tolist(), 8000, channels=2),
+    ]
+
+
+A_SEEDS = [0, 3, 4, 7]
+
+
+def test_audio_dhash_invariances_and_separation():
+    from nexus_event_stream_spark.operators.phash import (
+        audio_dhash_bytes,
+        default_audio_decoder,
+    )
+
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")
+    hashes = {}
+    for s in A_SEEDS:
+        hs = [
+            audio_dhash_bytes(default_audio_decoder(p))
+            for p in audio_variants(s)
+        ]
+        hashes[s] = hs
+        assert max(ham(a, b) for a in hs for b in hs) <= 3, s
+    for i, a in enumerate(A_SEEDS):
+        for b in A_SEEDS[i + 1 :]:
+            assert min(ham(x, y) for x in hashes[a] for y in hashes[b]) > 10
+
+
+def test_perceptual_audio_dedup_collapses_variants(spark):
+    from nexus_event_stream_spark.functions.jpeg import synthesize_jpeg
+    from nexus_event_stream_spark.operators.phash import (
+        perceptual_audio_dedup,
+        perceptual_audio_hashes,
+    )
+
+    rows, mid = [], 0
+    for s in A_SEEDS:
+        for payload in audio_variants(s):
+            rows.append((mid, payload))
+            mid += 1
+    rows += [(100, synthesize_jpeg(8, 8)), (101, None)]  # undecodable tail
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+
+    out = perceptual_audio_dedup(media).collect()
+    keep = {int(r.media_id): int(r.keep_id) for r in out}
+    mid = 0
+    for s in A_SEEDS:
+        group = list(range(mid, mid + 5))
+        assert {keep[m] for m in group} == {group[0]}, s
+        mid += 5
+    assert keep[100] == 100 and keep[101] == 101
+    # driver-twin equality + stereo mixdown metadata
+    h = {int(r.media_id): r for r in perceptual_audio_hashes(media).collect()}
+    assert h[0].decoded and h[0].n_samples == 8000
+    assert h[4].n_samples == 8000  # stereo pair mixed down to mono length
+    assert not h[100].decoded and h[100].phash is None
+    # zero shuffle for the hash kernel
+    plan = (
+        perceptual_audio_hashes(media)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan

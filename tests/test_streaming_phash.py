@@ -1,0 +1,178 @@
+"""Streaming perceptual suppression (streaming/phash_dedup.py): a
+re-encoded/resized image arriving in a later micro-batch is suppressed
+against everything already accepted; replays are no-ops; takedowns and
+compaction are the inherited SignatureStore machinery; the corpus
+append is exactly-once through a real Structured Streaming restart."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import numpy as np
+import pytest
+
+from nexus_event_stream_spark.functions.png import encode_png, resize_nearest
+from nexus_event_stream_spark.streaming.phash_dedup import (
+    media_signature_store,
+    read_media_corpus,
+    start_media_dedup_ingest,
+    suppress_and_register_media,
+)
+
+
+def make_img(seed: int, w: int = 64, h: int = 48) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    x = np.linspace(0, 1, w)[None, :]
+    y = np.linspace(0, 1, h)[:, None]
+    f = rng.uniform(0.5, 1.2, 4)
+    p = rng.uniform(0, 2 * np.pi, 2)
+    img = (
+        128
+        + 70 * np.sin(2 * np.pi * f[0] * x + p[0]) * np.cos(2 * np.pi * f[1] * y + p[1])
+        + 40 * np.sin(2 * np.pi * (f[2] * x + f[3] * y))
+    )
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def png_of(seed: int) -> bytes:
+    img = make_img(seed)
+    return encode_png(64, 48, img.tobytes(), 0)
+
+
+def resized_png_of(seed: int) -> bytes:
+    img = make_img(seed)
+    return encode_png(32, 24, resize_nearest(img.tobytes(), 64, 48, 32, 24, 1), 0)
+
+
+def rgb_png_of(seed: int) -> bytes:
+    img = make_img(seed)
+    return encode_png(64, 48, np.repeat(img[:, :, None], 3, 2).tobytes(), 2)
+
+
+@pytest.fixture()
+def store_dir():
+    d = tempfile.mkdtemp(prefix="phash_store_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def media_df(spark, rows):
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+def survivors_of(spark, store, rows, epoch, run="run1", **kw):
+    out = suppress_and_register_media(
+        spark, store, media_df(spark, rows), epoch=epoch, run_token=run, **kw
+    )
+    return sorted(r.media_id for r in out.collect())
+
+
+def test_within_and_cross_batch_perceptual_suppression(spark, store_dir):
+    store = media_signature_store(store_dir, n_buckets=16)
+    # epoch 0: two distinct pictures — both survive
+    assert survivors_of(
+        spark, store, [(1, png_of(1)), (2, png_of(3))], 0
+    ) == [1, 2]
+    # epoch 1: a RESIZED copy of image 1 (fresh id) is suppressed against
+    # the accepted history; a novel picture survives
+    assert survivors_of(
+        spark, store, [(3, resized_png_of(1)), (4, png_of(7))], 1
+    ) == [4]
+    # epoch 2: an RGB re-encode of image 2 is suppressed; a within-batch
+    # pair of variants resolves to the smaller id
+    got = survivors_of(
+        spark, store,
+        [(5, rgb_png_of(3)), (6, png_of(9)), (7, resized_png_of(9))], 2,
+    )
+    assert got == [6]
+
+
+def test_replay_is_noop_and_probe_is_bucket_pruned(spark, store_dir):
+    store = media_signature_store(store_dir, n_buckets=64)
+    assert survivors_of(spark, store, [(1, png_of(1))], 0) == [1]
+    assert survivors_of(spark, store, [(2, png_of(3))], 1) == [2]
+    ver = store.current()["version"]
+    # replayed epoch: same survivors, no new version — and image 2's own
+    # epoch-1 postings must not suppress it
+    assert survivors_of(spark, store, [(2, png_of(3))], 1) == [2]
+    assert store.current()["version"] == ver
+    # a one-image batch probes ≤ bands (=4) bucket dirs, never the store
+    survivors_of(spark, store, [(9, png_of(7))], 2)
+    probed = {p.split("__bucket=")[1] for p in store.last_probe_paths}
+    assert len(probed) <= 4
+
+
+def test_undecodable_payloads_survive_without_registering(spark, store_dir):
+    store = media_signature_store(store_dir, n_buckets=16)
+    junk = b"\x00\x01 not an image"
+    assert survivors_of(
+        spark, store, [(1, png_of(1)), (2, junk), (3, None)], 0
+    ) == [1, 2, 3]
+    # junk registered nothing: replaying the same junk bytes under a new
+    # id is NOT suppressed (no pixels, no similarity claim)
+    assert survivors_of(spark, store, [(9, junk)], 1) == [9]
+
+
+def test_forget_and_compact_inherited_from_signature_store(spark, store_dir):
+    from nexus_event_stream_spark.streaming.dedup import forget_signatures
+
+    store = media_signature_store(store_dir, n_buckets=16)
+    assert survivors_of(spark, store, [(1, png_of(1)), (2, png_of(3))], 0) == [1, 2]
+    ver = store.current()["version"]
+    # tombstone takedown: zero data writes, variant accepted immediately
+    assert forget_signatures(spark, store, [1]) == 1
+    assert store.current()["version"] == ver
+    assert store.current()["tombstones"] == [1]
+    assert survivors_of(spark, store, [(7, resized_png_of(1))], 1) == [7]
+    # image 2 still suppresses its variants
+    assert survivors_of(spark, store, [(8, rgb_png_of(3))], 2) == []
+    # full compact sweeps physically and clears the queue
+    store.compact(spark)
+    assert store.current()["tombstones"] == []
+
+
+def test_streaming_media_ingest_end_to_end_with_restart(spark, store_dir):
+    base = tempfile.mkdtemp(prefix="media_stream_")
+    src = os.path.join(base, "src")
+    corpus = os.path.join(base, "corpus")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(src)
+    try:
+        media_df(spark, [(1, png_of(1)), (2, png_of(3))]).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src, "b0"))
+        stream = spark.readStream.schema(
+            "media_id long, payload binary"
+        ).option("maxFilesPerTrigger", "1").parquet(src + "/*")
+        q = start_media_dedup_ingest(
+            spark, stream, store_dir, corpus, ckpt, n_buckets=16
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # restart from the same checkpoint: a re-encoded copy + a novel image
+        media_df(spark, [(3, rgb_png_of(1)), (4, png_of(7))]).coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(src, "b1"))
+        stream2 = spark.readStream.schema(
+            "media_id long, payload binary"
+        ).option("maxFilesPerTrigger", "1").parquet(src + "/*")
+        q2 = start_media_dedup_ingest(
+            spark, stream2, store_dir, corpus, ckpt, n_buckets=16
+        )
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+        rows = {
+            int(r.media_id): bytes(r.payload)
+            for r in read_media_corpus(spark, store_dir, corpus).collect()
+        }
+        # 3 (re-encode of 1) suppressed; 1, 2, 4 exactly once each
+        assert sorted(rows) == [1, 2, 4]
+        assert rows[1] == png_of(1)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
