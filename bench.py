@@ -532,6 +532,30 @@ def _stress_bench(
         ).save()
         return time.perf_counter() - t0
 
+    # Perceptual image dedup over a synthetic media corpus: one PNG per
+    # base document (seeded deterministic content, generated IN EXECUTORS)
+    # plus a resized twin for every 3rd — ~1.33 images/doc, ~25% planted
+    # near-dups. Generation + parquet snapshot sit OUTSIDE the clock
+    # (media arrives as stored bytes; lineage severed like the PQ index);
+    # the timed pass is the production path: Arrow decode → dHash →
+    # banded pairs (star cap) → connected components → keeper join.
+    from nexus_event_stream_spark.operators.phash import perceptual_dedup
+
+    media_dir = tempfile.mkdtemp(prefix="bench_media_")
+    _write_bench_media(
+        spark, load_table(spark, sf_dir, "documents").select("doc_id"),
+        media_dir,
+    )
+    media = spark.read.parquet(media_dir)
+    n_media = media.count()
+
+    def run_phash_dedup() -> float:
+        t0 = time.perf_counter()
+        perceptual_dedup(media, max_bucket_size=200).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        return time.perf_counter() - t0
+
     workloads: list[tuple[str, object, int]] = [
         ("dedup_chain_25x", run_dedup_chain, n_docs),
         ("pack_sequences_25x", run_packing, n_docs),
@@ -540,6 +564,7 @@ def _stress_bench(
         ("bm25_search_25x", run_bm25, n_docs),
         ("lm_ppl_25x", run_lm_ppl, n_docs),
         ("cdc_dedup_25x", run_cdc_dedup, n_docs),
+        ("phash_dedup_media", run_phash_dedup, n_media),
         ("corpus_pipeline_25x", run_pipeline, n_docs),
     ]
     runs: dict[str, list[float]] = {name: [] for name, _, _ in workloads}
@@ -549,7 +574,54 @@ def _stress_bench(
     index.unpersist()
     bm25_index.postings.unpersist()
     shutil.rmtree(idx_dir, ignore_errors=True)
+    shutil.rmtree(media_dir, ignore_errors=True)
     return {name: (runs[name], n) for name, _, n in workloads}
+
+
+def _write_bench_media(spark, ids_df, out_dir: str) -> None:
+    """Deterministic synthetic media corpus for the perceptual-dedup
+    stress entry: per doc_id one 48×32 grayscale PNG (seeded smooth
+    sinusoid content — the regime where resize keeps the perceptual
+    signature), every 3rd doc also emits a nearest-resized 24×16 twin
+    under a disjoint id range. All generation runs in executors."""
+
+    def gen(it):
+        import numpy as np
+        import pandas as pd
+
+        from nexus_event_stream_spark.functions.png import (
+            encode_png,
+            resize_nearest,
+        )
+
+        for pdf in it:
+            rows_id, rows_p = [], []
+            for did in pdf["doc_id"]:
+                seed = int(did)
+                rng = np.random.RandomState(seed % (2**31 - 1))
+                x = np.linspace(0, 1, 48)[None, :]
+                y = np.linspace(0, 1, 32)[:, None]
+                f = rng.uniform(0.5, 1.2, 4)
+                ph = rng.uniform(0, 2 * np.pi, 2)
+                img = np.clip(
+                    128
+                    + 70 * np.sin(2 * np.pi * f[0] * x + ph[0])
+                    * np.cos(2 * np.pi * f[1] * y + ph[1])
+                    + 40 * np.sin(2 * np.pi * (f[2] * x + f[3] * y)),
+                    0,
+                    255,
+                ).astype(np.uint8)
+                rows_id.append(seed)
+                rows_p.append(encode_png(48, 32, img.tobytes(), 0))
+                if seed % 3 == 0:
+                    small = resize_nearest(img.tobytes(), 48, 32, 24, 16, 1)
+                    rows_id.append(seed + (1 << 40))
+                    rows_p.append(encode_png(24, 16, small, 0))
+            yield pd.DataFrame({"media_id": rows_id, "payload": rows_p})
+
+    ids_df.mapInPandas(gen, "media_id long, payload binary").write.mode(
+        "overwrite"
+    ).parquet(out_dir)
 
 
 def _replay_stress_bench(spark, n_keys: int = 800_000, n_buckets: int = 256):
