@@ -62,13 +62,21 @@ def scrub_jpeg(payload: bytes) -> tuple[bytes, list[str]]:
 
     out = bytearray()
     dropped: list[str] = []
-    keep_app = {0xE0, 0xE2, 0xEE}  # APP0 JFIF, APP2 ICC, APP14 Adobe
     for marker, off, b0, b1, s0, s1 in _segments(payload):
         if b0 is None:  # standalone marker (SOI/EOI/RSTn/TEM)
             out += payload[off : off + 2]
             continue
+        # keep: APP0 (JFIF), APP14 (Adobe color transform), and APP2
+        # ONLY when it actually carries an ICC profile — APP2 is also
+        # MPF (embedded preview images + per-image attributes on phone
+        # photos) and FPXR, which are exactly the metadata this
+        # scrubber promises to remove
+        keep = marker == 0xE0 or marker == 0xEE or (
+            marker == 0xE2
+            and payload[off + 4 : off + 16] == b"ICC_PROFILE\x00"
+        )
         if (
-            0xE0 <= marker <= 0xEF and marker not in keep_app
+            0xE0 <= marker <= 0xEF and not keep
         ) or marker == 0xFE:  # metadata APPn, COM
             dropped.append("COM" if marker == 0xFE else f"APP{marker - 0xE0}")
             continue
@@ -170,7 +178,10 @@ def scrub_mp4(payload: bytes) -> tuple[bytes, list[str]]:
                 dropped.append(prefix + typ.decode("latin-1"))
                 neutralize(pos, pos + size, body)
             elif typ in (b"moov", b"trak") and depth < 2:
-                walk(pos + 8, pos + size, prefix + typ.decode("latin-1") + "/", depth + 1)
+                # children start AFTER the (possibly 64-bit) header —
+                # recursing at pos+8 would parse a largesize field as
+                # the first child's box header
+                walk(body, pos + size, prefix + typ.decode("latin-1") + "/", depth + 1)
             pos += size
         if pos != hi:
             raise ValueError("trailing bytes are not a whole box")

@@ -68,11 +68,17 @@ def _guard_broadcast_rows(
 ) -> None:
     """Broadcast-cap discipline (the ``max_bucket_size`` /
     ``max_gram_df`` convention applied to broadcast sides): count the
-    SMALL side (one cheap job — it is small by contract) and refuse to
-    hand Catalyst a broadcast that would OOM every executor at scale.
-    The caller documents the fallback in the raised message."""
+    SMALL side (one job at CALL time — the one eager step in otherwise
+    lazy composition, documented on every caller) and refuse to hand
+    Catalyst a broadcast that would OOM every executor at scale. The
+    side is persisted first so the count is not a second full compute:
+    the caller's broadcast build reuses the cache. The caller documents
+    the fallback in the raised message."""
     if cap is None:
         return
+    from pyspark import StorageLevel
+
+    small.persist(StorageLevel.MEMORY_AND_DISK)
     n = small.count()
     if n > cap:
         raise ValueError(

@@ -447,9 +447,12 @@ def warc_corpus(
 
     Everything stays lazy: this composes two mapInPandas scans and the
     recipe's Catalyst stages into ONE plan; nothing runs until the
-    caller writes or counts. The deterministic doc ids make the whole
-    funnel replayable — re-running over the same WARC files reproduces
-    identical keeper decisions.
+    caller writes or counts — except the small benchmark-side jobs a
+    decontamination-enabled recipe documents (index scalars + the
+    broadcast-cap guard's count over the benchmark grams/postings,
+    cached so they are not recomputed at action time). The
+    deterministic doc ids make the whole funnel replayable — re-running
+    over the same WARC files reproduces identical keeper decisions.
     """
     from nexus_event_stream_spark.sources.warc import read_warc, warc_documents
 

@@ -184,7 +184,12 @@ class SearchService:
         )
         if df is None:  # tokenized to nothing / no recognizable terms
             return []
-        return sorted(df.collect(), key=lambda r: r.rank)
+        out = []
+        for r in sorted(df.collect(), key=lambda r: r.rank):
+            d = r.asDict()
+            d.pop("query_id", None)  # internal plumbing, not API surface
+            out.append(Row(**d))
+        return out
 
     def health(self) -> dict:
         cur = self.store.current()
@@ -222,20 +227,20 @@ class SimilarService:
         if not vec_rows:
             raise NotFoundError(str(vec_id))
         vec = [float(x) for x in vec_rows[0][self.store.vec_col]]
-        # over-fetch one: the doc itself is the trivial top hit
+        # query_id = the doc's OWN id: ivf_pq_topk's built-in
+        # self-exclusion (query_id != vec_id) then drops the doc from
+        # its neighbor list with ranks already dense — and, critically,
+        # never collides with a real corpus id the way a sentinel like
+        # 0 would (a corpus whose ids start at 0 must still be able to
+        # return vector 0 as someone's neighbor)
         res = self.store.search(
-            self.embeddings, [(0, vec)], k=int(k) + 1, nprobe=int(nprobe)
+            self.embeddings, [(int(vec_id), vec)], k=int(k), nprobe=int(nprobe)
         )
         out = []
         for r in sorted(res.collect(), key=lambda r: r.rank):
-            if int(r[id_col]) == int(vec_id):
-                continue
             d = r.asDict()
             d.pop("query_id", None)
-            d["rank"] = len(out) + 1
             out.append(Row(**d))
-            if len(out) >= int(k):
-                break
         return out
 
     def health(self) -> dict:

@@ -233,7 +233,9 @@ def warc_documents(records: DataFrame) -> DataFrame:
     sep = F.instr(s, "\r\n\r\n")
     body = F.when(
         (sep > 0) & s.startswith("HTTP/"),
-        F.substring(s, sep + 4, 1 << 24),
+        # length = the string's own length: an explicit constant cap
+        # would silently truncate bodies beyond it
+        F.substring(s, sep + 4, F.length(s)),
     ).otherwise(s)
     return records.filter(F.col("warc_type") == "response").select(
         F.xxhash64("file", "record_idx").alias("doc_id"),

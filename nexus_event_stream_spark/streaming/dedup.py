@@ -115,10 +115,18 @@ class SignatureStore:
         compact_threshold: int | None = 8,
         backend=None,
         schema: T.StructType | None = None,
+        max_tombstones: int = 512,
     ):
         self.path = path
         self.n_buckets = n_buckets
         self.compact_threshold = compact_threshold
+        #: when the queued-takedown list carried by the pointer exceeds
+        #: this, the next ``append`` escalates to a FULL compact (the
+        #: only sweep that may clear the queue) — without it a
+        #: long-running stream whose scheduled compactions are all
+        #: PARTIAL would grow the queue (and every probe's anti-filter)
+        #: without bound and never physically remove victims.
+        self.max_tombstones = max_tombstones
         #: posting row schema — default is the lexical MinHash shape;
         #: other suppression tiers (streaming/phash_dedup.py) reuse the
         #: whole store with their own payload columns, as long as
@@ -244,6 +252,16 @@ class SignatureStore:
                 # cost tracks the hot buckets' data, not the whole store,
                 # keeping the per-epoch contract O(batch + touched)
                 self.compact(postings.sparkSession, buckets=over)
+        if (
+            self.max_tombstones is not None
+            and len((cur or {}).get("tombstones", [])) > self.max_tombstones
+        ):
+            # the takedown queue outgrew its budget: a FULL compact is
+            # the one sweep that physically removes victims and clears
+            # the queue — partial folds never may (victims can hold
+            # postings in unfolded buckets). Amortized: at most one full
+            # sweep per max_tombstones takedowns.
+            self.compact(postings.sparkSession)
         return version
 
     def read_corpus(self, spark: SparkSession, corpus_root: str) -> DataFrame | None:

@@ -415,20 +415,19 @@ def test_similar_endpoint_excludes_self_and_envelopes(service, similar_service):
         assert status == 200 and len(body) == 5
         assert [r["rank"] for r in body] == [1, 2, 3, 4, 5]
         assert all(int(r["vec_id"]) != probe for r in body)
-        # oracle: direct store.search over-fetch + self-drop
+        # oracle: direct store.search with the probe's own id as the
+        # query id (the store's built-in self-exclusion)
         raw = similar_service.store.search(
-            similar_service.embeddings, [(0, [
+            similar_service.embeddings, [(probe, [
                 float(x) for x in similar_service.embeddings.filter(
                     f"vec_id = {probe}"
                 ).first()["embedding"]
-            ])], k=6, nprobe=4,
+            ])], k=5, nprobe=4,
         ).collect()
-        want = [
-            int(r.vec_id)
-            for r in sorted(raw, key=lambda r: r.rank)
-            if int(r.vec_id) != probe
-        ][:5]
+        want = [int(r.vec_id) for r in sorted(raw, key=lambda r: r.rank)]
         assert [int(r["vec_id"]) for r in body] == want
+        # internal plumbing never leaks into the public envelope
+        assert all("query_id" not in r for r in body)
         # bad id / bad knobs → 400
         for bad in ("similar?id=abc", "similar", f"similar?id={probe}&k=-1",
                     f"similar?id={probe}&nprobe=0"):
@@ -506,3 +505,45 @@ def test_cli_search_and_similar_commands(
     assert "search index not found" in capsys.readouterr().err
     assert cli(service, ["similar", "99999999"], similar=similar_service) == 1
     assert "not found" in capsys.readouterr().err
+
+
+def test_similar_can_return_vector_zero(service, spark, tmp_path_factory):
+    """Regression: a sentinel query id of 0 used to collide with corpus
+    vector 0 (ivf_pq_topk's self-exclusion filters vec_id == query_id),
+    silently hiding vector 0 from every neighbor list. Ids starting at
+    0 are the monotonically_increasing_id default — vector 0 must be
+    able to appear as someone's neighbor."""
+    import numpy as np
+
+    from nexus_event_stream_spark.operators.similarity import (
+        ivf_train_centroids,
+        pq_train_codebooks,
+    )
+    from nexus_event_stream_spark.serving import SimilarService
+    from nexus_event_stream_spark.streaming.ann_index import PQIndexStore
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(8)
+    rows = [
+        (0, list(base + 0.01 * rng.randn(8))),     # near-twin of 1
+        (1, list(base)),
+        (2, list(base + 0.02 * rng.randn(8))),
+    ] + [(i, list(rng.randn(8))) for i in range(3, 40)]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>",
+    )
+    cents = ivf_train_centroids(emb, n_centroids=4, iters=3)
+    books = pq_train_codebooks(emb, m=8, ksub=8, iters=3)
+    store = PQIndexStore(str(tmp_path_factory.mktemp("pq0")), cents, books)
+    store.append(emb, 0, "run")
+    svc = SimilarService(spark, store, emb)
+    got = [int(r.vec_id) for r in svc.similar(1, k=3, nprobe=4)]
+    assert 0 in got  # the collision used to drop exactly this
+    assert 1 not in got
+    assert all("query_id" not in r.asDict() for r in svc.similar(1, k=3))
+
+
+def test_search_rows_have_no_query_id(service, search_service):
+    rows = search_service.search("fast table scan", k=3)
+    assert rows and all("query_id" not in r.asDict() for r in rows)

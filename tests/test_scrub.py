@@ -252,3 +252,42 @@ def test_scrub_mp4_preserves_largesize_header():
     assert after["sample_offsets"] == before["sample_offsets"]
     again, dropped2 = scrub_mp4(clean)
     assert again == clean and dropped2 == []
+
+
+def test_scrub_jpeg_drops_mpf_keeps_only_icc_app2():
+    """APP2 is kept ONLY for ICC profiles: MPF (embedded preview images
+    on phone photos) and other APP2 payloads are metadata and must
+    drop."""
+    p = synthesize_jpeg(8, 8)
+    icc = b"\xff\xe2" + struct.pack(">H", 2 + 14) + b"ICC_PROFILE\x00ab"
+    mpf = b"\xff\xe2" + struct.pack(">H", 2 + 10) + b"MPF\x00" + b"thumb!"
+    dirty = p[:2] + icc + mpf + p[2:]
+    clean, dropped = scrub_jpeg(dirty)
+    assert dropped == ["APP2"]
+    assert b"ICC_PROFILE" in clean and b"MPF\x00" not in clean
+    assert scrub_jpeg(clean) == (clean, [])
+
+
+def test_scrub_mp4_recurses_through_largesize_containers():
+    """A moov that uses a 64-bit largesize header: recursion must start
+    after the 16-byte header, or the largesize field is parsed as the
+    first child's box header — and a nested meta would escape."""
+    import struct as _st
+
+    from nexus_event_stream_spark.functions.scrub import scrub_mp4
+
+    meta = _st.pack(">I", 8 + 12) + b"meta" + b"Jane's notes"
+    mvhd = _st.pack(">I", 8 + 4) + b"mvhd" + bytes(4)
+    body = mvhd + meta
+    big_moov = (
+        _st.pack(">I", 1) + b"moov" + _st.pack(">Q", 16 + len(body)) + body
+    )
+    ftyp = _st.pack(">I", 8 + 8) + b"ftyp" + b"isom\x00\x00\x00\x01"
+    dirty = ftyp + big_moov
+    clean, dropped = scrub_mp4(dirty)
+    assert dropped == ["moov/meta"]
+    assert b"Jane's notes" not in clean and len(clean) == len(dirty)
+    # mvhd untouched, moov header (incl. largesize) intact
+    assert clean[: len(ftyp) + 16 + len(mvhd)] == dirty[: len(ftyp) + 16 + len(mvhd)]
+    again, d2 = scrub_mp4(clean)
+    assert again == clean and d2 == []

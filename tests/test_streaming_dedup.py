@@ -764,3 +764,26 @@ def test_streaming_lm_gate_composes_with_suppression(spark, store_dir):
         assert stored_doc_ids(spark, store) == {1, 5}
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_tombstone_queue_cap_triggers_full_sweep_on_append(spark, store_dir):
+    """Regression: the streaming path only schedules PARTIAL compacts,
+    which never clear the takedown queue — max_tombstones makes the
+    next append escalate to a FULL sweep once the queue outgrows its
+    budget, so a long-running stream cannot accumulate victims (or
+    probe anti-filters) without bound."""
+    from nexus_event_stream_spark.streaming.dedup import forget_signatures
+
+    store = SignatureStore(store_dir, n_buckets=8, max_tombstones=2)
+    assert surviving_ids(
+        spark, store, [(1, A_TEXT), (2, B_TEXT), (3, C_TEXT)], 0
+    ) == [1, 2, 3]
+    for victim in (1, 2, 3):
+        assert forget_signatures(spark, store, [victim]) == 1
+    assert store.current()["tombstones"] == [1, 2, 3]  # over the cap of 2
+    # next append escalates to the full sweep: queue clears, victims
+    # physically gone, the new doc lands
+    assert surviving_ids(spark, store, [(9, "a wholly novel text about gateways and queues")], 1) == [9]
+    cur = store.current()
+    assert cur["tombstones"] == []
+    assert stored_doc_ids(spark, store) == {9}

@@ -4,6 +4,7 @@ parse roundtrip, both framings, tolerant of corrupt members."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from nexus_event_stream_spark.sources.warc import (
     http_body,
@@ -252,8 +253,11 @@ def test_warc_corpus_end_to_end_recipe(spark, tmp_path):
     rows = corpus.collect()
     texts = {r.url: r.text for r in rows}
     assert len(rows) == 2
-    # the keeper for the LONG_A group is ONE of the copies; PII redacted
-    assert any(LONG_A in t for t in texts.values())
+    # the LONG_A near-dup component keeps exactly ONE copy — WHICH copy
+    # depends on the min doc_id, and ids hash the (tmp) file path, so
+    # either the wooden or the stone variant is a legitimate keeper
+    a_like = [t for t in texts.values() if "river bank" in t]
+    assert len(a_like) == 1
     pii_text = texts["https://b.example/pii"]
     assert "<EMAIL>" in pii_text and "crawl.owner" not in pii_text
     # metadata rides through the whole funnel
@@ -269,3 +273,19 @@ def test_warc_corpus_end_to_end_recipe(spark, tmp_path):
     ids = [r.doc_id for r in docs.collect()]
     assert len(ids) == len(set(ids)) == 5
     assert not any("HTTP/1.1" in (r.text or "") for r in docs.collect())
+
+
+def test_large_body_not_truncated(spark, tmp_path):
+    """Regression: the header-strip expression used a fixed 16 MiB
+    substring cap — a response body beyond it was silently cut."""
+    from nexus_event_stream_spark.sources.warc import warc_documents
+
+    big = "x" * ((1 << 24) + 512)  # 16 MiB + 512 chars
+    recs = [{"type": "response", "uri": "https://big.example/1",
+             "payload": _http(big)}]
+    d = tmp_path / "big"
+    d.mkdir()
+    (d / "big.warc").write_bytes(synthesize_warc(recs, gzip_members=False))
+    docs = warc_documents(read_warc(spark, str(d) + "/*"))
+    row = docs.select(F.length("text").alias("n")).first()
+    assert int(row.n) == len(big)
