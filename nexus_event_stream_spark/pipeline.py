@@ -431,6 +431,9 @@ def warc_corpus(
     spark,
     warc_path: str,
     recipe: CorpusRecipe | None = None,
+    html_extract: bool = False,
+    blocked_domains: list[str] | None = None,
+    dedup_urls: bool = False,
 ) -> tuple[DataFrame, dict[str, DataFrame]]:
     """Common-Crawl-shaped WARC files → prepared training corpus, the
     end-to-end recipe a crawl consumer actually runs: ``read_warc``
@@ -453,9 +456,48 @@ def warc_corpus(
     cached so they are not recomputed at action time). The
     deterministic doc ids make the whole funnel replayable — re-running
     over the same WARC files reproduces identical keeper decisions.
+
+    The published URL/content tiers slot in BEFORE the text recipe (they
+    are provenance-cheap — the key is bytes already in hand):
+
+    - ``blocked_domains``: drop documents from these domains and every
+      subdomain (operators/urls.filter_blocked_domains — map-side);
+    - ``html_extract``: bodies that look like HTML are reduced to
+      readable text (functions/html.html_to_text, pure Catalyst) with
+      the ``<title>`` kept as a ``title`` column; non-HTML bodies pass
+      through verbatim;
+    - ``dedup_urls``: one document per canonical URL, earliest fetch
+      wins (operators/urls.url_dedup — one shuffle).
     """
+    from nexus_event_stream_spark.functions.html import (
+        html_title,
+        html_to_text,
+        looks_like_html,
+    )
+    from nexus_event_stream_spark.operators.urls import (
+        filter_blocked_domains,
+        url_dedup,
+    )
     from nexus_event_stream_spark.sources.warc import read_warc, warc_documents
 
     docs = warc_documents(read_warc(spark, warc_path))
+    pre: dict[str, DataFrame] = {"documents": docs}
+    if blocked_domains:
+        docs = filter_blocked_domains(docs, blocked_domains)
+        pre["domain_filter"] = docs
+    if dedup_urls:
+        # fetched_at is RFC3339 text — lexicographic order IS
+        # chronological, so the earliest fetch wins deterministically
+        docs = url_dedup(docs, ts_col="fetched_at")
+        pre["url_dedup"] = docs
+    if html_extract:
+        is_html = looks_like_html(F.col("text"))
+        docs = docs.withColumn(
+            "title", F.when(is_html, html_title(F.col("text"))).otherwise(F.lit(""))
+        ).withColumn(
+            "text",
+            F.when(is_html, html_to_text(F.col("text"))).otherwise(F.col("text")),
+        )
+        pre["html_text"] = docs
     corpus, stages = prepare_training_corpus(docs, recipe or CorpusRecipe())
-    return corpus, {"documents": docs, **stages}
+    return corpus, {**pre, **stages}
