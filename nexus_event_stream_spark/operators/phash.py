@@ -1,14 +1,18 @@
-"""Perceptual near-duplicate detection for image columns.
+"""Perceptual near-duplicate detection for media columns — images,
+audio, and video.
 
 Byte-exact dedup (``exact_dedup`` on an md5 of the payload) misses the
 dominant duplicate class in crawled media: the SAME picture re-encoded,
-resized, or converted between color types. This module closes that gap
-with a difference hash (dHash — the standard perceptual-hash family
-member: grayscale → fixed tiny grid → adjacent-cell brightness
-comparisons → 64-bit fingerprint), computed in an Arrow kernel over the
-repo's pure-stdlib PNG decoder, then clustered with EXACTLY the banded
-machinery lexical dedup uses (operators/dedup.py): band the 64 bits,
-bucket-join, verify full Hamming distance, connected components.
+resized, or converted between color types; the same clip volume-scaled
+or resampled; the same video at another frame rate. This module closes
+that gap with one family of difference hashes — images: grayscale →
+fixed tiny grid → adjacent-cell brightness comparisons → 64-bit
+fingerprint; audio: the same comparisons over the time-normalized
+energy envelope; video: a per-frame image dHash at fixed timeline
+fractions — computed in Arrow kernels over the repo's pure-stdlib
+decoders, then clustered with EXACTLY the banded machinery lexical
+dedup uses (operators/dedup.py): band the 64 bits, bucket-join, verify
+full Hamming distance, connected components.
 
 Why dHash survives the transforms that break md5:
 - resize: the hash is computed on an area-averaged ``(hash_size+1) ×
@@ -63,6 +67,12 @@ __all__ = [
     "audio_dhash_bytes",
     "perceptual_audio_hashes",
     "perceptual_audio_dedup",
+    "default_video_decoder",
+    "video_dhash_frames",
+    "perceptual_video_hashes",
+    "video_phash_pairs",
+    "perceptual_video_dedup",
+    "N_VIDEO_FRAMES",
 ]
 
 #: dHash grid height (bits = hash_size * hash_size must be 64: the
@@ -473,3 +483,206 @@ def perceptual_audio_dedup(
         media, id_col, payload_col, decoder_fn=decoder_fn
     ).persist(StorageLevel.MEMORY_AND_DISK)
     return _dedup_from_hashes(hashes, id_col, max_hamming, bands, max_bucket_size)
+
+
+# ---------------------------------------------------------------------------
+# Video — per-frame dHash at fixed timeline fractions (APNG real decode)
+# ---------------------------------------------------------------------------
+
+#: frames sampled per video, at the midpoints of N equal timeline
+#: slices — fraction-aligned sampling is what makes the fingerprint
+#: frame-RATE invariant (a re-encode at 2× fps samples the same content)
+N_VIDEO_FRAMES = 4
+
+
+def default_video_decoder(payload: bytes):
+    """bytes → list of grayscale float64 frames, or None when this
+    environment cannot decode the container. Real decode for the APNG
+    family (functions/png.py; a plain PNG is a 1-frame video); MP4
+    codec payloads (H.264 etc.) are environment-capped — the container
+    demux is real (functions/mp4.py) but the coded frames need a codec
+    ``decoder_fn``, same boundary as JPEG stills."""
+    import numpy as np
+
+    from nexus_event_stream_spark.functions.png import (
+        CHANNELS,
+        SIGNATURE,
+        decode_apng,
+    )
+
+    if not payload or bytes(payload[:8]) != SIGNATURE:
+        return None
+    try:
+        w, h, ct, frames = decode_apng(bytes(payload))
+    except ValueError:
+        return None
+    ch = CHANNELS[ct]
+    out = []
+    for px in frames:
+        a = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch).astype(np.float64)
+        out.append(
+            a[:, :, 0]
+            if ch == 1
+            else 0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]
+        )
+    return out or None
+
+
+def video_dhash_frames(
+    frames, n_samples: int = N_VIDEO_FRAMES, hash_size: int = HASH_SIZE
+) -> list[int]:
+    """Per-frame dHash at the midpoints of ``n_samples`` equal timeline
+    slices: frame ``floor((i + 0.5) / n · len)`` for i in 0..n-1.
+    Duplicate videos at a different frame rate (each source frame
+    repeated k times, frames dropped uniformly) sample the SAME content
+    frames, so aligned per-frame Hamming stays tiny; spatial transforms
+    are absorbed by the dHash itself."""
+    n = len(frames)
+    idx = [min(int((i + 0.5) * n / n_samples), n - 1) for i in range(n_samples)]
+    return [dhash_bytes(frames[j], hash_size) for j in idx]
+
+
+def perceptual_video_hashes(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    n_samples: int = N_VIDEO_FRAMES,
+    decoder_fn=None,
+) -> DataFrame:
+    """(id_col, vhash array<bigint>, n_frames, decoded) — the video twin
+    of :func:`perceptual_hashes`: one Arrow decode pass, zero shuffle,
+    ``n_samples`` × 8 bytes per video however large the payload."""
+    decode = decoder_fn or default_video_decoder
+    out_schema = T.StructType(
+        [
+            media.schema[id_col],
+            T.StructField("vhash", T.ArrayType(T.LongType())),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("decoded", T.BooleanType()),
+        ]
+    )
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            vh, nf, oks = [], [], []
+            for p in pdf[payload_col]:
+                frames = None
+                if p is not None:
+                    try:
+                        frames = decode(bytes(p))
+                    except Exception:
+                        frames = None
+                if not frames:
+                    vh.append(None)
+                    nf.append(None)
+                    oks.append(False)
+                else:
+                    vh.append(video_dhash_frames(frames, n_samples))
+                    nf.append(int(len(frames)))
+                    oks.append(True)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "vhash": vh,
+                    "n_frames": pd.array(nf, dtype="Int32"),
+                    "decoded": oks,
+                }
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(batches, out_schema)
+
+
+def video_phash_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 3,
+    bands: int | None = None,
+    id_col: str = "media_id",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup video pairs: (id_a, id_b, hamming) where ``hamming`` is
+    the MAX per-aligned-frame Hamming distance and every frame is within
+    ``max_hamming``.
+
+    Recall stays pigeonhole-EXACT with banding over frame 0 ALONE: a
+    qualifying pair has frame-0 distance ≤ max_hamming, so one of frame
+    0's bands must agree — banding the other frames would only surface
+    pairs the full-signature verify rejects anyway. One band shuffle of
+    ``bands`` short keys per video; the verify is ``zip_with`` +
+    ``bit_count`` over ``n_samples`` int64s per candidate pair."""
+    from pyspark import StorageLevel
+
+    from .dedup import bucket_candidates
+
+    if bands is None:
+        bands = _bands_for(max_hamming)
+    sigs = (
+        hashes.filter(F.col("vhash").isNotNull())
+        .select(F.col(id_col).alias("doc_id"), "vhash")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    keyed = sigs.select(
+        "doc_id",
+        F.explode(
+            phash_band_keys(F.col("vhash")[0], bands)
+        ).alias("bucket"),
+    )
+    cands = bucket_candidates(keyed, max_bucket_size)
+    ham_arr = F.zip_with(
+        F.col("ha.vhash"),
+        F.col("hb.vhash"),
+        lambda a, b: F.bit_count(a.bitwiseXOR(b)),
+    )
+    return (
+        cands.join(sigs.alias("ha"), F.col("doc_a") == F.col("ha.doc_id"))
+        .join(sigs.alias("hb"), F.col("doc_b") == F.col("hb.doc_id"))
+        .withColumn("hamming", F.array_max(ham_arr))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("doc_a").alias("id_a"),
+            F.col("doc_b").alias("id_b"),
+            "hamming",
+        )
+    )
+
+
+def perceptual_video_dedup(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+    bands: int | None = None,
+    max_bucket_size: int | None = None,
+    decoder_fn=None,
+) -> DataFrame:
+    """Canonical-keeper mapping for a video corpus — re-encoded,
+    resized, and frame-rate-changed copies of a clip collapse to the
+    smallest id (the :func:`perceptual_dedup` contract); undecodable
+    payloads map to themselves."""
+    from pyspark import StorageLevel
+
+    from .dedup import connected_components
+
+    hashes = perceptual_video_hashes(
+        media, id_col, payload_col, decoder_fn=decoder_fn
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = video_phash_pairs(
+        hashes,
+        max_hamming=max_hamming,
+        bands=bands,
+        id_col=id_col,
+        max_bucket_size=max_bucket_size,
+    )
+    comp = connected_components(pairs, a_col="id_a", b_col="id_b").select(
+        F.col("node").alias(id_col), F.col("comp").alias("keep_id")
+    )
+    return (
+        hashes.select(id_col, "decoded")
+        .join(comp, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("keep_id"), F.col(id_col)).alias("keep_id"),
+            "decoded",
+        )
+    )

@@ -309,3 +309,133 @@ def test_perceptual_audio_dedup_collapses_variants(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# video fingerprints (APNG real decode) — per-frame dHash at timeline
+# fractions
+# ---------------------------------------------------------------------------
+
+
+def make_frame(seed: int, t: float, w: int = 48, h: int = 32) -> np.ndarray:
+    """Smooth-motion frame: content drifts slowly with t (real video's
+    frame-to-frame correlation), so temporal resampling stays aligned."""
+    rng = np.random.RandomState(seed)
+    x = np.linspace(0, 1, w)[None, :]
+    y = np.linspace(0, 1, h)[:, None]
+    f = rng.uniform(0.5, 1.2, 4)
+    p = rng.uniform(0, 2 * np.pi, 2)
+    img = (
+        128
+        + 70 * np.sin(2 * np.pi * (f[0] * x + 0.02 * t) + p[0]) * np.cos(2 * np.pi * f[1] * y + p[1])
+        + 40 * np.sin(2 * np.pi * (f[2] * x + f[3] * y + 0.02 * t))
+    )
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def video_variants(seed: int) -> list[bytes]:
+    """Original 6-frame clip + 2×-fps re-encode of the SAME timeline +
+    nearest-resized + RGB re-encode."""
+    from nexus_event_stream_spark.functions.png import encode_apng
+
+    base = [make_frame(seed, float(t)) for t in range(6)]
+    hi = [make_frame(seed, t / 2) for t in range(12)]
+    return [
+        encode_apng(48, 32, [f.tobytes() for f in base], 0),
+        encode_apng(48, 32, [f.tobytes() for f in hi], 0),
+        encode_apng(
+            24, 16,
+            [resize_nearest(f.tobytes(), 48, 32, 24, 16, 1) for f in base],
+            0,
+        ),
+        encode_apng(
+            48, 32, [np.repeat(f[:, :, None], 3, 2).tobytes() for f in base], 2
+        ),
+    ]
+
+
+V_SEEDS = [1, 3, 7, 9]
+V_THR = 8
+
+
+def test_video_dhash_invariances_and_separation():
+    from nexus_event_stream_spark.operators.phash import (
+        default_video_decoder,
+        video_dhash_frames,
+    )
+
+    ham = lambda a, b: max(
+        bin((x ^ y) & (2**64 - 1)).count("1") for x, y in zip(a, b)
+    )
+    sigs = {}
+    for s in V_SEEDS:
+        hs = [
+            video_dhash_frames(default_video_decoder(p))
+            for p in video_variants(s)
+        ]
+        sigs[s] = hs
+        assert max(ham(a, b) for a in hs for b in hs) <= V_THR, s
+    for i, a in enumerate(V_SEEDS):
+        for b in V_SEEDS[i + 1 :]:
+            assert min(ham(x, y) for x in sigs[a] for y in sigs[b]) > 14
+
+
+def test_video_pairs_match_bruteforce_and_dedup_collapses(spark):
+    from nexus_event_stream_spark.functions.wav import encode_wav
+    from nexus_event_stream_spark.operators.phash import (
+        default_video_decoder,
+        perceptual_video_dedup,
+        perceptual_video_hashes,
+        video_dhash_frames,
+        video_phash_pairs,
+    )
+
+    rows, mid = [], 0
+    for s in V_SEEDS:
+        for payload in video_variants(s):
+            rows.append((mid, payload))
+            mid += 1
+    rows += [(100, encode_wav([0, 1, -1])), (101, None)]  # undecodable
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+
+    hashes = perceptual_video_hashes(media)
+    hrows = {int(r.media_id): r for r in hashes.collect()}
+    # driver-twin equality + frame counts from the real decode
+    assert list(hrows[0].vhash) == video_dhash_frames(
+        default_video_decoder(video_variants(V_SEEDS[0])[0])
+    )
+    assert hrows[0].n_frames == 6 and hrows[1].n_frames == 12
+    assert not hrows[100].decoded and hrows[100].vhash is None
+
+    # pairs == brute force at the threshold (banding frame 0 is
+    # pigeonhole-exact: every qualifying pair has frame-0 ham <= thr)
+    got = {
+        (int(r.id_a), int(r.id_b), int(r.hamming))
+        for r in video_phash_pairs(hashes, max_hamming=V_THR).collect()
+    }
+    sig = {m: list(r.vhash) for m, r in hrows.items() if r.vhash is not None}
+    ham = lambda a, b: max(
+        bin((x ^ y) & (2**64 - 1)).count("1") for x, y in zip(a, b)
+    )
+    ids = sorted(sig)
+    want = {
+        (a, b, ham(sig[a], sig[b]))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if ham(sig[a], sig[b]) <= V_THR
+    }
+    assert got == want and len(want) >= len(V_SEEDS) * 6
+
+    keep = {
+        int(r.media_id): int(r.keep_id)
+        for r in perceptual_video_dedup(media, max_hamming=V_THR).collect()
+    }
+    mid = 0
+    for s in V_SEEDS:
+        group = list(range(mid, mid + 4))
+        assert {keep[m] for m in group} == {group[0]}, s
+        mid += 4
+    assert keep[100] == 100 and keep[101] == 101
+    # hash kernel: zero shuffle
+    plan = perceptual_video_hashes(media)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
