@@ -599,24 +599,21 @@ def _write_bench_media(spark, ids_df, out_dir: str) -> None:
             for did in pdf["doc_id"]:
                 seed = int(did)
                 rng = np.random.RandomState(seed % (2**31 - 1))
-                x = np.linspace(0, 1, 48)[None, :]
-                y = np.linspace(0, 1, 32)[:, None]
-                f = rng.uniform(0.5, 1.2, 4)
-                ph = rng.uniform(0, 2 * np.pi, 2)
-                img = np.clip(
-                    128
-                    + 70 * np.sin(2 * np.pi * f[0] * x + ph[0])
-                    * np.cos(2 * np.pi * f[1] * y + ph[1])
-                    + 40 * np.sin(2 * np.pi * (f[2] * x + f[3] * y)),
-                    0,
-                    255,
-                ).astype(np.uint8)
+                # 12×8 random block grid → ~high-entropy fingerprints
+                # (tens of thousands of SMOOTH low-parameter images
+                # chain into giant accidental near-dup components and
+                # blow up the CC diameter — the r10 sf0.1 lesson);
+                # blocks stay resize-robust
+                grid = rng.randint(0, 256, size=(8, 12)).astype(np.uint8)
+                img = np.repeat(np.repeat(grid, 4, axis=0), 4, axis=1)
                 rows_id.append(seed)
                 rows_p.append(encode_png(48, 32, img.tobytes(), 0))
                 if seed % 3 == 0:
-                    small = resize_nearest(img.tobytes(), 48, 32, 24, 16, 1)
+                    # 2× upscale: exact block replication — the planted
+                    # resized duplicate at Hamming 0
+                    up = resize_nearest(img.tobytes(), 48, 32, 96, 64, 1)
                     rows_id.append(seed + (1 << 40))
-                    rows_p.append(encode_png(24, 16, small, 0))
+                    rows_p.append(encode_png(96, 64, up, 0))
             yield pd.DataFrame({"media_id": rows_id, "payload": rows_p})
 
     ids_df.mapInPandas(gen, "media_id long, payload binary").write.mode(
