@@ -646,3 +646,113 @@ def cdc_dedup(
         )
         .withColumnRenamed("doc_id", id_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document boilerplate line removal (the RefinedWeb/CCNet line tier)
+# ---------------------------------------------------------------------------
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    min_doc_frac: float = 0.002,
+    min_docs: int = 10,
+    text_col: str = "text",
+    min_line_chars: int = 4,
+) -> DataFrame:
+    """The corpus's boilerplate line set: normalized lines that occur in
+    at least ``max(min_docs, min_doc_frac·N)`` DISTINCT documents —
+    navigation chrome, cookie banners, "Sign in", footer legalese. The
+    web's repeated lines are not prose and poison every downstream
+    statistic (LM training mass, dedup shingles, quality signals).
+
+    Returns 1-col ``line`` (the normalized form: trimmed, lowercased,
+    inner whitespace collapsed — the match key ``strip_boilerplate_lines``
+    uses). Lines shorter than ``min_line_chars`` after normalization are
+    ignored: one-character lines collide by chance, not by boilerplate.
+
+    One tokenize-free pass: explode lines → per-line DISTINCT-doc count
+    (two-key map-side-combined aggregate) → threshold. The result is
+    blocklist-sized by construction (only lines crossing a corpus-wide
+    document-frequency floor) — broadcastable forever, like the
+    benchmark gram set.
+    """
+    n_docs = df.count()
+    floor = max(int(min_docs), int(min_doc_frac * n_docs))
+    lines = df.select(
+        F.col(text_col).alias("__t"),
+        F.monotonically_increasing_id().alias("__d"),
+    ).select(
+        "__d", F.explode(F.split("__t", "\n")).alias("__raw")
+    ).select(
+        "__d",
+        F.lower(F.trim(F.regexp_replace("__raw", r"\s+", " "))).alias("line"),
+    ).filter(F.length("line") >= min_line_chars)
+    return (
+        lines.distinct()
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= floor)
+        .select("line")
+    )
+
+
+def strip_boilerplate_lines(
+    df: DataFrame,
+    boiler: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove every boilerplate line (``boilerplate_lines`` output, or
+    any 1-col ``line`` blocklist) from every document; all other columns
+    and the NON-boilerplate lines' exact text (case, inner spacing,
+    order) are preserved.
+
+    Plan shape: explode lines WITH position → broadcast anti-join on the
+    normalized form → re-assemble via one groupBy over (doc) sorting on
+    the kept positions. One shuffle on the doc id — unavoidable for
+    re-assembly — with the blocklist broadcast (it is df-floored small
+    by construction). Documents whose every line was boilerplate come
+    back as '' (row preserved: dropping rows here would silently desync
+    id-keyed joins downstream)."""
+    others = [c for c in df.columns if c != text_col]
+    exploded = df.select(
+        *others,
+        F.posexplode_outer(F.split(F.col(text_col), "\n")).alias(
+            "__pos", "__line"
+        ),
+    ).withColumn(
+        "__norm", F.lower(F.trim(F.regexp_replace("__line", r"\s+", " ")))
+    )
+    # LEFT join + in-aggregate filter (not an anti-join): a document
+    # whose EVERY line is boilerplate must still come back (as ''), or
+    # id-keyed joins downstream silently desync
+    marked = exploded.join(
+        F.broadcast(
+            boiler.select(F.col("line").alias("__norm")).withColumn(
+                "__boiler", F.lit(True)
+            )
+        ),
+        "__norm",
+        "left",
+    )
+    return (
+        marked.groupBy(*others)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("__pos", "__line", "__boiler")
+                            )
+                        ),
+                        lambda s: s["__boiler"].isNull(),
+                    ),
+                    lambda s: s["__line"],
+                ),
+                "\n",
+            ).alias(text_col)
+        )
+        .select(*df.columns)
+    )

@@ -87,6 +87,15 @@ class CorpusRecipe:
 
     quality: bool = True
     quality_thresholds: dict | None = None
+    #: cross-document boilerplate line removal (RefinedWeb's line tier,
+    #: operators/quality.boilerplate_lines): lines occurring in ≥
+    #: max(10, frac·N) distinct documents — nav chrome, cookie banners —
+    #: are stripped from EVERY document before any text statistic is
+    #: computed. None disables. Note: mining the line set runs two
+    #: eager jobs at recipe time (corpus count + the blocklist build —
+    #: the blocklist must exist to broadcast), the one documented
+    #: exception to lazy composition alongside the benchmark jobs.
+    boilerplate_line_frac: float | None = None
     redact_pii: bool = True
     exact_dedup: bool = True
     near_dedup: bool = True
@@ -196,6 +205,20 @@ def prepare_training_corpus(
     """
     stages: dict[str, DataFrame] = {}
     cur = docs
+
+    if recipe.boilerplate_line_frac is not None:
+        from nexus_event_stream_spark.operators.quality import (
+            boilerplate_lines,
+            strip_boilerplate_lines,
+        )
+
+        boiler = boilerplate_lines(
+            cur, min_doc_frac=recipe.boilerplate_line_frac, text_col=text_col
+        )
+        cur = strip_boilerplate_lines(
+            cur, boiler, text_col=text_col, id_col=id_col
+        )
+        stages["boilerplate_lines"] = cur
 
     sig = None
     if recipe.quality:

@@ -48,6 +48,7 @@ from pyspark.sql import types as T
 from nexus_event_stream_spark.operators.dedup import bucket_candidates
 from nexus_event_stream_spark.operators.phash import (
     _bands_for,
+    perceptual_audio_hashes,
     perceptual_hashes,
     phash_band_keys,
 )
@@ -108,11 +109,20 @@ def suppress_and_register_media(
     corpus_path: str | None = None,
     max_bucket_size: int | None = None,
     decoder_fn=None,
+    kind: str = "image",
 ) -> DataFrame:
     """One micro-batch of perceptual suppression: returns the surviving
     rows of ``media`` and registers their fingerprints. When
     ``corpus_path`` is given the survivors also land there under the
     store's single pointer commit (exactly-once media corpus).
+
+    ``kind`` picks the fingerprint family: ``"image"`` (dHash over
+    pixels) or ``"audio"`` (energy-envelope dHash) — both emit one
+    int64, so banding, probes, tombstones, and the posting schema are
+    IDENTICAL; run each modality against its OWN store. (Video
+    fingerprints are per-frame arrays — banding frame 0 alone cannot
+    soundly SUPPRESS, only surface candidates, so video stays on the
+    batch ``perceptual_video_dedup`` path.)
 
     Suppression rule (greedy, arrival-order — the lexical twin's): an
     image is dropped iff a fingerprint within ``max_hamming`` bits
@@ -125,11 +135,14 @@ def suppress_and_register_media(
     hot flat-color buckets), and a probe of ONLY the store buckets the
     batch's band keys hash into (``store.last_probe_paths`` pins that).
     """
+    if kind not in ("image", "audio"):
+        raise ValueError(f"kind must be image|audio, got {kind!r}")
     cur = store.current()
     replay = store.guard.is_replay(cur, epoch, run_token)
     if bands is None:
         bands = _bands_for(max_hamming)
-    hashes = perceptual_hashes(
+    hasher = perceptual_hashes if kind == "image" else perceptual_audio_hashes
+    hashes = hasher(
         media, id_col, payload_col, decoder_fn=decoder_fn
     ).persist()
     sigs = hashes.filter(F.col("phash").isNotNull()).select(
@@ -223,11 +236,13 @@ def start_media_dedup_ingest(
     payload_col: str = "payload",
     max_bucket_size: int | None = None,
     decoder_fn=None,
+    kind: str = "image",
 ):
     """Wire a media stream into a perceptually-deduped corpus sink —
-    ``start_dedup_ingest`` for images. Exactly-once corpus append, the
-    checkpoint-stable run token, and replay no-ops are the lexical
-    path's (shared machinery). Returns the StreamingQuery."""
+    ``start_dedup_ingest`` for images (``kind="audio"`` for clips).
+    Exactly-once corpus append, the checkpoint-stable run token, and
+    replay no-ops are the lexical path's (shared machinery). Returns
+    the StreamingQuery."""
     run_token = run_token_for(checkpoint_path)
     store = media_signature_store(store_path, n_buckets=n_buckets)
 
@@ -246,6 +261,7 @@ def start_media_dedup_ingest(
             corpus_path=corpus_path,
             max_bucket_size=max_bucket_size,
             decoder_fn=decoder_fn,
+            kind=kind,
         )
 
     return (

@@ -603,3 +603,98 @@ def test_pipeline_at_production_grain(spark):
     assert out[2] == shared50 + " " + filler[2]   # first occurrence keeps passage
     assert out[3] == filler[3]                    # copy loses exactly the passage
     assert out[4] == filler[4] + " " + _w(0, 12, "b")
+
+
+# ---------------------------------------------------------------------------
+# cross-document boilerplate line removal (RefinedWeb's line tier)
+# ---------------------------------------------------------------------------
+
+
+def _py_norm_line(s: str) -> str:
+    import re
+
+    return re.sub(r"\s+", " ", s.strip()).lower()
+
+
+def test_boilerplate_lines_and_strip_match_oracle(spark):
+    from nexus_event_stream_spark.operators.quality import (
+        boilerplate_lines,
+        strip_boilerplate_lines,
+    )
+
+    nav = "Home | About | Contact"
+    cookie = "  We use  COOKIES to improve your experience  "
+    docs = []
+    for i in range(20):
+        body = [nav, f"unique prose line number {i} about rivers",
+                f"second unique line {i}"]
+        if i % 2 == 0:
+            body.insert(1, cookie)
+        if i == 7:
+            body.append("home | about |  contact")  # normalizes to nav
+        docs.append((i, "\n".join(body)))
+    docs.append((100, nav))            # all-boilerplate doc
+    docs.append((101, None))           # NULL text
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    boiler = boilerplate_lines(df, min_doc_frac=0.3, min_docs=5)
+    got_lines = sorted(r.line for r in boiler.collect())
+    # oracle: distinct-doc counts over normalized lines, floor = max(5, .3*22)=6
+    from collections import Counter
+
+    cnt = Counter()
+    for _i, t in docs:
+        for ln in sorted({_py_norm_line(x) for x in (t or "").split("\n")}):
+            if len(ln) >= 4:
+                cnt[ln] += 1
+    want_lines = sorted(l for l, c in cnt.items() if c >= max(5, int(0.3 * len(docs))))
+    assert got_lines == want_lines
+    assert _py_norm_line(nav) in got_lines and _py_norm_line(cookie) in got_lines
+
+    out = {r.doc_id: r.text for r in strip_boilerplate_lines(df, boiler).collect()}
+    assert len(out) == len(docs)  # every row preserved, incl. all-boiler + NULL
+    for i, t in docs:
+        if t is None:
+            assert out[i] == ""
+            continue
+        want = "\n".join(
+            x for x in t.split("\n") if _py_norm_line(x) not in want_lines
+        )
+        assert out[i] == want, i
+    assert out[100] == ""  # all-boilerplate doc came back empty, not dropped
+    # kept lines keep their EXACT original text (case/spacing untouched)
+    assert "unique prose line number 3 about rivers" in out[3]
+    # partition independence
+    out7 = {
+        r.doc_id: r.text
+        for r in strip_boilerplate_lines(df.repartition(7), boiler).collect()
+    }
+    assert out7 == out
+
+
+def test_boilerplate_stage_in_recipe(spark):
+    from nexus_event_stream_spark.pipeline import (
+        CorpusRecipe,
+        prepare_training_corpus,
+    )
+
+    nav = "Home | About | Contact"
+    prose = (
+        "a perfectly reasonable paragraph about distributed stream "
+        "processing engines and their checkpoint semantics today"
+    )
+    docs = spark.createDataFrame(
+        [(i, nav + "\n" + prose + f" variant {i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    corpus, stages = prepare_training_corpus(
+        docs,
+        CorpusRecipe(
+            boilerplate_line_frac=0.2, near_dedup=False, exact_dedup=False
+        ),
+    )
+    assert "boilerplate_lines" in stages
+    assert list(stages)[0] == "boilerplate_lines"
+    texts = [r.text for r in corpus.collect()]
+    assert texts and all(nav not in t for t in texts)
+    assert all("reasonable paragraph" in t for t in texts)

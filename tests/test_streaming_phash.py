@@ -176,3 +176,55 @@ def test_streaming_media_ingest_end_to_end_with_restart(spark, store_dir):
         assert rows[1] == png_of(1)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_audio_kind_suppresses_clip_variants(spark, store_dir):
+    """kind='audio': a volume-scaled/resampled copy of an accepted clip
+    arriving in a later batch is suppressed; novel clips survive — the
+    same store, posting schema, and probes as the image tier."""
+    from nexus_event_stream_spark.functions.wav import encode_wav
+
+    def make_audio(seed, n=8000, sr=8000):
+        rng = np.random.RandomState(seed)
+        t = np.arange(n) / sr
+        f = rng.uniform(100, 900, 3)
+        envf = rng.uniform(0.5, 3.0, 2)
+        env = 0.6 + 0.4 * np.sin(2 * np.pi * envf[0] * t + rng.uniform(0, 6)) * np.cos(
+            2 * np.pi * envf[1] * t
+        )
+        sig = env * (np.sin(2 * np.pi * f[0] * t) + 0.5 * np.sin(2 * np.pi * f[1] * t))
+        return np.clip(sig * 12000, -32768, 32767).astype(np.int16)
+
+    def wav(seed):
+        return encode_wav(make_audio(seed).tolist(), 8000)
+
+    def quiet(seed):
+        return encode_wav(
+            (make_audio(seed) * 0.3).astype(np.int16).tolist(), 8000
+        )
+
+    store = media_signature_store(store_dir, n_buckets=16)
+    kw = {"kind": "audio"}
+    assert survivors_of(
+        spark, store, [(1, wav(0)), (2, wav(3))], 0, **kw
+    ) == [1, 2]
+    # quiet re-encode of clip 0 suppressed; novel clip survives
+    assert survivors_of(
+        spark, store, [(3, quiet(0)), (4, wav(7))], 1, **kw
+    ) == [4]
+    # replay no-op
+    ver = store.current()["version"]
+    assert survivors_of(
+        spark, store, [(3, quiet(0)), (4, wav(7))], 1, **kw
+    ) == [4]
+    assert store.current()["version"] == ver
+    # undecodable (PNG bytes in an audio stream) survives unregistered
+    from nexus_event_stream_spark.functions.png import encode_png
+
+    png = encode_png(4, 4, bytes(16), 0)
+    assert survivors_of(spark, store, [(9, png)], 2, **kw) == [9]
+    with pytest.raises(ValueError, match="kind"):
+        suppress_and_register_media(
+            spark, store, media_df(spark, [(1, wav(0))]), 3, "run1",
+            kind="video",
+        )
