@@ -550,11 +550,24 @@ def _stress_bench(
     n_media = media.count()
 
     def run_phash_dedup() -> float:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        base = set(jmap.keySet().toArray())
         t0 = time.perf_counter()
         perceptual_dedup(media, max_bucket_size=200).write.format(
             "noop"
         ).mode("overwrite").save()
-        return time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        # perceptual_dedup persists its fingerprint relations (and CC
+        # localCheckpoints) without handing back handles — the
+        # minhash_dedup convention, fine for one-shot callers. In an
+        # interleaved bench session those pile up per run and squeeze
+        # the OTHER entries' cached working sets (semantic_dedup_25x
+        # measured 2.1× slower from exactly this). Release what THIS
+        # run pinned, nothing else.
+        jmap2 = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in set(jmap2.keySet().toArray()) - base:
+            jmap2.get(rid).unpersist()
+        return dt
 
     workloads: list[tuple[str, object, int]] = [
         ("dedup_chain_25x", run_dedup_chain, n_docs),
