@@ -569,6 +569,23 @@ def _stress_bench(
             jmap2.get(rid).unpersist()
         return dt
 
+    def run_exact_substr() -> float:
+        # ExactSubstr token-level dedup (Lee et al. 2022) on the 25×
+        # mirror corpus — the WORST realistic shape: every base doc's
+        # full text repeats 25 times, so nearly every anchor survives
+        # the candidate filter and the verify tier hashes ~every
+        # sliding window (the work IS the duplication in this regime;
+        # low-dup crawls prune to the candidate fraction).
+        from nexus_event_stream_spark.operators.exact_substr import (
+            exact_substr_dedup,
+        )
+
+        t0 = time.perf_counter()
+        exact_substr_dedup(docs, min_len=50).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.perf_counter() - t0
+
     workloads: list[tuple[str, object, int]] = [
         ("dedup_chain_25x", run_dedup_chain, n_docs),
         ("pack_sequences_25x", run_packing, n_docs),
@@ -577,6 +594,7 @@ def _stress_bench(
         ("bm25_search_25x", run_bm25, n_docs),
         ("lm_ppl_25x", run_lm_ppl, n_docs),
         ("cdc_dedup_25x", run_cdc_dedup, n_docs),
+        ("exact_substr_25x", run_exact_substr, n_docs),
         ("phash_dedup_media", run_phash_dedup, n_media),
         ("corpus_pipeline_25x", run_pipeline, n_docs),
     ]

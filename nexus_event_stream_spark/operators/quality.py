@@ -659,6 +659,7 @@ def boilerplate_lines(
     min_docs: int = 10,
     text_col: str = "text",
     min_line_chars: int = 4,
+    id_col: str | None = None,
 ) -> DataFrame:
     """The corpus's boilerplate line set: normalized lines that occur in
     at least ``max(min_docs, min_doc_frac·N)`` DISTINCT documents —
@@ -676,12 +677,23 @@ def boilerplate_lines(
     blocklist-sized by construction (only lines crossing a corpus-wide
     document-frequency floor) — broadcastable forever, like the
     benchmark gram set.
+
+    ``id_col`` names the document-identity column for the distinct-doc
+    count (the package convention). When ``None`` a
+    ``monotonically_increasing_id`` stands in — correct within a single
+    job, but the mined blocklist is then reproducible across
+    partitionings only by the argument that distinct-counting any
+    per-row-unique key is partitioning-independent; an explicit id makes
+    it reproducible by construction.
     """
     n_docs = df.count()
     floor = max(int(min_docs), int(min_doc_frac * n_docs))
+    doc_key = (
+        F.col(id_col) if id_col else F.monotonically_increasing_id()
+    )
     lines = df.select(
         F.col(text_col).alias("__t"),
-        F.monotonically_increasing_id().alias("__d"),
+        doc_key.alias("__d"),
     ).select(
         "__d", F.explode(F.split("__t", "\n")).alias("__raw")
     ).select(

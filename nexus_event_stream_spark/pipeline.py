@@ -213,7 +213,10 @@ def prepare_training_corpus(
         )
 
         boiler = boilerplate_lines(
-            cur, min_doc_frac=recipe.boilerplate_line_frac, text_col=text_col
+            cur,
+            min_doc_frac=recipe.boilerplate_line_frac,
+            text_col=text_col,
+            id_col=id_col,
         )
         cur = strip_boilerplate_lines(
             cur, boiler, text_col=text_col, id_col=id_col

@@ -650,6 +650,12 @@ def test_boilerplate_lines_and_strip_match_oracle(spark):
     want_lines = sorted(l for l, c in cnt.items() if c >= max(5, int(0.3 * len(docs))))
     assert got_lines == want_lines
     assert _py_norm_line(nav) in got_lines and _py_norm_line(cookie) in got_lines
+    # explicit-id form (the r10 review nit): identical mined set, and
+    # reproducible across partitionings by construction
+    boiler_id = boilerplate_lines(
+        df.repartition(7), min_doc_frac=0.3, min_docs=5, id_col="doc_id"
+    )
+    assert sorted(r.line for r in boiler_id.collect()) == want_lines
 
     out = {r.doc_id: r.text for r in strip_boilerplate_lines(df, boiler).collect()}
     assert len(out) == len(docs)  # every row preserved, incl. all-boiler + NULL
