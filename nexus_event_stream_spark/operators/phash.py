@@ -30,10 +30,12 @@ then verified with the true ``bit_count(a XOR b)`` — 100% recall at the
 declared threshold, unlike MinHash's probabilistic bands.
 
 Decode boundary (the embedding.py ``encoder_fn`` convention): the
-default decoder is the REAL PNG/APNG pixel decode (functions/png.py);
-formats whose pixel decode is environment-capped in this container
-(JPEG entropy decode, video codecs) return ``phash = NULL`` with
-``decoded = false`` — tolerant-reader, never a crash — and a real
+default decoder is a REAL pixel decode for PNG/APNG (functions/png.py)
+AND baseline JPEG (functions/jpeg_codec.py — Huffman + dequant + IDCT,
+pure stdlib+numpy), covering the two dominant crawled formats out of
+the box; formats whose pixel decode is environment-capped in this
+container (progressive JPEG, video codecs) return ``phash = NULL``
+with ``decoded = false`` — tolerant-reader, never a crash — and a real
 deployment passes ``decoder_fn`` backed by its codec library to light
 them up. The Spark-side plumbing (schema, banding, verification,
 clustering) is identical either way and fully tested.
@@ -85,8 +87,11 @@ def default_image_decoder(payload: bytes):
     environment cannot pixel-decode the format (tolerant-reader).
 
     Real decode for the PNG family (plain + APNG first frame) via
-    functions/png.py; JPEG/video pixel decode is environment-capped
-    (see operators/multimodal.py) — plug a codec-backed ``decoder_fn``
+    functions/png.py and for BASELINE JPEG — the dominant crawled image
+    format — via functions/jpeg_codec.py (the decoded Y plane IS the
+    BT.601 luma dHash needs, no RGB roundtrip). Progressive/arithmetic
+    JPEG and video pixel decode stay environment-capped (see
+    operators/multimodal.py) — plug a codec-backed ``decoder_fn``
     into :func:`perceptual_hashes` to cover them in production.
     """
     import numpy as np
@@ -98,7 +103,19 @@ def default_image_decoder(payload: bytes):
         decode_png,
     )
 
-    if not payload or bytes(payload[:8]) != SIGNATURE:
+    if not payload:
+        return None
+    if bytes(payload[:2]) == b"\xff\xd8":
+        from nexus_event_stream_spark.functions.jpeg_codec import (
+            decode_baseline_jpeg,
+        )
+
+        try:
+            _w, _h, planes = decode_baseline_jpeg(bytes(payload))
+        except ValueError:
+            return None  # progressive / corrupt → decoder_fn boundary
+        return planes[0]  # Y plane (3-comp JFIF) or the gray plane
+    if bytes(payload[:8]) != SIGNATURE:
         return None
     try:
         w, h, ct, pixels = decode_png(bytes(payload))

@@ -154,6 +154,50 @@ def test_perceptual_dedup_collapses_variants(spark, media):
     assert kept == [0, 4, 8, 12, 100, 101, 102]
 
 
+def test_jpeg_twins_collapse_with_the_default_decoder(spark):
+    """r10 verdict item: JPEG is the dominant crawled format — with the
+    baseline codec wired in, re-encoded / resized / RGB / 4:2:0 JPEG
+    twins of a PNG original must collapse WITHOUT any decoder_fn, while
+    a progressive re-encode stays on the decoder_fn boundary
+    (undecodable → mapped to itself)."""
+    from nexus_event_stream_spark.functions.jpeg_codec import (
+        encode_baseline_jpeg,
+    )
+
+    rows = []
+    mid = 0
+    for s in SEEDS[:2]:
+        img = make_img(s)
+        big = np.frombuffer(
+            resize_nearest(img.tobytes(), 64, 48, 96, 80, 1), dtype=np.uint8
+        ).reshape(80, 96)
+        variants_jpeg = [
+            encode_png(64, 48, img.tobytes(), 0),  # PNG original
+            encode_baseline_jpeg(img, quality=90),  # JPEG re-encode
+            encode_baseline_jpeg(img, quality=60),  # harsher quantization
+            encode_baseline_jpeg(big, quality=85),  # resized JPEG
+            encode_baseline_jpeg(  # RGB 4:2:0 JPEG
+                np.repeat(img[:, :, None], 3, 2),
+                quality=85,
+                subsampling="4:2:0",
+            ),
+        ]
+        for payload in variants_jpeg:
+            rows.append((mid, s, payload))
+            mid += 1
+    # progressive re-encode: flip the SOF marker of a valid baseline file
+    prog = bytearray(encode_baseline_jpeg(make_img(SEEDS[0]), quality=90))
+    prog[prog.index(b"\xff\xc0") + 1] = 0xC2
+    rows.append((100, -1, bytes(prog)))
+    df = spark.createDataFrame(rows, "media_id long, seed long, payload binary")
+    out = perceptual_dedup(df).collect()
+    keep = {int(r.media_id): int(r.keep_id) for r in out}
+    decoded = {int(r.media_id): bool(r.decoded) for r in out}
+    assert {keep[m] for m in range(0, 5)} == {0}
+    assert {keep[m] for m in range(5, 10)} == {5}
+    assert keep[100] == 100 and not decoded[100]
+
+
 def test_hot_bucket_star_cap_keeps_groups(spark):
     """Many copies of one flat image (the image-corpus boilerplate
     bucket): the star cap bounds pair traffic but the component — and
