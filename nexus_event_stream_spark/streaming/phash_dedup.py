@@ -1,5 +1,6 @@
-"""Streaming perceptual near-dup suppression for image columns —
-cross-batch dHash banding in the ingest path.
+"""Streaming perceptual near-dup suppression for media columns —
+cross-batch dHash banding in the ingest path (images, audio, and —
+r11 — video via per-frame fingerprint arrays in the postings).
 
 The multimodal twin of streaming/dedup.py: a crawl's media stream is
 full of the SAME picture re-encoded, resized, or color-converted, and a
@@ -41,7 +42,7 @@ tier.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -50,6 +51,7 @@ from nexus_event_stream_spark.operators.phash import (
     _bands_for,
     perceptual_audio_hashes,
     perceptual_hashes,
+    perceptual_video_hashes,
     phash_band_keys,
 )
 
@@ -57,6 +59,7 @@ from .dedup import SignatureStore, _bucket_of, run_token_for
 
 __all__ = [
     "PHASH_POSTING_SCHEMA",
+    "VIDEO_PHASH_POSTING_SCHEMA",
     "media_signature_store",
     "suppress_and_register_media",
     "start_media_dedup_ingest",
@@ -77,22 +80,42 @@ PHASH_POSTING_SCHEMA = T.StructType(
     ]
 )
 
+#: Video posting schema (r11): the verify payload is the PER-FRAME
+#: fingerprint ARRAY — the bucket keys band frame 0 (pigeonhole-exact
+#: for the max-aligned-frame-Hamming rule, operators/phash.py
+#: ``video_phash_pairs``), the stored array answers the full verify.
+VIDEO_PHASH_POSTING_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket_key", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("epoch", T.LongType()),
+        T.StructField("run", T.StringType()),
+        T.StructField("vhash", T.ArrayType(T.LongType())),
+    ]
+)
+
 
 def media_signature_store(
     path: str,
     n_buckets: int = 64,
     compact_threshold: int | None = 8,
     backend=None,
+    kind: str = "image",
 ) -> SignatureStore:
     """A ``SignatureStore`` carrying perceptual postings — every store
     behavior (append/probe/compact/forget/tombstones/corpus commit) is
-    the lexical implementation verbatim."""
+    the lexical implementation verbatim. ``kind="video"`` swaps in the
+    per-frame-array posting schema; image and audio share the scalar
+    one. One store per modality."""
+    schema = (
+        VIDEO_PHASH_POSTING_SCHEMA if kind == "video" else PHASH_POSTING_SCHEMA
+    )
     return SignatureStore(
         path,
         n_buckets=n_buckets,
         compact_threshold=compact_threshold,
         backend=backend,
-        schema=PHASH_POSTING_SCHEMA,
+        schema=schema,
     )
 
 
@@ -117,56 +140,96 @@ def suppress_and_register_media(
     store's single pointer commit (exactly-once media corpus).
 
     ``kind`` picks the fingerprint family: ``"image"`` (dHash over
-    pixels) or ``"audio"`` (energy-envelope dHash) — both emit one
-    int64, so banding, probes, tombstones, and the posting schema are
-    IDENTICAL; run each modality against its OWN store. (Video
-    fingerprints are per-frame arrays — banding frame 0 alone cannot
-    soundly SUPPRESS, only surface candidates, so video stays on the
-    batch ``perceptual_video_dedup`` path.)
+    pixels), ``"audio"`` (energy-envelope dHash) — one int64 each — or
+    ``"video"`` (r11: the PER-FRAME fingerprint array rides the posting
+    as the verify payload — ``media_signature_store(kind="video")``
+    picks that schema; bucket keys band frame 0, which is
+    pigeonhole-exact for the max-aligned-frame-Hamming rule because a
+    qualifying pair's frame-0 distance is ≤ ``max_hamming`` by
+    definition — banding the other frames would only surface pairs the
+    full-array verify rejects, the ``video_phash_pairs`` argument).
+    Banding, probes, tombstones, forget, and compaction are IDENTICAL
+    across kinds; run each modality against its OWN store.
 
     Suppression rule (greedy, arrival-order — the lexical twin's): an
     image is dropped iff a fingerprint within ``max_hamming`` bits
     exists among (a) already-accepted images in the store or (b)
     same-batch images with a smaller id. A re-encoded/resized replay of
     an accepted picture lands within the threshold and is suppressed.
+    For video the distance is the MAX per-aligned-frame Hamming, and
+    signatures with different frame counts never match (a deployment
+    that changes ``n_samples`` starts a new store).
 
     Per-batch cost: one Arrow decode pass over the batch, a banded
     self-join over the batch's fingerprints (``max_bucket_size`` stars
     hot flat-color buckets), and a probe of ONLY the store buckets the
     batch's band keys hash into (``store.last_probe_paths`` pins that).
     """
-    if kind not in ("image", "audio"):
-        raise ValueError(f"kind must be image|audio, got {kind!r}")
+    if kind not in ("image", "audio", "video"):
+        raise ValueError(f"kind must be image|audio|video, got {kind!r}")
     cur = store.current()
     replay = store.guard.is_replay(cur, epoch, run_token)
     if bands is None:
         bands = _bands_for(max_hamming)
-    hasher = perceptual_hashes if kind == "image" else perceptual_audio_hashes
-    hashes = hasher(
-        media, id_col, payload_col, decoder_fn=decoder_fn
-    ).persist()
-    sigs = hashes.filter(F.col("phash").isNotNull()).select(
-        F.col(id_col).alias("doc_id"), "phash"
+    if kind == "video":
+        hashes = perceptual_video_hashes(
+            media, id_col, payload_col, decoder_fn=decoder_fn
+        ).persist()
+        fp = "vhash"
+
+        def _ham(a: Column, b: Column) -> Column:
+            # zip_with pads the shorter array with NULLs and array_max
+            # skips them — unequal frame counts must NOT match, so the
+            # size guard forces them past any threshold
+            aligned = F.array_max(
+                F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y)))
+            )
+            return F.when(F.size(a) == F.size(b), aligned).otherwise(F.lit(64))
+
+        def _band_src(c: Column) -> Column:
+            return c[0]
+
+    else:
+        hasher = (
+            perceptual_hashes if kind == "image" else perceptual_audio_hashes
+        )
+        hashes = hasher(
+            media, id_col, payload_col, decoder_fn=decoder_fn
+        ).persist()
+        fp = "phash"
+
+        def _ham(a: Column, b: Column) -> Column:
+            return F.bit_count(a.bitwiseXOR(b))
+
+        def _band_src(c: Column) -> Column:
+            return c
+
+    sigs = hashes.filter(F.col(fp).isNotNull()).select(
+        F.col(id_col).alias("doc_id"), fp
     )
 
     # (a) within-batch: banded candidates + Hamming verify; larger id loses.
     keyed = sigs.select(
-        "doc_id", F.explode(phash_band_keys("phash", bands)).alias("bucket")
+        "doc_id",
+        F.explode(phash_band_keys(_band_src(F.col(fp)), bands)).alias(
+            "bucket"
+        ),
     )
     cands = bucket_candidates(keyed, max_bucket_size)
-    ham = F.bit_count(F.col("ha.phash").bitwiseXOR(F.col("hb.phash")))
     intra = (
         cands.join(sigs.alias("ha"), F.col("doc_a") == F.col("ha.doc_id"))
         .join(sigs.alias("hb"), F.col("doc_b") == F.col("hb.doc_id"))
-        .filter(ham <= max_hamming)
+        .filter(_ham(F.col(f"ha.{fp}"), F.col(f"hb.{fp}")) <= max_hamming)
         .select(F.col("doc_b").alias("doc_id"))
     )
 
     # (b) cross-batch: probe ONLY the store buckets this batch touches.
     posts = sigs.select(
         "doc_id",
-        F.explode(phash_band_keys("phash", bands)).alias("bucket_key"),
-        "phash",
+        F.explode(phash_band_keys(_band_src(F.col(fp)), bands)).alias(
+            "bucket_key"
+        ),
+        fp,
     )
     touched = sorted(
         r[0]
@@ -186,16 +249,11 @@ def suppress_and_register_media(
         cross = (
             posts.join(
                 stored.select(
-                    "bucket_key", F.col("phash").alias("__stored_ph")
+                    "bucket_key", F.col(fp).alias("__stored_fp")
                 ),
                 "bucket_key",
             )
-            .filter(
-                F.bit_count(
-                    F.col("phash").bitwiseXOR(F.col("__stored_ph"))
-                )
-                <= max_hamming
-            )
+            .filter(_ham(F.col(fp), F.col("__stored_fp")) <= max_hamming)
             .select("doc_id")
         )
         suppressed = intra.union(cross).distinct()
@@ -211,7 +269,7 @@ def suppress_and_register_media(
             "doc_id",
             F.lit(epoch).cast("long").alias("epoch"),
             F.lit(run_token).cast("string").alias("run"),
-            "phash",
+            fp,
         )
         store.append(
             surv_posts,
@@ -244,7 +302,7 @@ def start_media_dedup_ingest(
     replay no-ops are the lexical path's (shared machinery). Returns
     the StreamingQuery."""
     run_token = run_token_for(checkpoint_path)
-    store = media_signature_store(store_path, n_buckets=n_buckets)
+    store = media_signature_store(store_path, n_buckets=n_buckets, kind=kind)
 
     def _apply(batch: DataFrame, epoch: int) -> None:
         if store.guard.is_replay(store.current(), epoch, run_token):

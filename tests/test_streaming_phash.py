@@ -226,5 +226,135 @@ def test_audio_kind_suppresses_clip_variants(spark, store_dir):
     with pytest.raises(ValueError, match="kind"):
         suppress_and_register_media(
             spark, store, media_df(spark, [(1, wav(0))]), 3, "run1",
-            kind="video",
+            kind="hologram",
         )
+
+
+# ---------------------------------------------------------------------------
+# video kind (r11): per-frame fingerprint arrays in the postings
+# ---------------------------------------------------------------------------
+
+
+def _frame(seed: int, t: float, w: int = 48, h: int = 32) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    x = np.linspace(0, 1, w)[None, :]
+    y = np.linspace(0, 1, h)[:, None]
+    f = rng.uniform(0.5, 1.2, 4)
+    p = rng.uniform(0, 2 * np.pi, 2)
+    img = (
+        128
+        + 70 * np.sin(2 * np.pi * (f[0] * x + 0.02 * t) + p[0]) * np.cos(2 * np.pi * f[1] * y + p[1])
+        + 40 * np.sin(2 * np.pi * (f[2] * x + f[3] * y + 0.02 * t))
+    )
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def _clip(seed: int, fps_mult: int = 1, half: bool = False) -> bytes:
+    """6-frame APNG clip; ``fps_mult=2`` re-encodes the SAME timeline at
+    double frame rate; ``half`` nearest-resizes every frame."""
+    from nexus_event_stream_spark.functions.png import encode_apng
+
+    frames = [
+        _frame(seed, t / fps_mult) for t in range(6 * fps_mult)
+    ]
+    if half:
+        return encode_apng(
+            24, 16,
+            [resize_nearest(f.tobytes(), 48, 32, 24, 16, 1) for f in frames],
+            0,
+        )
+    return encode_apng(48, 32, [f.tobytes() for f in frames], 0)
+
+
+@pytest.fixture(params=["rename", "cas"])
+def commit_backend(request):
+    from nexus_event_stream_spark.streaming.commit import (
+        ConditionalPutBackend,
+        PosixRenameBackend,
+    )
+
+    if request.param == "rename":
+        return PosixRenameBackend()
+    return ConditionalPutBackend()
+
+
+V_THR = 8  # resize+rate transforms compound — the batch tier's pinned margin
+
+
+def test_video_kind_suppresses_later_batch_re_encodes(
+    spark, store_dir, commit_backend
+):
+    """The r10 documented gap, closed: a 2×-fps re-encode of an ACCEPTED
+    clip arriving in a later batch is suppressed via the stored
+    per-frame arrays; novel clips survive; replay is a no-op; the probe
+    stays bucket-pruned. Runs under BOTH pointer-commit backends."""
+    store = media_signature_store(
+        store_dir, n_buckets=16, backend=commit_backend, kind="video"
+    )
+    kw = {"kind": "video", "max_hamming": V_THR}
+    # epoch 0: two distinct clips accepted
+    assert survivors_of(
+        spark, store, [(1, _clip(1)), (2, _clip(3))], 0, **kw
+    ) == [1, 2]
+    # epoch 1: a 2×-fps re-encode of clip 1 (fresh id) is suppressed
+    # against the store; a novel clip survives
+    assert survivors_of(
+        spark, store, [(3, _clip(1, fps_mult=2)), (4, _clip(7))], 1, **kw
+    ) == [4]
+    # epoch 2: resized re-encode suppressed; within-batch variant pair
+    # resolves to the smaller id
+    assert survivors_of(
+        spark, store,
+        [(5, _clip(3, half=True)), (6, _clip(9)), (7, _clip(9, fps_mult=2))],
+        2, **kw,
+    ) == [6]
+    # replay of epoch 2: same survivors, no new store version
+    ver = store.current()["version"]
+    assert survivors_of(
+        spark, store,
+        [(5, _clip(3, half=True)), (6, _clip(9)), (7, _clip(9, fps_mult=2))],
+        2, **kw,
+    ) == [6]
+    assert store.current()["version"] == ver
+    # bucket-pruned probe: one clip touches ≤ bands (=16 at this
+    # threshold: the smallest 64-divisor ≥ V_THR+1) bucket dirs
+    survivors_of(spark, store, [(9, _clip(11))], 3, **kw)
+    probed = {p.split("__bucket=")[1] for p in store.last_probe_paths}
+    assert len(probed) <= 16
+
+
+def test_video_streaming_equals_batch_dedup_on_clique_groups(spark, store_dir):
+    """Batch-equivalence: feeding the variant cliques in id order through
+    the streaming path keeps exactly the clips perceptual_video_dedup
+    keeps (greedy arrival-order == min-id keeper when ids arrive
+    ordered), including undecodable payloads surviving unregistered."""
+    from nexus_event_stream_spark.operators.phash import (
+        perceptual_video_dedup,
+    )
+
+    rows, mid = [], 0
+    for s in (1, 3, 7):
+        for payload in (
+            _clip(s),
+            _clip(s, fps_mult=2),
+            _clip(s, half=True),
+        ):
+            rows.append((mid, payload))
+            mid += 1
+    rows.append((100, b"\x00 junk, not a clip"))
+
+    batch_keep = {
+        int(r.media_id): int(r.keep_id)
+        for r in perceptual_video_dedup(
+            media_df(spark, rows), max_hamming=V_THR
+        ).collect()
+    }
+    batch_survivors = sorted(m for m, k in batch_keep.items() if m == k)
+
+    store = media_signature_store(store_dir, n_buckets=16, kind="video")
+    kw = {"kind": "video", "max_hamming": V_THR}
+    got = []
+    # two arrival batches split mid-clique: suppression must span them
+    got += survivors_of(spark, store, rows[:4], 0, **kw)
+    got += survivors_of(spark, store, rows[4:], 1, **kw)
+    assert sorted(got) == batch_survivors == [0, 3, 6, 100]
