@@ -457,7 +457,7 @@ def warc_corpus(
     spark,
     warc_path: str,
     recipe: CorpusRecipe | None = None,
-    html_extract: bool = False,
+    html_extract: bool | str = False,
     blocked_domains: list[str] | None = None,
     dedup_urls: bool = False,
 ) -> tuple[DataFrame, dict[str, DataFrame]]:
@@ -489,9 +489,13 @@ def warc_corpus(
     - ``blocked_domains``: drop documents from these domains and every
       subdomain (operators/urls.filter_blocked_domains — map-side);
     - ``html_extract``: bodies that look like HTML are reduced to
-      readable text (functions/html.html_to_text, pure Catalyst) with
-      the ``<title>`` kept as a ``title`` column; non-HTML bodies pass
-      through verbatim;
+      readable text with the ``<title>`` kept as a ``title`` column;
+      non-HTML bodies pass through verbatim. ``True`` runs the baseline
+      regexp chain (functions/html.html_to_text, pure Catalyst);
+      ``"main_content"`` (r11) runs the DOM-aware jusText-class block
+      classifier (functions/html.extract_main_text, Arrow kernel) —
+      same routing predicate, and it additionally drops nav/sidebar/
+      cookie chrome on single documents;
     - ``dedup_urls``: one document per canonical URL, earliest fetch
       wins (operators/urls.url_dedup — one shuffle).
     """
@@ -517,13 +521,28 @@ def warc_corpus(
         docs = url_dedup(docs, ts_col="fetched_at")
         pre["url_dedup"] = docs
     if html_extract:
+        if html_extract not in (True, "main_content"):
+            raise ValueError(
+                "html_extract must be True (regexp baseline) or"
+                f" 'main_content', got {html_extract!r}"
+            )
         is_html = looks_like_html(F.col("text"))
         docs = docs.withColumn(
             "title", F.when(is_html, html_title(F.col("text"))).otherwise(F.lit(""))
-        ).withColumn(
-            "text",
-            F.when(is_html, html_to_text(F.col("text"))).otherwise(F.col("text")),
         )
+        if html_extract == "main_content":
+            from nexus_event_stream_spark.functions.html import (
+                extract_main_text,
+            )
+
+            docs = extract_main_text(docs, html_col="text", out_col="text")
+        else:
+            docs = docs.withColumn(
+                "text",
+                F.when(is_html, html_to_text(F.col("text"))).otherwise(
+                    F.col("text")
+                ),
+            )
         pre["html_text"] = docs
     corpus, stages = prepare_training_corpus(docs, recipe or CorpusRecipe())
     return corpus, {**pre, **stages}

@@ -1,0 +1,166 @@
+"""DOM-aware main-content extraction (functions/html.py r11 tier).
+
+The capability pin: boilerplate blocks dropped on a SINGLE document —
+no corpus-frequency evidence — while the prose comes through byte-exact
+(entities fully decoded via the stdlib reference table, whitespace
+normalized to the block convention). Plus the pipeline seam: routed
+behind the same looks_like_html predicate inside warc_corpus, with the
+regexp baseline pinned unchanged.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from nexus_event_stream_spark.functions.html import (
+    extract_main_text,
+    main_content_blocks,
+    main_content_text,
+)
+
+PROSE_1 = (
+    "The river ran swift and cold through the valley, carrying "
+    "meltwater from the high passes toward the sea & the delta beyond."
+)
+PROSE_2 = (
+    "Fishermen knew the pools where the current slowed, and they kept "
+    "their knowledge close — trading hints only for favors."
+)
+
+PAGE = f"""<!doctype html><html><head><title>Rivers</title>
+<style>p {{ margin: 0 }}</style><script>var x = 1 < 2;</script></head><body>
+<nav><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></nav>
+<header><div>Site of Wonders — sign in or register now to continue</div></header>
+<article>
+<h2>Rivers of the north</h2>
+<p>The river ran swift and cold through the valley,
+carrying meltwater from the high passes toward the sea &amp; the delta beyond.</p>
+<p>Fishermen knew the pools where the current slowed, and they kept their knowledge close &mdash; trading hints only for favors.</p>
+<div class="related"><a href="/a">Ten best rivers</a> <a href="/b">Fishing gear deals</a> <a href="/c">Subscribe now</a></div>
+</article>
+<aside>Cookie notice: we use cookies to improve your experience. Accept all cookies to continue browsing this site.</aside>
+<footer>© 2026 Site of Wonders. All rights reserved. Privacy. Terms.</footer>
+</body></html>"""
+
+
+def test_single_document_boilerplate_dropped_prose_byte_exact():
+    got = main_content_text(PAGE)
+    # prose byte-exact (entities decoded, block-level whitespace
+    # normalization), heading kept with its section, ALL chrome gone
+    assert got == "Rivers of the north\n" + PROSE_1 + "\n" + PROSE_2
+    labels = dict(main_content_blocks(PAGE))
+    assert labels["Home About Contact"] == "bad"  # nav container
+    assert labels[PROSE_1] == "good"
+    assert labels["Rivers of the north"] == "short-kept"
+    # the link farm is bad by LINK DENSITY alone (plain div, no
+    # semantic boilerplate container around it)
+    assert (
+        labels["Ten best rivers Fishing gear deals Subscribe now"] == "bad"
+    )
+    # aside/footer: semantic containers, long enough to be 'good' by
+    # length — only the DOM context kills them
+    assert [lab for t, lab in labels.items() if t.startswith("Cookie")] == [
+        "bad"
+    ]
+    assert [lab for t, lab in labels.items() if t.startswith("©")] == ["bad"]
+
+
+def test_short_stub_inside_chrome_sinks():
+    html = (
+        "<html><body><nav>menu</nav><div>tiny stub</div>"
+        "<footer>copyright legalese of considerable length repeated "
+        "here to pass any word floor easily</footer></body></html>"
+    )
+    labels = dict(main_content_blocks(html))
+    assert labels["tiny stub"] == "short-dropped"
+    assert main_content_text(html) == ""
+
+
+def test_malformed_html_never_crashes_and_keeps_prose():
+    # unclosed tags, stray end tags, bare ampersands, truncated comment
+    html = (
+        "<html><body><p>" + PROSE_1 + "<p>" + PROSE_2
+        + "</div></div><a href='/x'>trailing<!-- broken"
+    )
+    got = main_content_text(html)
+    assert PROSE_1 in got and PROSE_2 in got
+    assert "trailing" not in got or got  # no crash is the pin
+
+
+def test_null_and_non_html_pass_through(spark):
+    df = spark.createDataFrame(
+        [
+            (0, PAGE),
+            (1, "just a plain text line, no markup at all"),
+            (2, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.text for r in extract_main_text(df).collect()}
+    assert out[0] == "Rivers of the north\n" + PROSE_1 + "\n" + PROSE_2
+    assert out[1] == "just a plain text line, no markup at all"
+    assert out[2] is None
+    # zero shuffle: the kernel is a projection
+    plan = (
+        extract_main_text(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_self_closing_tags_do_not_skew_counters():
+    # <a/> and <nav/> in the explicit startendtag form must not push
+    # depth counters (no end event follows) — prose after them is clean
+    html = (
+        "<html><body><p><a/>" + PROSE_1 + "</p>"
+        "<nav/><p>" + PROSE_2 + "</p></body></html>"
+    )
+    labels = dict(main_content_blocks(html))
+    assert labels[PROSE_1] == "good"
+    assert labels[PROSE_2] == "good"
+
+
+def test_warc_corpus_routes_main_content_and_regexp_baseline_unchanged(
+    spark, tmp_path
+):
+    from nexus_event_stream_spark.functions.html import html_to_text
+    from nexus_event_stream_spark.pipeline import CorpusRecipe, warc_corpus
+    from pyspark.sql import functions as F
+
+    # one-response WARC with the boilerplate page
+    body = PAGE.encode()
+    http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: http://example.com/rivers\r\n"
+        b"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+        b"Content-Length: " + str(len(http)).encode() + b"\r\n"
+        b"\r\n" + http + b"\r\n\r\n"
+    )
+    warc = tmp_path / "crawl.warc"
+    warc.write_bytes(rec)
+    recipe = CorpusRecipe(
+        quality=False, redact_pii=False, exact_dedup=False, near_dedup=False
+    )
+    corpus, stages = warc_corpus(
+        spark, str(warc), recipe=recipe, html_extract="main_content"
+    )
+    rows = corpus.collect()
+    assert len(rows) == 1
+    assert rows[0].text == "Rivers of the north\n" + PROSE_1 + "\n" + PROSE_2
+    # the regexp baseline still returns its own (chrome-bearing) text —
+    # pinned unchanged so the default tier cannot silently regress
+    corpus_rx, _ = warc_corpus(
+        spark, str(warc), recipe=recipe, html_extract=True
+    )
+    rx_rows = corpus_rx.collect()
+    want = (
+        stages["documents"]
+        .select(html_to_text(F.col("text")).alias("t"))
+        .collect()[0]
+        .t
+    )
+    assert rx_rows[0].text == want
+    assert "Home" in rx_rows[0].text  # baseline keeps the nav line
+    with pytest.raises(ValueError, match="html_extract"):
+        warc_corpus(spark, str(warc), recipe=recipe, html_extract="dom")
