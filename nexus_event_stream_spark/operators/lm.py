@@ -49,6 +49,7 @@ __all__ = [
     "train_char_lm",
     "perplexity_score",
     "lm_gate",
+    "language_id",
     "importance_weights",
     "dsir_select",
     "BACKOFF_ALPHA",
@@ -387,6 +388,92 @@ def lm_gate(
     return scored.filter(F.col("ppl_char") <= F.lit(float(ppl_max))).select(
         *docs.columns
     )
+
+
+def language_id(
+    docs: DataFrame,
+    models: dict[str, dict],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: bool = False,
+) -> DataFrame:
+    """Char-LM language identification: classify each document as the
+    ``models`` key whose trained char-n-gram model (``train_char_lm``,
+    one per language on a trusted slice of that language) gives it the
+    highest PER-CHAR log-likelihood — the CCNet/fastText-era recipe
+    with this module's models standing in for the external classifier.
+    Compared to the stopword-density heuristic (``q_text_analysis``),
+    the argmax over real likelihoods separates languages that share a
+    script and needs no per-language stopword lists.
+
+    Appends ``lang`` (argmax key; ties break to the lexicographically
+    smallest key for determinism; NULL for empty/NULL docs — no
+    evidence is not a language), ``lang_log10_per_char`` (the winning
+    per-char log10 likelihood) and ``lang_margin`` (win minus runner-up
+    per-char — the confidence a router can threshold on; equals 0.0
+    with a single model). ``keep_cols=True`` passes every input column
+    through (the routing-stage shape).
+
+    ZERO shuffle, ONE kernel for all models: each Arrow batch decodes
+    codepoints once and scores every model over the same concatenation
+    (`_score_batch` per model — the models share the windows only
+    conceptually; each holds its own hash tables, but the decode and
+    batch plumbing are paid once). Model state rides the task closure,
+    bounded by ``train_char_lm``'s min_count/top-K caps per model.
+    """
+    import numpy as np
+
+    if not models:
+        raise ValueError("language_id needs at least one model")
+    names = sorted(models)  # ties break to the smallest key
+    base = docs if keep_cols else docs.select(id_col, text_col)
+    out_schema = T.StructType(
+        list(base.schema.fields)
+        + [
+            T.StructField("lang", T.StringType()),
+            T.StructField("lang_log10_per_char", T.DoubleType()),
+            T.StructField("lang_margin", T.DoubleType()),
+        ]
+    )
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            cps, idxs = [], []
+            ncs = np.zeros(len(pdf), dtype=np.int64)
+            for i, text in enumerate(pdf[text_col]):
+                cp = _codepoints(text) if text else None
+                if cp is not None and len(cp):
+                    cps.append(cp)
+                    idxs.append(i)
+                    ncs[i] = len(cp)
+            langs = [None] * len(pdf)
+            best = np.full(len(pdf), np.nan)
+            margin = np.full(len(pdf), np.nan)
+            if cps:
+                ix = np.array(idxs)
+                # (models × docs) per-char scores in one pass per model
+                scores = np.stack(
+                    [_score_batch(cps, models[m]) for m in names]
+                ) / ncs[ix]
+                order = np.argsort(-scores, axis=0, kind="stable")
+                win = order[0]
+                for j, i in enumerate(ix):
+                    langs[i] = names[win[j]]
+                best[ix] = scores[win, np.arange(len(ix))]
+                if len(names) > 1:
+                    second = scores[order[1], np.arange(len(ix))]
+                    margin[ix] = best[ix] - second
+                else:
+                    margin[ix] = 0.0
+            out = pdf.copy()
+            out["lang"] = pd.Series(langs, dtype="object", index=pdf.index)
+            out["lang_log10_per_char"] = best
+            out["lang_margin"] = margin
+            yield out
+
+    return base.mapInPandas(batches, out_schema)
 
 
 def importance_weights(

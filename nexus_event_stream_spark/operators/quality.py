@@ -102,6 +102,28 @@ def top_bigram_count(toks: Column) -> Column:
     return F.aggregate(bg, init, step, lambda acc: acc["best"])
 
 
+def quality_pass_checks(thresholds: dict | None = None) -> Column:
+    """The ``quality_pass`` predicate over the signal columns
+    ``quality_signals`` appends — exposed so per-language recipe routing
+    (pipeline.py ``lang_quality_thresholds``) can re-evaluate the SAME
+    integer-exact checks under different thresholds without recomputing
+    the signals. Requires the signal columns to be in scope."""
+    t = thresholds or QUALITY_THRESHOLDS
+    nw = F.col("n_words")
+    return (
+        (nw >= t["min_words"])
+        & (nw <= t["max_words"])
+        & (F.col("sum_word_chars") >= t["min_mean_word_len"] * nw)
+        & (F.col("sum_word_chars") <= t["max_mean_word_len"] * nw)
+        & ((nw - F.col("n_distinct_words")) * 100 <= t["max_dup_word_frac_pct"] * nw)
+        & (F.col("n_alpha_words") * 100 >= t["min_alpha_word_frac_pct"] * nw)
+        & (
+            F.col("top_bigram_n") * 100
+            <= t["max_top_bigram_frac_pct"] * F.col("n_bigrams")
+        )
+    )
+
+
 def quality_signals(
     df: DataFrame,
     text_col: str = "text",
@@ -139,18 +161,7 @@ def quality_signals(
         }
     )
     nw = F.col("n_words")
-    pass_checks = (
-        (nw >= t["min_words"])
-        & (nw <= t["max_words"])
-        & (F.col("sum_word_chars") >= t["min_mean_word_len"] * nw)
-        & (F.col("sum_word_chars") <= t["max_mean_word_len"] * nw)
-        & ((nw - F.col("n_distinct_words")) * 100 <= t["max_dup_word_frac_pct"] * nw)
-        & (F.col("n_alpha_words") * 100 >= t["min_alpha_word_frac_pct"] * nw)
-        & (
-            F.col("top_bigram_n") * 100
-            <= t["max_top_bigram_frac_pct"] * F.col("n_bigrams")
-        )
-    )
+    pass_checks = quality_pass_checks(t)
     return out.withColumns(
         {
             "mean_word_len": F.col("sum_word_chars").cast("double") / nw,

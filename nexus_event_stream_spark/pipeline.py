@@ -51,9 +51,11 @@ from nexus_event_stream_spark.operators.dedup import (
 )
 from nexus_event_stream_spark.operators.packing import pack_sequences
 from nexus_event_stream_spark.operators.quality import (
+    QUALITY_THRESHOLDS,
     benchmark_ngrams,
     decontaminate,
     pii_redact,
+    quality_pass_checks,
     quality_signals,
     segment_dedup,
 )
@@ -153,6 +155,23 @@ class CorpusRecipe:
     #: ride the doc rows through one Arrow kernel, filter, drop).
     lm_model: dict | None = None
     lm_ppl_max: float = 1_000.0
+    #: per-language routing (r11): ``{lang: train_char_lm(...)}`` — one
+    #: char-LM per language, trained on a trusted slice of that
+    #: language. When set, a ``language_id`` stage (operators/lm.py,
+    #: argmax per-char log-likelihood, one zero-shuffle kernel for ALL
+    #: models) runs FIRST and its ``lang`` column rides the whole
+    #: funnel into the final corpus — the mixture/packing loaders and
+    #: the per-language thresholds below all key on it.
+    lang_models: dict | None = None
+    #: per-language OVERRIDES of the quality thresholds, merged over
+    #: ``quality_thresholds`` (languages differ structurally: mean word
+    #: length, stopword base rates — one global threshold set either
+    #: over-filters one language or under-filters another; CCNet runs
+    #: its whole pipeline per language for exactly this reason).
+    #: ``{lang: {threshold overrides}}``; unlisted languages (and
+    #: unidentified docs, lang NULL) use the base thresholds. Requires
+    #: ``lang_models`` and ``quality=True``.
+    lang_quality_thresholds: dict | None = None
     quality_model: dict | None = None
     quality_model_features: tuple[str, ...] = (
         "n_words",
@@ -206,6 +225,23 @@ def prepare_training_corpus(
     stages: dict[str, DataFrame] = {}
     cur = docs
 
+    if recipe.lang_quality_thresholds and not recipe.lang_models:
+        raise ValueError("lang_quality_thresholds requires lang_models")
+    if recipe.lang_models:
+        from nexus_event_stream_spark.operators.lm import language_id
+
+        # lang joins the document columns here, so every later
+        # select(*docs.columns) carries it into the final corpus
+        docs = language_id(
+            docs,
+            recipe.lang_models,
+            id_col=id_col,
+            text_col=text_col,
+            keep_cols=True,
+        ).select(*docs.columns, "lang")
+        cur = docs
+        stages["language_id"] = cur
+
     if recipe.boilerplate_line_frac is not None:
         from nexus_event_stream_spark.operators.quality import (
             boilerplate_lines,
@@ -227,7 +263,31 @@ def prepare_training_corpus(
     if recipe.quality:
         sig = quality_signals(
             cur, text_col, thresholds=recipe.quality_thresholds
-        ).filter(F.col("quality_pass") == 1)
+        )
+        if recipe.lang_quality_thresholds:
+            # re-evaluate the pass predicate per language over the SAME
+            # signal columns (no recompute): a CASE chain of the
+            # integer-exact checks, base thresholds for unlisted
+            # languages and unidentified (lang NULL) docs
+            base_t = recipe.quality_thresholds or QUALITY_THRESHOLDS
+            routed = None
+            for lang in sorted(recipe.lang_quality_thresholds):
+                branch = quality_pass_checks(
+                    {**base_t, **recipe.lang_quality_thresholds[lang]}
+                )
+                cond = F.col("lang") == lang
+                routed = (
+                    F.when(cond, branch)
+                    if routed is None
+                    else routed.when(cond, branch)
+                )
+            sig = sig.withColumn(
+                "quality_pass",
+                F.when(
+                    routed.otherwise(quality_pass_checks(base_t)), 1
+                ).otherwise(0).cast("bigint"),
+            )
+        sig = sig.filter(F.col("quality_pass") == 1)
         cur = sig.select(*docs.columns)
         stages["quality"] = cur
 
