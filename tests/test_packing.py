@@ -238,3 +238,135 @@ def test_materialize_packed_reassembles_the_stream(spark):
     assert stream == want
     # n_docs accounting: every (doc, seq) span counted once
     assert sum(int(r.n_docs) for r in seqs) == placement.count()
+
+
+# ---------------------------------------------------------------------------
+# document-atomic FFD packing (r11)
+# ---------------------------------------------------------------------------
+
+
+def _ffd_oracle(counts, seq_len, group_size):
+    """Pure-Python spec of pack_documents_atomic: per-group FFD with the
+    same ordering, truncation, and two-level global seq ids."""
+    groups = {}
+    for d, n in counts.items():
+        if n and n > 0:
+            groups.setdefault(d // group_size, []).append((n, d))
+    placements, bins_per_group = {}, {}
+    for g in sorted(groups):
+        bins = []
+        for n, d in sorted(groups[g], key=lambda x: (-x[0], x[1])):
+            take = min(n, seq_len)
+            placed = next(
+                (b for b, room in enumerate(bins) if room >= take), None
+            )
+            if placed is None:
+                bins.append(seq_len)
+                placed = len(bins) - 1
+            placements[d] = (g, placed, seq_len - bins[placed], take)
+            bins[placed] -= take
+        bins_per_group[g] = len(bins)
+    goff, acc = {}, 0
+    for g in sorted(bins_per_group):
+        goff[g], acc = acc, acc + bins_per_group[g]
+    return {
+        d: (goff[g] + b, off, take)
+        for d, (g, b, off, take) in placements.items()
+    }
+
+
+def test_atomic_packing_matches_python_oracle(spark):
+    import random
+
+    from nexus_event_stream_spark.operators.packing import (
+        pack_documents_atomic,
+    )
+
+    for seed, group_size, seq_len in ((3, 10, 512), (11, 7, 100), (29, 1000, 64)):
+        rng = random.Random(seed)
+        counts = {
+            d: rng.choice([0, rng.randint(1, seq_len + 40)])
+            for d in range(120)
+        }
+        df = spark.createDataFrame(
+            list(counts.items()), "doc_id long, n_tokens long"
+        )
+        got = {
+            r.doc_id: (r.seq_id, r.offset_in_seq, r.tokens_in_seq)
+            for r in pack_documents_atomic(
+                df, seq_len, group_size=group_size
+            ).collect()
+        }
+        assert got == _ffd_oracle(counts, seq_len, group_size), (
+            seed, group_size,
+        )
+
+
+def test_atomic_packing_invariants(spark):
+    from nexus_event_stream_spark.operators.packing import (
+        pack_documents_atomic,
+    )
+
+    df = _df(spark, [300, 120, 120, 90, 700, 5, 0, 256])
+    out = pack_documents_atomic(df, 256, group_size=1000).collect()
+    rows = {r.doc_id: r for r in out}
+    # one row per non-empty doc — nothing straddles, zero docs vanish
+    assert sorted(rows) == [0, 1, 2, 3, 4, 5, 7]
+    assert all(r.doc_token_start == 0 for r in out)
+    # the oversized doc is alone in its sequence, truncated to seq_len
+    big = rows[4]
+    assert big.tokens_in_seq == 256 and big.offset_in_seq == 0
+    assert sum(1 for r in out if r.seq_id == big.seq_id) == 1
+    # per-sequence capacity holds and offsets tile without overlap
+    by_seq = {}
+    for r in out:
+        by_seq.setdefault(r.seq_id, []).append(r)
+    for seq, members in by_seq.items():
+        members.sort(key=lambda r: r.offset_in_seq)
+        pos = 0
+        for r in members:
+            assert r.offset_in_seq == pos
+            pos += r.tokens_in_seq
+        assert pos <= 256
+
+
+def test_atomic_packing_efficiency_floor_vs_concat_split(spark):
+    import random
+
+    from nexus_event_stream_spark.operators.packing import (
+        pack_documents_atomic,
+        packing_efficiency,
+    )
+
+    rng = random.Random(17)
+    counts = [rng.randint(1, 256) for _ in range(400)]
+    df = _df(spark, counts)
+    atomic = pack_documents_atomic(df, 512, group_size=100)
+    eff = packing_efficiency(atomic, 512)
+    # concat-split is 1.0 by construction; FFD with docs ≤ seq_len/2
+    # fills bins to within the smallest-remaining-doc of full
+    concat = pack_sequences(df, 512, group_size=100)
+    assert packing_efficiency(concat, 512) > 0.99  # only the tail wastes
+    assert 0.9 <= eff <= 1.0, eff
+    # and total tokens are conserved exactly (no doc lost or split)
+    total = atomic.groupBy().sum("tokens_in_seq").first()[0]
+    assert total == sum(counts)
+
+
+def test_atomic_packing_plan_two_level(spark):
+    from nexus_event_stream_spark.operators.packing import (
+        pack_documents_atomic,
+    )
+
+    df = _df(spark, [5] * 100)
+    out = pack_documents_atomic(df, 7, group_size=10)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    # the corpus shuffles ONCE on the coarse group into the FFD kernel;
+    # the only single-partition window runs over the tiny per-group bin
+    # counts which broadcast back
+    assert "hashpartitioning(__g" in plan
+    assert "BroadcastExchange" in plan
