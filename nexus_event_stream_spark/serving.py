@@ -179,8 +179,17 @@ class SearchService:
         cur = self.store.current()
         if cur is None or not cur.get("n_docs"):
             raise NotFoundError("search index")
+        # ONE pointer read per request: the same snapshot that answered
+        # the 404 check resolves the bucket paths, counters, and
+        # tombstones — a republish landing mid-request serves the old
+        # index or the new one, never a mix (pinned in
+        # tests/test_serving_consistency.py, both commit backends)
         df = self.store.query(
-            self.spark, [(0, q)], k=int(k), max_df_frac=self.max_df_frac
+            self.spark,
+            [(0, q)],
+            k=int(k),
+            max_df_frac=self.max_df_frac,
+            cur=cur,
         )
         if df is None:  # tokenized to nothing / no recognizable terms
             return []
@@ -233,8 +242,14 @@ class SimilarService:
         # never collides with a real corpus id the way a sentinel like
         # 0 would (a corpus whose ids start at 0 must still be able to
         # return vector 0 as someone's neighbor)
+        # same one-pointer-read discipline as /search: the snapshot that
+        # answered the 404 check resolves the epoch dirs
         res = self.store.search(
-            self.embeddings, [(int(vec_id), vec)], k=int(k), nprobe=int(nprobe)
+            self.embeddings,
+            [(int(vec_id), vec)],
+            k=int(k),
+            nprobe=int(nprobe),
+            cur=cur,
         )
         out = []
         for r in sorted(res.collect(), key=lambda r: r.rank):

@@ -314,7 +314,7 @@ class PQIndexStore:
 
     # -- read / search --------------------------------------------------------
 
-    def read(self, spark: SparkSession) -> DataFrame | None:
+    def read(self, spark: SparkSession, cur: dict | None = None) -> DataFrame | None:
         """The committed index relation (id, centroid_id, codes) across
         every published epoch; None before the first non-empty append.
 
@@ -322,10 +322,16 @@ class PQIndexStore:
         partitioned by ``centroid_id``, and Spark's partition discovery
         cannot span multiple roots (probe-time partition pruning still
         applies per leg). The union width is |epoch dirs|, bounded by
-        :meth:`compact`."""
+        :meth:`compact`.
+
+        ``cur`` pins a pointer snapshot the caller already read — a
+        serving request resolves its epoch dirs under ONE pointer, so a
+        commit landing mid-request can never mix two snapshots' dirs
+        (the read-consistency contract serving.py's /similar pins)."""
         from functools import reduce
 
-        cur = self.current()
+        if cur is None:
+            cur = self.current()
         if cur is None or not cur["dirs"]:
             return None
         legs = [
@@ -342,9 +348,16 @@ class PQIndexStore:
         """Rewrite all epoch dirs into ONE (bounding the read-union width
         and the file count) — the scheduled-maintenance analog of the
         shard store's compaction. Rows are identical by construction;
-        returns the number of directories collapsed. Old dirs are removed
-        AFTER the pointer swings (readers holding the old pointer finish
-        their scan first in a production grace-period deployment)."""
+        returns the number of directories collapsed.
+
+        Dir retention (r11): the collapsed dirs are NOT removed at the
+        pointer swing — they ride the new pointer as ``prev_dirs`` and
+        are vacuumed by the NEXT compact, the same one-generation grace
+        window as BucketedViewStore's ``prev_refs``. A request that
+        pinned the pre-compact pointer (serving.py reads current() once
+        per request) can therefore finish its scan against intact
+        files — mid-compact reads serve the old snapshot or the new
+        one, never an error and never a mix."""
 
         cur = self.current()
         if cur is None or len(cur["dirs"]) <= 1:
@@ -368,11 +381,15 @@ class PQIndexStore:
                 "dirs": [out],
                 "dir_rows": {out: total},
                 "n_vectors": total,
+                "prev_dirs": old_dirs,  # one-generation read grace
             },
             expected=cur,
         )
-        for d in old_dirs:
-            shutil.rmtree(d, ignore_errors=True)
+        # vacuum the PREVIOUS compact's grace set, never this one's —
+        # readers pinned to the pre-compact pointer still need old_dirs
+        for d in cur.get("prev_dirs", []):
+            if d not in old_dirs and d != out:
+                shutil.rmtree(d, ignore_errors=True)
         return len(old_dirs)
 
     def search(
@@ -382,12 +399,14 @@ class PQIndexStore:
         k: int = 10,
         nprobe: int = 4,
         shortlist: int = 50,
+        cur: dict | None = None,
     ) -> DataFrame:
         """IVF-PQ search over the committed index. ``embeddings`` is the
         corpus relation holding the true float vectors (e.g. the sharded
         corpus read) — the exact re-rank fetches the shortlist's floats
-        from it by id; the index itself carries codes only."""
-        index = self.read(embeddings.sparkSession)
+        from it by id; the index itself carries codes only. ``cur`` pins
+        the pointer snapshot (see :meth:`read`)."""
+        index = self.read(embeddings.sparkSession, cur=cur)
         if index is None:
             raise ValueError("index is empty — nothing committed yet")
         return ivf_pq_topk(

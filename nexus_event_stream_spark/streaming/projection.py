@@ -326,10 +326,17 @@ class BucketedViewStore:
             for ver in (vers if isinstance(vers, list) else [vers])
         ]
 
-    def read(self, spark: SparkSession, buckets=None) -> DataFrame | None:
+    def read(self, spark: SparkSession, buckets=None, cur=None) -> DataFrame | None:
         """State table; ``buckets`` restricts the read to those buckets'
-        paths — the merge path never scans untouched buckets."""
-        cur = self.current()
+        paths — the merge path never scans untouched buckets. ``cur``
+        pins a pointer snapshot the CALLER already read: a serving
+        request must resolve every path under ONE pointer (re-reading
+        here could interleave with a concurrent commit and mix two
+        snapshots' buckets); the one-generation ``prev_refs`` vacuum
+        grace keeps the pinned snapshot's files alive through a racing
+        commit."""
+        if cur is None:
+            cur = self.current()
         if cur is None or not cur["manifest"]:
             return None
         paths = self._bucket_paths(cur["manifest"], buckets)

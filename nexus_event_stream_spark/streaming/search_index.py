@@ -328,12 +328,22 @@ class BM25IndexStore:
         k1: float = 1.2,
         b: float = 0.75,
         max_df_frac: float = 0.5,
+        cur: dict | None = None,
     ) -> DataFrame | None:
         """Top-k per query from the live index: bucket-pruned postings
-        read, LIVE df/idf (+ live stop-term cap), then the batch scorer."""
+        read, LIVE df/idf (+ live stop-term cap), then the batch scorer.
+
+        ``cur`` pins a pointer snapshot the caller already read; every
+        pointer-derived input of the query — the bucket manifest paths,
+        the n_docs/sum_dl counters the idf and length norm use, the
+        tombstone queue — resolves under that ONE snapshot, so a commit
+        landing mid-request serves the old index or the new one, never
+        new postings normalized by old counters (the read-consistency
+        contract serving.py's /search pins)."""
         from ..operators.search import _py_search_tokens
 
-        cur = self.current()
+        if cur is None:
+            cur = self.current()
         if cur is None or not cur.get("n_docs"):
             return None
         terms = sorted(
@@ -353,7 +363,7 @@ class BM25IndexStore:
                 .collect()
             }
         )
-        slice_ = self._store.read(spark, buckets=buckets)
+        slice_ = self._store.read(spark, buckets=buckets, cur=cur)
         if slice_ is None:
             return None
         # queued takedowns are dead immediately — BEFORE the live df

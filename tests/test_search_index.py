@@ -100,9 +100,9 @@ def test_query_reads_are_bucket_pruned(spark, docs, tmp_path, monkeypatch):
     seen = []
     orig = store._store.read
 
-    def spy(spark_, buckets=None):
+    def spy(spark_, buckets=None, cur=None):
         seen.append(buckets)
-        return orig(spark_, buckets=buckets)
+        return orig(spark_, buckets=buckets, cur=cur)
 
     monkeypatch.setattr(store._store, "read", spy)
     res = store.query(spark, [(1, "dup")], k=5, max_df_frac=0.98)
