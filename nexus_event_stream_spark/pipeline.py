@@ -120,6 +120,16 @@ class CorpusRecipe:
     #: max_df_frac, min_df overrides)
     bm25_params: dict = field(default_factory=dict)
     passage_dedup_n: int | None = None
+    #: token-level exact-substring dedup (operators/exact_substr.py,
+    #: Lee et al. 2022 ExactSubstr — r11): every LATER occurrence of any
+    #: ≥ ``exact_substr_min_len``-token span that repeats corpus-wide is
+    #: removed from the text (corpus-first copy kept). Runs AFTER the
+    #: segment-grain passage dedup — the sliding grain catches the
+    #: boundary-straddling spans segments structurally miss; None
+    #: disables. ``exact_substr_anchor_k`` tunes the winnowing gram size
+    #: (None = min_len // 2; correctness is independent of the choice).
+    exact_substr_min_len: int | None = None
+    exact_substr_anchor_k: int | None = None
     #: shift-robust duplicated-passage gate (cdc_dedup): drop documents
     #: whose content-defined-chunk duplicated-char fraction exceeds
     #: ``cdc_max_dup_frac``. Catches documents that are mostly copies of
@@ -468,6 +478,27 @@ def prepare_training_corpus(
             .select(*docs.columns)
         )
         stages["passage_dedup"] = cur
+
+    if recipe.exact_substr_min_len:
+        from nexus_event_stream_spark.operators.exact_substr import (
+            exact_substr_dedup,
+        )
+
+        cleaned = exact_substr_dedup(
+            cur,
+            min_len=recipe.exact_substr_min_len,
+            anchor_k=recipe.exact_substr_anchor_k,
+            text_col=text_col,
+            id_col=id_col,
+            emit_text=True,
+        ).select(id_col, "clean_text")
+        cur = (
+            cur.join(cleaned, id_col)
+            .drop(text_col)
+            .withColumnRenamed("clean_text", text_col)
+            .select(*docs.columns)
+        )
+        stages["exact_substr"] = cur
 
     if recipe.reference_profile is not None:
         from nexus_event_stream_spark.operators.drift import (

@@ -231,3 +231,36 @@ def test_partition_independence(spark):
             dup,
             clean,
         )
+
+
+def test_recipe_stage_catches_boundary_straddling_spans(spark):
+    """CorpusRecipe.exact_substr_min_len composes the tier after the
+    segment-grain passage dedup: the 1-word-shifted shared span the
+    segment stage misses is removed by the sliding stage, first copy
+    kept, everything else byte-preserved."""
+    from nexus_event_stream_spark.pipeline import (
+        CorpusRecipe,
+        prepare_training_corpus,
+    )
+
+    shared = _w(0, 50, "s")
+    docs = _docs(
+        spark,
+        [
+            shared + " " + _w(0, 50),
+            "pre " + shared + " " + _w(300, 348),  # the 1-word shift
+        ],
+    )
+    recipe = CorpusRecipe(
+        quality=False,
+        redact_pii=False,
+        exact_dedup=False,
+        near_dedup=False,
+        passage_dedup_n=50,
+        exact_substr_min_len=50,
+    )
+    corpus, stages = prepare_training_corpus(docs, recipe)
+    out = {r.doc_id: r.text for r in corpus.collect()}
+    assert "exact_substr" in stages
+    assert out[0] == shared + " " + _w(0, 50)  # first copy intact
+    assert out[1] == "pre " + _w(300, 348)  # shifted copy stripped
