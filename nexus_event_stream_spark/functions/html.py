@@ -204,6 +204,11 @@ class _BlockParser:
         self._skip = 0
         self._boiler = 0
         self._link = 0
+        #: open tracked elements (skip/boiler/'a') in document order —
+        #: the recovery structure: wild HTML leaves tags unclosed, and a
+        #: bare depth counter poisoned every later block (one unclosed
+        #: <a> in the nav made the whole article 100% link density)
+        self._stack: list[str] = []
 
     def _flush(self) -> None:
         text = " ".join(" ".join(self._parts).split())
@@ -219,30 +224,60 @@ class _BlockParser:
         self._parts, self._chars = [], 0
         self._link_chars, self._boiler_chars = 0, 0
 
+    def _push(self, tag: str) -> None:
+        self._stack.append(tag)
+        if tag in _SKIP_TAGS:
+            self._skip += 1
+        elif tag in _BOILER_TAGS:
+            self._boiler += 1
+        elif tag == "a":
+            self._link += 1
+
+    def _pop_one(self) -> None:
+        tag = self._stack.pop()
+        if tag in _SKIP_TAGS:
+            self._skip -= 1
+        elif tag in _BOILER_TAGS:
+            self._boiler -= 1
+        elif tag == "a":
+            self._link -= 1
+
     def _start(self, tag: str, void: bool = False) -> None:
         if tag in _SKIP_TAGS:
             if not void:
-                self._skip += 1
+                self._push(tag)
             return
         if tag in _BLOCK_TAGS or tag in _BOILER_TAGS:
             self._flush()
+            # block boundary recovery: an inline <a> cannot usefully
+            # span rendered blocks — wild markup drops the </a>
+            # constantly, and carrying the link context forward marks
+            # every later paragraph as link text
+            while "a" in self._stack:
+                # close the unclosed <a> and anything opened inside it
+                while self._stack[-1] != "a":
+                    self._pop_one()
+                self._pop_one()
         if void or tag in _VOID_TAGS:
             return
-        if tag in _BOILER_TAGS:
-            self._boiler += 1
-        if tag == "a":
-            self._link += 1
+        if tag in _BOILER_TAGS or tag == "a":
+            self._push(tag)
 
     def _end(self, tag: str) -> None:
-        if tag in _SKIP_TAGS:
-            self._skip = max(0, self._skip - 1)
-            return
-        if tag in _BLOCK_TAGS or tag in _BOILER_TAGS:
+        if tag in _BLOCK_TAGS:
             self._flush()
-        if tag in _BOILER_TAGS:
-            self._boiler = max(0, self._boiler - 1)
-        if tag == "a":
-            self._link = max(0, self._link - 1)
+        if tag in _SKIP_TAGS or tag in _BOILER_TAGS or tag == "a":
+            if tag in _BOILER_TAGS:
+                self._flush()
+            if tag in self._stack:
+                # standard recovery: close everything left open inside
+                # the element being closed (<nav><a>Home</nav> must not
+                # leave the <a> poisoning the rest of the document)
+                while self._stack and self._stack[-1] != tag:
+                    self._pop_one()
+                if self._stack:
+                    self._pop_one()
+            # stray end tag (never opened): ignore
 
     def _data(self, data: str) -> None:
         if self._skip or not data:

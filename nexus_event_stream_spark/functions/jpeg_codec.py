@@ -88,15 +88,22 @@ _ZIGZAG = _zigzag_order()
 
 def _dct_matrix():
     """Orthonormal 8-point DCT-II matrix M: forward S = M s Mᵀ,
-    inverse s = Mᵀ S M — the T.81 Annex A transform."""
+    inverse s = Mᵀ S M — the T.81 Annex A transform. Cached: the
+    encoder's per-block path must not rebuild 64 cosines per call."""
     import numpy as np
 
-    m = np.zeros((8, 8), dtype=np.float64)
-    for u in range(8):
-        c = np.sqrt(0.125) if u == 0 else np.sqrt(0.25)
-        for x in range(8):
-            m[u, x] = c * np.cos((2 * x + 1) * u * np.pi / 16)
-    return m
+    global _DCT_M
+    if _DCT_M is None:
+        m = np.zeros((8, 8), dtype=np.float64)
+        for u in range(8):
+            c = np.sqrt(0.125) if u == 0 else np.sqrt(0.25)
+            for x in range(8):
+                m[u, x] = c * np.cos((2 * x + 1) * u * np.pi / 16)
+        _DCT_M = m
+    return _DCT_M
+
+
+_DCT_M = None
 
 
 # ---------------------------------------------------------------------------
@@ -426,14 +433,23 @@ def encode_baseline_jpeg(
 # ---------------------------------------------------------------------------
 
 
-def decode_baseline_jpeg(payload: bytes):
+def decode_baseline_jpeg(payload: bytes, max_pixels: int = 8_000_000):
     """Decode a baseline-sequential JPEG to full-resolution component
     planes: ``(width, height, [plane, ...])`` with each plane a float64
     (H, W) array in [0, 255] (Y/Cb/Cr for 3-component JFIF files, the
     single gray plane for 1-component). Raises ``ValueError`` on
     progressive / arithmetic / lossless profiles and on any structural
     or entropy-stream corruption (tolerant callers catch it — the
-    ``decoder_fn`` boundary convention)."""
+    ``decoder_fn`` boundary convention).
+
+    ``max_pixels`` bounds the frame area BEFORE any allocation: the SOF
+    header is attacker-controlled (a 200-byte payload can declare
+    65535×65535 = 34 GB of grids) and the per-MCU Huffman loop is
+    Python-bound, so an unbounded decode is an executor-OOM/stall
+    vector on the default media-ingest path. Frames above the cap raise
+    ``ValueError`` and ride the ``decoder_fn`` boundary like
+    progressive files; raise the cap only with the memory and patience
+    to back it (8 MP ≈ a few hundred MB of float64 planes)."""
     import numpy as np
 
     quant: dict[int, object] = {}
@@ -501,6 +517,10 @@ def decode_baseline_jpeg(payload: bytes):
                 raise ValueError("baseline requires 8-bit precision")
             if h == 0 or w == 0 or ncomp == 0:
                 raise ValueError("empty frame")
+            if h * w > max_pixels:
+                raise ValueError(
+                    f"frame {w}x{h} exceeds max_pixels={max_pixels}"
+                )
             if len(body) < 6 + 3 * ncomp:
                 raise ValueError("truncated SOF components")
             comps = []
@@ -516,6 +536,8 @@ def decode_baseline_jpeg(payload: bytes):
         elif marker == SOS:
             if frame is None:
                 raise ValueError("SOS before SOF")
+            if not body:
+                raise ValueError("empty SOS header")
             ns = body[0]
             if len(body) < 1 + 2 * ns + 3:
                 raise ValueError("truncated SOS header")
@@ -581,6 +603,19 @@ def decode_baseline_jpeg(payload: bytes):
                 return dc, ac
         raise ValueError("component missing from scan")
 
+    # hoist the per-block constants out of the MCU loop — the loop is
+    # Python-bound already; re-resolving tables per MCU and rebuilding
+    # the zigzag index array per BLOCK was pure overhead on every
+    # crawled JPEG
+    zz = np.array(_ZIGZAG)
+    comp_tables = []
+    for ci, (_cid, _hi, _vi, tq) in enumerate(comps):
+        qt = quant.get(tq)
+        if qt is None:
+            raise ValueError("frame references undeclared DQT table")
+        dc_tab, ac_tab = tables_for(ci)
+        comp_tables.append((dc_tab, ac_tab, qt))
+
     reader = _BitReader(intervals[0])
     interval_idx = 0
     dc_pred = [0] * len(comps)
@@ -595,10 +630,7 @@ def decode_baseline_jpeg(payload: bytes):
                 dc_pred = [0] * len(comps)
                 since_rst = 0
             for ci, (_cid, hi, vi, tq) in enumerate(comps):
-                dc_tab, ac_tab = tables_for(ci)
-                qt = quant.get(tq)
-                if qt is None:
-                    raise ValueError("frame references undeclared DQT table")
+                dc_tab, ac_tab, qt = comp_tables[ci]
                 for by in range(vi):
                     for bx in range(hi):
                         flat = np.zeros(64, dtype=np.float64)
@@ -623,7 +655,7 @@ def decode_baseline_jpeg(payload: bytes):
                             flat[k] = _extend(reader.read_bits(s), s)
                             k += 1
                         block = np.empty(64, dtype=np.float64)
-                        block[np.array(_ZIGZAG)] = flat
+                        block[zz] = flat
                         y0 = (my * vi + by) * 8
                         x0 = (mx * hi + bx) * 8
                         grids[ci][y0 : y0 + 8, x0 : x0 + 8] = (

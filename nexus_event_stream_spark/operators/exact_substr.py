@@ -321,16 +321,28 @@ def exact_substr_dedup(
                     continue
                 toks = _token_split(text)
                 n = len(toks)
-                covered = [False] * n
-                ss = [] if starts is None else list(starts)
-                for s in ss:
-                    for i in range(int(s), min(int(s) + L, n)):
-                        covered[i] = True
+                # merged-interval sweep over the SORTED starts — the
+                # per-start bitmap loop was O(|starts|·L) in exactly the
+                # heavy-duplication regime (consecutive starts overlap
+                # in L-1 positions); this is O(|starts| + n)
+                intervals: list[list[int]] = []
+                for s in [] if starts is None else starts:
+                    s = int(s)
+                    e = min(s + L, n)
+                    if intervals and s <= intervals[-1][1]:
+                        if e > intervals[-1][1]:
+                            intervals[-1][1] = e
+                    else:
+                        intervals.append([s, e])
+                pieces = []
+                prev = 0
+                for s, e in intervals:
+                    pieces.extend(toks[prev:s])
+                    prev = e
+                pieces.extend(toks[prev:])
                 nts.append(n)
-                dts.append(sum(covered))
-                cleans.append(
-                    " ".join(t for t, c in zip(toks, covered) if not c)
-                )
+                dts.append(sum(e - s for s, e in intervals))
+                cleans.append(" ".join(pieces))
             yield pd.DataFrame(
                 {
                     id_col: ids,

@@ -112,8 +112,13 @@ def default_image_decoder(payload: bytes):
 
         try:
             _w, _h, planes = decode_baseline_jpeg(bytes(payload))
-        except ValueError:
-            return None  # progressive / corrupt → decoder_fn boundary
+        except Exception:
+            # progressive / oversized / corrupt → decoder_fn boundary.
+            # Broad on purpose: this function's contract is "None, never
+            # a crash", and a crafted marker stream can surface errors
+            # beyond ValueError — one corrupt payload must not kill a
+            # media micro-batch.
+            return None
         return planes[0]  # Y plane (3-comp JFIF) or the gray plane
     if bytes(payload[:8]) != SIGNATURE:
         return None

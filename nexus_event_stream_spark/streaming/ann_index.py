@@ -242,6 +242,11 @@ class PQIndexStore:
                     "dirs": cur["dirs"] if cur else [],
                     "dir_rows": dir_rows,
                     "n_vectors": sum(dir_rows.values()),
+                    # pointer keys must ride EVERY commit site or they
+                    # silently drop on the next append (the pointer-dict
+                    # rule) — losing prev_dirs here would leak every
+                    # compact's grace set forever
+                    "prev_dirs": (cur or {}).get("prev_dirs", []),
                 },
                 expected=cur,
             )
@@ -264,6 +269,7 @@ class PQIndexStore:
                 "dirs": dirs,
                 "dir_rows": dir_rows,
                 "n_vectors": sum(dir_rows.values()),
+                "prev_dirs": (cur or {}).get("prev_dirs", []),
             },
             expected=cur,
         )

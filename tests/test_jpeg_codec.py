@@ -151,3 +151,38 @@ def test_encoder_input_validation():
         encode_baseline_jpeg(_gradient(8, 8), subsampling="4:1:1")
     with pytest.raises(ValueError):
         encode_baseline_jpeg(np.zeros((4, 4, 2), dtype=np.uint8))
+
+
+def test_crafted_dimensions_rejected_before_allocation():
+    # 200-byte payload declaring a 65535x65535 frame: the SOF header is
+    # attacker-controlled and must be rejected BEFORE any grid allocates
+    import struct
+
+    out = bytearray(b"\xff\xd8")
+    dqt = b"\x00" + bytes(range(1, 65))
+    out += b"\xff\xdb" + struct.pack(">H", len(dqt) + 2) + dqt
+    sof = struct.pack(">BHHB", 8, 65535, 65535, 1) + b"\x01\x11\x00"
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    with pytest.raises(ValueError, match="max_pixels"):
+        decode_baseline_jpeg(bytes(out))
+    # and a legitimate image over a CALLER-LOWERED cap rejects the same way
+    good = encode_baseline_jpeg(_gradient(40, 40), quality=85)
+    with pytest.raises(ValueError, match="max_pixels"):
+        decode_baseline_jpeg(good, max_pixels=100)
+
+
+def test_empty_sos_body_is_a_clean_value_error():
+    import struct
+
+    good = bytearray(encode_baseline_jpeg(_gradient(16, 16), quality=85))
+    sos = good.index(b"\xff\xda")
+    crafted = bytes(good[:sos]) + b"\xff\xda\x00\x02" + b"\xff\xd9"
+    with pytest.raises(ValueError):
+        decode_baseline_jpeg(crafted)
+    # the phash default decoder's contract: None, never a crash —
+    # whatever a crafted stream raises
+    from nexus_event_stream_spark.operators.phash import (
+        default_image_decoder,
+    )
+
+    assert default_image_decoder(crafted) is None

@@ -164,3 +164,44 @@ def test_warc_corpus_routes_main_content_and_regexp_baseline_unchanged(
     assert "Home" in rx_rows[0].text  # baseline keeps the nav line
     with pytest.raises(ValueError, match="html_extract"):
         warc_corpus(spark, str(warc), recipe=recipe, html_extract="dom")
+
+
+def test_unclosed_tags_do_not_poison_later_blocks():
+    """The wild's most common markup damage: a </a> (or container
+    close) that never arrives. Recovery: closing an element closes
+    everything left open inside it, and a block boundary closes any
+    open inline <a> — one bad nav item must not mark the whole article
+    as link text."""
+    # unclosed <a> inside a closed nav
+    html = (
+        "<html><body><nav><a href='/'>Home</nav>"
+        "<p>" + PROSE_1 + "</p></body></html>"
+    )
+    labels = dict(main_content_blocks(html))
+    assert labels[PROSE_1] == "good"
+    # unclosed <a> with no container close either: the next block
+    # boundary ends the inline context
+    html2 = (
+        "<html><body><p><a href='/x'>link text here"
+        "<p>" + PROSE_2 + "</p></body></html>"
+    )
+    labels2 = dict(main_content_blocks(html2))
+    assert labels2[PROSE_2] == "good"
+    # unclosed <nav> wrapping a menu, closed implicitly by </body>…
+    # never: that IS the document structure — but a CLOSED nav whose
+    # inner tags dangle must still end the boiler context
+    html3 = (
+        "<html><body><nav><form><a href='/'>menu</nav>"
+        "<p>" + PROSE_1 + "</p></body></html>"
+    )
+    labels3 = dict(main_content_blocks(html3))
+    assert labels3[PROSE_1] == "good"
+    # stray end tags are ignored, not underflowed
+    html4 = (
+        "</a></nav></footer><html><body><p>" + PROSE_2 + "</p>"
+        "<footer>legal words repeated enough to pass any length floor"
+        " for sure absolutely</footer></body></html>"
+    )
+    labels4 = dict(main_content_blocks(html4))
+    assert labels4[PROSE_2] == "good"
+    assert [v for k, v in labels4.items() if k.startswith("legal")] == ["bad"]

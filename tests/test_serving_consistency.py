@@ -154,13 +154,16 @@ def test_similar_pins_one_snapshot_across_append_and_compact(
         for r in sorted(pinned1.collect(), key=lambda r: r.rank)
     ] == fresh  # compact is row-identical — same answer either side
 
-    # the NEXT compact vacuums the grace set
-    store.append(first.limit(0), 2, "run")  # no-op epoch
-    cur2 = store.current()
-    if len(cur2["dirs"]) > 1:
-        store.compact(spark)
-        for d in cur1["dirs"]:
-            assert not os.path.exists(d)
+    # prev_dirs must survive intermediate appends (pointer-dict rule:
+    # every commit site carries every key) so the NEXT compact — and
+    # only it — vacuums the grace set
+    store.append(emb.filter(F.col("vec_id") < 10), 2, "run")
+    assert store.current().get("prev_dirs") == cur1["dirs"]
+    for d in cur1["dirs"]:
+        assert os.path.exists(d)  # still in grace through the append
+    assert store.compact(spark) == 2  # compact dir + epoch-2 dir
+    for d in cur1["dirs"]:
+        assert not os.path.exists(d)  # previous grace set vacuumed now
 
     # race simulation through the SERVICE: one pointer read per request
     calls = {"n": 0}
