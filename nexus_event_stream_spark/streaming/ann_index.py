@@ -71,6 +71,16 @@ POINTER = "_CURRENT"
 _QUANTIZERS = "_quantizers.json"
 
 
+class SnapshotExpiredError(RuntimeError):
+    """A pinned pointer references epoch dirs that a later compact has
+    vacuumed. The one-generation grace window (see :meth:`compact`)
+    covers any request that raced a SINGLE compact; a pointer held
+    across TWO compactions is beyond retention — the data it named was
+    merged and the originals removed — so the read fails loudly here
+    instead of surfacing a raw path error from the scan. Retry with a
+    fresh ``current()``."""
+
+
 def _index_schema(id_col: str) -> T.StructType:
     return T.StructType(
         [
@@ -340,6 +350,13 @@ class PQIndexStore:
             cur = self.current()
         if cur is None or not cur["dirs"]:
             return None
+        missing = [d for d in cur["dirs"] if not os.path.isdir(d)]
+        if missing:
+            raise SnapshotExpiredError(
+                "pinned snapshot (epoch %s) references vacuumed dirs %s"
+                " — held across more than one compact; re-read current()"
+                % (cur.get("epoch"), missing)
+            )
         legs = [
             spark.read.parquet(d).select(
                 self.id_col,

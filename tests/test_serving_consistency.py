@@ -154,6 +154,22 @@ def test_similar_pins_one_snapshot_across_append_and_compact(
         for r in sorted(pinned1.collect(), key=lambda r: r.rank)
     ] == fresh  # compact is row-identical — same answer either side
 
+    # race simulation through the SERVICE: one pointer read per request.
+    # cur0's epoch dir rides the compact's grace set (prev_dirs), so a
+    # request that read the pointer just before the compact still scans
+    # intact files and answers from ITS snapshot — first-30 only.
+    calls = {"n": 0}
+    real_current = store.current
+
+    def racing_current():
+        calls["n"] += 1
+        return cur0 if calls["n"] == 1 else real_current()
+
+    monkeypatch.setattr(store, "current", racing_current)
+    got = [(r.vec_id, r.rank) for r in svc.similar(3, k=5, nprobe=4)]
+    assert got == r0 and calls["n"] == 1
+    monkeypatch.setattr(store, "current", real_current)
+
     # prev_dirs must survive intermediate appends (pointer-dict rule:
     # every commit site carries every key) so the NEXT compact — and
     # only it — vacuums the grace set
@@ -165,14 +181,19 @@ def test_similar_pins_one_snapshot_across_append_and_compact(
     for d in cur1["dirs"]:
         assert not os.path.exists(d)  # previous grace set vacuumed now
 
-    # race simulation through the SERVICE: one pointer read per request
-    calls = {"n": 0}
-    real_current = store.current
+    # a pointer held across TWO compacts is beyond the grace window —
+    # its dirs are gone, and the read must fail with the named expiry
+    # error (retry-with-fresh-pointer signal), never a raw path error
+    from nexus_event_stream_spark.streaming.ann_index import (
+        SnapshotExpiredError,
+    )
 
-    def racing_current():
-        calls["n"] += 1
-        return cur0 if calls["n"] == 1 else real_current()
-
+    calls["n"] = 0
     monkeypatch.setattr(store, "current", racing_current)
-    got = [(r.vec_id, r.rank) for r in svc.similar(3, k=5, nprobe=4)]
-    assert got == r0 and calls["n"] == 1
+    with pytest.raises(SnapshotExpiredError, match="vacuumed"):
+        svc.similar(3, k=5, nprobe=4)
+    monkeypatch.setattr(store, "current", real_current)
+    # fresh pointer serves fine — expiry is per-request, not sticky
+    assert [
+        (r.vec_id, r.rank) for r in svc.similar(3, k=5, nprobe=4)
+    ]
