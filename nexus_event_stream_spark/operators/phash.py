@@ -31,10 +31,11 @@ declared threshold, unlike MinHash's probabilistic bands.
 
 Decode boundary (the embedding.py ``encoder_fn`` convention): the
 default decoder is a REAL pixel decode for PNG/APNG (functions/png.py)
-AND baseline JPEG (functions/jpeg_codec.py — Huffman + dequant + IDCT,
-pure stdlib+numpy), covering the two dominant crawled formats out of
-the box; formats whose pixel decode is environment-capped in this
-container (progressive JPEG, video codecs) return ``phash = NULL``
+AND JPEG — baseline and progressive profiles (functions/jpeg_codec.py:
+Huffman + dequant + IDCT, pure stdlib+numpy) — covering the two
+dominant crawled formats out of the box; formats whose pixel decode is
+environment-capped in this container (arithmetic-coded JPEG, video
+codecs) return ``phash = NULL``
 with ``decoded = false`` — tolerant-reader, never a crash — and a real
 deployment passes ``decoder_fn`` backed by its codec library to light
 them up. The Spark-side plumbing (schema, banding, verification,
@@ -87,12 +88,13 @@ def default_image_decoder(payload: bytes):
     environment cannot pixel-decode the format (tolerant-reader).
 
     Real decode for the PNG family (plain + APNG first frame) via
-    functions/png.py and for BASELINE JPEG — the dominant crawled image
-    format — via functions/jpeg_codec.py (the decoded Y plane IS the
-    BT.601 luma dHash needs, no RGB roundtrip). Progressive/arithmetic
-    JPEG and video pixel decode stay environment-capped (see
-    operators/multimodal.py) — plug a codec-backed ``decoder_fn``
-    into :func:`perceptual_hashes` to cover them in production.
+    functions/png.py and for JPEG — the dominant crawled image format,
+    BASELINE and PROGRESSIVE profiles both — via functions/jpeg_codec.py
+    (the decoded Y plane IS the BT.601 luma dHash needs, no RGB
+    roundtrip). Arithmetic-coded/lossless JPEG and video pixel decode
+    stay environment-capped (see operators/multimodal.py) — plug a
+    codec-backed ``decoder_fn`` into :func:`perceptual_hashes` to cover
+    them in production.
     """
     import numpy as np
 
@@ -107,13 +109,13 @@ def default_image_decoder(payload: bytes):
         return None
     if bytes(payload[:2]) == b"\xff\xd8":
         from nexus_event_stream_spark.functions.jpeg_codec import (
-            decode_baseline_jpeg,
+            decode_jpeg,
         )
 
         try:
-            _w, _h, planes = decode_baseline_jpeg(bytes(payload))
+            _w, _h, planes = decode_jpeg(bytes(payload))
         except Exception:
-            # progressive / oversized / corrupt → decoder_fn boundary.
+            # arithmetic / oversized / corrupt → decoder_fn boundary.
             # Broad on purpose: this function's contract is "None, never
             # a crash", and a crafted marker stream can surface errors
             # beyond ValueError — one corrupt payload must not kill a

@@ -186,3 +186,167 @@ def test_empty_sos_body_is_a_clean_value_error():
     )
 
     assert default_image_decoder(crafted) is None
+
+
+# ---------------------------------------------------------------------------
+# Progressive profile (SOF2) — r11
+# ---------------------------------------------------------------------------
+#
+# The load-bearing pin is CROSS-PROFILE IDENTITY: progressive
+# transmission reorders the SAME quantized coefficients, so a
+# progressive encode at the same quality/subsampling must decode
+# PIXEL-IDENTICAL to the baseline stream. The two entropy layers
+# (run/size vs spectral bands + EOBn runs + correction bits) check each
+# other rather than themselves.
+
+from nexus_event_stream_spark.functions.jpeg_codec import (  # noqa: E402
+    decode_jpeg,
+    decode_progressive_jpeg,
+    encode_progressive_jpeg,
+)
+
+
+def _assert_identical(base_bytes: bytes, prog_bytes: bytes) -> None:
+    wb, hb, pb = decode_baseline_jpeg(base_bytes)
+    wp, hp, pp = decode_progressive_jpeg(prog_bytes)
+    assert (wb, hb) == (wp, hp) and len(pb) == len(pp)
+    for a, c in zip(pb, pp):
+        assert np.abs(a - c).max() == 0.0
+
+
+@pytest.mark.parametrize("quality", [100, 85, 40])
+def test_progressive_decodes_pixel_identical_to_baseline(quality):
+    rng = np.random.RandomState(11)
+    for px, sub in [
+        (_gradient(24, 40), "4:4:4"),
+        (rng.randint(0, 256, (33, 17, 3)).astype(np.uint8), "4:4:4"),
+        (_rgb(32, 48), "4:2:0"),
+    ]:
+        base = encode_baseline_jpeg(px, quality=quality, subsampling=sub)
+        prog = encode_progressive_jpeg(px, quality=quality, subsampling=sub)
+        _assert_identical(base, prog)
+        # the dispatcher routes each profile to its decoder
+        assert decode_jpeg(base)[0] == decode_jpeg(prog)[0]
+        # and the metadata parser agrees on the profile flag
+        assert jpeg_meta(base)["progressive"] is False
+        assert jpeg_meta(prog)["progressive"] is True
+
+
+def test_spectral_selection_only_script():
+    """Al=0 everywhere — pure spectral selection, no successive
+    approximation: bands split three ways on luma."""
+    px = _rgb(40, 24)
+    script = [
+        ([0, 1, 2], 0, 0, 0, 0),
+        ([0], 1, 5, 0, 0),
+        ([0], 6, 20, 0, 0),
+        ([0], 21, 63, 0, 0),
+        ([1], 1, 63, 0, 0),
+        ([2], 1, 63, 0, 0),
+    ]
+    base = encode_baseline_jpeg(px, quality=70)
+    prog = encode_progressive_jpeg(px, quality=70, scan_script=script)
+    _assert_identical(base, prog)
+
+
+def test_deep_successive_approximation_chain():
+    """Al=3 first scans refined bit-by-bit down to 0 — every refinement
+    level exercises the correction-bit decode path."""
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, (48, 40)).astype(np.uint8)
+    script = [
+        ([0], 0, 0, 0, 3),
+        ([0], 1, 63, 0, 3),
+        ([0], 0, 0, 3, 2),
+        ([0], 1, 63, 3, 2),
+        ([0], 0, 0, 2, 1),
+        ([0], 1, 63, 2, 1),
+        ([0], 0, 0, 1, 0),
+        ([0], 1, 63, 1, 0),
+    ]
+    base = encode_baseline_jpeg(px, quality=85)
+    prog = encode_progressive_jpeg(px, quality=85, scan_script=script)
+    _assert_identical(base, prog)
+
+
+def test_eobn_runs_on_flat_regions():
+    """A mostly-flat image drives long end-of-band runs (EOBn symbols
+    with r > 0 and extra bits) in both first and refinement AC scans."""
+    px = np.full((96, 96), 128, dtype=np.uint8)
+    px[0, 0] = 255  # one busy block so the scan isn't ALL EOB
+    base = encode_baseline_jpeg(px, quality=85)
+    prog = encode_progressive_jpeg(px, quality=85)
+    _assert_identical(base, prog)
+
+
+def test_progressive_restart_interval_resync():
+    px = _rgb(40, 56)
+    with_ri = encode_progressive_jpeg(px, quality=75, restart_interval=3)
+    without = encode_progressive_jpeg(px, quality=75)
+    a = decode_progressive_jpeg(with_ri)
+    b = decode_progressive_jpeg(without)
+    for x, y in zip(a[2], b[2]):
+        assert np.abs(x - y).max() == 0.0
+    assert b"\xff\xd0" in with_ri and b"\xff\xd0" not in without
+
+
+def test_progressive_rgb_convenience_matches_baseline():
+    px = _rgb(24, 24)
+    _, _, _, rgb_b = decode_jpeg_rgb(encode_baseline_jpeg(px, quality=90))
+    _, _, _, rgb_p = decode_jpeg_rgb(encode_progressive_jpeg(px, quality=90))
+    assert (rgb_b == rgb_p).all()
+
+
+def test_progressive_profile_routing_errors():
+    px = _gradient(16, 16)
+    base = encode_baseline_jpeg(px, quality=85)
+    prog = encode_progressive_jpeg(px, quality=85)
+    # each decoder rejects the other profile by frame marker
+    with pytest.raises(ValueError, match="baseline"):
+        decode_progressive_jpeg(base)
+    with pytest.raises(ValueError, match="progressive|codec"):
+        decode_baseline_jpeg(prog)
+    # arithmetic-coded frame marker → dispatcher rejects
+    arith = bytearray(prog)
+    arith[arith.index(b"\xff\xc2") + 1] = 0xCA
+    with pytest.raises(ValueError, match="arithmetic|profile"):
+        decode_jpeg(bytes(arith))
+    # the synthesized progressive file (placeholder tables, no real
+    # entropy data) stays a clean ValueError through the dispatcher
+    with pytest.raises(ValueError):
+        decode_jpeg(synthesize_jpeg(16, 16, progressive=True))
+    # truncated mid-scan → clean error, and the phash decoder maps None
+    from nexus_event_stream_spark.operators.phash import (
+        default_image_decoder,
+    )
+
+    with pytest.raises(ValueError):
+        decode_progressive_jpeg(prog[: len(prog) // 2])
+    assert default_image_decoder(prog[: len(prog) // 2]) is None
+    # a real progressive file now lights up in the default decoder
+    assert default_image_decoder(prog) is not None
+
+
+def test_progressive_scan_script_validation():
+    px = _gradient(16, 16)
+    with pytest.raises(ValueError, match="non-interleaved"):
+        encode_progressive_jpeg(
+            np.repeat(px[:, :, None], 3, 2),
+            scan_script=[([0, 1, 2], 0, 0, 0, 0), ([0, 1], 1, 63, 0, 0)],
+        )
+    with pytest.raises(ValueError, match="Se"):
+        encode_progressive_jpeg(px, scan_script=[([0], 0, 5, 0, 0)])
+    with pytest.raises(ValueError, match="missing component"):
+        encode_progressive_jpeg(px, scan_script=[([1], 0, 0, 0, 0)])
+    # decoder-side: an interleaved AC scan is structurally invalid —
+    # craft one by patching a valid single-comp AC SOS to name 3 comps
+    prog = bytearray(encode_progressive_jpeg(_rgb(16, 16), quality=85))
+    # find an AC SOS (ns=1): header FF DA len ns=1 ...
+    i = prog.index(b"\xff\xda\x00\x08\x01")
+    crafted = (
+        bytes(prog[:i])
+        + b"\xff\xda\x00\x0c\x03\x01\x00\x02\x00\x03\x00\x01\x3f\x00"
+        + b"\xff\xd9"
+    )
+    with pytest.raises(ValueError, match="non-interleaved"):
+        decode_progressive_jpeg(crafted)

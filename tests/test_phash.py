@@ -156,12 +156,14 @@ def test_perceptual_dedup_collapses_variants(spark, media):
 
 def test_jpeg_twins_collapse_with_the_default_decoder(spark):
     """r10 verdict item: JPEG is the dominant crawled format — with the
-    baseline codec wired in, re-encoded / resized / RGB / 4:2:0 JPEG
-    twins of a PNG original must collapse WITHOUT any decoder_fn, while
-    a progressive re-encode stays on the decoder_fn boundary
-    (undecodable → mapped to itself)."""
+    codec wired in, re-encoded / resized / RGB / 4:2:0 / (r11)
+    PROGRESSIVE JPEG twins of a PNG original must collapse WITHOUT any
+    decoder_fn, while a structurally-invalid marker-flipped stream
+    stays on the decoder_fn boundary (undecodable → mapped to
+    itself)."""
     from nexus_event_stream_spark.functions.jpeg_codec import (
         encode_baseline_jpeg,
+        encode_progressive_jpeg,
     )
 
     rows = []
@@ -181,11 +183,14 @@ def test_jpeg_twins_collapse_with_the_default_decoder(spark):
                 quality=85,
                 subsampling="4:2:0",
             ),
+            encode_progressive_jpeg(img, quality=90),  # progressive (r11)
         ]
         for payload in variants_jpeg:
             rows.append((mid, s, payload))
             mid += 1
-    # progressive re-encode: flip the SOF marker of a valid baseline file
+    # a marker-flipped frankenstream (baseline scan under an SOF2 frame
+    # header) is structurally invalid for BOTH profiles — it must stay
+    # on the decoder_fn boundary even with the progressive decoder live
     prog = bytearray(encode_baseline_jpeg(make_img(SEEDS[0]), quality=90))
     prog[prog.index(b"\xff\xc0") + 1] = 0xC2
     rows.append((100, -1, bytes(prog)))
@@ -193,8 +198,8 @@ def test_jpeg_twins_collapse_with_the_default_decoder(spark):
     out = perceptual_dedup(df).collect()
     keep = {int(r.media_id): int(r.keep_id) for r in out}
     decoded = {int(r.media_id): bool(r.decoded) for r in out}
-    assert {keep[m] for m in range(0, 5)} == {0}
-    assert {keep[m] for m in range(5, 10)} == {5}
+    assert {keep[m] for m in range(0, 6)} == {0}
+    assert {keep[m] for m in range(6, 12)} == {6}
     assert keep[100] == 100 and not decoded[100]
 
 
