@@ -173,6 +173,264 @@ def quality_signals(
     ).drop("__toks")
 
 
+#: Gopher repetition-removal thresholds (Rae et al. 2021 Table A1) as
+#: integer percentages — a document FAILS if any signal exceeds its cap.
+REPETITION_THRESHOLDS = {
+    "max_dup_line_frac_pct": 30,
+    "max_dup_para_frac_pct": 30,
+    "max_dup_line_char_frac_pct": 20,
+    "max_dup_para_char_frac_pct": 20,
+    "max_top_2gram_char_frac_pct": 20,
+    "max_top_3gram_char_frac_pct": 18,
+    "max_top_4gram_char_frac_pct": 16,
+    "max_dup_5gram_char_frac_pct": 15,
+    "max_dup_6gram_char_frac_pct": 14,
+    "max_dup_7gram_char_frac_pct": 13,
+    "max_dup_8gram_char_frac_pct": 12,
+    "max_dup_9gram_char_frac_pct": 11,
+    "max_dup_10gram_char_frac_pct": 10,
+}
+
+
+def _unit_dup_stats(arr: Column) -> Column:
+    """(n, chars, dup_n, dup_chars) for an array of text units (lines or
+    paragraphs): a duplicate is every occurrence of a unit AFTER its
+    first. One sort + one fold — shuffle-free, O(n log n) per doc."""
+    srt = F.array_sort(arr)
+    zero = F.lit(0).cast("bigint")
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        zero.alias("dn"),
+        zero.alias("dc"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        is_dup = x.eqNullSafe(acc["prev"])
+        return F.struct(
+            x.alias("prev"),
+            F.when(is_dup, acc["dn"] + 1).otherwise(acc["dn"]).alias("dn"),
+            F.when(is_dup, acc["dc"] + F.length(x))
+            .otherwise(acc["dc"])
+            .alias("dc"),
+        )
+
+    folded = F.aggregate(
+        srt, init, step, lambda a: F.struct(a["dn"], a["dc"])
+    )
+    return F.struct(
+        F.size(arr).cast("bigint").alias("n"),
+        F.aggregate(
+            arr, zero, lambda a, x: a + F.length(x)
+        ).alias("chars"),
+        folded["dn"].alias("dup_n"),
+        folded["dc"].alias("dup_chars"),
+    )
+
+
+def _top_ngram_chars(toks: Column, n: int) -> Column:
+    """Characters covered by the most frequent word n-gram: occurrence
+    count × the gram's whitespace-free char length. Ties break toward
+    the larger char coverage (deterministic). Same sorted-run fold as
+    ``top_bigram_count``, tracking coverage alongside the run."""
+    grams = F.array_sort(ngrams_from_tokens(toks, n))
+    zero = F.lit(0).cast("bigint")
+    init = F.struct(
+        F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")
+    )
+    sep = F.lit(n - 1).cast("bigint")  # single-space joiners in the gram
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("bigint")
+        )
+        cand = run * (F.length(x) - sep)
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], cand).alias("best"),
+        )
+
+    return F.aggregate(grams, init, step, lambda acc: acc["best"])
+
+
+def _dup_ngram_chars(toks: Column, n: int) -> Column:
+    """Characters inside word n-grams that occur more than once in the
+    document, counting each covered TOKEN POSITION once however many
+    duplicated grams overlap it (the Rae et al. A1 "taking care not to
+    count characters in overlapping n-grams more than once" rule).
+
+    Shuffle-free per-doc pipeline: index the grams, sort (gram, idx)
+    pairs, mark members of equal-gram runs by neighbor comparison,
+    union their [idx, idx+n) position intervals via distinct-flatten,
+    and sum the token lengths at covered positions."""
+    m = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    idx = F.sequence(F.lit(1), m)
+    pairs = F.when(
+        m > 0,
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                F.concat_ws(" ", F.slice(toks, i, n)).alias("g"),
+                i.alias("i"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<g:string,i:int>>"))
+    sp = F.array_sort(pairs)  # by gram, then original index
+    k = F.size(sp)
+    dup_starts = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda j: F.when(
+                (
+                    (j > 1)
+                    & (
+                        F.element_at(sp, j)["g"]
+                        == F.element_at(sp, j - 1)["g"]
+                    )
+                )
+                | (
+                    (j < k)
+                    & (
+                        F.element_at(sp, j)["g"]
+                        == F.element_at(sp, j + 1)["g"]
+                    )
+                ),
+                F.element_at(sp, j)["i"],
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                dup_starts, lambda s: F.sequence(s, s + F.lit(n - 1))
+            )
+        )
+    )
+    return F.coalesce(
+        F.aggregate(
+            covered,
+            F.lit(0).cast("bigint"),
+            lambda a, p: a + F.length(F.element_at(toks, p)),
+        ),
+        F.lit(0).cast("bigint"),
+    )
+
+
+def repetition_pass_checks(thresholds: dict | None = None) -> Column:
+    """The Gopher repetition predicate over the columns
+    ``repetition_signals`` appends — integer cross-multiplication only
+    (no float compares), exposed separately so per-language routing can
+    re-evaluate it under different caps without recomputing signals."""
+    t = thresholds or REPETITION_THRESHOLDS
+    wc = F.col("rep_word_chars")
+    checks = (
+        (F.col("dup_line_n") * 100 <= t["max_dup_line_frac_pct"] * F.col("n_lines"))
+        & (F.col("dup_para_n") * 100 <= t["max_dup_para_frac_pct"] * F.col("n_paras"))
+        & (
+            F.col("dup_line_chars") * 100
+            <= t["max_dup_line_char_frac_pct"] * F.col("line_chars")
+        )
+        & (
+            F.col("dup_para_chars") * 100
+            <= t["max_dup_para_char_frac_pct"] * F.col("para_chars")
+        )
+    )
+    for n in (2, 3, 4):
+        checks = checks & (
+            F.col(f"top_{n}gram_chars") * 100
+            <= t[f"max_top_{n}gram_char_frac_pct"] * wc
+        )
+    for n in range(5, 11):
+        checks = checks & (
+            F.col(f"dup_{n}gram_chars") * 100
+            <= t[f"max_dup_{n}gram_char_frac_pct"] * wc
+        )
+    return checks
+
+
+def repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    thresholds: dict | None = None,
+) -> DataFrame:
+    """Append the COMPLETE Gopher repetition-removal suite (Rae et al.
+    2021 Table A1) — the within-document repetition signals
+    ``quality_signals``'s word/bigram pair only samples:
+
+    - ``dup_line_frac`` / ``dup_para_frac``: fraction of lines /
+      paragraphs (``\\n`` / ``\\n\\n`` split, trimmed, empties dropped)
+      that are repeat occurrences of an earlier identical unit;
+    - ``dup_line_char_frac`` / ``dup_para_char_frac``: same at
+      character weight;
+    - ``top_{2,3,4}gram_char_frac``: characters covered by the most
+      frequent word n-gram (count × whitespace-free gram length) over
+      total word characters;
+    - ``dup_{5..10}gram_char_frac``: characters inside n-grams occurring
+      more than once, each covered token position counted ONCE however
+      many duplicated grams overlap it;
+    - ``repetition_pass``: the A1 thresholds, integer-exact.
+
+    Everything is Catalyst HOF folds over per-document arrays — zero
+    shuffle, zero Python, cost O(len · log len) per document; at 100 TB
+    this stays a pure scan-bandwidth projection like
+    ``quality_signals``. Empty documents pass vacuously (fractions 0)."""
+    t = thresholds or REPETITION_THRESHOLDS
+    text = _col(text_col)
+    units = {
+        # NB: the lambda must take exactly one arg — passing F.trim
+        # directly would make transform bind (element, index) and turn
+        # it into two-parameter trim (index digits as the trim set).
+        "line": F.filter(
+            F.transform(F.split(text, "\n"), lambda x: F.trim(x)),
+            lambda x: x != "",
+        ),
+        "para": F.filter(
+            F.transform(F.split(text, "\n\n"), lambda x: F.trim(x)),
+            lambda x: x != "",
+        ),
+    }
+    out = df.withColumn("__toks", tokens(text))
+    toks = F.col("__toks")
+    cols: dict[str, Column] = {
+        "rep_word_chars": F.aggregate(
+            toks, F.lit(0).cast("bigint"), lambda a, w: a + F.length(w)
+        ),
+    }
+    for kind, arr in units.items():
+        st = _unit_dup_stats(arr)
+        cols[f"n_{kind}s"] = st["n"]
+        cols[f"{kind}_chars"] = st["chars"]
+        cols[f"dup_{kind}_n"] = st["dup_n"]
+        cols[f"dup_{kind}_chars"] = st["dup_chars"]
+    for n in (2, 3, 4):
+        cols[f"top_{n}gram_chars"] = _top_ngram_chars(toks, n)
+    for n in range(5, 11):
+        cols[f"dup_{n}gram_chars"] = _dup_ngram_chars(toks, n)
+    out = out.withColumns(cols)
+    wc = F.greatest(F.col("rep_word_chars"), F.lit(1))
+    fracs: dict[str, Column] = {}
+    for kind in ("line", "para"):
+        fracs[f"dup_{kind}_frac"] = F.col(f"dup_{kind}_n").cast(
+            "double"
+        ) / F.greatest(F.col(f"n_{kind}s"), F.lit(1))
+        fracs[f"dup_{kind}_char_frac"] = F.col(f"dup_{kind}_chars").cast(
+            "double"
+        ) / F.greatest(F.col(f"{kind}_chars"), F.lit(1))
+    for n in (2, 3, 4):
+        fracs[f"top_{n}gram_char_frac"] = (
+            F.col(f"top_{n}gram_chars").cast("double") / wc
+        )
+    for n in range(5, 11):
+        fracs[f"dup_{n}gram_char_frac"] = (
+            F.col(f"dup_{n}gram_chars").cast("double") / wc
+        )
+    fracs["repetition_pass"] = (
+        F.when(repetition_pass_checks(t), 1).otherwise(0).cast("bigint")
+    )
+    return out.withColumns(fracs).drop("__toks")
+
+
 def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Detect and redact PII spans; append counts + the redacted text.
 

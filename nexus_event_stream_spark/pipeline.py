@@ -98,6 +98,16 @@ class CorpusRecipe:
     #: the blocklist must exist to broadcast), the one documented
     #: exception to lazy composition alongside the benchmark jobs.
     boilerplate_line_frac: float | None = None
+    #: WITHIN-document repetition removal (Gopher, Rae et al. 2021 Table
+    #: A1 — operators/quality.repetition_signals): drop documents whose
+    #: duplicate-line/paragraph fractions or top/duplicated n-gram char
+    #: coverage exceed the published caps. Complements the CROSS-document
+    #: dedup tiers — a doc that repeats itself passes every corpus-level
+    #: dedup yet is exactly the low-quality generation-loop text Gopher
+    #: removes. Runs before the rule quality gate (the published order);
+    #: ``repetition_thresholds`` overrides REPETITION_THRESHOLDS.
+    repetition: bool = False
+    repetition_thresholds: dict | None = None
     redact_pii: bool = True
     exact_dedup: bool = True
     near_dedup: bool = True
@@ -268,6 +278,17 @@ def prepare_training_corpus(
             cur, boiler, text_col=text_col, id_col=id_col
         )
         stages["boilerplate_lines"] = cur
+
+    if recipe.repetition:
+        from nexus_event_stream_spark.operators.quality import (
+            repetition_signals,
+        )
+
+        rep = repetition_signals(
+            cur, text_col, thresholds=recipe.repetition_thresholds
+        )
+        cur = rep.filter(F.col("repetition_pass") == 1).select(*docs.columns)
+        stages["repetition"] = cur
 
     sig = None
     if recipe.quality:

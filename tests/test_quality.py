@@ -704,3 +704,177 @@ def test_boilerplate_stage_in_recipe(spark):
     texts = [r.text for r in corpus.collect()]
     assert texts and all(nav not in t for t in texts)
     assert all("reasonable paragraph" in t for t in texts)
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition-removal suite (Rae et al. 2021 Table A1)
+# ---------------------------------------------------------------------------
+
+from nexus_event_stream_spark.operators.quality import (  # noqa: E402
+    REPETITION_THRESHOLDS,
+    repetition_signals,
+)
+
+
+def _ref_repetition(text):
+    """Pure-Python oracle mirroring the repo's conventions exactly:
+    single-space tokenization, space-only trim on line/para units."""
+    toks = text.split(" ")
+    out = {"rep_word_chars": sum(len(t) for t in toks)}
+    for kind, sep in (("line", "\n"), ("para", "\n\n")):
+        units = [u.strip(" ") for u in text.split(sep)]
+        units = [u for u in units if u != ""]
+        c = Counter(units)
+        out[f"n_{kind}s"] = len(units)
+        out[f"{kind}_chars"] = sum(len(u) for u in units)
+        out[f"dup_{kind}_n"] = len(units) - len(c)
+        out[f"dup_{kind}_chars"] = sum(
+            (cnt - 1) * len(u) for u, cnt in c.items()
+        )
+    for n in (2, 3, 4):
+        grams = [
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        ]
+        out[f"top_{n}gram_chars"] = max(
+            (cnt * (len(g) - (n - 1)) for g, cnt in Counter(grams).items()),
+            default=0,
+        )
+    for n in range(5, 11):
+        grams = [
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        ]
+        cnt = Counter(grams)
+        covered = set()
+        for i, g in enumerate(grams):
+            if cnt[g] > 1:
+                covered.update(range(i, i + n))
+        out[f"dup_{n}gram_chars"] = sum(len(toks[p]) for p in covered)
+    return out
+
+
+def test_repetition_signals_closed_form(spark):
+    df = repetition_signals(
+        _docs(
+            spark,
+            [
+                "x y x y x y z",          # top-2gram "x y" x3 covers 6/7 chars
+                "a b c d e a b c d e",    # dup 5-gram covers ALL 10 positions
+                "l1\nl1\nl2\n\np2\n\np2",  # line + para duplicates
+            ],
+        )
+    )
+    rows = {r.doc_id: r for r in df.collect()}
+    r0 = rows[0]
+    assert (r0.rep_word_chars, r0.top_2gram_chars) == (7, 6)
+    assert r0.top_2gram_char_frac == pytest.approx(6 / 7)
+    assert r0.dup_5gram_chars == 0
+    assert r0.repetition_pass == 0  # 86% > the 20% top-2gram cap
+    r1 = rows[1]
+    assert (r1.rep_word_chars, r1.dup_5gram_chars) == (10, 10)
+    assert r1.dup_5gram_char_frac == pytest.approx(1.0)
+    assert r1.repetition_pass == 0
+    r2 = rows[2]
+    assert (r2.n_lines, r2.dup_line_n, r2.line_chars, r2.dup_line_chars) == (
+        5, 2, 10, 4,
+    )
+    assert (r2.n_paras, r2.dup_para_n, r2.para_chars, r2.dup_para_chars) == (
+        3, 1, 12, 2,
+    )
+    assert r2.dup_line_frac == pytest.approx(2 / 5)
+    assert r2.dup_para_char_frac == pytest.approx(2 / 12)
+
+
+def test_repetition_pass_and_empty_doc(spark):
+    # long enough that no single unique n-gram exceeds the char caps
+    clean = " ".join(f"w{i:03d}" for i in range(80))
+    rows = {
+        r.doc_id: r
+        for r in repetition_signals(_docs(spark, [clean, ""])).collect()
+    }
+    assert rows[0].repetition_pass == 1
+    r = rows[1]  # empty doc: every signal 0, passes vacuously
+    assert r.rep_word_chars == 0 and r.n_lines == 0 and r.n_paras == 0
+    assert r.dup_line_frac == 0.0 and r.top_2gram_char_frac == 0.0
+    assert r.repetition_pass == 1
+    # custom thresholds flow through
+    strict = dict(REPETITION_THRESHOLDS, max_top_2gram_char_frac_pct=0)
+    rows = repetition_signals(
+        _docs(spark, ["a b c"]), thresholds=strict
+    ).collect()
+    assert rows[0].repetition_pass == 0  # any repeated?? no - top covers >0
+
+
+_rep_units = st.lists(
+    st.sampled_from(["aa b", "c dd e", "aa b", "ff", "g hh aa b c"]),
+    min_size=0,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.tuples(
+            _rep_units,
+            st.lists(
+                st.sampled_from([" ", "\n", "\n\n", " \n "]),
+                min_size=7,
+                max_size=7,
+            ),
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_repetition_signals_match_python_reference(spark, docs):
+    texts = [
+        "".join(
+            u + (seps[i] if i < len(units) - 1 else "")
+            for i, u in enumerate(units)
+        )
+        for units, seps in docs
+    ]
+    rows = {
+        r.doc_id: r for r in repetition_signals(_docs(spark, texts)).collect()
+    }
+    for doc_id, text in enumerate(texts):
+        ref = _ref_repetition(text)
+        r = rows[doc_id]
+        for k, v in ref.items():
+            assert getattr(r, k) == v, (k, text)
+
+
+def test_repetition_signals_zero_exchange(spark):
+    df = repetition_signals(_docs(spark, ["a b\nc"]))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_repetition_stage_in_recipe(spark):
+    from nexus_event_stream_spark.pipeline import (
+        CorpusRecipe,
+        prepare_training_corpus,
+    )
+
+    looping = "buy now " * 40  # top-2gram coverage ~100%
+    clean = " ".join(f"w{i:03d}" for i in range(80))
+    docs = spark.createDataFrame(
+        [(0, looping.strip()), (1, clean)], "doc_id long, text string"
+    )
+    corpus, stages = prepare_training_corpus(
+        docs,
+        CorpusRecipe(
+            repetition=True,
+            quality=False,
+            redact_pii=False,
+            exact_dedup=False,
+            near_dedup=False,
+        ),
+    )
+    assert "repetition" in stages
+    ids = [r.doc_id for r in corpus.collect()]
+    assert ids == [1]
