@@ -1,0 +1,141 @@
+"""Reference-corpus dedup via a Bloom filter — the Dolma pattern.
+
+The published shape (AI2's Dolma dedupe tier, Soldaini et al. 2024; the
+same idea guards BigQuery-scale crawls everywhere): when a NEW crawl
+snapshot must be deduplicated against an EXISTING frozen training corpus,
+joining the two is a non-starter — the history side is 100 TB and
+never changes. Instead, build a Bloom filter over the reference corpus's
+content keys ONCE (one scan, output bounded by the filter size, never the
+corpus size), then every future snapshot dedups against it map-side:
+probe = one ``element_at`` + one mask compare per key (the
+register-blocked layout from operators/bloom.py), zero joins, zero
+shuffle, zero Python.
+
+Two grains, both from the Dolma playbook:
+
+- **document**: the key is the full document text; a probe hit drops the
+  document. Catches exact re-crawls of already-trained pages.
+- **paragraph**: keys are the trimmed non-empty ``\\n\\n`` units; probe
+  hits are removed from the document and the survivors re-joined. Catches
+  the much more common partial overlap — a new page quoting paragraphs
+  the corpus already contains. Documents with no hit keep their text
+  byte-exact (the rewrite only applies when something was removed).
+
+Honesty about false positives: a Bloom hit may be wrong at the filter's
+FPR ε, and here a false positive DELETES novel content (the inverse of
+the semi-join-pruning use, where it only passes stray rows a later join
+discards). That is the published tradeoff — Dolma sizes its filter so ε
+is vanishingly small and accepts the loss — so ``reference_corpus_bloom``
+defaults to ε = 1e-6 and exposes ``fpr`` for the deployment to choose.
+False negatives never happen: content in the reference always hits.
+
+Scale: the filter is ~30 bits/key at 1e-6 — 1 B reference paragraphs ≈
+4 GB, served via the broadcast-join probe (``bloom_prune_join``'s word
+table) past ``MAX_EXPR_WORDS``; under the cap the words inline into the
+plan as one literal and the probe rides whole-stage codegen. Either way
+the NEW snapshot is never shuffled and the OLD corpus is never re-read.
+
+Reference parity: no analogue — the reference dedups nothing
+(data-plane/internal/projection/signal.go keys by pk only). North-star
+training-pipeline surface, same tier as operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from nexus_event_stream_spark.operators.bloom import (
+    BloomFilter,
+    bloom_build,
+    bloom_might_contain,
+    bloom_params,
+)
+
+GRAINS = ("document", "paragraph")
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def _paragraphs(text: Column) -> Column:
+    """Trimmed non-empty ``\\n\\n`` units — the SAME unit convention as
+    repetition_signals/boilerplate_lines (one-arg lambda: see the
+    transform(F.trim) two-parameter pitfall in operators/quality.py)."""
+    return F.filter(
+        F.transform(F.split(text, "\n\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+
+
+def reference_corpus_bloom(
+    ref: DataFrame,
+    text_col: str = "text",
+    *,
+    grain: str = "document",
+    fpr: float = 1e-6,
+    n_keys: int | None = None,
+) -> BloomFilter:
+    """ONE pass over the reference corpus → a frozen, reusable filter.
+
+    ``n_keys`` sizes (m, k); when None it is estimated with
+    ``approx_count_distinct`` (an extra cheap job at build time — sizing
+    needs an estimate, membership stays exact-on-members regardless).
+    The estimate is padded 10% so an undercount cannot push the real FPR
+    past the target.
+    """
+    if grain not in GRAINS:
+        raise ValueError(f"grain must be one of {GRAINS}, got {grain!r}")
+    text = _col(text_col)
+    if grain == "document":
+        keys = ref.select(text.alias("__key"))
+    else:
+        keys = ref.select(
+            F.explode(_paragraphs(text)).alias("__key")
+        )
+    if n_keys is None:
+        n_keys = keys.agg(
+            F.approx_count_distinct("__key").alias("n")
+        ).collect()[0]["n"]
+    m, k = bloom_params(max(1, int(n_keys * 1.1)), fpr)
+    return bloom_build(keys, "__key", m_bits=m, k=k)
+
+
+def bloom_dedup_documents(
+    df: DataFrame, bf: BloomFilter, text_col: str = "text"
+) -> DataFrame:
+    """Drop documents whose full text hits the reference filter. Pure
+    map-side filter directly above the scan — other predicates still push
+    past it. NULL-text rows pass through (no evidence of duplication —
+    the probe's NULL gate returns False, and negation keeps the row)."""
+    return df.where(~bloom_might_contain(bf, _col(text_col)))
+
+
+def bloom_dedup_paragraphs(
+    df: DataFrame, bf: BloomFilter, text_col: str = "text"
+) -> DataFrame:
+    """Remove reference-corpus paragraphs from every document; append
+    ``n_paras`` / ``dup_paras`` accounting. Documents with NO hit keep
+    ``text_col`` byte-exact (separator quirks and all); touched documents
+    are re-joined from the surviving trimmed units with ``\\n\\n`` —
+    the same canonicalization strip_boilerplate_lines applies. Rows are
+    always preserved (an all-duplicate document comes back with ``''``,
+    NULL text stays NULL with zero counts) — dropping is the DOCUMENT
+    grain's job. Zero shuffle, zero Python, zero explode: the probe runs
+    inside the per-document array filter."""
+    text = _col(text_col)
+    units = _paragraphs(text)
+    kept = F.filter(units, lambda p: ~bloom_might_contain(bf, p))
+    n = F.coalesce(F.size(units), F.lit(0)).cast("bigint")
+    nk = F.coalesce(F.size(kept), F.lit(0)).cast("bigint")
+    dup = F.greatest(n - nk, F.lit(0).cast("bigint"))
+    return df.withColumns(
+        {
+            "n_paras": F.when(text.isNull(), F.lit(0).cast("bigint")).otherwise(n),
+            "dup_paras": F.when(text.isNull(), F.lit(0).cast("bigint")).otherwise(dup),
+            text_col if isinstance(text_col, str) else "text": F.when(
+                text.isNull() | (dup == 0), text
+            ).otherwise(F.array_join(kept, "\n\n")),
+        }
+    )

@@ -253,29 +253,53 @@ def _top_ngram_chars(toks: Column, n: int) -> Column:
     return F.aggregate(grams, init, step, lambda acc: acc["best"])
 
 
-def _dup_ngram_chars(toks: Column, n: int) -> Column:
+def _pushdown_barrier(c: Column) -> Column:
+    """Identity on values, but marked nondeterministic (``shuffle`` of a
+    singleton array), so Catalyst will NOT substitute the alias into a
+    predicate it pushes through the projection. Pushing a signal filter
+    below the signal projection buys nothing — the condition needs the
+    computed signal, so it can never reach the scan — while the
+    substitution re-inlines the interpreted HOF chain once per reference
+    (no CSE in lambdas): a recipe filter on ``repetition_pass`` hung at
+    TOY scale before this barrier (the cascade gates compound the
+    inlining exponentially)."""
+    return F.element_at(F.shuffle(F.array(c)), 1)
+
+
+def _sorted_gram_pairs(toks: Column, n: int) -> Column:
+    """Sorted (gram, position) pairs — the heavy per-doc intermediate for
+    duplicated-n-gram counting. MUST be projected into a real column
+    before `_dup_ngram_chars` references it: HOF lambdas are interpreted
+    with no common-subexpression elimination, so an inline expression
+    would re-build and re-sort the gram array once per element-reference
+    — O(k²·n) per document instead of O(k·(n + log k))."""
+    m = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    idx = F.sequence(F.lit(1), m)
+    return F.array_sort(
+        F.when(
+            m > 0,
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.concat_ws(" ", F.slice(toks, i, n)).alias("g"),
+                    i.alias("i"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<g:string,i:int>>"))
+    )  # by gram, then original index
+
+
+def _dup_ngram_chars(sp: Column, toks: Column, n: int) -> Column:
     """Characters inside word n-grams that occur more than once in the
     document, counting each covered TOKEN POSITION once however many
     duplicated grams overlap it (the Rae et al. A1 "taking care not to
     count characters in overlapping n-grams more than once" rule).
 
-    Shuffle-free per-doc pipeline: index the grams, sort (gram, idx)
-    pairs, mark members of equal-gram runs by neighbor comparison,
-    union their [idx, idx+n) position intervals via distinct-flatten,
-    and sum the token lengths at covered positions."""
-    m = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    idx = F.sequence(F.lit(1), m)
-    pairs = F.when(
-        m > 0,
-        F.transform(
-            idx,
-            lambda i: F.struct(
-                F.concat_ws(" ", F.slice(toks, i, n)).alias("g"),
-                i.alias("i"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<g:string,i:int>>"))
-    sp = F.array_sort(pairs)  # by gram, then original index
+    Shuffle-free per-doc pipeline over the PRE-PROJECTED sorted pairs
+    (``sp`` and ``toks`` must be bound column references — see
+    `_sorted_gram_pairs`): mark members of equal-gram runs by neighbor
+    comparison, union their [idx, idx+n) position intervals via
+    distinct-flatten, and sum the token lengths at covered positions."""
     k = F.size(sp)
     dup_starts = F.filter(
         F.transform(
@@ -377,28 +401,59 @@ def repetition_signals(
     ``quality_signals``. Empty documents pass vacuously (fractions 0)."""
     t = thresholds or REPETITION_THRESHOLDS
     text = _col(text_col)
-    units = {
+    out = df.withColumn("__toks", tokens(text))
+    toks = F.col("__toks")
+    # Stage the heavy per-doc intermediates as REAL columns: HOF lambdas
+    # get no CSE, and CollapseProject keeps a non-cheap alias referenced
+    # more than once materialized — so each sort/fold below runs once per
+    # row however many signal columns read it.
+    inter: dict[str, Column] = {
         # NB: the lambda must take exactly one arg — passing F.trim
         # directly would make transform bind (element, index) and turn
         # it into two-parameter trim (index digits as the trim set).
-        "line": F.filter(
+        "__lines": F.filter(
             F.transform(F.split(text, "\n"), lambda x: F.trim(x)),
             lambda x: x != "",
         ),
-        "para": F.filter(
+        "__paras": F.filter(
             F.transform(F.split(text, "\n\n"), lambda x: F.trim(x)),
             lambda x: x != "",
         ),
     }
-    out = df.withColumn("__toks", tokens(text))
-    toks = F.col("__toks")
+    inter["__sp5"] = _sorted_gram_pairs(toks, 5)
+    out = out.withColumns(inter)
+    out = out.withColumns(
+        {
+            "__line_st": _unit_dup_stats(F.col("__lines")),
+            "__para_st": _unit_dup_stats(F.col("__paras")),
+            "__dup5": _dup_ngram_chars(F.col("__sp5"), toks, 5),
+        }
+    )
+    # Cascade gate: a duplicated n-gram CONTAINS a duplicated (n-1)-gram
+    # (equal n-windows ⇒ equal (n-1)-prefixes at distinct positions), so
+    # dup_{n-1} = 0 ⇒ dup_n = 0 — the n ≥ 6 sorts only run on rows that
+    # still show duplication one size down. Clean documents (the vast
+    # majority of any filtered corpus) pay for ONE gram sort, not six.
+    empty_sp = F.array().cast("array<struct<g:string,i:int>>")
+    prev_dup = F.col("__dup5")
+    for n in range(6, 11):
+        out = out.withColumn(
+            f"__sp{n}",
+            F.when(prev_dup > 0, _sorted_gram_pairs(toks, n)).otherwise(
+                empty_sp
+            ),
+        ).withColumn(
+            f"__dup{n}",
+            _dup_ngram_chars(F.col(f"__sp{n}"), toks, n),
+        )
+        prev_dup = F.col(f"__dup{n}")
     cols: dict[str, Column] = {
         "rep_word_chars": F.aggregate(
             toks, F.lit(0).cast("bigint"), lambda a, w: a + F.length(w)
         ),
     }
-    for kind, arr in units.items():
-        st = _unit_dup_stats(arr)
+    for kind in ("line", "para"):
+        st = F.col(f"__{kind}_st")
         cols[f"n_{kind}s"] = st["n"]
         cols[f"{kind}_chars"] = st["chars"]
         cols[f"dup_{kind}_n"] = st["dup_n"]
@@ -406,8 +461,13 @@ def repetition_signals(
     for n in (2, 3, 4):
         cols[f"top_{n}gram_chars"] = _top_ngram_chars(toks, n)
     for n in range(5, 11):
-        cols[f"dup_{n}gram_chars"] = _dup_ngram_chars(toks, n)
+        cols[f"dup_{n}gram_chars"] = _pushdown_barrier(F.col(f"__dup{n}"))
     out = out.withColumns(cols)
+    out = out.drop(
+        "__lines", "__paras", "__line_st", "__para_st",
+        *[f"__sp{n}" for n in range(5, 11)],
+        *[f"__dup{n}" for n in range(5, 11)],
+    )
     wc = F.greatest(F.col("rep_word_chars"), F.lit(1))
     fracs: dict[str, Column] = {}
     for kind in ("line", "para"):

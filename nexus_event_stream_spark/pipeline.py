@@ -109,6 +109,16 @@ class CorpusRecipe:
     repetition: bool = False
     repetition_thresholds: dict | None = None
     redact_pii: bool = True
+    #: dedup against a FROZEN reference corpus (operators/bloom_dedup.py,
+    #: the Dolma pattern): a BloomFilter built once by
+    #: ``reference_corpus_bloom`` over the existing training set; new
+    #: snapshots probe it map-side — no join against history, history
+    #: never re-read. Grain 'document' drops hit documents; 'paragraph'
+    #: strips hit paragraphs (rows preserved). Runs BEFORE the
+    #: within-corpus dedup tiers: content the model already trained on
+    #: leaves first, then the snapshot dedups against itself.
+    reference_bloom: "BloomFilter | None" = None
+    reference_bloom_grain: str = "document"
     exact_dedup: bool = True
     near_dedup: bool = True
     minhash_params: dict = field(default_factory=dict)
@@ -357,6 +367,27 @@ def prepare_training_corpus(
             "redacted", text_col
         ).select(*docs.columns)
         stages["pii"] = cur
+
+    if recipe.reference_bloom is not None:
+        from nexus_event_stream_spark.operators.bloom_dedup import (
+            bloom_dedup_documents,
+            bloom_dedup_paragraphs,
+        )
+
+        if recipe.reference_bloom_grain == "document":
+            cur = bloom_dedup_documents(
+                cur, recipe.reference_bloom, text_col
+            )
+        elif recipe.reference_bloom_grain == "paragraph":
+            cur = bloom_dedup_paragraphs(
+                cur, recipe.reference_bloom, text_col
+            ).select(*docs.columns)
+        else:
+            raise ValueError(
+                "reference_bloom_grain must be 'document' or 'paragraph', "
+                f"got {recipe.reference_bloom_grain!r}"
+            )
+        stages["reference_dedup"] = cur
 
     if recipe.exact_dedup:
         cur = (

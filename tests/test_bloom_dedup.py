@@ -1,0 +1,108 @@
+"""Reference-corpus Bloom dedup (operators/bloom_dedup.py, Dolma tier).
+
+Deterministic by construction: xxhash64 is a fixed function, so a given
+(reference, probe) string set always produces the same hit set — the
+planted-membership assertions below are exact, not probabilistic.
+"""
+
+from __future__ import annotations
+
+from nexus_event_stream_spark.operators.bloom_dedup import (
+    bloom_dedup_documents,
+    bloom_dedup_paragraphs,
+    reference_corpus_bloom,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+REF_TEXTS = [f"reference document number {i} with stable content" for i in range(50)]
+REF_PARAS = [f"already trained paragraph {i} stays out" for i in range(30)]
+
+
+def test_document_grain_drops_exact_recrawls(spark):
+    ref = _df(spark, list(enumerate(REF_TEXTS)))
+    bf = reference_corpus_bloom(ref, fpr=1e-6)
+    incoming = _df(
+        spark,
+        [(100 + i, REF_TEXTS[i]) for i in range(10)]  # re-crawls
+        + [(200 + i, f"genuinely novel page {i}") for i in range(20)]
+        + [(300, None)],  # NULL text: no dup evidence, passes through
+    )
+    kept = sorted(
+        r.doc_id for r in bloom_dedup_documents(incoming, bf).collect()
+    )
+    assert kept == sorted(list(range(200, 220)) + [300])
+
+
+def test_document_grain_no_false_negatives_any_partitioning(spark):
+    ref = _df(spark, list(enumerate(REF_TEXTS)))
+    bf = reference_corpus_bloom(ref, fpr=1e-4)
+    incoming = _df(spark, [(i, t) for i, t in enumerate(REF_TEXTS)])
+    assert bloom_dedup_documents(incoming.repartition(7), bf).count() == 0
+
+
+def test_paragraph_grain_strips_only_reference_units(spark):
+    ref = _df(spark, list(enumerate("\n\n".join(REF_PARAS[i : i + 3]) for i in range(0, 30, 3))))
+    bf = reference_corpus_bloom(ref, grain="paragraph", fpr=1e-6)
+    fresh = ["a brand new paragraph about spark", "another fresh one"]
+    mixed = f"{fresh[0]}\n\n{REF_PARAS[4]}\n\n{fresh[1]}\n\n{REF_PARAS[17]}"
+    untouched = "solo novel paragraph\n\n\n  oddly   spaced novel one  "
+    all_dup = f"{REF_PARAS[0]}\n\n{REF_PARAS[1]}"
+    rows = {
+        r.doc_id: r
+        for r in bloom_dedup_paragraphs(
+            _df(spark, [(0, mixed), (1, untouched), (2, all_dup), (3, None)]),
+            bf,
+        ).collect()
+    }
+    assert rows[0].text == "\n\n".join(fresh)  # order preserved
+    assert (rows[0].n_paras, rows[0].dup_paras) == (4, 2)
+    # zero hits -> byte-exact original, separator quirks intact
+    assert rows[1].text == untouched and rows[1].dup_paras == 0
+    # all-duplicate document: row PRESERVED with empty text
+    assert rows[2].text == "" and (rows[2].n_paras, rows[2].dup_paras) == (2, 2)
+    assert rows[3].text is None and (rows[3].n_paras, rows[3].dup_paras) == (0, 0)
+
+
+def test_probe_plans_are_map_side_only(spark):
+    ref = _df(spark, list(enumerate(REF_TEXTS)))
+    bf = reference_corpus_bloom(ref, fpr=1e-4)
+    incoming = _df(spark, [(0, "x")])
+    for probe in (
+        bloom_dedup_documents(incoming, bf),
+        bloom_dedup_paragraphs(incoming, bf),
+    ):
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Python" not in plan
+
+    # sizing honesty: the auto-sized filter meets the requested FPR
+    assert bf.fpr_estimate(len(REF_TEXTS)) <= 1e-4
+
+
+def test_reference_dedup_stage_in_recipe(spark):
+    from nexus_event_stream_spark.pipeline import (
+        CorpusRecipe,
+        prepare_training_corpus,
+    )
+
+    ref = _df(spark, list(enumerate(REF_TEXTS)))
+    bf = reference_corpus_bloom(ref, fpr=1e-6)
+    docs = _df(
+        spark,
+        [(0, REF_TEXTS[7]), (1, "a genuinely new training document")],
+    )
+    corpus, stages = prepare_training_corpus(
+        docs,
+        CorpusRecipe(
+            reference_bloom=bf,
+            quality=False,
+            redact_pii=False,
+            exact_dedup=False,
+            near_dedup=False,
+        ),
+    )
+    assert "reference_dedup" in stages
+    assert [r.doc_id for r in corpus.collect()] == [1]

@@ -760,6 +760,9 @@ def test_repetition_signals_closed_form(spark):
                 "x y x y x y z",          # top-2gram "x y" x3 covers 6/7 chars
                 "a b c d e a b c d e",    # dup 5-gram covers ALL 10 positions
                 "l1\nl1\nl2\n\np2\n\np2",  # line + para duplicates
+                # full cascade depth: a repeated 10-token block keeps
+                # every dup_{5..10} tier nonzero (gates must not clip)
+                " ".join([f"t{i}" for i in range(10)] * 2),
             ],
         )
     )
@@ -782,6 +785,11 @@ def test_repetition_signals_closed_form(spark):
     )
     assert r2.dup_line_frac == pytest.approx(2 / 5)
     assert r2.dup_para_char_frac == pytest.approx(2 / 12)
+    r3 = rows[3]
+    assert r3.rep_word_chars == 40
+    for n in range(5, 11):  # every covered position counted once
+        assert getattr(r3, f"dup_{n}gram_chars") == 40, n
+    assert r3.dup_10gram_char_frac == pytest.approx(1.0)
 
 
 def test_repetition_pass_and_empty_doc(spark):
