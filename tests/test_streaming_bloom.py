@@ -1,0 +1,142 @@
+"""Streaming bloom-accelerated exact dedup (streaming/bloom_dedup.py).
+
+The load-bearing claim: exact cross-batch dedup whose store probe cost
+is governed by the Bloom CANDIDATE rate, not the batch size — a
+novel-only batch reads ZERO store paths — while the exact verify tier
+keeps semantics identical to a join against full history (a filter
+false positive can never drop a novel document).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from nexus_event_stream_spark.streaming.bloom_dedup import (
+    compact_exact_store,
+    exact_store,
+    exact_suppress_and_register,
+    read_bloom,
+)
+from nexus_event_stream_spark.streaming.commit import (
+    ConditionalPutBackend,
+    PosixRenameBackend,
+)
+from nexus_event_stream_spark.streaming.dedup import forget_signatures
+
+
+@pytest.fixture()
+def store_dir():
+    d = tempfile.mkdtemp(prefix="bloomstore_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(params=["rename", "cas"])
+def backend(request):
+    if request.param == "rename":
+        return PosixRenameBackend()
+    return ConditionalPutBackend()
+
+
+def docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def run_epoch(spark, store, rows, epoch, run="run1", **kw):
+    kw.setdefault("expected_keys", 4096)  # small filter: fast plan literals
+    out = exact_suppress_and_register(
+        spark, store, docs_df(spark, rows), epoch=epoch, run_token=run, **kw
+    )
+    return sorted(r.doc_id for r in out.collect())
+
+
+A = "first unique training document about watermark semantics"
+B = "second unique training document about columnar formats"
+C = "third unique training document about shuffle partitioning"
+D = "fourth unique training document about broadcast joins"
+
+
+def test_exact_cross_batch_and_within_batch(spark, store_dir):
+    store = exact_store(store_dir, n_buckets=16)
+    assert run_epoch(spark, store, [(1, A), (2, B)], 0) == [1, 2]
+    # exact copy of A (new id) suppressed; novel C survives; within-batch
+    # duplicate pair of D resolves to the smallest id
+    assert run_epoch(
+        spark, store, [(3, A), (4, C), (5, D), (6, D)], 1
+    ) == [4, 5]
+    # everything accepted so far stays suppressible
+    assert run_epoch(spark, store, [(7, B), (8, C), (9, D)], 2) == []
+
+
+def test_novel_only_batch_reads_zero_store_paths(spark, store_dir):
+    store = exact_store(store_dir, n_buckets=16)
+    run_epoch(spark, store, [(1, A), (2, B)], 0)
+    # every digest in this batch misses the filter -> no candidates ->
+    # the probe must not open ANY store file
+    assert run_epoch(spark, store, [(3, C), (4, D)], 1) == [3, 4]
+    assert store.last_probe_paths == []
+    # and a duplicate-bearing batch DOES probe (sanity of the pin)
+    assert run_epoch(spark, store, [(5, A)], 2) == []
+    assert store.last_probe_paths
+
+
+def test_replay_recomputes_survivors_and_skips_commits(
+    spark, store_dir, backend
+):
+    store = exact_store(store_dir, n_buckets=8, backend=backend)
+    run_epoch(spark, store, [(1, A), (2, B)], 0)
+    got = run_epoch(spark, store, [(3, A), (4, C)], 1)
+    assert got == [4]
+    ver = store.current()["version"]
+    bloom_before = read_bloom(store).words
+    # redelivery of epoch 1 under the same run token: same survivors,
+    # no new store version, identical filter words
+    assert run_epoch(spark, store, [(3, A), (4, C)], 1) == [4]
+    assert store.current()["version"] == ver
+    assert read_bloom(store).words == bloom_before
+
+
+def test_restart_spanning_run_continues_suppressing(spark, store_dir):
+    s1 = exact_store(store_dir, n_buckets=8)
+    run_epoch(spark, s1, [(1, A)], 0)
+    s2 = exact_store(store_dir, n_buckets=8)  # fresh handle, same path
+    assert run_epoch(spark, s2, [(2, A), (3, B)], 1, run="run2") == [3]
+
+
+def test_forget_then_reingest_is_accepted_immediately(spark, store_dir):
+    store = exact_store(store_dir, n_buckets=8)
+    run_epoch(spark, store, [(1, A), (2, B)], 0)
+    assert forget_signatures(spark, store, [1]) == 1
+    # post-forget ≡ never-ingested: the stale filter bit makes doc 3 a
+    # CANDIDATE, but the tombstone-filtered exact probe finds nothing
+    assert run_epoch(spark, store, [(3, A)], 1) == [3]
+    # B is untouched and still suppresses
+    assert run_epoch(spark, store, [(4, B)], 2) == []
+
+
+def test_compact_rebuilds_filter_and_preserves_semantics(spark, store_dir):
+    store = exact_store(store_dir, n_buckets=8)
+    run_epoch(spark, store, [(1, A), (2, B)], 0)
+    run_epoch(spark, store, [(3, C)], 1)
+    forget_signatures(spark, store, [2])
+    compact_exact_store(spark, store)
+    # tombstone queue cleared by the full fold; filter rebuilt from the
+    # SURVIVING digests only
+    assert store.current()["tombstones"] == []
+    meta_keys = store.backend.read(store.path + "/_bloom.json")["n_keys"]
+    assert meta_keys == 2  # A and C; B swept
+    # forgotten B re-ingests clean; A and C still suppress
+    assert run_epoch(spark, store, [(5, B)], 2) == [5]
+    assert run_epoch(spark, store, [(6, A), (7, C)], 3) == []
+
+
+def test_corpus_append_rides_store_pointer(spark, store_dir, tmp_path):
+    store = exact_store(store_dir, n_buckets=8)
+    corpus = str(tmp_path / "corpus")
+    run_epoch(spark, store, [(1, A), (2, B)], 0, corpus_path=corpus)
+    run_epoch(spark, store, [(3, A), (4, C)], 1, corpus_path=corpus)
+    got = store.read_corpus(spark, corpus)
+    assert sorted(r.doc_id for r in got.collect()) == [1, 2, 4]
