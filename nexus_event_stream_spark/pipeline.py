@@ -108,6 +108,13 @@ class CorpusRecipe:
     #: ``repetition_thresholds`` overrides REPETITION_THRESHOLDS.
     repetition: bool = False
     repetition_thresholds: dict | None = None
+    #: per-language OVERRIDES of the repetition caps, merged over
+    #: ``repetition_thresholds`` — the lang_quality_thresholds twin
+    #: (scripts differ in natural repetition: CJK line lengths, liturgical
+    #: or legal registers repeat structurally). Same CASE-chain
+    #: re-evaluation over the SAME signal columns, no recompute; requires
+    #: ``lang_models`` and ``repetition=True``.
+    lang_repetition_thresholds: dict | None = None
     redact_pii: bool = True
     #: dedup against a FROZEN reference corpus (operators/bloom_dedup.py,
     #: the Dolma pattern): a BloomFilter built once by
@@ -257,6 +264,8 @@ def prepare_training_corpus(
 
     if recipe.lang_quality_thresholds and not recipe.lang_models:
         raise ValueError("lang_quality_thresholds requires lang_models")
+    if recipe.lang_repetition_thresholds and not recipe.lang_models:
+        raise ValueError("lang_repetition_thresholds requires lang_models")
     if recipe.lang_models:
         from nexus_event_stream_spark.operators.lm import language_id
 
@@ -291,12 +300,36 @@ def prepare_training_corpus(
 
     if recipe.repetition:
         from nexus_event_stream_spark.operators.quality import (
+            REPETITION_THRESHOLDS,
+            repetition_pass_checks,
             repetition_signals,
         )
 
         rep = repetition_signals(
             cur, text_col, thresholds=recipe.repetition_thresholds
         )
+        if recipe.lang_repetition_thresholds:
+            # same CASE-chain routing as the quality stage: re-evaluate
+            # the integer-exact checks per language over the SAME signal
+            # columns, base caps for unlisted/unidentified (lang NULL)
+            base_t = recipe.repetition_thresholds or REPETITION_THRESHOLDS
+            routed = None
+            for lang in sorted(recipe.lang_repetition_thresholds):
+                branch = repetition_pass_checks(
+                    {**base_t, **recipe.lang_repetition_thresholds[lang]}
+                )
+                cond = F.col("lang") == lang
+                routed = (
+                    F.when(cond, branch)
+                    if routed is None
+                    else routed.when(cond, branch)
+                )
+            rep = rep.withColumn(
+                "repetition_pass",
+                F.when(
+                    routed.otherwise(repetition_pass_checks(base_t)), 1
+                ).otherwise(0).cast("bigint"),
+            )
         cur = rep.filter(F.col("repetition_pass") == 1).select(*docs.columns)
         stages["repetition"] = cur
 

@@ -163,3 +163,49 @@ def test_lang_thresholds_require_models(spark):
             docs,
             CorpusRecipe(lang_quality_thresholds={"aa": {"min_words": 1}}),
         )
+
+
+def test_per_language_repetition_routing_in_recipe(spark, models):
+    """A chorus-like doc (high top-2gram coverage) passes under a
+    language whose cap is RAISED, drops under the base caps — the
+    repetition twin of the quality routing."""
+    from nexus_event_stream_spark.pipeline import (
+        CorpusRecipe,
+        prepare_training_corpus,
+    )
+
+    rng = random.Random(11)
+    loop_aa = " ".join(["kato mira"] * 20)          # top-2gram ≈ 100%
+    loop_cc = " ".join(["etteoir ques"] * 20)        # same shape, cc script
+    clean_aa = _sentence(rng, "aa", 60)
+    docs = spark.createDataFrame(
+        [(0, loop_aa), (1, loop_cc), (2, clean_aa)],
+        "doc_id long, text string",
+    )
+    recipe = CorpusRecipe(
+        repetition=True,
+        quality=False,
+        redact_pii=False,
+        exact_dedup=False,
+        near_dedup=False,
+        lang_models=models,
+        # aa tolerates total repetition (top-gram coverage counts each
+        # overlapping occurrence's full char weight, so it can exceed
+        # 100% — the published count x len definition; caps go high)
+        lang_repetition_thresholds={"aa": {
+            **{f"max_top_{n}gram_char_frac_pct": 1000 for n in (2, 3, 4)},
+            **{f"max_dup_{n}gram_char_frac_pct": 100 for n in range(5, 11)},
+        }},
+    )
+    corpus, stages = prepare_training_corpus(docs, recipe)
+    assert sorted(r.doc_id for r in corpus.collect()) == [0, 2]
+    assert "repetition" in stages
+
+    with pytest.raises(ValueError, match="lang_models"):
+        prepare_training_corpus(
+            docs,
+            CorpusRecipe(
+                repetition=True,
+                lang_repetition_thresholds={"aa": {}},
+            ),
+        )
