@@ -636,6 +636,7 @@ def warc_corpus(
     html_extract: bool | str = False,
     blocked_domains: list[str] | None = None,
     dedup_urls: bool = False,
+    respect_robots: bool = False,
 ) -> tuple[DataFrame, dict[str, DataFrame]]:
     """Common-Crawl-shaped WARC files → prepared training corpus, the
     end-to-end recipe a crawl consumer actually runs: ``read_warc``
@@ -673,7 +674,14 @@ def warc_corpus(
       same routing predicate, and it additionally drops nav/sidebar/
       cookie chrome on single documents;
     - ``dedup_urls``: one document per canonical URL, earliest fetch
-      wins (operators/urls.url_dedup — one shuffle).
+      wins (operators/urls.url_dedup — one shuffle);
+    - ``respect_robots`` (r11): honor X-Robots-Tag / ``<meta
+      name=robots>`` opt-outs (noindex/none/noai/noimageai,
+      sources/warc.ROBOTS_OPTOUT_TOKENS) — the crawl-governance tier,
+      applied FIRST: a publisher's consent signal precedes every other
+      use of the bytes. The flag is computed inside ``warc_documents``'s
+      own projection (the header text is inspected before it is
+      stripped), so the tier costs zero extra passes.
     """
     from nexus_event_stream_spark.functions.html import (
         html_title,
@@ -686,8 +694,16 @@ def warc_corpus(
     )
     from nexus_event_stream_spark.sources.warc import read_warc, warc_documents
 
-    docs = warc_documents(read_warc(spark, warc_path))
+    docs = warc_documents(
+        read_warc(spark, warc_path), respect_robots=respect_robots
+    )
     pre: dict[str, DataFrame] = {"documents": docs}
+    if respect_robots:
+        # crawl-governance tier (the first drop — consent precedes every
+        # other use of the bytes): X-Robots-Tag / <meta name=robots>
+        # opt-outs (noindex/none/noai/noimageai) are honored
+        docs = docs.filter(~F.col("robots_opt_out")).drop("robots_opt_out")
+        pre["robots_opt_out"] = docs
     if blocked_domains:
         docs = filter_blocked_domains(docs, blocked_domains)
         pre["domain_filter"] = docs

@@ -211,7 +211,29 @@ def read_warc_stream(spark: SparkSession, path: str) -> DataFrame:
     return files.mapInPandas(_records_kernel, WARC_SCHEMA)
 
 
-def warc_documents(records: DataFrame) -> DataFrame:
+#: opt-out directives honored by the governance tier: the robots-exclusion
+#: tokens that mean "do not reuse this content" ("none" implies noindex per
+#: the protocol) plus the published AI-reuse opt-outs.
+ROBOTS_OPTOUT_TOKENS = ("noindex", "none", "noai", "noimageai")
+
+_OPTOUT = "|".join(ROBOTS_OPTOUT_TOKENS)
+#: header directive: an X-Robots-Tag line INSIDE the HTTP header block
+#: (optionally bot-scoped, e.g. "X-Robots-Tag: ccbot: noai") carrying an
+#: opt-out token as a whole word
+_HDR_RE = rf"(?i)\n[ \t]*x-robots-tag[ \t]*:[^\r\n]*\b({_OPTOUT})\b"
+#: meta directive: an actual <meta> TAG with name=robots and an opt-out
+#: token in content= — both attribute orders
+_META_RE = (
+    rf"(?i)<meta\b[^>]*name[ \t]*=[ \t]*[\"']?robots[\"']?[^>]*"
+    rf"content[ \t]*=[ \t]*[\"']?[^\"'>]*\b({_OPTOUT})\b"
+    rf"|(?i)<meta\b[^>]*content[ \t]*=[ \t]*[\"']?[^\"'>]*\b({_OPTOUT})\b"
+    rf"[^>]*name[ \t]*=[ \t]*[\"']?robots[\"']?"
+)
+
+
+def warc_documents(
+    records: DataFrame, respect_robots: bool = False
+) -> DataFrame:
     """Response records → the engine's document relation
     ``(doc_id, url, fetched_at, text)`` — the published
     Common-Crawl-to-corpus front half, pure Catalyst on top of
@@ -228,21 +250,41 @@ def warc_documents(records: DataFrame) -> DataFrame:
       payload can fail the scan; charset NORMALIZATION (meta/BOM
       sniffing) is a production kernel behind the usual environment
       boundary, same stance as codec decode.
+    - ``respect_robots=True`` appends a ``robots_opt_out`` flag — the
+      crawl-governance tier: true iff the HTTP HEADER block carries an
+      ``X-Robots-Tag`` directive with one of ``ROBOTS_OPTOUT_TOKENS``
+      (header position matters: the same text in the BODY does not
+      flag), or the body carries a real ``<meta name=robots>`` tag whose
+      ``content`` holds one. Computed in the SAME projection as the
+      header strip — the header text is inspected before it is dropped,
+      at zero extra passes.
     """
     s = F.decode(F.col("payload"), "ISO-8859-1")
     sep = F.instr(s, "\r\n\r\n")
+    is_http = (sep > 0) & s.startswith("HTTP/")
     body = F.when(
-        (sep > 0) & s.startswith("HTTP/"),
+        is_http,
         # length = the string's own length: an explicit constant cap
         # would silently truncate bodies beyond it
         F.substring(s, sep + 4, F.length(s)),
     ).otherwise(s)
-    return records.filter(F.col("warc_type") == "response").select(
+    cols = [
         F.xxhash64("file", "record_idx").alias("doc_id"),
         F.col("target_uri").alias("url"),
         F.col("warc_date").alias("fetched_at"),
         body.alias("text"),
-    )
+    ]
+    if respect_robots:
+        headers = F.when(is_http, F.substring(s, 1, sep - 1)).otherwise(
+            F.lit("")
+        )
+        cols.append(
+            (
+                F.regexp_like(headers, F.lit(_HDR_RE))
+                | F.regexp_like(body, F.lit(_META_RE))
+            ).alias("robots_opt_out")
+        )
+    return records.filter(F.col("warc_type") == "response").select(*cols)
 
 
 def http_body(payload: bytes) -> bytes:

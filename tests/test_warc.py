@@ -289,3 +289,90 @@ def test_large_body_not_truncated(spark, tmp_path):
     docs = warc_documents(read_warc(spark, str(d) + "/*"))
     row = docs.select(F.length("text").alias("n")).first()
     assert int(row.n) == len(big)
+
+
+# ---------------------------------------------------------------------------
+# crawl governance: robots opt-out tier (r11)
+# ---------------------------------------------------------------------------
+
+def _http_hb(headers: bytes, body: bytes) -> bytes:
+    return b"HTTP/1.1 200 OK\r\n" + headers + b"\r\n" + body
+
+
+ROBOTS_RECS = [
+    # 0: clean page — kept
+    {"type": "response", "uri": "https://a.com/ok",
+     "payload": _http_hb(b"Content-Type: text/html\r\n",
+                      b"<html><p>normal page</p></html>")},
+    # 1: X-Robots-Tag: noindex in the HEADER — dropped
+    {"type": "response", "uri": "https://a.com/h1",
+     "payload": _http_hb(b"X-Robots-Tag: noindex\r\n", b"<html>secret</html>")},
+    # 2: bot-scoped noai header — dropped
+    {"type": "response", "uri": "https://a.com/h2",
+     "payload": _http_hb(b"x-robots-tag: ccbot: noai\r\n", b"<html>x</html>")},
+    # 3: meta robots noindex, unquoted attrs — dropped
+    {"type": "response", "uri": "https://a.com/m1",
+     "payload": _http_hb(b"", b"<html><head><meta name=robots content=noindex>"
+                          b"</head>body</html>")},
+    # 4: meta robots with content BEFORE name — dropped
+    {"type": "response", "uri": "https://a.com/m2",
+     "payload": _http_hb(b"", b'<html><meta content="none" name="robots">x</html>')},
+    # 5: meta robots "index, follow" — kept (no opt-out token)
+    {"type": "response", "uri": "https://a.com/m3",
+     "payload": _http_hb(b"", b'<meta name="robots" content="index, follow">ok')},
+    # 6: name=description mentioning noindex — kept (not a robots tag)
+    {"type": "response", "uri": "https://a.com/m4",
+     "payload": _http_hb(b"", b'<meta name="description" content="about noindex">ok')},
+    # 7: the DIRECTIVE TEXT in the body, not the header — kept
+    #    (position matters: headers end at the first blank line)
+    {"type": "response", "uri": "https://a.com/b1",
+     "payload": _http_hb(b"", b"docs page quoting X-Robots-Tag: noindex headers")},
+    # 8: "noindexable" as a longer word — kept (whole-word match only)
+    {"type": "response", "uri": "https://a.com/b2",
+     "payload": _http_hb(b"X-Robots-Tag: noindexable-custom\r\n", b"ok")},
+    # 9: non-HTTP resource record payload — kept (no headers to carry a tag)
+    {"type": "response", "uri": "https://a.com/r1",
+     "payload": b"plain resource bytes, no http envelope"},
+]
+
+
+def test_robots_opt_out_flag_and_positions(spark, tmp_path):
+    from nexus_event_stream_spark.sources.warc import warc_documents
+
+    d = tmp_path / "warc"
+    d.mkdir()
+    (d / "g.warc").write_bytes(synthesize_warc(ROBOTS_RECS))
+    docs = warc_documents(
+        read_warc(spark, str(d) + "/*"), respect_robots=True
+    )
+    rows = {r.url: r.robots_opt_out for r in docs.collect()}
+    dropped = {u for u, f in rows.items() if f}
+    assert dropped == {
+        "https://a.com/h1", "https://a.com/h2",
+        "https://a.com/m1", "https://a.com/m2",
+    }
+    # flag column only appears when asked
+    base = warc_documents(read_warc(spark, str(d) + "/*"))
+    assert "robots_opt_out" not in base.columns
+
+
+def test_warc_corpus_respects_robots_first(spark, tmp_path):
+    from nexus_event_stream_spark.pipeline import CorpusRecipe, warc_corpus
+
+    d = tmp_path / "warc"
+    d.mkdir()
+    (d / "g.warc").write_bytes(synthesize_warc(ROBOTS_RECS))
+    recipe = CorpusRecipe(
+        quality=False, redact_pii=False, exact_dedup=False, near_dedup=False
+    )
+    corpus, stages = warc_corpus(
+        spark, str(d) + "/*", recipe=recipe, respect_robots=True
+    )
+    assert list(stages)[:2] == ["documents", "robots_opt_out"]
+    n_docs = stages["documents"].count()
+    n_kept = stages["robots_opt_out"].count()
+    assert (n_docs, n_kept) == (10, 6)
+    urls = {r.url for r in corpus.collect()}
+    assert "https://a.com/h1" not in urls and "https://a.com/ok" in urls
+    # the flag column does not leak into the corpus schema
+    assert "robots_opt_out" not in corpus.columns
