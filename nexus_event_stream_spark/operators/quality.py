@@ -491,20 +491,86 @@ def repetition_signals(
     return out.withColumns(fracs).drop("__toks")
 
 
-def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+#: payment-card candidate: 13–19 digits, optionally space/dash grouped.
+#: A REGEXP alone would redact every long number (order ids, ISBNs,
+#: timestamps) — candidates must also pass the Luhn checksum below.
+CC_CANDIDATE = r"\b(?:\d[ -]?){12,18}\d\b"
+CC_TOKEN = "<CC>"
+
+
+def luhn_valid(cand: Column) -> Column:
+    """Luhn checksum over the candidate's digits (ISO/IEC 7812), pure
+    Catalyst: reverse the digit array, double every second digit
+    (−9 past 9), sum mod 10 == 0. Length gated to 13–19 (the issued
+    PAN range)."""
+    digits = F.filter(
+        F.split(F.regexp_replace(cand, r"[^0-9]", ""), ""),
+        lambda x: x != "",
+    )
+    n = F.size(digits)
+
+    def term(d: Column, i: Column) -> Column:
+        v = d.cast("int")
+        dbl = v * 2
+        return F.when(i % 2 == 0, v).otherwise(
+            F.when(dbl > 9, dbl - 9).otherwise(dbl)
+        )
+
+    total = F.aggregate(
+        F.transform(F.reverse(digits), term), F.lit(0), lambda a, x: a + x
+    )
+    return (n >= 13) & (n <= 19) & (total % 10 == 0)
+
+
+def pii_redact(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: tuple[str, ...] | None = None,
+) -> DataFrame:
     """Detect and redact PII spans; append counts + the redacted text.
 
     Adds ``n_email / n_ipv4 / n_phone`` (match counts on the ORIGINAL
     text, so counts are independent of redaction order) and ``redacted``
     (email → ipv4 → phone replacement chain). Pure projection — zero
     shuffle; regexps run inside codegen, linear in corpus bytes.
+
+    ``patterns`` selects the kinds (default: the regexp trio, schema
+    unchanged). Adding ``"cc"`` opts into payment-card redaction:
+    candidates match ``CC_CANDIDATE`` and must ALSO pass the Luhn
+    checksum (``luhn_valid``) — a bare 16-digit order id is NOT
+    redacted; counts land in ``n_cc`` and valid candidates replace
+    FIRST (before the phone regexp can eat their digit groups), via a
+    literal-replace fold over the distinct valid candidates — still
+    zero shuffle, zero Python.
     """
+    kinds = tuple(PII_PATTERNS) if patterns is None else tuple(patterns)
+    unknown = [k for k in kinds if k != "cc" and k not in PII_PATTERNS]
+    if unknown:
+        raise ValueError(
+            f"unknown PII pattern kinds {unknown!r}; "
+            f"valid: {list(PII_PATTERNS) + ['cc']}"
+        )
     c = _col(text_col)
     out = df
-    for kind, (pat, _) in PII_PATTERNS.items():
-        out = out.withColumn(f"n_{kind}", F.regexp_count(c, F.lit(pat)))
     red = c
-    for pat, token in PII_PATTERNS.values():
+    if "cc" in kinds:
+        matches = F.regexp_extract_all(c, F.lit(CC_CANDIDATE), F.lit(0))
+        valid = F.filter(matches, luhn_valid)
+        out = out.withColumn("n_cc", F.size(valid))
+        red = F.aggregate(
+            F.array_distinct(valid),
+            red,
+            lambda acc, cand: F.replace(acc, cand, F.lit(CC_TOKEN)),
+        )
+    for kind in kinds:
+        if kind == "cc":
+            continue
+        pat, _ = PII_PATTERNS[kind]
+        out = out.withColumn(f"n_{kind}", F.regexp_count(c, F.lit(pat)))
+    for kind in kinds:
+        if kind == "cc":
+            continue
+        pat, token = PII_PATTERNS[kind]
         red = F.regexp_replace(red, pat, token)
     return out.withColumn("redacted", red)
 

@@ -886,3 +886,57 @@ def test_repetition_stage_in_recipe(spark):
     assert "repetition" in stages
     ids = [r.doc_id for r in corpus.collect()]
     assert ids == [1]
+
+
+# ---------------------------------------------------------------------------
+# Luhn-validated payment-card redaction (opt-in, r11)
+# ---------------------------------------------------------------------------
+
+
+def test_cc_redaction_luhn_gated(spark):
+    from nexus_event_stream_spark.operators.quality import pii_redact as pr
+
+    valid_sp = "4111 1111 1111 1111"        # Visa test PAN, Luhn-valid
+    valid_ds = "5500-0000-0000-0004"        # Mastercard test PAN
+    invalid = "4111 1111 1111 1112"          # fails Luhn: NOT redacted
+    rows = {
+        r.doc_id: r
+        for r in pr(
+            _docs(
+                spark,
+                [
+                    f"pay with {valid_sp} or {valid_ds} thanks",
+                    f"order id {invalid} is just an order id",
+                    f"twice {valid_sp} and again {valid_sp}",
+                    "short 1234 5678 9012 number",  # 12 digits: out of range
+                ],
+            ),
+            patterns=("email", "ipv4", "phone", "cc"),
+        ).collect()
+    }
+    r0 = rows[0]
+    assert r0.n_cc == 2
+    assert valid_sp not in r0.redacted and valid_ds not in r0.redacted
+    assert r0.redacted.count("<CC>") == 2
+    r1 = rows[1]
+    assert r1.n_cc == 0 and invalid in r1.redacted
+    r2 = rows[2]
+    assert r2.n_cc == 2 and r2.redacted.count("<CC>") == 2
+    r3 = rows[3]
+    assert r3.n_cc == 0 and "1234 5678 9012" in r3.redacted
+
+    # default pattern set: schema unchanged, no n_cc column
+    base = pr(_docs(spark, ["x"]))
+    assert "n_cc" not in base.columns
+
+    with pytest.raises(ValueError, match="unknown PII pattern"):
+        pr(_docs(spark, ["x"]), patterns=("email", "ssn"))
+
+    # zero shuffle / zero Python with the Luhn fold in the plan
+    plan = (
+        pr(_docs(spark, ["x"]), patterns=("cc",))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan
