@@ -46,10 +46,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from nexus_event_stream_spark.operators.bloom import (
+    MAX_EXPR_WORDS,
     BloomFilter,
+    _word_index,
+    _word_mask,
     bloom_build,
     bloom_might_contain,
     bloom_params,
+    bloom_words_df,
 )
 
 GRAINS = ("document", "paragraph")
@@ -102,18 +106,56 @@ def reference_corpus_bloom(
     return bloom_build(keys, "__key", m_bits=m, k=k)
 
 
+def _hit_flag_join(
+    df: DataFrame, key: Column, bf: BloomFilter
+) -> DataFrame:
+    """Append ``__bf_hit`` via the broadcast word-table probe — the
+    dedup-shaped twin of ``bloom_prune_join`` (which filters to hits;
+    dedup needs the FLAG so it can keep the complement). One map-side
+    broadcast hash join, no shuffle of ``df``; NULL keys flag False."""
+    words = bloom_words_df(df.sparkSession, bf).select(
+        F.col("w").alias("__bf_tw"), F.col("word").alias("__bf_word")
+    )
+    out = (
+        df.withColumn(
+            "__bf_w",
+            F.when(
+                key.isNotNull(), _word_index(key, bf.n_words).cast("int")
+            ),
+        )
+        .withColumn("__bf_mask", _word_mask(key, bf.k))
+        .join(F.broadcast(words), F.col("__bf_w") == F.col("__bf_tw"), "left")
+    )
+    word = F.coalesce(F.col("__bf_word"), F.lit(0))
+    return out.withColumn(
+        "__bf_hit",
+        key.isNotNull()
+        & (word.bitwiseAND(F.col("__bf_mask")) == F.col("__bf_mask")),
+    ).drop("__bf_w", "__bf_mask", "__bf_tw", "__bf_word")
+
+
 def bloom_dedup_documents(
     df: DataFrame, bf: BloomFilter, text_col: str = "text"
 ) -> DataFrame:
     """Drop documents whose full text hits the reference filter. Pure
     map-side filter directly above the scan — other predicates still push
     past it. NULL-text rows pass through (no evidence of duplication —
-    the probe's NULL gate returns False, and negation keeps the row)."""
+    the probe's NULL gate returns False, and negation keeps the row).
+    Past ``MAX_EXPR_WORDS`` the probe switches to the broadcast
+    word-table join automatically — same semantics, still no shuffle of
+    ``df``."""
+    if bf.n_words > MAX_EXPR_WORDS:
+        return _hit_flag_join(df, _col(text_col), bf).where(
+            ~F.col("__bf_hit")
+        ).drop("__bf_hit")
     return df.where(~bloom_might_contain(bf, _col(text_col)))
 
 
 def bloom_dedup_paragraphs(
-    df: DataFrame, bf: BloomFilter, text_col: str = "text"
+    df: DataFrame,
+    bf: BloomFilter,
+    text_col: str = "text",
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Remove reference-corpus paragraphs from every document; append
     ``n_paras`` / ``dup_paras`` accounting. Documents with NO hit keep
@@ -123,7 +165,15 @@ def bloom_dedup_paragraphs(
     always preserved (an all-duplicate document comes back with ``''``,
     NULL text stays NULL with zero counts) — dropping is the DOCUMENT
     grain's job. Zero shuffle, zero Python, zero explode: the probe runs
-    inside the per-document array filter."""
+    inside the per-document array filter.
+
+    Past ``MAX_EXPR_WORDS`` the inline word literal stops being sensible
+    and this dispatches to ``bloom_dedup_paragraphs_join`` (result-
+    identical, pinned) — posexplode + broadcast word-table probe + one
+    keyed re-assembly shuffle, the shape a 1 B-paragraph reference
+    filter needs; ``id_col`` is only required on that path."""
+    if bf.n_words > MAX_EXPR_WORDS:
+        return bloom_dedup_paragraphs_join(df, bf, text_col, id_col)
     text = _col(text_col)
     units = _paragraphs(text)
     kept = F.filter(units, lambda p: ~bloom_might_contain(bf, p))
@@ -139,3 +189,51 @@ def bloom_dedup_paragraphs(
             ).otherwise(F.array_join(kept, "\n\n")),
         }
     )
+
+
+def bloom_dedup_paragraphs_join(
+    df: DataFrame,
+    bf: BloomFilter,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The broadcast word-table twin of ``bloom_dedup_paragraphs`` for
+    filters too large to inline as a plan literal: posexplode the units,
+    flag hits with ONE map-side broadcast hash join (``_hit_flag_join``),
+    re-assemble per document with one keyed shuffle, join the accounting
+    back onto the ORIGINAL rows (every input column and row preserved,
+    zero-hit documents byte-exact — the same contract as the expression
+    path; result-identity is pinned in tests). Linear: one row per
+    paragraph moves once."""
+    text = _col(text_col)
+    tname = text_col if isinstance(text_col, str) else "text"
+    units = _paragraphs(text)
+    exploded = df.select(
+        F.col(id_col), F.posexplode_outer(units).alias("__pos", "__para")
+    )
+    flagged = _hit_flag_join(exploded, F.col("__para"), bf)
+    per_doc = flagged.groupBy(id_col).agg(
+        F.count("__para").cast("bigint").alias("n_paras"),
+        F.count_if(F.col("__bf_hit")).cast("bigint").alias("dup_paras"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("__bf_hit"),
+                            F.struct(F.col("__pos"), F.col("__para")),
+                        )
+                    )
+                ),
+                lambda s: s["__para"],
+            ),
+            "\n\n",
+        ).alias("__rebuilt"),
+    )
+    out = df.join(per_doc, id_col, "left")
+    return out.withColumn(
+        tname,
+        F.when(text.isNull() | (F.col("dup_paras") == 0), text).otherwise(
+            F.col("__rebuilt")
+        ),
+    ).drop("__rebuilt")

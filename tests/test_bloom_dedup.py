@@ -106,3 +106,56 @@ def test_reference_dedup_stage_in_recipe(spark):
     )
     assert "reference_dedup" in stages
     assert [r.doc_id for r in corpus.collect()] == [1]
+
+
+def test_join_probe_identical_to_expression_probe(spark):
+    """The broadcast word-table path (the past-MAX_EXPR_WORDS shape) is
+    result-IDENTICAL to the inline-literal path: same kept rows (document
+    grain), same counts + rebuilt text byte-for-byte (paragraph grain),
+    including the byte-exact zero-hit, all-dup-empty and NULL-text
+    contracts."""
+    from nexus_event_stream_spark.operators.bloom_dedup import (
+        bloom_dedup_paragraphs_join,
+    )
+
+    ref = _df(spark, list(enumerate("\n\n".join(REF_PARAS[i : i + 3]) for i in range(0, 30, 3))))
+    bf = reference_corpus_bloom(ref, grain="paragraph", fpr=1e-6)
+    fresh = ["a brand new paragraph about spark", "another fresh one"]
+    incoming = _df(
+        spark,
+        [
+            (0, f"{fresh[0]}\n\n{REF_PARAS[4]}\n\n{fresh[1]}\n\n{REF_PARAS[17]}"),
+            (1, "solo novel paragraph\n\n\n  oddly   spaced novel one  "),
+            (2, f"{REF_PARAS[0]}\n\n{REF_PARAS[1]}"),
+            (3, None),
+        ],
+    )
+    via_expr = {
+        r.doc_id: (r.text, r.n_paras, r.dup_paras)
+        for r in bloom_dedup_paragraphs(incoming, bf).collect()
+    }
+    via_join = {
+        r.doc_id: (r.text, r.n_paras, r.dup_paras)
+        for r in bloom_dedup_paragraphs_join(incoming, bf).collect()
+    }
+    assert via_join == via_expr
+
+    # document grain: the join path drops exactly the same rows
+    bfd = reference_corpus_bloom(_df(spark, list(enumerate(REF_TEXTS))), fpr=1e-6)
+    docs = _df(
+        spark,
+        [(100, REF_TEXTS[3]), (101, "novel page"), (102, None)],
+    )
+    from nexus_event_stream_spark.operators.bloom_dedup import _hit_flag_join
+    from pyspark.sql import functions as F
+
+    joined_kept = sorted(
+        r.doc_id
+        for r in _hit_flag_join(docs, F.col("text"), bfd)
+        .where(~F.col("__bf_hit"))
+        .collect()
+    )
+    expr_kept = sorted(
+        r.doc_id for r in bloom_dedup_documents(docs, bfd).collect()
+    )
+    assert joined_kept == expr_kept == [101, 102]

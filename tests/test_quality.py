@@ -940,3 +940,30 @@ def test_cc_redaction_luhn_gated(spark):
         .toString()
     )
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_repetition_composes_with_structured_streaming(spark, tmp_path):
+    # repetition_signals is a pure projection (HOF folds, no agg), so
+    # the SAME operator gates a stream — ingest-time Gopher repetition
+    # removal with no state store and no watermark.
+    src = str(tmp_path / "rep_src")
+    spark.createDataFrame(
+        [
+            (0, " ".join(f"w{i}" for i in range(60))),  # clean
+            (1, "buy now " * 40),                        # generation loop
+        ],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        repetition_signals(stream)
+        .filter("repetition_pass = 1")
+        .select("doc_id")
+        .writeStream.format("memory")
+        .queryName("q_repetition_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [r.doc_id for r in spark.sql("select * from q_repetition_stream").collect()]
+    assert got == [0]
