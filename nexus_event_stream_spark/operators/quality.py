@@ -373,10 +373,178 @@ def repetition_pass_checks(thresholds: dict | None = None) -> Column:
     return checks
 
 
+#: output column order of repetition_signals — shared by both engines so
+#: they are drop-in identical (schema AND values).
+_REP_INT_COLS = (
+    ["rep_word_chars"]
+    + [
+        c
+        for kind in ("line", "para")
+        for c in (
+            f"n_{kind}s",
+            f"{kind}_chars",
+            f"dup_{kind}_n",
+            f"dup_{kind}_chars",
+        )
+    ]
+    + [f"top_{n}gram_chars" for n in (2, 3, 4)]
+    + [f"dup_{n}gram_chars" for n in range(5, 11)]
+)
+_REP_FRAC_COLS = (
+    [
+        c
+        for kind in ("line", "para")
+        for c in (f"dup_{kind}_frac", f"dup_{kind}_char_frac")
+    ]
+    + [f"top_{n}gram_char_frac" for n in (2, 3, 4)]
+    + [f"dup_{n}gram_char_frac" for n in range(5, 11)]
+)
+
+
+def _rep_signals_py(text: str | None, t: dict) -> dict:
+    """Pure-Python/numpy twin of the Catalyst spec — one document.
+    Mirrors every convention exactly: single-space tokenization,
+    space-only trim on units, NULL ≡ empty, count × gram-chars top
+    coverage, overlap-once dup coverage, integer-exact pass."""
+    import numpy as np
+    from collections import Counter
+
+    if text is None:
+        text = ""
+    toks = text.split(" ")
+    k0 = len(toks)
+    lens = np.fromiter((len(x) for x in toks), dtype=np.int64, count=k0)
+    cum = np.concatenate(([0], np.cumsum(lens)))
+    vals: dict = {"rep_word_chars": int(lens.sum())}
+    for kind, sep in (("line", "\n"), ("para", "\n\n")):
+        units = [u for u in (x.strip(" ") for x in text.split(sep)) if u]
+        c = Counter(units)
+        vals[f"n_{kind}s"] = len(units)
+        vals[f"{kind}_chars"] = sum(map(len, units))
+        vals[f"dup_{kind}_n"] = len(units) - len(c)
+        vals[f"dup_{kind}_chars"] = sum(
+            (cnt - 1) * len(u) for u, cnt in c.items() if cnt > 1
+        )
+    tok2id: dict = {}
+    tok_ids = np.empty(k0, dtype=np.int64)
+    for i, tk in enumerate(toks):
+        tok_ids[i] = tok2id.setdefault(tk, len(tok2id))
+    base = max(len(tok2id), 1)
+    # Incremental rank chain: level-n windows are ranked by ONE 1-D
+    # int64 unique over rank_{n-1}(prefix)·base + id(last) — injective
+    # (rank identifies the (n-1)-prefix exactly), values < k0·base ≤
+    # k0² so no overflow; avoids np.unique(axis=0)'s row-sort, which
+    # profiled 5× the whole document's budget.
+    prev_rank = tok_ids
+    stop_dup = False
+    for n in range(2, 11):
+        if n >= 5 and stop_dup:
+            vals[f"dup_{n}gram_chars"] = 0
+            continue
+        if k0 < n:
+            if n <= 4:
+                vals[f"top_{n}gram_chars"] = 0
+            else:
+                vals[f"dup_{n}gram_chars"] = 0
+                stop_dup = True
+            continue
+        combined = prev_rank[: k0 - n + 1] * base + tok_ids[n - 1 :]
+        _, first, inverse, counts = np.unique(
+            combined,
+            return_index=True,
+            return_inverse=True,
+            return_counts=True,
+        )
+        if n <= 4:
+            covg = counts * (cum[first + n] - cum[first])
+            vals[f"top_{n}gram_chars"] = int(covg.max()) if covg.size else 0
+        else:
+            # dup_{n-1}=0 ⇒ dup_n=0 (containment) gates the tail levels
+            starts = np.nonzero(counts[inverse] > 1)[0]
+            if starts.size == 0:
+                vals[f"dup_{n}gram_chars"] = 0
+                stop_dup = True
+            else:
+                diff = np.zeros(k0 + 1, dtype=np.int64)
+                np.add.at(diff, starts, 1)
+                np.add.at(diff, starts + n, -1)
+                covered = np.cumsum(diff[:-1]) > 0
+                vals[f"dup_{n}gram_chars"] = int(lens[covered].sum())
+        prev_rank = inverse.astype(np.int64, copy=False)
+    wc = max(vals["rep_word_chars"], 1)
+    for kind in ("line", "para"):
+        vals[f"dup_{kind}_frac"] = vals[f"dup_{kind}_n"] / max(
+            vals[f"n_{kind}s"], 1
+        )
+        vals[f"dup_{kind}_char_frac"] = vals[f"dup_{kind}_chars"] / max(
+            vals[f"{kind}_chars"], 1
+        )
+    for n in (2, 3, 4):
+        vals[f"top_{n}gram_char_frac"] = vals[f"top_{n}gram_chars"] / wc
+    for n in range(5, 11):
+        vals[f"dup_{n}gram_char_frac"] = vals[f"dup_{n}gram_chars"] / wc
+    ok = (
+        vals["dup_line_n"] * 100 <= t["max_dup_line_frac_pct"] * vals["n_lines"]
+        and vals["dup_para_n"] * 100
+        <= t["max_dup_para_frac_pct"] * vals["n_paras"]
+        and vals["dup_line_chars"] * 100
+        <= t["max_dup_line_char_frac_pct"] * vals["line_chars"]
+        and vals["dup_para_chars"] * 100
+        <= t["max_dup_para_char_frac_pct"] * vals["para_chars"]
+    )
+    for n in (2, 3, 4):
+        ok = ok and (
+            vals[f"top_{n}gram_chars"] * 100
+            <= t[f"max_top_{n}gram_char_frac_pct"] * vals["rep_word_chars"]
+        )
+    for n in range(5, 11):
+        ok = ok and (
+            vals[f"dup_{n}gram_chars"] * 100
+            <= t[f"max_dup_{n}gram_char_frac_pct"] * vals["rep_word_chars"]
+        )
+    vals["repetition_pass"] = 1 if ok else 0
+    return vals
+
+
+def _repetition_signals_arrow(
+    df: DataFrame, text_col: str, t: dict
+) -> DataFrame:
+    """Arrow-kernel engine: the cdc_dedup precedent — per-batch numpy
+    vectorization of the same math, every input column passed through.
+    Measured ~20× over the interpreted HOF spec on the 25× mirror
+    corpus (repetition_25x tracks it per round)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(c, T.LongType()) for c in _REP_INT_COLS]
+        + [T.StructField(c, T.DoubleType()) for c in _REP_FRAC_COLS]
+        + [T.StructField("repetition_pass", T.LongType())]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            res = [_rep_signals_py(txt, t) for txt in pdf[text_col]]
+            out = pdf.copy()
+            for c in _REP_INT_COLS + ["repetition_pass"]:
+                out[c] = np.array([r[c] for r in res], dtype=np.int64)
+            for c in _REP_FRAC_COLS:
+                out[c] = np.array([r[c] for r in res], dtype=np.float64)
+            yield out
+
+    return df.mapInPandas(batches, schema)
+
+
 def repetition_signals(
     df: DataFrame,
     text_col: str = "text",
     thresholds: dict | None = None,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Append the COMPLETE Gopher repetition-removal suite (Rae et al.
     2021 Table A1) — the within-document repetition signals
@@ -395,12 +563,24 @@ def repetition_signals(
       many duplicated grams overlap it;
     - ``repetition_pass``: the A1 thresholds, integer-exact.
 
-    Everything is Catalyst HOF folds over per-document arrays — zero
-    shuffle, zero Python, cost O(len · log len) per document; at 100 TB
-    this stays a pure scan-bandwidth projection like
-    ``quality_signals``. Empty documents pass vacuously (fractions 0)."""
+    Two engines, property-pinned value-identical (the cdc_dedup
+    precedent): ``engine="arrow"`` (default) vectorizes per batch in a
+    mapInPandas kernel — measured ~20× over the interpreted-HOF path on
+    the 25× mirror; ``engine="catalyst"`` is the zero-Python spec —
+    HOF folds over per-document arrays, zero shuffle, O(len · log len)
+    per document. Both are pure map-side projections, so at 100 TB the
+    suite rides the corpus scan either way, and both compose unchanged
+    onto streaming DataFrames. Empty and NULL documents pass vacuously
+    (all counts and fractions 0)."""
     t = thresholds or REPETITION_THRESHOLDS
-    text = _col(text_col)
+    if engine == "arrow":
+        return _repetition_signals_arrow(df, text_col, t)
+    if engine != "catalyst":
+        raise ValueError(f"engine must be arrow|catalyst, got {engine!r}")
+    # NULL ≡ empty: all counts/fracs 0, vacuous pass — NULL-content
+    # policy belongs to the quality/ingest tiers, not the repetition
+    # signals (and legacy size(NULL) = -1 would leak -1 unit counts)
+    text = F.coalesce(_col(text_col), F.lit(""))
     out = df.withColumn("__toks", tokens(text))
     toks = F.col("__toks")
     # Stage the heavy per-doc intermediates as REAL columns: HOF lambdas

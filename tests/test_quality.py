@@ -820,7 +820,7 @@ _rep_units = st.lists(
 
 
 @settings(
-    max_examples=15,
+    max_examples=8,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -836,9 +836,10 @@ _rep_units = st.lists(
         ),
         min_size=1,
         max_size=5,
-    )
+    ),
+    engine=st.sampled_from(["arrow", "catalyst"]),
 )
-def test_repetition_signals_match_python_reference(spark, docs):
+def test_repetition_signals_match_python_reference(spark, docs, engine):
     texts = [
         "".join(
             u + (seps[i] if i < len(units) - 1 else "")
@@ -847,19 +848,54 @@ def test_repetition_signals_match_python_reference(spark, docs):
         for units, seps in docs
     ]
     rows = {
-        r.doc_id: r for r in repetition_signals(_docs(spark, texts)).collect()
+        r.doc_id: r
+        for r in repetition_signals(
+            _docs(spark, texts), engine=engine
+        ).collect()
     }
     for doc_id, text in enumerate(texts):
         ref = _ref_repetition(text)
         r = rows[doc_id]
         for k, v in ref.items():
-            assert getattr(r, k) == v, (k, text)
+            assert getattr(r, k) == v, (k, text, engine)
+
+
+def test_repetition_engines_identical_including_null(spark):
+    """arrow (default kernel) ≡ catalyst (the zero-Python spec): same
+    schema, same values — integer signals, IEEE-double fracs, pass —
+    including NULL text (≡ empty: vacuous pass) and the full-cascade
+    doc."""
+    texts = [
+        None,
+        "",
+        "x y x y x y z",
+        "l1\nl1\nl2\n\np2\n\np2",
+        " ".join([f"t{i}" for i in range(10)] * 2),
+        "buy now " * 40,
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    a = {r.doc_id: r.asDict() for r in repetition_signals(df, engine="arrow").collect()}
+    c = {r.doc_id: r.asDict() for r in repetition_signals(df, engine="catalyst").collect()}
+    assert repetition_signals(df, engine="arrow").columns == repetition_signals(df, engine="catalyst").columns
+    assert a == c
+    assert a[0]["repetition_pass"] == 1 and a[0]["n_lines"] == 0  # NULL ≡ empty
+    with pytest.raises(ValueError, match="engine"):
+        repetition_signals(df, engine="pandas")
 
 
 def test_repetition_signals_zero_exchange(spark):
-    df = repetition_signals(_docs(spark, ["a b\nc"]))
+    # catalyst spec: zero Exchange AND zero Python
+    df = repetition_signals(_docs(spark, ["a b\nc"]), engine="catalyst")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+    # arrow kernel: still map-side only (one Python stage, no shuffle)
+    plan_a = (
+        repetition_signals(_docs(spark, ["a b\nc"]))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan_a
 
 
 def test_repetition_stage_in_recipe(spark):
