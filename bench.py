@@ -318,6 +318,12 @@ def _replicate_docs(spark, sf_dir: str, times: int = 25):
                 F.col("text"),
             ).alias("text"),
         )
+        # The source table is ONE parquet split at every test SF, so
+        # without this every map-only stress entry ran on 1 of the 32
+        # cores — the repartition costs one ~15 MB shuffle inside each
+        # timed closure (honest) and restores the multi-file shape a
+        # real corpus scan has.
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
 
