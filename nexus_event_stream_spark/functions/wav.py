@@ -1,4 +1,4 @@
-"""Pure-Python WAV (RIFF/WAVE PCM) codec — stdlib only (``struct``).
+"""Pure-Python WAV (RIFF/WAVE PCM) codec — stdlib ``struct`` + numpy.
 
 Real container: RIFF header, ``fmt `` chunk (PCM, mono/stereo, 16-bit),
 ``data`` chunk of little-endian int16 samples, with size validation on
@@ -11,6 +11,8 @@ and energy against a closed-form SQL oracle.
 from __future__ import annotations
 
 import struct
+
+import numpy as np
 
 
 def encode_wav(
@@ -38,8 +40,12 @@ def encode_wav(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
-    """Decode a WAV → ``(sample_rate, channels, samples)``.
+def decode_wav(payload: bytes) -> tuple[int, int, "np.ndarray"]:
+    """Decode a WAV → ``(sample_rate, channels, samples)`` where samples
+    is an int16 numpy array (zero-copy view of the data chunk — the
+    audio kernels consume numpy anyway, and a Python list materialized
+    one object per sample in the decode hot path). Beware int16
+    overflow downstream: cast to a wider dtype before ``abs``/``sum``.
 
     Raises ``ValueError`` on malformed input (bad magic, truncated chunks,
     non-PCM, non-16-bit) — callers follow the engine's tolerant-reader
@@ -77,5 +83,5 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
         raise ValueError("missing fmt or data chunk")
     if len(data) % 2:
         raise ValueError("odd data chunk length for 16-bit samples")
-    samples = list(struct.unpack(f"<{len(data) // 2}h", data))
+    samples = np.frombuffer(data, dtype="<i2")
     return sample_rate, channels, samples

@@ -204,7 +204,14 @@ def bloom_dedup_paragraphs_join(
     back onto the ORIGINAL rows (every input column and row preserved,
     zero-hit documents byte-exact — the same contract as the expression
     path; result-identity is pinned in tests). Linear: one row per
-    paragraph moves once."""
+    paragraph moves once.
+
+    ``id_col`` must be a UNIQUE, NON-NULL document key on this path:
+    duplicate ids would merge paragraph accounting across documents, and
+    a NULL id never matches the join-back (null-unsafe equality), so
+    NULL-id rows pass through byte-exact with zero counts rather than
+    being probed — callers that need NULL-id rows deduped must key them
+    first (``monotonically_increasing_id`` or a hash of the row)."""
     text = _col(text_col)
     tname = text_col if isinstance(text_col, str) else "text"
     units = _paragraphs(text)
@@ -231,6 +238,17 @@ def bloom_dedup_paragraphs_join(
         ).alias("__rebuilt"),
     )
     out = df.join(per_doc, id_col, "left")
+    # Coalesce BEFORE the rewrite: a row that missed the join-back (NULL
+    # id under null-unsafe equality) must keep its text byte-exact, not
+    # have a NULL `when` condition silently replace it with NULL.
+    out = out.withColumns(
+        {
+            "n_paras": F.coalesce(F.col("n_paras"), F.lit(0).cast("bigint")),
+            "dup_paras": F.coalesce(
+                F.col("dup_paras"), F.lit(0).cast("bigint")
+            ),
+        }
+    )
     return out.withColumn(
         tname,
         F.when(text.isNull() | (F.col("dup_paras") == 0), text).otherwise(

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -570,7 +571,10 @@ def decode_doc_media(media: DataFrame) -> DataFrame:
                     rate, _ch, samples = decode_wav(p)
                     rates.append(rate)
                     counts.append(len(samples))
-                    energies.append(sum(abs(s) for s in samples))
+                    # widen BEFORE abs: int16 abs(-32768) wraps to -32768
+                    energies.append(
+                        int(np.abs(samples.astype(np.int64)).sum())
+                    )
                 except Exception:
                     rates.append(None)
                     counts.append(None)

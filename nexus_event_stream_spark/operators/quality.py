@@ -228,14 +228,20 @@ def _unit_dup_stats(arr: Column) -> Column:
 
 
 def _top_ngram_chars(toks: Column, n: int) -> Column:
-    """Characters covered by the most frequent word n-gram: occurrence
-    count × the gram's whitespace-free char length. Ties break toward
-    the larger char coverage (deterministic). Same sorted-run fold as
-    ``top_bigram_count``, tracking coverage alongside the run."""
+    """Characters covered by the MOST FREQUENT word n-gram (Rae et al.
+    2021 Table A1): occurrence count × the gram's whitespace-free char
+    length, where the gram is chosen by highest count, ties broken
+    toward the larger char coverage (deterministic). A longer-but-rarer
+    gram never outranks the mode. Same sorted-run fold as
+    ``top_bigram_count``, tracking (count, coverage) lexicographically
+    alongside the run."""
     grams = F.array_sort(ngrams_from_tokens(toks, n))
     zero = F.lit(0).cast("bigint")
     init = F.struct(
-        F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")
+        F.lit("").alias("prev"),
+        zero.alias("run"),
+        zero.alias("bc"),
+        zero.alias("best"),
     )
     sep = F.lit(n - 1).cast("bigint")  # single-space joiners in the gram
 
@@ -244,10 +250,17 @@ def _top_ngram_chars(toks: Column, n: int) -> Column:
             F.lit(1).cast("bigint")
         )
         cand = run * (F.length(x) - sep)
+        # Lexicographic (count, coverage): a run's prefixes have both a
+        # smaller count and a smaller coverage than its full length, so
+        # folding every prefix still selects the final run of the mode.
+        better = (run > acc["bc"]) | (
+            (run == acc["bc"]) & (cand > acc["best"])
+        )
         return F.struct(
             x.alias("prev"),
             run.alias("run"),
-            F.greatest(acc["best"], cand).alias("best"),
+            F.when(better, run).otherwise(acc["bc"]).alias("bc"),
+            F.when(better, cand).otherwise(acc["best"]).alias("best"),
         )
 
     return F.aggregate(grams, init, step, lambda acc: acc["best"])
@@ -456,8 +469,12 @@ def _rep_signals_py(text: str | None, t: dict) -> dict:
             return_counts=True,
         )
         if n <= 4:
-            covg = counts * (cum[first + n] - cum[first])
-            vals[f"top_{n}gram_chars"] = int(covg.max()) if covg.size else 0
+            if counts.size:
+                cmax = counts.max()
+                glen = (cum[first + n] - cum[first])[counts == cmax]
+                vals[f"top_{n}gram_chars"] = int(cmax * glen.max())
+            else:
+                vals[f"top_{n}gram_chars"] = 0
         else:
             # dup_{n-1}=0 ⇒ dup_n=0 (containment) gates the tail levels
             starts = np.nonzero(counts[inverse] > 1)[0]
@@ -555,9 +572,10 @@ def repetition_signals(
       that are repeat occurrences of an earlier identical unit;
     - ``dup_line_char_frac`` / ``dup_para_char_frac``: same at
       character weight;
-    - ``top_{2,3,4}gram_char_frac``: characters covered by the most
-      frequent word n-gram (count × whitespace-free gram length) over
-      total word characters;
+    - ``top_{2,3,4}gram_char_frac``: characters covered by the MOST
+      FREQUENT word n-gram (count × whitespace-free gram length; the
+      gram is the mode by count, ties broken toward larger coverage)
+      over total word characters;
     - ``dup_{5..10}gram_char_frac``: characters inside n-grams occurring
       more than once, each covered token position counted ONCE however
       many duplicated grams overlap it;
@@ -572,7 +590,13 @@ def repetition_signals(
     suite rides the corpus scan either way, and both compose unchanged
     onto streaming DataFrames. Empty and NULL documents pass vacuously
     (all counts and fractions 0)."""
-    t = thresholds or REPETITION_THRESHOLDS
+    # A partial dict OVERRIDES the defaults (the per-language-recipe
+    # merge semantics) — a full replacement would KeyError inside the
+    # executor kernel on any omitted signal.
+    t = {**REPETITION_THRESHOLDS, **(thresholds or {})}
+    unknown = set(t) - set(REPETITION_THRESHOLDS)
+    if unknown:
+        raise ValueError(f"unknown repetition thresholds: {sorted(unknown)}")
     if engine == "arrow":
         return _repetition_signals_arrow(df, text_col, t)
     if engine != "catalyst":

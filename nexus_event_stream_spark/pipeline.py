@@ -413,7 +413,7 @@ def prepare_training_corpus(
             )
         elif recipe.reference_bloom_grain == "paragraph":
             cur = bloom_dedup_paragraphs(
-                cur, recipe.reference_bloom, text_col
+                cur, recipe.reference_bloom, text_col, id_col=id_col
             ).select(*docs.columns)
         else:
             raise ValueError(

@@ -247,6 +247,11 @@ def exact_suppress_and_register(
             corpus=survivors.drop("__digest") if corpus_path else None,
             corpus_root=corpus_path,
         )
+    # Materialize BEFORE unpersist: the caller consumes the returned
+    # DataFrame after this function drops the cache, and a
+    # nondeterministic batch source recomputed from scratch could
+    # diverge from the digests just registered in the filter/store.
+    survivors = survivors.localCheckpoint(eager=True)
     keyed.unpersist()
     return survivors.drop("__digest")
 

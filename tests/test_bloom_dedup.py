@@ -159,3 +159,60 @@ def test_join_probe_identical_to_expression_probe(spark):
         r.doc_id for r in bloom_dedup_documents(docs, bfd).collect()
     )
     assert joined_kept == expr_kept == [101, 102]
+
+
+def test_join_probe_null_id_rows_pass_through_byte_exact(spark):
+    """NULL-id rows never match the join-back (null-unsafe equality) —
+    they must come back with text BYTE-EXACT and zero counts, not have
+    a NULL `when` condition silently null out the text (r11 advice)."""
+    from nexus_event_stream_spark.operators.bloom_dedup import (
+        bloom_dedup_paragraphs_join,
+    )
+
+    ref = _df(spark, [(0, REF_PARAS[0])])
+    bf = reference_corpus_bloom(ref, grain="paragraph", fpr=1e-6)
+    dirty = f"{REF_PARAS[0]}\n\nkept paragraph"
+    rows = {
+        r.doc_id: (r.text, r.n_paras, r.dup_paras)
+        for r in bloom_dedup_paragraphs_join(
+            spark.createDataFrame(
+                [(None, dirty), (7, dirty)], "doc_id long, text string"
+            ),
+            bf,
+        ).collect()
+    }
+    # keyed row is probed and stripped; NULL-id row passes byte-exact
+    assert rows[7] == ("kept paragraph", 2, 1)
+    assert rows[None] == (dirty, 0, 0)
+
+
+def test_pipeline_forwards_id_col_to_paragraph_join_path(spark, monkeypatch):
+    """The recipe stage must forward its id_col to bloom_dedup_paragraphs:
+    past MAX_EXPR_WORDS the join path groups on it, and a corpus keyed
+    `id` (no `doc_id` column) would AnalysisException (r11 advice)."""
+    import nexus_event_stream_spark.operators.bloom_dedup as bd
+    from nexus_event_stream_spark.pipeline import (
+        CorpusRecipe,
+        prepare_training_corpus,
+    )
+
+    monkeypatch.setattr(bd, "MAX_EXPR_WORDS", 0)  # force the join path
+    ref = _df(spark, [(0, REF_PARAS[0])])
+    bf = reference_corpus_bloom(ref, grain="paragraph", fpr=1e-6)
+    docs = spark.createDataFrame(
+        [(10, f"{REF_PARAS[0]}\n\nnovel body")], "id long, text string"
+    )
+    corpus, stages = prepare_training_corpus(
+        docs,
+        CorpusRecipe(
+            reference_bloom=bf,
+            reference_bloom_grain="paragraph",
+            quality=False,
+            redact_pii=False,
+            exact_dedup=False,
+            near_dedup=False,
+        ),
+        id_col="id",
+    )
+    assert "reference_dedup" in stages
+    assert [(r.id, r.text) for r in corpus.collect()] == [(10, "novel body")]

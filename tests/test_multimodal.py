@@ -136,9 +136,9 @@ def test_sample_frames_fanout(spark, sf_dir):
 def test_wav_roundtrip_mono_and_stereo():
     samples = [0, 32767, -32768, 123, -456, 7]
     rate, ch, out = decode_wav(encode_wav(samples, sample_rate=8000))
-    assert (rate, ch) == (8000, 1) and out == samples
+    assert (rate, ch) == (8000, 1) and out.tolist() == samples
     rate, ch, out = decode_wav(encode_wav(samples, sample_rate=44100, channels=2))
-    assert (rate, ch) == (44100, 2) and out == samples
+    assert (rate, ch) == (44100, 2) and out.tolist() == samples
 
 
 def test_wav_rejects_malformed():
@@ -344,8 +344,5 @@ def test_png_roundtrip_property(w, h, ct, ftype, data):
     rate=st.sampled_from([8000, 16000, 44100]),
 )
 def test_wav_roundtrip_property(samples, rate):
-    assert decode_wav(encode_wav(samples, sample_rate=rate)) == (
-        rate,
-        1,
-        samples,
-    )
+    rate2, ch2, out2 = decode_wav(encode_wav(samples, sample_rate=rate))
+    assert (rate2, ch2, out2.tolist()) == (rate, 1, samples)

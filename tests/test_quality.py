@@ -735,10 +735,18 @@ def _ref_repetition(text):
         grams = [
             " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
         ]
-        out[f"top_{n}gram_chars"] = max(
-            (cnt * (len(g) - (n - 1)) for g, cnt in Counter(grams).items()),
-            default=0,
-        )
+        c = Counter(grams)
+        if c:
+            # Rae et al. A1: the MODE gram by count wins; ties break
+            # toward the larger char coverage.
+            cmax = max(c.values())
+            out[f"top_{n}gram_chars"] = max(
+                cmax * (len(g) - (n - 1))
+                for g, cnt in c.items()
+                if cnt == cmax
+            )
+        else:
+            out[f"top_{n}gram_chars"] = 0
     for n in range(5, 11):
         grams = [
             " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
@@ -1003,3 +1011,40 @@ def test_repetition_composes_with_structured_streaming(spark, tmp_path):
     q.awaitTermination(120)
     got = [r.doc_id for r in spark.sql("select * from q_repetition_stream").collect()]
     assert got == [0]
+
+
+def test_top_ngram_is_mode_by_count_not_max_coverage(spark):
+    """Rae et al. A1 takes the MOST FREQUENT n-gram's coverage; a rarer
+    but longer gram must NOT outrank the mode (r11 advice). Both engines.
+    """
+    # "x y"×3 (coverage 6) is the mode; "aaaaaaaa bbbbbbbb"×2 has
+    # coverage 32 and would win under a max-of-count×chars definition.
+    text = "x y x y x y aaaaaaaa bbbbbbbb aaaaaaaa bbbbbbbb"
+    for engine in ("arrow", "catalyst"):
+        r = repetition_signals(_docs(spark, [text]), engine=engine).collect()[0]
+        assert r.top_2gram_chars == 6, engine
+    ref = _ref_repetition(text)
+    assert ref["top_2gram_chars"] == 6
+
+
+def test_repetition_thresholds_partial_dict_merges(spark):
+    """A partial thresholds dict OVERRIDES the defaults (recipe 'override'
+    semantics) instead of replacing them with a KeyError bomb; unknown
+    keys fail fast (r11 advice)."""
+    rows = repetition_signals(
+        _docs(spark, ["a b c d e f g h"]),
+        thresholds={"max_top_2gram_char_frac_pct": 0},
+    ).collect()
+    assert rows[0].repetition_pass == 0  # the override applied
+    rows = repetition_signals(
+        _docs(spark, ["a b c d e f g h"]),
+        thresholds={"max_top_2gram_char_frac_pct": 0},
+        engine="catalyst",
+    ).collect()
+    assert rows[0].repetition_pass == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown repetition thresholds"):
+        repetition_signals(
+            _docs(spark, ["a b"]), thresholds={"max_typo_frac_pct": 1}
+        )

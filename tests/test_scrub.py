@@ -102,7 +102,7 @@ def test_scrub_wav_drops_info_list_keeps_samples():
     assert dropped == ["LIST"]
     assert clean == wav
     rate, ch, out = decode_wav(clean)
-    assert (rate, ch, out) == (8000, 1, samples)
+    assert (rate, ch, out.tolist()) == (8000, 1, samples)
     assert b"Jane Doe" not in clean
     with pytest.raises(ValueError):
         scrub_wav(b"RIFFxxxxNOPE")
