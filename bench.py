@@ -251,7 +251,12 @@ def _ivf_pq_bench(spark, sf_dir: str) -> list[float]:
         return time.perf_counter() - t0
 
     try:
-        return [run(), run()]
+        out = []
+        for _ in range(2):
+            base = _pinned_ids(spark)
+            out.append(run())
+            _release_except(spark, base)
+        return out
     finally:
         index.unpersist()
 
@@ -294,7 +299,14 @@ def _corpus_pipeline_bench(spark, sf_dir: str) -> list[float]:
         stages["exact_dedup"].unpersist()
         return dt
 
-    return [run(), run()]
+    out = []
+    for _ in range(2):
+        # the stage handles above miss the CC localCheckpoints
+        # minhash/dedup_groups pin internally — release those too
+        base = _pinned_ids(spark)
+        out.append(run())
+        _release_except(spark, base)
+    return out
 
 
 def _replicate_docs(spark, sf_dir: str, times: int = 25):
@@ -720,7 +732,12 @@ def _stress_bench(
     runs: dict[str, list[float]] = {name: [] for name, _, _ in workloads}
     for _ in range(max(1, k)):
         for name, fn, _ in workloads:
+            # Per-entry isolation (see _release_except): each entry's
+            # internal persists + CC localCheckpoints are released
+            # before the next entry's clock starts.
+            base = _pinned_ids(spark)
             runs[name].append(fn())
+            _release_except(spark, base)
     index.unpersist()
     bm25_index.postings.unpersist()
     shutil.rmtree(idx_dir, ignore_errors=True)
@@ -929,6 +946,32 @@ def _write_bench_warc(spark, sf_dir: str, out_dir: str, n_files: int = 8) -> Non
                 fh.write(bytes(chunk))
 
 
+def _pinned_ids(spark) -> set:
+    """Ids of every currently-persisted RDD (incl. DataFrame caches and
+    localCheckpoint blocks — both register in the block manager)."""
+    return set(
+        spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    )
+
+
+def _release_except(spark, base_ids: set) -> None:
+    """Unpersist every RDD pinned since ``base_ids`` was snapshotted.
+
+    Per-entry isolation (VERDICT r11 #1): operators like dedup_groups /
+    semantic_dedup / minhash_dedup persist and localCheckpoint
+    intermediates without handing back handles — correct for one-shot
+    callers, but in an interleaved bench session those pile up (k passes
+    × every CC-bearing entry) and squeeze the OTHER entries' working
+    sets out of the block manager. r11 measured semantic_dedup_25x at
+    1.96× its r10 time with zero code change from exactly this. Every
+    timed entry now snapshots before and releases after, OUTSIDE its own
+    clock; deliberately long-lived assets (PQ index, BM25 postings)
+    predate the snapshot so they survive."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in set(jmap.keySet().toArray()) - base_ids:
+        jmap.get(rid).unpersist()
+
+
 def _release_new_caches(spark, base_ids: set, t0: float) -> float:
     """Unpersist exactly the RDDs a timed run pinned (operators with
     internal persists leak them across interleaved bench runs and
@@ -937,9 +980,7 @@ def _release_new_caches(spark, base_ids: set, t0: float) -> float:
     import time as _time
 
     dt = _time.perf_counter() - t0
-    jmap = spark.sparkContext._jsc.getPersistentRDDs()
-    for rid in set(jmap.keySet().toArray()) - base_ids:
-        jmap.get(rid).unpersist()
+    _release_except(spark, base_ids)
     return dt
 
 
@@ -1148,11 +1189,13 @@ def main() -> None:
     # plan" numbers. (Round-5 verdict: untouched queries oscillated
     # 0.6↔1.9 s between rounds purely from non-uniform warm state.)
     warm_sf = "/root/testdata/sf0.001"
+    warm_base = _pinned_ids(spark)
     for name, build in qs.items():
         try:
             build(spark, warm_sf).write.format("noop").mode("overwrite").save()
         except Exception:
             pass
+    _release_except(spark, warm_base)  # warmup leaks must not tax runs
     # One untimed job at the TARGET SF before the clock starts: the
     # sf0.001 warmup compiles every plan but the first measured entry
     # still absorbed target-scale session warmup (scheduler pools,
@@ -1162,9 +1205,11 @@ def main() -> None:
     # pass-1 of the measured loop starts from the same warm state every
     # later pass enjoys.
     try:
+        base = _pinned_ids(spark)
         next(iter(qs.values()))(spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
+        _release_except(spark, base)
     except Exception:
         pass
 
@@ -1181,9 +1226,14 @@ def main() -> None:
     samples: dict[str, list[float]] = {name: [] for name in qs}
     for _ in range(k_runs):
         for name, build in qs.items():
+            # per-query isolation: q_dedup_groups / q_minhash_lsh pin CC
+            # localCheckpoints internally; k passes of those squeezed
+            # every later entry's working set (see _release_except)
+            base = _pinned_ids(spark)
             t0 = time.perf_counter()
             build(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples[name].append(time.perf_counter() - t0)
+            _release_except(spark, base)
 
     # Adaptive top-up: a query whose own k runs disagree by >25 % is
     # noisy THIS session — two more interleaved runs give its median 5
@@ -1196,9 +1246,11 @@ def main() -> None:
     ]
     for _ in range(2):
         for name in noisy:
+            base = _pinned_ids(spark)
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples[name].append(time.perf_counter() - t0)
+            _release_except(spark, base)
 
     per_query: dict[str, float] = {
         name: round(statistics.median(runs), 3) for name, runs in samples.items()
@@ -1222,9 +1274,11 @@ def main() -> None:
     # cannot win — it pays off when |batch keys| << |view keys|. Its
     # contract is pinned by tests/test_bucketed_store.py instead; pass
     # bucketed=True above to measure it manually.)
+    _extras_base = _pinned_ids(spark)
     replay_runs = [
         _stream_projection_replay(spark, sf_dir) for _ in range(3)
     ]
+    _release_except(spark, _extras_base)
     dt = statistics.median(replay_runs)
     per_query["stream_projection_replay"] = round(dt, 3)
     spread["stream_projection_replay"] = {
@@ -1250,12 +1304,14 @@ def main() -> None:
     # Skew-robustness: the zipf-keyed synthetic join (VERDICT r4 #6) —
     # measures the engine under a pathological hot key, salted vs not.
     r_un, r_sa = _skew_join_bench(spark)
+    _release_except(spark, _extras_base)
     total += _extra("skew_join_unsalted", r_un)
     total += _extra("skew_join_salted", r_sa)
 
     # Data skipping: manifest-pruned scan vs full-scan filter over a
     # Z-ordered events copy (layout write is setup, not measured).
     r_full, r_pruned = _zorder_bench(spark, sf_dir)
+    _release_except(spark, _extras_base)
     total += _extra("zorder_scan_full", r_full)
     total += _extra("zorder_scan_pruned", r_pruned)
 
@@ -1280,6 +1336,7 @@ def main() -> None:
 
         # 800k-key streaming replay: bucketed-vs-full crossover, measured
         # (VERDICT r7 #7) — rows/s + bucket-touch counts in the sidecar.
+        _release_except(spark, _extras_base)
         replay_runs_800k, replay_info = _replay_stress_bench(spark)
         for name, rr in replay_runs_800k.items():
             best = _extra(name, rr)
