@@ -176,26 +176,6 @@ class _BlockParser:
     named-reference table, not the baseline's shortlist."""
 
     def __init__(self) -> None:
-        from html.parser import HTMLParser
-
-        outer = self
-
-        class _P(HTMLParser):
-            def handle_starttag(self, tag, attrs):
-                outer._start(tag)
-
-            def handle_startendtag(self, tag, attrs):
-                # explicit <tag/> form: a block boundary, but the depth
-                # counters must NOT move (no matching end event follows)
-                outer._start(tag, void=True)
-
-            def handle_endtag(self, tag):
-                outer._end(tag)
-
-            def handle_data(self, data):
-                outer._data(data)
-
-        self._p = _P(convert_charrefs=True)
         self.blocks: list[dict] = []
         self._parts: list[str] = []
         self._chars = 0
@@ -211,7 +191,9 @@ class _BlockParser:
         self._stack: list[str] = []
 
     def _flush(self) -> None:
-        text = " ".join(" ".join(self._parts).split())
+        # each part was normalized in _data (no edge/multi spaces), so a
+        # single-space join is already fully normalized
+        text = " ".join(self._parts)
         if text:
             self.blocks.append(
                 {
@@ -294,13 +276,123 @@ class _BlockParser:
             self._boiler_chars += n
 
     def feed(self, html: str) -> list[dict]:
+        p = _HP(self)
         try:
-            self._p.feed(html)
-            self._p.close()
+            p.feed(html)
+            p.close()
         except Exception:
             pass  # tolerant reader: keep whatever parsed
         self._flush()
         return self.blocks
+
+
+from html.parser import HTMLParser as _HTMLParser  # noqa: E402
+
+
+class _HP(_HTMLParser):
+    """Event adapter: stdlib lexer → ``_BlockParser`` state machine
+    (module-level — defining this class per document profiled at ~9% of
+    the whole extraction kernel)."""
+
+    def __init__(self, outer: _BlockParser) -> None:
+        super().__init__(convert_charrefs=True)
+        self._o = outer
+
+    def handle_starttag(self, tag, attrs):
+        self._o._start(tag)
+
+    def handle_startendtag(self, tag, attrs):
+        # explicit <tag/> form: a block boundary, but the depth
+        # counters must NOT move (no matching end event follows)
+        self._o._start(tag, void=True)
+
+    def handle_endtag(self, tag):
+        self._o._end(tag)
+
+    def handle_data(self, data):
+        self._o._data(data)
+
+
+#: fast-lexer bail conditions — constructs stdlib HTMLParser lexes
+#: specially (script/style switch to CDATA mode; ``<!`` introduces
+#:  comments/CDATA/declarations other than the doctype; ``<`` not
+#: followed by a tag-ish char is literal text to HTMLParser but would
+#: confuse a naive tokenizer). Pages matching ANY of these route to the
+#: HTMLParser path; everything else takes the fast path below.
+import re as _re  # noqa: E402  (stdlib, used only by the fast lexer)
+
+_FAST_BAIL = _re.compile(
+    r"<(?![a-zA-Z/!])|<!(?!doctype[\s>])|<(?:script|style)\b",
+    _re.IGNORECASE,
+)
+_FAST_TOKEN = _re.compile(r"<[^>]*>|[^<]+", _re.DOTALL)
+
+
+def _fast_blocks(html: str) -> list[dict] | None:
+    """Fast block segmentation (r12, the warc_corpus_e2e bill): ONE
+    compiled-regex token scan driving the SAME ``_BlockParser`` state
+    machine HTMLParser drives — identical classification semantics by
+    construction, only the lexing differs (and anything the stdlib
+    lexer treats specially bails to it via ``_FAST_BAIL`` or a None
+    return here: stray ``<`` text, unterminated tags, quoted ``>``
+    inside attribute values, exotic tag-name forms). Entity decoding is
+    ``html.unescape`` — the exact routine HTMLParser's
+    ``convert_charrefs`` applies. Equality is pinned in tests across
+    chrome-bearing, entity-bearing, void/self-closing, uppercase and
+    unclosed-tag pages; measured ~4× over the HTMLParser walk on the
+    crawl-shaped bench page."""
+    from html import unescape
+
+    bp = _BlockParser()
+    pos = 0
+    for m in _FAST_TOKEN.finditer(html):
+        if m.start() != pos:
+            return None  # lost characters: some construct didn't lex
+        pos = m.end()
+        tok = m.group()
+        if tok[0] != "<":
+            bp._data(unescape(tok) if "&" in tok else tok)
+            continue
+        body = tok[1:-1]
+        # a '>' inside a quoted attribute value truncates the naive tag
+        # match — detectable as an unbalanced quote in the prefix
+        if ('"' in body and body.count('"') % 2) or (
+            "'" in body and body.count("'") % 2
+        ):
+            return None
+        c1 = body[:1]
+        if c1 == "!":
+            continue  # doctype only (other <! forms bailed upstream)
+        if c1 == "/":
+            parts = body[1:].split(None, 1)
+            if parts:
+                bp._end(parts[0].lower())
+            continue
+        sp = body.split(None, 1)
+        if not sp:
+            return None  # '<>' — literal text to HTMLParser
+        name = sp[0]
+        void = body[-1] == "/"
+        if name[-1] == "/":
+            name = name[:-1]
+        if not name or "/" in name:
+            return None  # <a/href> class — HTMLParser's tolerant lexer
+        bp._start(name.lower(), void=void)
+    if pos != len(html):
+        return None  # unterminated trailing construct
+    bp._flush()
+    return bp.blocks
+
+
+def _segment_blocks(html: str) -> list[dict]:
+    """Route between the fast lexer and the stdlib-HTMLParser walk —
+    result-identical on every page (the fast path drives the same state
+    machine and declines anything it cannot lex byte-faithfully)."""
+    if not _FAST_BAIL.search(html):
+        fast = _fast_blocks(html)
+        if fast is not None:
+            return fast
+    return _BlockParser().feed(html)
 
 
 def main_content_blocks(
@@ -319,7 +411,7 @@ def main_content_blocks(
     chrome still rides with the prose that follows it, while stubs
     surrounded by chrome sink with it (the jusText near-good pass).
     """
-    blocks = _BlockParser().feed(html)
+    blocks = _segment_blocks(html)
     labels: list[str] = []
     for b in blocks:
         bad = (

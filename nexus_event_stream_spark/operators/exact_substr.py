@@ -123,6 +123,55 @@ def _gram_hash_at(toks: list[str], pos: int, k: int) -> int:
     return acc - (1 << 64) if acc >= (1 << 63) else acc
 
 
+def _window_starts(n: int, anchor_positions, L: int, W: int) -> list[int]:
+    """Start offsets of every ``L``-token window containing any of the
+    anchor positions, clamped to the document bounds — the verify
+    neighborhood (shared with streaming/exact_substr.py)."""
+    starts: set[int] = set()
+    for a in anchor_positions:
+        a = int(a)
+        lo = max(0, a - (W - 1))
+        hi = min(a, n - L)
+        starts.update(range(lo, hi + 1))
+    return sorted(starts)
+
+
+def _window_hashes(toks: list[str], starts, L: int) -> list[str]:
+    """md5 of the exact window text per start (position-aligned with
+    ``starts``) — the verify hash both engines share."""
+    import hashlib
+
+    return [
+        hashlib.md5(" ".join(toks[s : s + L]).encode("utf-8")).hexdigest()
+        for s in starts
+    ]
+
+
+def _strip_spans(
+    toks: list[str], starts, L: int
+) -> tuple[int, int, str]:
+    """(n_tokens, dup_tokens, clean_text) for SORTED duplicate window
+    starts: merged-interval sweep, O(|starts| + n) (shared with the
+    streaming twin)."""
+    n = len(toks)
+    intervals: list[list[int]] = []
+    for s in [] if starts is None else starts:
+        s = int(s)
+        e = min(s + L, n)
+        if intervals and s <= intervals[-1][1]:
+            if e > intervals[-1][1]:
+                intervals[-1][1] = e
+        else:
+            intervals.append([s, e])
+    pieces: list[str] = []
+    prev = 0
+    for s, e in intervals:
+        pieces.extend(toks[prev:s])
+        prev = e
+    pieces.extend(toks[prev:])
+    return n, sum(e - s for s, e in intervals), " ".join(pieces)
+
+
 def exact_substr_dedup(
     df: DataFrame,
     min_len: int = 50,
@@ -214,8 +263,6 @@ def exact_substr_dedup(
     )
 
     def window_batches(it):
-        import hashlib
-
         import pandas as pd
 
         for pdf in it:
@@ -227,19 +274,12 @@ def exact_substr_dedup(
                 n = len(toks)
                 if n < L:
                     continue
-                starts: set[int] = set()
-                for a in apos:
-                    lo = max(0, a - (W - 1))
-                    hi = min(int(a), n - L)
-                    starts.update(range(lo, hi + 1))
-                for s in sorted(starts):
+                starts = _window_starts(n, apos, L, W)
+                whs = _window_hashes(toks, starts, L)
+                for s, wh in zip(starts, whs):
                     ids.append(did)
                     poss.append(s)
-                    hashes.append(
-                        hashlib.md5(
-                            " ".join(toks[s : s + L]).encode("utf-8")
-                        ).hexdigest()
-                    )
+                    hashes.append(wh)
             yield pd.DataFrame(
                 {
                     "doc_id": ids,
@@ -320,29 +360,14 @@ def exact_substr_dedup(
                     cleans.append(None)
                     continue
                 toks = _token_split(text)
-                n = len(toks)
                 # merged-interval sweep over the SORTED starts — the
                 # per-start bitmap loop was O(|starts|·L) in exactly the
                 # heavy-duplication regime (consecutive starts overlap
-                # in L-1 positions); this is O(|starts| + n)
-                intervals: list[list[int]] = []
-                for s in [] if starts is None else starts:
-                    s = int(s)
-                    e = min(s + L, n)
-                    if intervals and s <= intervals[-1][1]:
-                        if e > intervals[-1][1]:
-                            intervals[-1][1] = e
-                    else:
-                        intervals.append([s, e])
-                pieces = []
-                prev = 0
-                for s, e in intervals:
-                    pieces.extend(toks[prev:s])
-                    prev = e
-                pieces.extend(toks[prev:])
+                # in L-1 positions); _strip_spans is O(|starts| + n)
+                n, dup, clean = _strip_spans(toks, starts, L)
                 nts.append(n)
-                dts.append(sum(e - s for s, e in intervals))
-                cleans.append(" ".join(pieces))
+                dts.append(dup)
+                cleans.append(clean)
             yield pd.DataFrame(
                 {
                     id_col: ids,

@@ -519,13 +519,49 @@ def perceptual_audio_dedup(
 N_VIDEO_FRAMES = 4
 
 
+#: MJPEG sample-entry 4CCs (QuickTime/ISO motion-JPEG variants); the
+#: SOI sniff below additionally catches MJPEG muxed under a generic 4CC
+_MJPEG_4CC = frozenset({"jpeg", "mjpa", "mjpb", "mjpg"})
+
+
+class _LazyMjpegFrames:
+    """Sequence of grayscale float64 frames decoded ON INDEX from an
+    MJPEG-in-MP4 payload (r12): ``video_dhash_frames`` samples
+    ``N_VIDEO_FRAMES`` timeline midpoints, so a 10k-frame clip decodes
+    exactly that many JPEGs — the demux (functions/mp4.py) resolves the
+    byte range of every sample, the codec (functions/jpeg_codec.py)
+    turns only the sampled ones into pixels. The JFIF luma plane IS the
+    dHash input (same BT.601 luminance the APNG path computes from
+    RGB)."""
+
+    def __init__(self, payload: bytes, offsets, sizes) -> None:
+        self._p = payload
+        self._o = offsets
+        self._s = sizes
+
+    def __len__(self) -> int:
+        return len(self._o)
+
+    def __getitem__(self, j: int):
+        import numpy as np
+
+        from nexus_event_stream_spark.functions.jpeg_codec import decode_jpeg
+
+        off, size = self._o[j], self._s[j]
+        _w, _h, planes = decode_jpeg(bytes(self._p[off : off + size]))
+        return np.asarray(planes[0], dtype=np.float64)
+
+
 def default_video_decoder(payload: bytes):
-    """bytes → list of grayscale float64 frames, or None when this
+    """bytes → sequence of grayscale float64 frames, or None when this
     environment cannot decode the container. Real decode for the APNG
-    family (functions/png.py; a plain PNG is a 1-frame video); MP4
-    codec payloads (H.264 etc.) are environment-capped — the container
-    demux is real (functions/mp4.py) but the coded frames need a codec
-    ``decoder_fn``, same boundary as JPEG stills."""
+    family (functions/png.py; a plain PNG is a 1-frame video) and — new
+    in r12 — for MJPEG-in-MP4 end to end with no external codec: the
+    container demux (functions/mp4.py) resolves per-sample byte ranges
+    and the in-repo JPEG codec decodes the sampled frames lazily
+    (:class:`_LazyMjpegFrames`). Non-JPEG MP4 codec payloads (H.264
+    etc.) remain environment-capped behind ``decoder_fn``, same
+    boundary as arithmetic-coded JPEG stills."""
     import numpy as np
 
     from nexus_event_stream_spark.functions.png import (
@@ -534,10 +570,28 @@ def default_video_decoder(payload: bytes):
         decode_apng,
     )
 
-    if not payload or bytes(payload[:8]) != SIGNATURE:
+    if not payload:
+        return None
+    payload = bytes(payload)
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        from nexus_event_stream_spark.functions.mp4 import parse_mp4
+
+        try:
+            info = parse_mp4(payload)
+        except ValueError:
+            return None
+        offs = info.get("sample_offsets") or []
+        sizes = info.get("sample_sizes") or []
+        if not offs or len(offs) != len(sizes):
+            return None
+        soi = payload[offs[0] : offs[0] + 2] == b"\xff\xd8"
+        if str(info.get("codec", "")).lower() in _MJPEG_4CC or soi:
+            return _LazyMjpegFrames(payload, offs, sizes)
+        return None  # coded frames need a codec decoder_fn
+    if payload[:8] != SIGNATURE:
         return None
     try:
-        w, h, ct, frames = decode_apng(bytes(payload))
+        w, h, ct, frames = decode_apng(payload)
     except ValueError:
         return None
     ch = CHANNELS[ct]
@@ -592,19 +646,26 @@ def perceptual_video_hashes(
         for pdf in it:
             vh, nf, oks = [], [], []
             for p in pdf[payload_col]:
-                frames = None
+                hashes = None
                 if p is not None:
+                    # the hash step sits INSIDE the try: lazy decoders
+                    # (_LazyMjpegFrames) surface a corrupt sampled frame
+                    # at index time, and the row must degrade to
+                    # undecoded, not kill the kernel
                     try:
                         frames = decode(bytes(p))
+                        if frames:
+                            hashes = video_dhash_frames(frames, n_samples)
+                            n_fr = int(len(frames))
                     except Exception:
-                        frames = None
-                if not frames:
+                        hashes = None
+                if hashes is None:
                     vh.append(None)
                     nf.append(None)
                     oks.append(False)
                 else:
-                    vh.append(video_dhash_frames(frames, n_samples))
-                    nf.append(int(len(frames)))
+                    vh.append(hashes)
+                    nf.append(n_fr)
                     oks.append(True)
             yield pd.DataFrame(
                 {

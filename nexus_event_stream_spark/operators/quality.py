@@ -66,6 +66,12 @@ QUALITY_THRESHOLDS = {
     "max_dup_word_frac_pct": 90,  # (n−distinct)/n ≤ 0.90
     "min_alpha_word_frac_pct": 80,  # words containing a letter ≥ 0.80
     "max_top_bigram_frac_pct": 25,  # mode bigram ≤ 0.25 of all bigrams
+    # Gopher's stop-word floor (a real doc contains SOME function
+    # words). Default 0 = vacuous: the check only bites when a recipe
+    # raises it — typically per-language together with lang_stopwords,
+    # so the floor gates a count taken against the doc's OWN list. The
+    # q_quality_signals DuckDB oracle needs no change at the default.
+    "min_stopwords": 0,
 }
 
 
@@ -121,13 +127,38 @@ def quality_pass_checks(thresholds: dict | None = None) -> Column:
             F.col("top_bigram_n") * 100
             <= t["max_top_bigram_frac_pct"] * F.col("n_bigrams")
         )
+        # .get: tolerate caller-supplied full dicts predating the key
+        & (F.col("n_stopwords") >= t.get("min_stopwords", 0))
     )
+
+
+#: Per-language stopword mini-tables for the routed quality tier
+#: (CCNet/Gopher run their pipelines per language; scoring a German doc
+#: against English function words biases stopword density to ~0 and the
+#: routed thresholds then gate a wrong signal). Keys are whatever codes
+#: the caller's ``lang_models`` use; these defaults cover the usual
+#: two-letter codes with the highest-frequency function words of each
+#: language. Extend or replace freely — it's a plain data table.
+STOPWORD_TABLES: dict[str, tuple[str, ...]] = {
+    "en": STOPWORDS,
+    "de": ("der", "die", "das", "und", "zu", "in"),
+    "fr": ("le", "la", "les", "et", "de", "un"),
+    "es": ("el", "la", "los", "y", "de", "que"),
+    "it": ("il", "la", "di", "e", "che", "un"),
+    "pt": ("o", "a", "de", "e", "que", "um"),
+}
+
+
+def _stopword_count(toks: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(toks, lambda w: w.isin(*words))).cast("bigint")
 
 
 def quality_signals(
     df: DataFrame,
     text_col: str = "text",
     thresholds: dict | None = None,
+    stopwords: tuple | dict | None = None,
+    lang_col: str = "lang",
 ) -> DataFrame:
     """Append per-document C4/Gopher quality-signal columns.
 
@@ -137,12 +168,35 @@ def quality_signals(
     exactly-computed integers; ``quality_pass`` is evaluated entirely in
     integer arithmetic (see ``QUALITY_THRESHOLDS``).
 
+    ``stopwords`` selects the function-word list ``n_stopwords`` counts
+    against: None keeps the historical English default (byte-identical
+    plans — pinned in tests), a tuple applies one list to every doc, and
+    a ``{lang: words}`` dict routes on ``lang_col`` with a zero-shuffle
+    CASE chain (the per-language-threshold pattern in pipeline.py) —
+    unlisted languages and NULL ``lang`` fall back to the English
+    default, matching the threshold-routing fallback convention.
+
     Pure projection: zero shuffle, stays embarrassingly parallel at any
     corpus size (plan pinned Exchange-free in tests/test_plans.py).
     """
     t = thresholds or QUALITY_THRESHOLDS
     out = df.withColumn("__toks", tokens(_col(text_col)))
     toks = F.col("__toks")
+    if isinstance(stopwords, dict) and stopwords:
+        n_stop = None
+        for lang in sorted(stopwords):
+            branch = _stopword_count(toks, tuple(stopwords[lang]))
+            cond = F.col(lang_col) == lang
+            n_stop = (
+                F.when(cond, branch)
+                if n_stop is None
+                else n_stop.when(cond, branch)
+            )
+        n_stop = n_stop.otherwise(_stopword_count(toks, STOPWORDS))
+    else:
+        n_stop = _stopword_count(
+            toks, tuple(stopwords) if stopwords else STOPWORDS
+        )
     out = out.withColumns(
         {
             "n_words": F.size(toks).cast("bigint"),
@@ -152,9 +206,7 @@ def quality_signals(
             "n_distinct_words": F.size(F.array_distinct(toks)).cast("bigint"),
             "top_bigram_n": top_bigram_count(toks),
             "n_bigrams": F.greatest(F.size(toks) - 1, F.lit(0)).cast("bigint"),
-            "n_stopwords": F.size(
-                F.filter(toks, lambda w: w.isin(*STOPWORDS))
-            ).cast("bigint"),
+            "n_stopwords": n_stop,
             "n_alpha_words": F.size(
                 F.filter(toks, lambda w: w.rlike("[A-Za-z]"))
             ).cast("bigint"),

@@ -116,6 +116,12 @@ class CorpusRecipe:
     #: ``lang_models`` and ``repetition=True``.
     lang_repetition_thresholds: dict | None = None
     redact_pii: bool = True
+    #: which PII kinds the redaction stage scrubs (r12): None = the
+    #: regexp trio (email/ipv4/phone — historical behavior). Add
+    #: ``"cc"`` to opt into Luhn-validated payment-card redaction —
+    #: checksum-gated so a bare 16-digit order id survives. Passed
+    #: straight to ``operators.quality.pii_redact``.
+    pii_patterns: tuple | None = None
     #: dedup against a FROZEN reference corpus (operators/bloom_dedup.py,
     #: the Dolma pattern): a BloomFilter built once by
     #: ``reference_corpus_bloom`` over the existing training set; new
@@ -192,6 +198,20 @@ class CorpusRecipe:
     #: ride the doc rows through one Arrow kernel, filter, drop).
     lm_model: dict | None = None
     lm_ppl_max: float = 1_000.0
+    #: CMS rare-gram gate (r12, operators/cms.py — the RECIPES §5d
+    #: example as a real stage, the lm_ppl_max pattern): a Count-Min
+    #: sketch of corpus n-gram frequencies plus a ceiling on the
+    #: fraction of a document's grams estimated rarer than
+    #: ``cms_min_count``. Catches machine-generated gibberish whose
+    #: grams are individually plausible but collectively never-seen —
+    #: the complement of the perplexity gate (char-level) at word-gram
+    #: level. One-sided by CMS construction: a gram called rare IS rare,
+    #: so the gate never over-drops from sketch error. Zero shuffle —
+    #: the probe rides the doc scan inside HOF lambdas.
+    cms_model: "CMSketch | None" = None
+    rare_gram_max: float = 0.95
+    cms_gram_n: int = 3
+    cms_min_count: int = 2
     #: per-language routing (r11): ``{lang: train_char_lm(...)}`` — one
     #: char-LM per language, trained on a trusted slice of that
     #: language. When set, a ``language_id`` stage (operators/lm.py,
@@ -209,6 +229,15 @@ class CorpusRecipe:
     #: unidentified docs, lang NULL) use the base thresholds. Requires
     #: ``lang_models`` and ``quality=True``.
     lang_quality_thresholds: dict | None = None
+    #: per-language stopword lists for ``n_stopwords`` (r12): the signal
+    #: itself — not just its threshold — must be language-routed, or a
+    #: German doc scores ~0 stopword density against English function
+    #: words and the routed thresholds gate a wrong number.
+    #: ``{lang: (words, ...)}`` — start from
+    #: ``operators.quality.STOPWORD_TABLES`` and extend; unlisted
+    #: languages and NULL ``lang`` use the English default (the
+    #: threshold-routing fallback convention). Requires ``lang_models``.
+    lang_stopwords: dict | None = None
     quality_model: dict | None = None
     quality_model_features: tuple[str, ...] = (
         "n_words",
@@ -266,6 +295,8 @@ def prepare_training_corpus(
         raise ValueError("lang_quality_thresholds requires lang_models")
     if recipe.lang_repetition_thresholds and not recipe.lang_models:
         raise ValueError("lang_repetition_thresholds requires lang_models")
+    if recipe.lang_stopwords and not recipe.lang_models:
+        raise ValueError("lang_stopwords requires lang_models")
     if recipe.lang_models:
         from nexus_event_stream_spark.operators.lm import language_id
 
@@ -336,7 +367,10 @@ def prepare_training_corpus(
     sig = None
     if recipe.quality:
         sig = quality_signals(
-            cur, text_col, thresholds=recipe.quality_thresholds
+            cur,
+            text_col,
+            thresholds=recipe.quality_thresholds,
+            stopwords=recipe.lang_stopwords,
         )
         if recipe.lang_quality_thresholds:
             # re-evaluate the pass predicate per language over the SAME
@@ -375,7 +409,12 @@ def prepare_training_corpus(
         base = (
             sig
             if sig is not None
-            else quality_signals(cur, text_col, thresholds=recipe.quality_thresholds)
+            else quality_signals(
+                cur,
+                text_col,
+                thresholds=recipe.quality_thresholds,
+                stopwords=recipe.lang_stopwords,
+            )
         )
         scored = score_logreg(
             base, recipe.quality_model, list(recipe.quality_model_features)
@@ -394,11 +433,30 @@ def prepare_training_corpus(
         )
         stages["lm_perplexity"] = cur
 
-    if recipe.redact_pii:
-        red = pii_redact(cur, text_col)
-        cur = red.drop(text_col, "n_email", "n_ipv4", "n_phone").withColumnRenamed(
-            "redacted", text_col
+    if recipe.cms_model is not None:
+        from nexus_event_stream_spark.operators.cms import rare_gram_frac
+
+        scored = rare_gram_frac(
+            cur,
+            recipe.cms_model,
+            n=recipe.cms_gram_n,
+            min_count=recipe.cms_min_count,
+            text_col=text_col,
+        )
+        cur = scored.filter(
+            F.col("rare_gram_frac") <= recipe.rare_gram_max
         ).select(*docs.columns)
+        stages["rare_grams"] = cur
+
+    if recipe.redact_pii:
+        red = pii_redact(cur, text_col, patterns=recipe.pii_patterns)
+        # the closing select prunes whatever count columns the chosen
+        # pattern set added (n_cc only exists when "cc" is opted in)
+        cur = (
+            red.drop(text_col)
+            .withColumnRenamed("redacted", text_col)
+            .select(*docs.columns)
+        )
         stages["pii"] = cur
 
     if recipe.reference_bloom is not None:

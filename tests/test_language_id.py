@@ -209,3 +209,55 @@ def test_per_language_repetition_routing_in_recipe(spark, models):
                 lang_repetition_thresholds={"aa": {}},
             ),
         )
+
+
+def test_per_language_stopwords_in_recipe(spark, models):
+    """The r12 stopword routing end to end: with a per-language stopword
+    table and a raised min_stopwords floor, an 'aa' doc built from aa
+    function words passes (counted against ITS list) while the same
+    floor drops it when only the English default is in play — the
+    signal, not just the threshold, is language-routed."""
+    from nexus_event_stream_spark.operators.quality import (
+        QUALITY_THRESHOLDS,
+    )
+    from nexus_event_stream_spark.pipeline import (
+        CorpusRecipe,
+        prepare_training_corpus,
+    )
+
+    # an aa doc salted with two aa 'function words' (its own stopwords);
+    # body built from multi-syllable aa words only — the generator can
+    # emit the single syllable 'to', which IS an English stopword and
+    # would let the unrouted floor pass by accident
+    aa_stop = ("kato", "mira")
+    body = " ".join(["kami", "rasu", "nemi", "tosu", "raka", "mine"] * 4)
+    docs = spark.createDataFrame(
+        [(0, f"kato {body} mira")], "doc_id long, text string"
+    )
+    common = dict(
+        quality=True,
+        redact_pii=False,
+        exact_dedup=False,
+        near_dedup=False,
+        lang_models=models,
+        quality_thresholds={**QUALITY_THRESHOLDS, "min_stopwords": 2},
+    )
+    routed, _ = prepare_training_corpus(
+        docs, CorpusRecipe(lang_stopwords={"aa": aa_stop}, **common)
+    )
+    assert [r.doc_id for r in routed.collect()] == [0]
+    unrouted, _ = prepare_training_corpus(docs, CorpusRecipe(**common))
+    assert unrouted.count() == 0  # English list finds no stopwords
+
+
+def test_lang_stopwords_require_models(spark):
+    from nexus_event_stream_spark.pipeline import (
+        CorpusRecipe,
+        prepare_training_corpus,
+    )
+
+    docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="lang_models"):
+        prepare_training_corpus(
+            docs, CorpusRecipe(lang_stopwords={"aa": ("ka",)})
+        )

@@ -205,3 +205,78 @@ def test_unclosed_tags_do_not_poison_later_blocks():
     labels4 = dict(main_content_blocks(html4))
     assert labels4[PROSE_2] == "good"
     assert [v for k, v in labels4.items() if k.startswith("legal")] == ["bad"]
+
+
+# ---------------------------------------------------------------------------
+# r12 fast lexer: one-regex token scan driving the SAME _BlockParser
+# state machine — block-identical to the stdlib-HTMLParser walk on every
+# page (fast-path pages by construction, bail pages by routing).
+# ---------------------------------------------------------------------------
+
+
+def test_fast_lexer_block_identity_and_routing():
+    import random
+
+    from nexus_event_stream_spark.functions.html import (
+        _FAST_BAIL,
+        _BlockParser,
+        _fast_blocks,
+        _segment_blocks,
+    )
+
+    fast_pages = [
+        # the crawl-shaped bench page: doctype + chrome + entities
+        "<!doctype html><html><head><title>d</title></head><body>"
+        "<nav><a href='/'>Home</a> <a href='/a'>About</a></nav>"
+        "<article><p>prose body with plenty of words to be a good block"
+        " &amp; an &lt;escaped&gt; tag</p></article>"
+        "<footer>All rights reserved.</footer></body></html>",
+        "<body><nav><a href='/x'>Home</nav><p>unclosed nav then prose"
+        " with lots of words in it</p>",  # wild-markup recovery
+        "<body><p>first<br/>second with enough words to classify as"
+        " good</p><hr><p>tail</p>",  # void + self-closing
+        "<BODY><NAV><A HREF='/'>H</A></NAV><P>uppercase tags prose with"
+        " more than eight words in total here</P></BODY>",
+        "",  # empty
+        "plain text no tags at all but quite a few words here",
+        "<body><p>one <b>two</b> three four five six seven eight</p>"
+        "</body>",  # inline splits inside one block
+        "<body><p data-note='a&quot;b'>quoted entity attr prose with"
+        " plenty of words to be good here</p></body>",
+    ]
+    for page in fast_pages:
+        assert not _FAST_BAIL.search(page), page[:40]
+        assert _fast_blocks(page) == _BlockParser().feed(page), page[:40]
+
+    bail_pages = [
+        "<body><script>var a='<p>';</script><p>real prose with enough"
+        " words to be good here</p></body>",  # CDATA-mode lexing
+        "<body><!-- c --><p>comment page prose with enough words to be"
+        " good here</p></body>",
+        "<body><p>5 < 6 and more words to fill this block up</p></body>",
+        '<body><p data-x="a>b">quoted-gt attr prose with enough words'
+        " here</p></body>",
+        "<body><p>trailing <unterminated",  # lost-characters guard
+        "<![CDATA[x]]><p>decl page words words words words words words"
+        " words words</p>",
+    ]
+    for page in bail_pages:
+        # whatever path runs, the result matches the stdlib walk
+        assert _segment_blocks(page) == _BlockParser().feed(page), page[:40]
+
+    # randomized composition pin: fragments stitched in random orders
+    # stay block-identical between the two lexers
+    rng = random.Random(12)
+    frags = [
+        "<p>alpha beta gamma delta epsilon zeta eta theta</p>",
+        "<nav><a href='/'>Home</a></nav>",
+        "plain run &amp; entity",
+        "<div><h2>Head</h2><p>body words words words words words words"
+        " words words</p></div>",
+        "<br/>",
+        "<footer>fine print</footer>",
+        "<ul><li>one</li><li>two</li></ul>",
+    ]
+    for _ in range(50):
+        page = "".join(rng.choice(frags) for _ in range(rng.randint(1, 8)))
+        assert _fast_blocks(page) == _BlockParser().feed(page)

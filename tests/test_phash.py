@@ -488,3 +488,84 @@ def test_video_pairs_match_bruteforce_and_dedup_collapses(spark):
     # hash kernel: zero shuffle
     plan = perceptual_video_hashes(media)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# MJPEG-in-MP4 real video decode (r12): demux (functions/mp4.py) + the
+# in-repo JPEG codec light up end-to-end MP4 video dedup with NO
+# external codec; H.264-class payloads stay behind decoder_fn.
+# ---------------------------------------------------------------------------
+
+
+def _mjpeg_mp4(seed: int, fps2: bool = False, codec: str = "jpeg") -> bytes:
+    from nexus_event_stream_spark.functions.jpeg_codec import (
+        encode_baseline_jpeg,
+    )
+    from nexus_event_stream_spark.functions.mp4 import encode_mp4
+
+    ts = [t / 2 for t in range(12)] if fps2 else [float(t) for t in range(6)]
+    frames = [
+        encode_baseline_jpeg(make_frame(seed, t), quality=90) for t in ts
+    ]
+    return encode_mp4(frames, width=48, height=32, codec=codec)
+
+
+def test_mjpeg_mp4_decodes_lazily_with_default_decoder():
+    from nexus_event_stream_spark.operators.phash import (
+        _LazyMjpegFrames,
+        default_video_decoder,
+        video_dhash_frames,
+    )
+
+    clip = _mjpeg_mp4(5)
+    dec = default_video_decoder(clip)
+    assert isinstance(dec, _LazyMjpegFrames) and len(dec) == 6
+    # the 2x-fps re-encode under a GENERIC 4CC (SOI sniff) collapses
+    twin = default_video_decoder(_mjpeg_mp4(5, fps2=True, codec="mp4v"))
+    assert isinstance(twin, _LazyMjpegFrames) and len(twin) == 12
+    h1, h2 = video_dhash_frames(dec), video_dhash_frames(twin)
+    assert max(bin(a ^ b).count("1") for a, b in zip(h1, h2)) <= V_THR
+    # a different clip stays far away
+    h3 = video_dhash_frames(default_video_decoder(_mjpeg_mp4(6)))
+    assert min(bin(a ^ b).count("1") for a, b in zip(h1, h3)) > 14
+    # H.264-class samples under avc1: still the decoder_fn boundary
+    from nexus_event_stream_spark.functions.mp4 import encode_mp4
+
+    assert (
+        default_video_decoder(
+            encode_mp4([b"\x00\x00\x00\x01xxxx"] * 4, codec="avc1")
+        )
+        is None
+    )
+
+
+def test_mjpeg_mp4_collapses_in_perceptual_video_dedup(spark):
+    """The verdict-r11 done-bar: a synthesized MJPEG MP4 collapses with
+    its re-encoded twin in perceptual_video_dedup under the DEFAULT
+    decoder; a corrupt sampled frame degrades that row to undecoded
+    (singleton) instead of killing the Arrow kernel."""
+    from nexus_event_stream_spark.functions.mp4 import parse_mp4
+    from nexus_event_stream_spark.operators.phash import (
+        perceptual_video_dedup,
+    )
+
+    clip = _mjpeg_mp4(11)
+    twin = _mjpeg_mp4(11, fps2=True)
+    other = _mjpeg_mp4(12)
+    corrupt = bytearray(_mjpeg_mp4(13))
+    off = parse_mp4(bytes(corrupt))["sample_offsets"][3]
+    corrupt[off + 2 : off + 8] = b"\x00" * 6
+    media = spark.createDataFrame(
+        [
+            (0, bytearray(clip)),
+            (1, bytearray(twin)),
+            (2, bytearray(other)),
+            (3, corrupt),
+        ],
+        "media_id long, payload binary",
+    )
+    out = perceptual_video_dedup(media, max_hamming=V_THR)
+    keep = {r.media_id: r.keep_id for r in out.collect()}
+    assert keep[0] == keep[1] == 0  # twin collapses onto the original
+    assert keep[2] == 2  # distinct clip survives alone
+    assert keep[3] == 3  # corrupt row degrades to a singleton

@@ -441,3 +441,76 @@ def test_lm_perplexity_gate_drops_out_of_distribution(spark, sf_dir):
         stages["lm_perplexity"]._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_recipe_pii_patterns_reaches_luhn_cc_kind(spark):
+    """r12: pii_patterns threads through CorpusRecipe so the Luhn "cc"
+    kind is reachable — a planted test PAN is redacted while a
+    Luhn-FAILING 16-digit order id survives; the default recipe stays
+    byte-identical (no patterns → the regexp trio)."""
+    pan_doc = "card 4111 1111 1111 1111 on file for renewals"
+    order_doc = "order 4111 1111 1111 1112 shipped yesterday ok"
+    docs = spark.createDataFrame(
+        [(0, pan_doc), (1, order_doc)], "doc_id long, text string"
+    )
+    recipe = CorpusRecipe(
+        quality=False, exact_dedup=False, near_dedup=False,
+        pii_patterns=("email", "ipv4", "phone", "cc"),
+    )
+    corpus, stages = prepare_training_corpus(docs, recipe)
+    rows = {r.doc_id: r.text for r in corpus.collect()}
+    assert "<CC>" in rows[0] and "4111" not in rows[0]
+    assert rows[1] == order_doc  # Luhn-failing id untouched
+    assert "pii" in stages
+    # zero shuffle: the stage is a pure projection
+    plan = stages["pii"]._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    # defaults unchanged: without pii_patterns the PAN passes through
+    base, _ = prepare_training_corpus(
+        docs,
+        CorpusRecipe(quality=False, exact_dedup=False, near_dedup=False),
+    )
+    assert {r.doc_id: r.text for r in base.collect()}[0] == pan_doc
+
+
+def test_recipe_cms_rare_gram_gate(spark):
+    """r12: the RECIPES §5d CMS rarity example as a real recipe stage —
+    a gibberish doc whose word 3-grams were never seen in the frequency
+    corpus drops; an in-distribution doc survives; zero shuffle."""
+    from nexus_event_stream_spark.operators.cms import cms_build_for
+    from nexus_event_stream_spark.functions.text import (
+        ngrams_from_tokens,
+        tokens,
+    )
+    from pyspark.sql import functions as F
+
+    base_texts = [
+        "the quick brown fox jumps over the lazy dog again today",
+        "the quick brown fox naps under the old oak tree quietly",
+    ] * 3
+    freq_corpus = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(base_texts)],
+        "doc_id long, text string",
+    )
+    grams = freq_corpus.select(
+        F.explode(ngrams_from_tokens(tokens(F.col("text")), 3)).alias("g")
+    )
+    sk = cms_build_for(grams, "g", epsilon=0.01, delta=0.01)
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog again today"),
+            (1, "zxq wvv kjq pfw jxq zkv jjq qqz zzx vvk"),  # unseen grams
+        ],
+        "doc_id long, text string",
+    )
+    recipe = CorpusRecipe(
+        quality=False, redact_pii=False, exact_dedup=False, near_dedup=False,
+        cms_model=sk, rare_gram_max=0.5, cms_gram_n=3, cms_min_count=2,
+    )
+    corpus, stages = prepare_training_corpus(docs, recipe)
+    assert [r.doc_id for r in corpus.collect()] == [0]
+    assert "rare_grams" in stages
+    plan = (
+        stages["rare_grams"]._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan

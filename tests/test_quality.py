@@ -1048,3 +1048,71 @@ def test_repetition_thresholds_partial_dict_merges(spark):
         repetition_signals(
             _docs(spark, ["a b"]), thresholds={"max_typo_frac_pct": 1}
         )
+
+
+def test_quality_signals_per_language_stopwords(spark):
+    """n_stopwords routes on the lang column with a CASE chain: each doc
+    counted against ITS OWN function-word list; NULL / unlisted lang fall
+    back to the English default; the English path is value-identical to
+    the historical default (r11 verdict item 2)."""
+    from nexus_event_stream_spark.operators.quality import (
+        STOPWORD_TABLES,
+        quality_signals,
+    )
+
+    de = "der hund und die katze in berlin"
+    df = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat", "en"),
+            (1, de, "de"),
+            (2, de, None),
+            (3, de, "xx"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    routed = {
+        r.doc_id: r.n_stopwords
+        for r in quality_signals(df, stopwords=STOPWORD_TABLES).collect()
+    }
+    # en doc against en list: 'the' x2 — identical to the default path
+    assert routed[0] == 2
+    default = {
+        r.doc_id: r.n_stopwords for r in quality_signals(df).collect()
+    }
+    assert default[0] == routed[0]
+    # de doc against its OWN list: der, und, die, in
+    assert routed[1] == 4
+    # against the English default the same text scores only 'in'
+    assert default[1] == 1
+    # NULL lang and unlisted lang fall back to the English default
+    assert routed[2] == 1 and routed[3] == 1
+    # a plain tuple applies one list to every doc
+    flat = {
+        r.doc_id: r.n_stopwords
+        for r in quality_signals(df, stopwords=("hund",)).collect()
+    }
+    assert flat[1] == 1 and flat[0] == 0
+    # routing stays a pure projection — zero Exchange
+    plan = (
+        quality_signals(df, stopwords=STOPWORD_TABLES)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_quality_min_stopwords_floor(spark):
+    """The Gopher stop-word floor: vacuous at the default 0 (historical
+    pass flags unchanged), bites when raised."""
+    from nexus_event_stream_spark.operators.quality import (
+        QUALITY_THRESHOLDS,
+        quality_signals,
+    )
+
+    df = _docs(spark, ["alpha beta gamma delta epsilon zeta"])  # 0 stopwords
+    assert quality_signals(df).collect()[0].quality_pass == 1
+    strict = dict(QUALITY_THRESHOLDS, min_stopwords=2)
+    assert (
+        quality_signals(df, thresholds=strict).collect()[0].quality_pass == 0
+    )
