@@ -37,6 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from nexus_event_stream_spark.functions.text import (
     STOPWORDS,
@@ -153,12 +154,150 @@ def _stopword_count(toks: Column, words: tuple[str, ...]) -> Column:
     return F.size(F.filter(toks, lambda w: w.isin(*words))).cast("bigint")
 
 
+import re as _re  # noqa: E402  (kernel-side word classifier)
+
+_ALPHA_RE = _re.compile(r"[A-Za-z]")
+
+#: signal columns the two quality engines emit, in order
+_QSIG_INT_COLS = [
+    "n_words",
+    "sum_word_chars",
+    "n_distinct_words",
+    "top_bigram_n",
+    "n_bigrams",
+    "n_stopwords",
+    "n_alpha_words",
+]
+_QSIG_FRAC_COLS = ["mean_word_len", "dup_word_frac", "top_bigram_frac"]
+
+
+def _quality_signals_py(text: str | None, stop_set, t: dict) -> dict:
+    """Pure-Python per-doc twin of the Catalyst quality projection —
+    value-identical including the NULL-text pattern (NULL counts, but
+    top_bigram_n = n_bigrams = 0 / top_bigram_frac = 0.0 /
+    quality_pass = 0, exactly what the fold-over-NULL plan emits;
+    property-pinned across both engines in tests)."""
+    if text is None:
+        return {
+            "n_words": None,
+            "sum_word_chars": None,
+            "n_distinct_words": None,
+            "top_bigram_n": 0,
+            "n_bigrams": 0,
+            "n_stopwords": None,
+            "n_alpha_words": None,
+            "mean_word_len": None,
+            "dup_word_frac": None,
+            "top_bigram_frac": 0.0,
+            "quality_pass": 0,
+        }
+    toks = text.split(" ")
+    n = len(toks)
+    swc = sum(map(len, toks))
+    nd = len(set(toks))
+    if n >= 2:
+        # split(" ") tokens can never contain a space, so pair tuples
+        # are equivalent to the engines' space-joined bigram strings
+        from collections import Counter
+
+        top = max(Counter(zip(toks, toks[1:])).values())
+        nbg = n - 1
+    else:
+        top, nbg = 0, 0
+    nstop = sum(1 for w in toks if w in stop_set)
+    nalpha = sum(1 for w in toks if _ALPHA_RE.search(w))
+    ok = (
+        t["min_words"] <= n <= t["max_words"]
+        and t["min_mean_word_len"] * n <= swc <= t["max_mean_word_len"] * n
+        and (n - nd) * 100 <= t["max_dup_word_frac_pct"] * n
+        and nalpha * 100 >= t["min_alpha_word_frac_pct"] * n
+        and top * 100 <= t["max_top_bigram_frac_pct"] * nbg
+        and nstop >= t.get("min_stopwords", 0)
+    )
+    return {
+        "n_words": n,
+        "sum_word_chars": swc,
+        "n_distinct_words": nd,
+        "top_bigram_n": top,
+        "n_bigrams": nbg,
+        "n_stopwords": nstop,
+        "n_alpha_words": nalpha,
+        "mean_word_len": swc / n,
+        "dup_word_frac": (n - nd) / n,
+        "top_bigram_frac": top / max(nbg, 1),
+        "quality_pass": 1 if ok else 0,
+    }
+
+
+def _quality_signals_arrow(
+    df: DataFrame,
+    text_col: str,
+    t: dict,
+    stopwords: tuple | dict | None,
+    lang_col: str,
+) -> DataFrame:
+    """Arrow-kernel engine (the repetition_signals precedent): per-batch
+    Python of the same math, every input column passed through. The
+    interpreted HOF folds (sum_word_chars aggregate + the bigram
+    run-length fold) profiled as the dominant stage of the WARC funnel;
+    the kernel runs them at Python-loop speed per doc with Arrow batch
+    transfer — same zero-shuffle projection shape."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    routed = isinstance(stopwords, dict) and bool(stopwords)
+    if routed:
+        tables = {k: frozenset(v) for k, v in stopwords.items()}
+        default_set = frozenset(STOPWORDS)
+    elif stopwords:
+        one_set = frozenset(stopwords)
+    else:
+        one_set = frozenset(STOPWORDS)
+
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(c, T.LongType()) for c in _QSIG_INT_COLS]
+        + [T.StructField(c, T.DoubleType()) for c in _QSIG_FRAC_COLS]
+        + [T.StructField("quality_pass", T.LongType())]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if routed:
+                res = [
+                    _quality_signals_py(txt, tables.get(lang, default_set), t)
+                    for txt, lang in zip(pdf[text_col], pdf[lang_col])
+                ]
+            else:
+                res = [
+                    _quality_signals_py(txt, one_set, t)
+                    for txt in pdf[text_col]
+                ]
+            out = pdf.copy()
+            for c in _QSIG_INT_COLS + ["quality_pass"]:
+                out[c] = pd.array([r[c] for r in res], dtype="Int64")
+            for c in _QSIG_FRAC_COLS:
+                out[c] = np.array(
+                    [
+                        np.nan if r[c] is None else r[c]
+                        for r in res
+                    ],
+                    dtype=np.float64,
+                )
+            yield out
+
+    return df.mapInPandas(batches, schema)
+
+
 def quality_signals(
     df: DataFrame,
     text_col: str = "text",
     thresholds: dict | None = None,
     stopwords: tuple | dict | None = None,
     lang_col: str = "lang",
+    engine: str = "arrow",
 ) -> DataFrame:
     """Append per-document C4/Gopher quality-signal columns.
 
@@ -171,15 +310,26 @@ def quality_signals(
     ``stopwords`` selects the function-word list ``n_stopwords`` counts
     against: None keeps the historical English default (byte-identical
     plans — pinned in tests), a tuple applies one list to every doc, and
-    a ``{lang: words}`` dict routes on ``lang_col`` with a zero-shuffle
-    CASE chain (the per-language-threshold pattern in pipeline.py) —
-    unlisted languages and NULL ``lang`` fall back to the English
-    default, matching the threshold-routing fallback convention.
+    a ``{lang: words}`` dict routes on ``lang_col`` (zero-shuffle: a
+    CASE chain in the Catalyst engine, a per-row table lookup in the
+    Arrow kernel) — unlisted languages and NULL ``lang`` fall back to
+    the English default, matching the threshold-routing fallback
+    convention.
 
-    Pure projection: zero shuffle, stays embarrassingly parallel at any
-    corpus size (plan pinned Exchange-free in tests/test_plans.py).
+    Two engines, value-identical including the NULL-text pattern
+    (property-pinned): ``engine="arrow"`` (default, the
+    repetition_signals precedent) vectorizes per batch in a mapInPandas
+    kernel — the interpreted HOF folds profiled as the WARC funnel's
+    dominant stage; ``engine="catalyst"`` is the zero-Python spec.
+    Both are pure projections: zero shuffle, embarrassingly parallel at
+    any corpus size (plans pinned Exchange-free in tests/test_plans.py),
+    and both compose unchanged onto streaming DataFrames.
     """
     t = thresholds or QUALITY_THRESHOLDS
+    if engine == "arrow":
+        return _quality_signals_arrow(df, text_col, t, stopwords, lang_col)
+    if engine != "catalyst":
+        raise ValueError(f"engine must be arrow|catalyst, got {engine!r}")
     out = df.withColumn("__toks", tokens(_col(text_col)))
     toks = F.col("__toks")
     if isinstance(stopwords, dict) and stopwords:
@@ -197,18 +347,36 @@ def quality_signals(
         n_stop = _stopword_count(
             toks, tuple(stopwords) if stopwords else STOPWORDS
         )
+    # NULL-text canonicalization: size(NULL) is SESSION-dependent in
+    # Spark 4 (-1 with ansi off via legacy sizeOfNull, NULL with ansi
+    # on). Guard every size-derived count explicitly so both engines
+    # emit ONE pattern everywhere: NULL counts, 0 bigram stats, pass 0 —
+    # the same convention the DuckDB oracle's list functions follow.
+    nn = _col(text_col).isNotNull()
+
+    def _nz(c: Column) -> Column:
+        return F.when(nn, c)
+
     out = out.withColumns(
         {
-            "n_words": F.size(toks).cast("bigint"),
-            "sum_word_chars": F.aggregate(
-                toks, F.lit(0).cast("bigint"), lambda a, w: a + F.length(w)
+            "n_words": _nz(F.size(toks)).cast("bigint"),
+            "sum_word_chars": _nz(
+                F.aggregate(
+                    toks,
+                    F.lit(0).cast("bigint"),
+                    lambda a, w: a + F.length(w),
+                )
             ),
-            "n_distinct_words": F.size(F.array_distinct(toks)).cast("bigint"),
-            "top_bigram_n": top_bigram_count(toks),
+            "n_distinct_words": _nz(
+                F.size(F.array_distinct(toks))
+            ).cast("bigint"),
+            "top_bigram_n": F.coalesce(
+                top_bigram_count(toks), F.lit(0).cast("bigint")
+            ),
             "n_bigrams": F.greatest(F.size(toks) - 1, F.lit(0)).cast("bigint"),
-            "n_stopwords": n_stop,
-            "n_alpha_words": F.size(
-                F.filter(toks, lambda w: w.rlike("[A-Za-z]"))
+            "n_stopwords": _nz(n_stop),
+            "n_alpha_words": _nz(
+                F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
             ).cast("bigint"),
         }
     )

@@ -1116,3 +1116,42 @@ def test_quality_min_stopwords_floor(spark):
     assert (
         quality_signals(df, thresholds=strict).collect()[0].quality_pass == 0
     )
+
+
+def test_quality_signals_engines_value_identical(spark):
+    """Arrow kernel ≡ Catalyst spec, including the NULL-text pattern and
+    all three stopword modes (the repetition_signals dual-engine pin)."""
+    import random
+
+    from nexus_event_stream_spark.operators.quality import (
+        STOPWORD_TABLES,
+        quality_signals,
+    )
+
+    rng = random.Random(23)
+    vocab = ["the", "cat", "a", "und", "der", "x", "1", "Zt", "", " "]
+    rows = [(0, None, "de"), (1, "", None), (2, "  ", "xx")]
+    for i in range(3, 40):
+        words = " ".join(
+            rng.choice(vocab) for _ in range(rng.randrange(0, 30))
+        )
+        rows.append((i, words, rng.choice(["en", "de", None, "zz"])))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    for sw in (None, ("cat", "und"), STOPWORD_TABLES):
+        a = {
+            r["doc_id"]: r.asDict()
+            for r in quality_signals(df, stopwords=sw, engine="arrow").collect()
+        }
+        c = {
+            r["doc_id"]: r.asDict()
+            for r in quality_signals(
+                df, stopwords=sw, engine="catalyst"
+            ).collect()
+        }
+        assert a == c, next(
+            (k, {x: (a[k][x], c[k][x]) for x in a[k] if a[k][x] != c[k][x]})
+            for k in a
+            if a[k] != c[k]
+        )
+    with pytest.raises(ValueError, match="engine"):
+        quality_signals(df, engine="nope")
