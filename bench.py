@@ -705,6 +705,53 @@ def _stress_bench(
         load_table(spark, sf_dir, "documents"), grain="paragraph", fpr=1e-6
     )
 
+    # Streaming ExactSubstr (r12): one ingest epoch suppressed against an
+    # ACCEPTED history. History registration and the epoch's own commit
+    # run OUTSIDE the clock (a store registers each batch once, ever);
+    # the timed pass is a REPLAY of the committed epoch — byte-identical
+    # suppression compute (anchor kernel → bucket-pruned probe → history
+    # text load → window verify → strip) with the epoch's own postings
+    # masked, and no store mutation, so k runs measure the same work.
+    # Batch shape: 50% re-crawls of accepted docs (worst case: every
+    # span duplicated) + 50% novel docs (token-reversed twins).
+    from nexus_event_stream_spark.streaming.exact_substr import (
+        substr_store,
+        substr_suppress_and_register,
+    )
+
+    sub_dir = tempfile.mkdtemp(prefix="bench_substr_")
+    sub_store = substr_store(sub_dir)
+    base_docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    substr_suppress_and_register(
+        spark, sub_store, base_docs, epoch=0, run_token="bench"
+    )
+    sub_batch = (
+        base_docs.select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            F.array_join(
+                F.reverse(F.split(F.col("text"), " ")), " "
+            ).alias("text"),
+        )
+        .unionByName(
+            base_docs.select(
+                (F.col("doc_id") + 20_000_000).alias("doc_id"), "text"
+            )
+        )
+    )
+    n_sub = sub_batch.count()
+    substr_suppress_and_register(
+        spark, sub_store, sub_batch, epoch=1, run_token="bench"
+    )
+
+    def run_stream_substr() -> float:
+        t0 = time.perf_counter()
+        substr_suppress_and_register(
+            spark, sub_store, sub_batch, epoch=1, run_token="bench"
+        ).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
     def run_bloom_ref_dedup() -> float:
         t0 = time.perf_counter()
         bloom_dedup_paragraphs(docs, ref_bloom).write.format("noop").mode(
@@ -723,6 +770,7 @@ def _stress_bench(
         ("exact_substr_25x", run_exact_substr, n_docs),
         ("repetition_25x", run_repetition, n_docs),
         ("bloom_ref_dedup_25x", run_bloom_ref_dedup, n_docs),
+        ("stream_substr_suppress", run_stream_substr, n_sub),
         ("phash_dedup_media", run_phash_dedup, n_media),
         ("phash_audio_dedup", run_audio_dedup, n_audio),
         ("phash_video_dedup", run_video_dedup, n_video),
@@ -741,6 +789,7 @@ def _stress_bench(
     index.unpersist()
     bm25_index.postings.unpersist()
     shutil.rmtree(idx_dir, ignore_errors=True)
+    shutil.rmtree(sub_dir, ignore_errors=True)
     shutil.rmtree(media_dir, ignore_errors=True)
     shutil.rmtree(audio_dir, ignore_errors=True)
     shutil.rmtree(video_dir, ignore_errors=True)
