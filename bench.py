@@ -255,7 +255,7 @@ def _ivf_pq_bench(spark, sf_dir: str) -> list[float]:
         for _ in range(2):
             base = _pinned_ids(spark)
             out.append(run())
-            _release_except(spark, base)
+            _isolate_entry(spark, base, (index,))
         return out
     finally:
         index.unpersist()
@@ -305,7 +305,7 @@ def _corpus_pipeline_bench(spark, sf_dir: str) -> list[float]:
         # minhash/dedup_groups pin internally — release those too
         base = _pinned_ids(spark)
         out.append(run())
-        _release_except(spark, base)
+        _isolate_entry(spark, base)
     return out
 
 
@@ -361,6 +361,14 @@ def _stress_bench(
     Already earned its keep: the first 25× run exposed the 1 g-default
     driver heap OOMing AQE's 64 MB broadcast builds (session.py now sizes
     the driver explicitly), invisible at 1×.
+
+    Number-history note (r12): entries whose operators persist internal
+    relations (dedup_chain, corpus_pipeline) recorded WARM numbers
+    through r11 — Spark's CacheManager substitutes caches by
+    logical-plan EQUALITY, so pass-2 silently reused pass-1's leaked
+    internal caches. Under per-entry isolation each pass now measures
+    the full cold operator (dedup_chain_25x ~12 s warm → ~21 s honest);
+    cross-round comparisons for CC-bearing entries start fresh at r12.
     """
     import shutil
     import tempfile
@@ -385,7 +393,15 @@ def _stress_bench(
         prepare_training_corpus,
     )
 
-    docs = _replicate_docs(spark, sf_dir)
+    # The INPUT relations are persisted in setup, outside every clock
+    # (a production caller persists the corpus it is about to dedup —
+    # without this each entry measured 4-6 recomputes of the mirror
+    # explode+repartition, not the operator). Persisting them also
+    # removes the r11 phantom: Spark's CacheManager substitutes caches
+    # by LOGICAL-PLAN EQUALITY, so pass-2 of an entry silently reused
+    # pass-1's leaked internal caches (equal plans!) and recorded a
+    # warm number the per-entry release now honestly prevents.
+    docs = _replicate_docs(spark, sf_dir).persist()
     n_docs = docs.count()
 
     def run_dedup_chain() -> float:
@@ -421,6 +437,7 @@ def _stress_bench(
         .select(
             (F.col("vec_id") * 25 + F.col("__r")).alias("vec_id"), "embedding"
         )
+        .persist()  # input relation: setup-pinned like docs above
     )
     n_vecs = emb25.count()
     cents = ivf_train_centroids(emb25, n_centroids=16, iters=3)
@@ -778,16 +795,20 @@ def _stress_bench(
         ("corpus_pipeline_25x", run_pipeline, n_docs),
     ]
     runs: dict[str, list[float]] = {name: [] for name, _, _ in workloads}
+    pinned_inputs = (docs, emb25, index, bm25_index.postings)
     for _ in range(max(1, k)):
         for name, fn, _ in workloads:
-            # Per-entry isolation (see _release_except): each entry's
-            # internal persists + CC localCheckpoints are released
-            # before the next entry's clock starts.
+            # Per-entry isolation (see _isolate_entry): each entry's
+            # internal caches + CC localCheckpoints are released —
+            # registry included — before the next entry's clock starts,
+            # and the setup-pinned inputs re-materialized.
             base = _pinned_ids(spark)
             runs[name].append(fn())
-            _release_except(spark, base)
+            _isolate_entry(spark, base, pinned_inputs)
     index.unpersist()
     bm25_index.postings.unpersist()
+    docs.unpersist()
+    emb25.unpersist()
     shutil.rmtree(idx_dir, ignore_errors=True)
     shutil.rmtree(sub_dir, ignore_errors=True)
     shutil.rmtree(media_dir, ignore_errors=True)
@@ -1015,10 +1036,36 @@ def _release_except(spark, base_ids: set) -> None:
     1.96× its r10 time with zero code change from exactly this. Every
     timed entry now snapshots before and releases after, OUTSIDE its own
     clock; deliberately long-lived assets (PQ index, BM25 postings)
-    predate the snapshot so they survive."""
+    predate the snapshot so they survive. BLOCKING unpersist: the async
+    form returns immediately and the block-removal churn lands inside
+    the NEXT entry's clock (measured: +2.4x on the entry following a
+    heavy release)."""
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     for rid in set(jmap.keySet().toArray()) - base_ids:
-        jmap.get(rid).unpersist()
+        jmap.get(rid).unpersist(True)
+
+
+def _isolate_entry(spark, base_ids: set, pinned=()) -> None:
+    """Post-entry isolation, OUTSIDE every clock.
+
+    Order matters (found the hard way): RDD-id-level ``unpersist`` alone
+    leaves the SQL CacheManager holding registry entries whose blocks
+    are gone — the next run's internal ``persist()`` of an EQUAL plan
+    no-ops ("already cached") and every read then recomputes through a
+    block-less InMemoryRelation without re-caching (measured 3-4× on
+    dedup_chain). So: (1) ``clearCache()`` drops DataFrame caches WITH
+    their registry entries; (2) RDD-level unpersist sweeps what the
+    registry never tracked (CC localCheckpoints); (3) the deliberately
+    long-lived setup inputs in ``pinned`` are re-persisted and
+    re-materialized so the next entry sees the same warm state every
+    entry sees."""
+    spark.catalog.clearCache()
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in set(jmap.keySet().toArray()) - base_ids:
+        jmap.get(rid).unpersist(True)
+    for df in pinned:
+        df.persist()
+        df.count()
 
 
 def _release_new_caches(spark, base_ids: set, t0: float) -> float:
@@ -1244,7 +1291,7 @@ def main() -> None:
             build(spark, warm_sf).write.format("noop").mode("overwrite").save()
         except Exception:
             pass
-    _release_except(spark, warm_base)  # warmup leaks must not tax runs
+    _isolate_entry(spark, warm_base)  # warmup leaks must not tax runs
     # One untimed job at the TARGET SF before the clock starts: the
     # sf0.001 warmup compiles every plan but the first measured entry
     # still absorbed target-scale session warmup (scheduler pools,
@@ -1258,7 +1305,7 @@ def main() -> None:
         next(iter(qs.values()))(spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
-        _release_except(spark, base)
+        _isolate_entry(spark, base)
     except Exception:
         pass
 
@@ -1282,7 +1329,7 @@ def main() -> None:
             t0 = time.perf_counter()
             build(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples[name].append(time.perf_counter() - t0)
-            _release_except(spark, base)
+            _isolate_entry(spark, base)
 
     # Adaptive top-up: a query whose own k runs disagree by >25 % is
     # noisy THIS session — two more interleaved runs give its median 5
@@ -1299,7 +1346,7 @@ def main() -> None:
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples[name].append(time.perf_counter() - t0)
-            _release_except(spark, base)
+            _isolate_entry(spark, base)
 
     per_query: dict[str, float] = {
         name: round(statistics.median(runs), 3) for name, runs in samples.items()
@@ -1327,7 +1374,7 @@ def main() -> None:
     replay_runs = [
         _stream_projection_replay(spark, sf_dir) for _ in range(3)
     ]
-    _release_except(spark, _extras_base)
+    _isolate_entry(spark, _extras_base)
     dt = statistics.median(replay_runs)
     per_query["stream_projection_replay"] = round(dt, 3)
     spread["stream_projection_replay"] = {
@@ -1353,14 +1400,14 @@ def main() -> None:
     # Skew-robustness: the zipf-keyed synthetic join (VERDICT r4 #6) —
     # measures the engine under a pathological hot key, salted vs not.
     r_un, r_sa = _skew_join_bench(spark)
-    _release_except(spark, _extras_base)
+    _isolate_entry(spark, _extras_base)
     total += _extra("skew_join_unsalted", r_un)
     total += _extra("skew_join_salted", r_sa)
 
     # Data skipping: manifest-pruned scan vs full-scan filter over a
     # Z-ordered events copy (layout write is setup, not measured).
     r_full, r_pruned = _zorder_bench(spark, sf_dir)
-    _release_except(spark, _extras_base)
+    _isolate_entry(spark, _extras_base)
     total += _extra("zorder_scan_full", r_full)
     total += _extra("zorder_scan_pruned", r_pruned)
 
@@ -1385,7 +1432,7 @@ def main() -> None:
 
         # 800k-key streaming replay: bucketed-vs-full crossover, measured
         # (VERDICT r7 #7) — rows/s + bucket-touch counts in the sidecar.
-        _release_except(spark, _extras_base)
+        _isolate_entry(spark, _extras_base)
         replay_runs_800k, replay_info = _replay_stress_bench(spark)
         for name, rr in replay_runs_800k.items():
             best = _extra(name, rr)

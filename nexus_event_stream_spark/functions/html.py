@@ -365,14 +365,35 @@ def _fast_blocks(html: str) -> list[dict] | None:
             continue  # doctype only (other <! forms bailed upstream)
         if c1 == "/":
             parts = body[1:].split(None, 1)
-            if parts:
-                bp._end(parts[0].lower())
+            if not parts:
+                continue
+            ename = parts[0].rstrip("/")  # '</nav/>' closes nav
+            if not ename:
+                continue  # '<//>' — HTMLParser emits no event either
+            if "/" in ename:
+                return None  # '</na/v>' — tolerant-lexer prefix rules
+            bp._end(ename.lower())
             continue
         sp = body.split(None, 1)
         if not sp:
             return None  # '<>' — literal text to HTMLParser
         name = sp[0]
-        void = body[-1] == "/"
+        void = False
+        if body[-1] == "/":
+            # Self-closing ONLY when HTMLParser would emit startendtag:
+            # a '/' ending an UNQUOTED attribute value belongs to the
+            # value (<a href=http://x.com/> is a normal start tag).
+            rest = body[:-1]
+            bare = name[:-1] if name[-1] == "/" else name
+            if rest == bare:
+                void = True  # <br/>
+            elif rest[-1:] in ' \t\n\r"\'':
+                void = True  # <img src=x /> or <a href="x"/>
+            else:
+                last = rest.rsplit(None, 1)[-1]
+                if '"' in last or "'" in last:
+                    return None  # quote-adjacent junk: let stdlib decide
+                void = "=" not in last  # <foo bar/> yes, <a href=x/> no
         if name[-1] == "/":
             name = name[:-1]
         if not name or "/" in name:

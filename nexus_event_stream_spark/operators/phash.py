@@ -648,17 +648,22 @@ def perceptual_video_hashes(
             for p in pdf[payload_col]:
                 hashes = None
                 if p is not None:
-                    # the hash step sits INSIDE the try: lazy decoders
-                    # (_LazyMjpegFrames) surface a corrupt sampled frame
-                    # at index time, and the row must degrade to
-                    # undecoded, not kill the kernel
                     try:
                         frames = decode(bytes(p))
-                        if frames:
+                    except Exception:
+                        frames = None
+                    # len(), not truthiness: a decoder_fn may return an
+                    # ndarray of frames, whose bool() is ambiguous
+                    if frames is not None and len(frames) > 0:
+                        # only ValueError (data corruption — e.g. a lazy
+                        # MJPEG decoder hitting a corrupt sampled frame
+                        # at index time) degrades the row to undecoded;
+                        # programming errors still surface
+                        try:
                             hashes = video_dhash_frames(frames, n_samples)
                             n_fr = int(len(frames))
-                    except Exception:
-                        hashes = None
+                        except ValueError:
+                            hashes = None
                 if hashes is None:
                     vh.append(None)
                     nf.append(None)

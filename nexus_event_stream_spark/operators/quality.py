@@ -114,8 +114,9 @@ def quality_pass_checks(thresholds: dict | None = None) -> Column:
     ``quality_signals`` appends — exposed so per-language recipe routing
     (pipeline.py ``lang_quality_thresholds``) can re-evaluate the SAME
     integer-exact checks under different thresholds without recomputing
-    the signals. Requires the signal columns to be in scope."""
-    t = thresholds or QUALITY_THRESHOLDS
+    the signals. Requires the signal columns to be in scope. A partial
+    dict merges over the defaults (the quality_signals convention)."""
+    t = {**QUALITY_THRESHOLDS, **(thresholds or {})}
     nw = F.col("n_words")
     return (
         (nw >= t["min_words"])
@@ -325,7 +326,14 @@ def quality_signals(
     any corpus size (plans pinned Exchange-free in tests/test_plans.py),
     and both compose unchanged onto streaming DataFrames.
     """
-    t = thresholds or QUALITY_THRESHOLDS
+    # A partial dict OVERRIDES the defaults (the repetition_signals /
+    # per-language-recipe merge semantics), validated up front — with
+    # the Arrow default, a full-replacement KeyError would otherwise
+    # surface as an opaque executor-side crash mid-job.
+    t = {**QUALITY_THRESHOLDS, **(thresholds or {})}
+    unknown = set(t) - set(QUALITY_THRESHOLDS)
+    if unknown:
+        raise ValueError(f"unknown quality thresholds: {sorted(unknown)}")
     if engine == "arrow":
         return _quality_signals_arrow(df, text_col, t, stopwords, lang_col)
     if engine != "catalyst":

@@ -317,38 +317,44 @@ def substr_suppress_and_register(
                 }
             )
 
+    # persisted: TWO branches consume it (the within-batch
+    # first-occurrence flag and the history semi-join) and Spark does
+    # not CSE across DataFrame branches — without the persist every
+    # candidate doc would be re-tokenized and re-md5'd per branch
     batch_windows = src.join(cand, "doc_id").mapInPandas(
         window_batches, win_schema
-    )
+    ).persist()
 
     # --- history windows: load ONLY the matched documents' originals
     if n_matched:
         hist_pos = matched.groupBy("__hist_id").agg(
             F.collect_list("pos").alias("__anchor_pos")
-        )
-        hist_ids = [r[0] for r in hist_pos.select("__hist_id").collect()]
+        ).persist()
+        # bounded collect: DISTINCT matched doc ids → bucket ids only
+        # (no isin literal over the ids — a high-duplicate epoch would
+        # inflate the plan with one expression node per id; the inner
+        # join with hist_pos below already restricts to matched docs)
         doc_buckets = sorted(
             {
                 r[0]
-                for r in spark.createDataFrame(
-                    [(str(i),) for i in hist_ids], "bucket_key string"
-                )
-                .select(
+                for r in hist_pos.select(
                     _bucket_of(
-                        F.col("bucket_key"), store.docs.n_buckets
+                        F.col("__hist_id").cast("string"),
+                        store.docs.n_buckets,
                     ).alias("b")
                 )
+                .distinct()
                 .collect()
             }
         )
         hist_docs = store.docs.read_buckets(spark, doc_buckets)
         hist_docs = _replay_mask(hist_docs, replay, epoch, run_token)
     else:
+        hist_pos = None
         hist_docs = None
     if hist_docs is not None:
         hist_src = (
-            hist_docs.filter(F.col("doc_id").isin(hist_ids))
-            .select(
+            hist_docs.select(
                 F.col("doc_id").alias("__hist_id"),
                 F.col("text").alias("__text"),
             )
@@ -460,6 +466,9 @@ def substr_suppress_and_register(
     if not replay:
         store.anchors.append(anchor_postings, epoch, run_token)
 
+    batch_windows.unpersist()
+    if hist_pos is not None:
+        hist_pos.unpersist()
     if matched is not None:
         matched.unpersist()
     anchors.unpersist()

@@ -280,3 +280,45 @@ def test_fast_lexer_block_identity_and_routing():
     for _ in range(50):
         page = "".join(rng.choice(frags) for _ in range(rng.randint(1, 8)))
         assert _fast_blocks(page) == _BlockParser().feed(page)
+
+
+def test_fast_lexer_unquoted_attr_slash_and_sloppy_end_tags():
+    """r12 self-review findings: a '/' ending an UNQUOTED attribute
+    value is part of the value (normal start tag — link/boiler depth
+    must move), while '<foo bar/>' (valueless attr) and quote-closed
+    values self-close; '</nav/>' closes nav. All pinned block-identical
+    to stdlib HTMLParser."""
+    from nexus_event_stream_spark.functions.html import (
+        _BlockParser,
+        _fast_blocks,
+    )
+
+    pages = [
+        # unquoted href ending '/': the <a> MUST open (link accounting)
+        "<div><a href=http://example.com/>link text here</a> tail words"
+        " making this block long enough</div>",
+        "<nav id=x/>menu chrome words</nav><p>real prose with enough"
+        " words to be a good block</p>",
+        # valueless attr + '/': HTMLParser emits startendtag
+        "<p>before</p><foo bar/><p>after block with plenty of words in"
+        " it for goodness</p>",
+        "<foo bar=baz/><p>unquoted value eats the slash so foo stays"
+        " open in both lexers</p>",
+        # sloppy end tag with trailing slash closes the element
+        "<nav>menu</nav/>words here<p>para text with enough words to"
+        " be good today ok</p>",
+        "<body><p>a</p><//><p>empty end tag page with enough words to"
+        " classify well</p></body>",
+        "<img src=x /><p>space before the slash self-closes with words"
+        " enough here</p>",
+        "<a href='q'/>quoted value then slash self-closes the anchor"
+        " words words words",
+    ]
+    for page in pages:
+        assert _fast_blocks(page) == _BlockParser().feed(page), page[:45]
+    # '</na/v>' — tolerant-prefix end tags route to the stdlib walk
+    from nexus_event_stream_spark.functions.html import _segment_blocks
+
+    weird = "<nav>x</na/v><p>words words words words words words words"
+    assert _fast_blocks(weird) is None
+    assert _segment_blocks(weird) == _BlockParser().feed(weird)

@@ -569,3 +569,39 @@ def test_mjpeg_mp4_collapses_in_perceptual_video_dedup(spark):
     assert keep[0] == keep[1] == 0  # twin collapses onto the original
     assert keep[2] == 2  # distinct clip survives alone
     assert keep[3] == 3  # corrupt row degrades to a singleton
+
+
+def test_video_decoder_fn_may_return_ndarray(spark):
+    """r12 self-review: a decoder_fn returning a numpy 3-D array of
+    frames must hash normally (no truthiness-ambiguity swallow marking
+    the corpus undecoded)."""
+    import numpy as np
+
+    from nexus_event_stream_spark.operators.phash import (
+        perceptual_video_hashes,
+    )
+
+    def nd_decoder(payload: bytes):
+        seed = payload[0]
+        yy, xx = np.mgrid[0:32, 0:48]
+        return np.stack(
+            [
+                (128 + 90 * np.sin(xx / 6.0 + seed + t) * np.cos(yy / 5.0))
+                .clip(0, 255)
+                for t in range(5)
+            ]
+        )
+
+    media = spark.createDataFrame(
+        [(0, bytearray([3, 0, 0])), (1, bytearray([9, 0, 0])), (2, None)],
+        "media_id long, payload binary",
+    )
+    rows = {
+        r.media_id: r
+        for r in perceptual_video_hashes(
+            media, decoder_fn=nd_decoder
+        ).collect()
+    }
+    assert rows[0].decoded and rows[0].n_frames == 5
+    assert rows[1].decoded and rows[1].vhash != rows[0].vhash
+    assert not rows[2].decoded

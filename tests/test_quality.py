@@ -1155,3 +1155,19 @@ def test_quality_signals_engines_value_identical(spark):
         )
     with pytest.raises(ValueError, match="engine"):
         quality_signals(df, engine="nope")
+
+
+def test_quality_thresholds_partial_dict_merges(spark):
+    """r12 self-review: a partial quality thresholds dict overrides the
+    defaults (the repetition_signals convention) on BOTH engines instead
+    of KeyErroring in the executor kernel; unknown keys fail fast."""
+    from nexus_event_stream_spark.operators.quality import quality_signals
+
+    df = _docs(spark, ["the cat sat on the mat quite happily today ok"])
+    for engine in ("arrow", "catalyst"):
+        r = quality_signals(
+            df, thresholds={"min_words": 50}, engine=engine
+        ).collect()[0]
+        assert r.quality_pass == 0, engine  # the override applied
+    with pytest.raises(ValueError, match="unknown quality thresholds"):
+        quality_signals(df, thresholds={"min_wordz": 1})
