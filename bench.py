@@ -367,7 +367,7 @@ def _stress_bench(
     through r11 — Spark's CacheManager substitutes caches by
     logical-plan EQUALITY, so pass-2 silently reused pass-1's leaked
     internal caches. Under per-entry isolation each pass now measures
-    the full cold operator (dedup_chain_25x ~12 s warm → ~21 s honest);
+    the full cold operator (dedup_chain_25x ~12 s warm → ~17-21 s honest);
     cross-round comparisons for CC-bearing entries start fresh at r12.
     """
     import shutil
