@@ -298,3 +298,179 @@ def _commit_bloom_reset(store: SignatureStore, fpr: float) -> None:
             ),
             0,
         )
+
+
+def paragraph_suppress_and_register(
+    spark: SparkSession,
+    store: SignatureStore,
+    docs: DataFrame,
+    epoch: int | None = None,
+    run_token: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    expected_keys: int = 1 << 16,
+    fpr: float = 1e-4,
+) -> DataFrame:
+    """One micro-batch of exact cross-batch PARAGRAPH dedup (r12): the
+    incremental twin of ``operators.bloom_dedup.bloom_dedup_paragraphs``
+    whose "reference" is everything accepted so far — and the grain the
+    other streaming tiers structurally miss (exact doc digests catch
+    whole documents, streaming ExactSubstr catches >= min_len-token
+    spans; a duplicated SHORT paragraph arriving across epochs slips
+    both).
+
+    Suppression rule (the Dolma paragraph discipline): a paragraph
+    occurrence is stripped iff its text matches (a) an accepted
+    paragraph in the store (tombstone-filtered) or (b) an earlier
+    occurrence in this batch (ordered by doc id, then position). Rows
+    are always preserved: zero-hit documents keep ``text_col``
+    BYTE-EXACT, touched documents are rebuilt from the surviving
+    trimmed units with ``\\n\\n`` (the batch operator's contract —
+    all-duplicate docs come back as ``''``, NULL text stays NULL with
+    zero counts). Appends ``n_paras`` / ``dup_paras``.
+
+    Cost discipline is the doc tier's: the Bloom filter decides WHO
+    must be checked, so a novel-only batch reads ZERO store paths
+    (``last_probe_paths == []``, pinned) and exactness is unconditional
+    — a filter false positive costs a bucket read, never a dropped
+    novel paragraph. One md5-uniform shuffle for the within-batch
+    first-occurrence window, one keyed re-assembly shuffle for the
+    rebuild; registration appends only the batch's NOVEL digests.
+
+    ``id_col`` must be long-typed, unique and non-null (the
+    SignatureStore doc_id convention — the rebuild joins back on it).
+    ``forget_signatures`` composes: a forgotten doc's paragraphs stop
+    suppressing immediately, with the same releases-even-if-a-stripped-
+    copy-existed semantics the exact doc tier documents.
+    """
+    from nexus_event_stream_spark.operators.bloom_dedup import _paragraphs
+    from nexus_event_stream_spark.operators.quality import (
+        first_occurrence_flag,
+    )
+
+    cur = store.current()
+    replay = store.guard.is_replay(cur, epoch, run_token)
+    text = F.col(text_col)
+
+    src = docs.persist()
+    units = src.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(_paragraphs(text)).alias("pos", "__para"),
+    )
+    # within-batch: first occurrence per paragraph text wins; the helper
+    # md5s the value, so its `h` column IS the store digest
+    flagged = first_occurrence_flag(units, "__para").persist()
+
+    # cross-batch: the filter decides who needs the store
+    bf = read_bloom(store)
+    if bf is None:
+        cand = flagged.limit(0).select(F.col("h").alias("bucket_key"))
+    else:
+        cand = (
+            flagged.filter(bloom_might_contain(bf, F.col("h")))
+            .select(F.col("h").alias("bucket_key"))
+            .distinct()
+        )
+    from nexus_event_stream_spark.streaming.dedup import _bucket_of
+
+    touched = sorted(
+        r[0]
+        for r in cand.select(
+            _bucket_of(F.col("bucket_key"), store.n_buckets).alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    if not touched:
+        store.last_probe_paths = []  # the Bloom win, pinned by tests
+    stored = store.read_buckets(spark, touched) if touched else None
+    if stored is not None and replay:
+        stored = stored.filter(
+            ~(
+                (F.col("run") == F.lit(run_token))
+                & (F.col("epoch") >= F.lit(epoch))
+            )
+        )
+    if stored is not None:
+        hist = stored.select(
+            F.col("bucket_key").alias("h")
+        ).distinct().join(cand.select(F.col("bucket_key").alias("h")), "h")
+        marked = flagged.join(
+            hist.withColumn("__hist", F.lit(True)), "h", "left"
+        )
+    else:
+        marked = flagged.withColumn("__hist", F.lit(None).cast("boolean"))
+    marked = marked.withColumn(
+        "__dup",
+        (F.col("is_dup") == 1) | F.coalesce(F.col("__hist"), F.lit(False)),
+    )
+
+    # per-doc accounting + rebuild from the SURVIVING occurrences
+    per_doc = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_paras"),
+        F.count_if(F.col("__dup")).cast("bigint").alias("dup_paras"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("__dup"),
+                            F.struct(F.col("pos"), F.col("__para")),
+                        )
+                    )
+                ),
+                lambda s: s["__para"],
+            ),
+            "\n\n",
+        ).alias("__rebuilt"),
+    )
+    out = src.join(
+        per_doc.withColumnRenamed("doc_id", "__pid"),
+        F.col(id_col) == F.col("__pid"),
+        "left",
+    ).drop("__pid")
+    out = out.withColumns(
+        {
+            "n_paras": F.coalesce(F.col("n_paras"), F.lit(0).cast("bigint")),
+            "dup_paras": F.coalesce(
+                F.col("dup_paras"), F.lit(0).cast("bigint")
+            ),
+        }
+    )
+    out = out.withColumn(
+        text_col,
+        F.when(text.isNull() | (F.col("dup_paras") == 0), text).otherwise(
+            F.col("__rebuilt")
+        ),
+    ).drop("__rebuilt")
+    # materialize BEFORE the commits and unpersists (the r11 lesson: the
+    # caller's collect must not recompute from the source)
+    out = out.localCheckpoint(eager=True)
+
+    if not replay:
+        novel = (
+            marked.filter(~F.col("__dup"))
+            .select(
+                F.col("h").alias("bucket_key"),
+                F.col("doc_id").cast("long").alias("doc_id"),
+                F.lit(epoch).cast("long").alias("epoch"),
+                F.lit(run_token).cast("string").alias("run"),
+            )
+            .dropDuplicates(["bucket_key"])
+        )
+        if bf is None:
+            m, k = bloom_params(expected_keys, fpr)
+            bf = BloomFilter(m_bits=m, k=k, words=tuple([0] * (m // 64)))
+        batch_bf = bloom_build(novel, "bucket_key", m_bits=bf.m_bits, k=bf.k)
+        prev_meta = store.backend.read(_bloom_path(store)) or {"n_keys": 0}
+        n_new = novel.count()
+        # filter FIRST (crash leaves a superset — stray candidates,
+        # never admitted duplicates), store append second
+        _commit_bloom(
+            store, _or_words(bf, batch_bf), prev_meta["n_keys"] + n_new
+        )
+        store.append(novel, epoch, run_token)
+
+    flagged.unpersist()
+    src.unpersist()
+    return out

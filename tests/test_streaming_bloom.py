@@ -140,3 +140,116 @@ def test_corpus_append_rides_store_pointer(spark, store_dir, tmp_path):
     run_epoch(spark, store, [(3, A), (4, C)], 1, corpus_path=corpus)
     got = store.read_corpus(spark, corpus)
     assert sorted(r.doc_id for r in got.collect()) == [1, 2, 4]
+
+
+# ---------------------------------------------------------------------------
+# paragraph-grain streaming dedup (r12): the incremental twin of
+# bloom_dedup_paragraphs whose reference is everything accepted so far
+# ---------------------------------------------------------------------------
+
+from nexus_event_stream_spark.streaming.bloom_dedup import (  # noqa: E402
+    _bloom_path,
+    paragraph_suppress_and_register,
+)
+
+
+def _para_oracle(epochs):
+    """Pure-Python corpus-wide first-occurrence paragraph dedup across
+    epochs, the module's exact contract: per doc (n_paras, dup_paras,
+    rebuilt_text or byte-exact original)."""
+    seen: set[str] = set()
+    out = {}
+    for rows in epochs:
+        for did, text in rows:
+            if text is None:
+                out[did] = (0, 0, None)
+                continue
+            units = [u.strip(" ") for u in text.split("\n\n")]
+            units = [u for u in units if u != ""]
+            kept, dup = [], 0
+            for u in units:
+                if u in seen:
+                    dup += 1
+                else:
+                    seen.add(u)
+                    kept.append(u)
+            out[did] = (
+                len(units),
+                dup,
+                text if dup == 0 else "\n\n".join(kept),
+            )
+    return out
+
+
+def run_para_epoch(spark, store, rows, epoch, run="run1", **kw):
+    kw.setdefault("expected_keys", 4096)
+    out = paragraph_suppress_and_register(
+        spark, store, docs_df(spark, rows), epoch=epoch, run_token=run, **kw
+    )
+    return {r.doc_id: (r.n_paras, r.dup_paras, r.text) for r in out.collect()}
+
+
+P = [f"paragraph number {i} about streaming dedup tiers" for i in range(8)]
+
+
+def test_paragraph_grain_streams_match_oracle(spark, store_dir, backend):
+    """Three epochs with cross-batch, within-batch, all-dup, zero-hit
+    and NULL-text shapes — streamed output equals the corpus-wide
+    first-occurrence oracle; zero-hit docs byte-exact (separator quirks
+    preserved)."""
+    store = exact_store(store_dir, backend=backend)
+    quirky = f"{P[0]}\n\n\n  {P[1]}  "  # odd separators: must survive byte-exact
+    epochs = [
+        [(0, quirky), (1, f"{P[2]}\n\n{P[3]}")],
+        # doc 10 repeats P[0] (cross-batch) + brings a novel one;
+        # docs 11/12 share P[5] within the batch (11 owns it)
+        [
+            (10, f"{P[0]}\n\n{P[4]}"),
+            (11, f"{P[5]}\n\n{P[6]}"),
+            (12, f"{P[5]}\n\nnovel tail paragraph here"),
+        ],
+        # doc 20 is ALL duplicates -> ''; doc 21 NULL; doc 22 novel
+        [(20, f"{P[2]}\n\n{P[4]}"), (21, None), (22, P[7])],
+    ]
+    want = _para_oracle(epochs)
+    got = {}
+    for e, rows in enumerate(epochs):
+        got.update(run_para_epoch(spark, store, rows, epoch=e))
+    assert got == want
+    assert got[0] == (2, 0, quirky)  # byte-exact zero-hit contract
+    assert got[20] == (2, 2, "")  # all-dup doc row preserved as ''
+    assert got[21] == (0, 0, None)
+
+
+def test_paragraph_novel_only_batch_reads_zero_store_paths(
+    spark, store_dir, backend
+):
+    store = exact_store(store_dir, backend=backend)
+    run_para_epoch(spark, store, [(0, f"{P[0]}\n\n{P[1]}")], epoch=0)
+    run_para_epoch(spark, store, [(1, f"{P[2]}\n\n{P[3]}")], epoch=1)
+    assert store.last_probe_paths == []  # the Bloom win
+    # a dup-bearing batch DOES probe
+    run_para_epoch(spark, store, [(2, P[0])], epoch=2)
+    assert store.last_probe_paths
+
+
+def test_paragraph_replay_is_noop(spark, store_dir, backend):
+    store = exact_store(store_dir, backend=backend)
+    run_para_epoch(spark, store, [(0, f"{P[0]}\n\n{P[1]}")], epoch=0)
+    first = run_para_epoch(spark, store, [(1, f"{P[0]}\n\n{P[6]}")], epoch=1)
+    ver = store.current()["version"]
+    n_keys = store.backend.read(_bloom_path(store))["n_keys"]
+    again = run_para_epoch(spark, store, [(1, f"{P[0]}\n\n{P[6]}")], epoch=1)
+    assert again == first  # incl. the epoch's own postings masked out
+    assert store.current()["version"] == ver
+    assert store.backend.read(_bloom_path(store))["n_keys"] == n_keys
+
+
+def test_paragraph_forget_releases_ownership(spark, store_dir, backend):
+    store = exact_store(store_dir, backend=backend)
+    run_para_epoch(spark, store, [(0, f"{P[0]}\n\n{P[1]}")], epoch=0)
+    got = run_para_epoch(spark, store, [(1, f"{P[0]}\n\nnovel one")], epoch=1)
+    assert got[1][1] == 1  # suppressed against doc 0
+    forget_signatures(spark, store, [0, 1])
+    got2 = run_para_epoch(spark, store, [(2, f"{P[0]}\n\nother tail")], epoch=2)
+    assert got2[2] == (2, 0, f"{P[0]}\n\nother tail")  # novel again
