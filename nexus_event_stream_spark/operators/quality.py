@@ -334,6 +334,15 @@ def quality_signals(
     unknown = set(t) - set(QUALITY_THRESHOLDS)
     if unknown:
         raise ValueError(f"unknown quality thresholds: {sorted(unknown)}")
+    # Same up-front discipline for the routing column (r12 advisory):
+    # the Arrow kernel would otherwise surface a missing/misnamed
+    # lang_col as an opaque executor-side KeyError mid-job, where the
+    # Catalyst engine fails at analysis time with a clear message.
+    if isinstance(stopwords, dict) and stopwords and lang_col not in df.columns:
+        raise ValueError(
+            f"stopwords is a per-language dict but lang_col {lang_col!r} "
+            f"is not a column of the input (has: {sorted(df.columns)})"
+        )
     if engine == "arrow":
         return _quality_signals_arrow(df, text_col, t, stopwords, lang_col)
     if engine != "catalyst":

@@ -123,6 +123,31 @@ def _commit_bloom(
     )
 
 
+def _warn_if_saturated(
+    store: SignatureStore, bf: BloomFilter, n_keys: int, fpr: float
+) -> None:
+    """Surface filter saturation instead of degrading silently (r12
+    advisory): a long-lived store whose accepted-key count has outgrown
+    the fixed (m, k) keeps EXACT semantics (one-sided filter) but loses
+    the zero-store-read discipline — every batch starts probing buckets.
+    The resize path is ``compact_exact_store`` (rebuild from survivors
+    at the live key count); warn once per commit past 4× target FPR,
+    the same drift bar the compaction flow itself uses."""
+    if bf.fpr_estimate(n_keys) > 4 * fpr:
+        import warnings
+
+        warnings.warn(
+            f"Bloom sidecar at {store.path} is saturated: "
+            f"{n_keys} keys in an m={bf.m_bits} filter gives estimated "
+            f"FPR {bf.fpr_estimate(n_keys):.2e} > 4x the {fpr:.0e} "
+            "target. Exactness is unaffected, but novel-only batches "
+            "now pay store probes; run compact_exact_store to rebuild "
+            "the filter at the live key count.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+
+
 def _or_words(a: BloomFilter, b: BloomFilter) -> BloomFilter:
     if (a.m_bits, a.k) != (b.m_bits, b.k):
         raise ValueError(
@@ -174,86 +199,91 @@ def exact_suppress_and_register(
     cur = store.current()
     replay = store.guard.is_replay(cur, epoch, run_token)
     keyed = docs.withColumn("__digest", doc_digest(text_col)).persist()
+    try:
 
-    # (a) within-batch: earliest id per digest wins
-    firsts = keyed.groupBy("__digest").agg(F.min(id_col).alias("__keep"))
-    batch_kept = keyed.join(firsts, "__digest").filter(
-        F.col(id_col) == F.col("__keep")
-    ).drop("__keep")
+        # (a) within-batch: earliest id per digest wins
+        firsts = keyed.groupBy("__digest").agg(F.min(id_col).alias("__keep"))
+        batch_kept = keyed.join(firsts, "__digest").filter(
+            F.col(id_col) == F.col("__keep")
+        ).drop("__keep")
 
-    # (b) cross-batch: the Bloom filter decides who needs the store
-    bf = read_bloom(store)
-    if bf is None:
-        candidates = batch_kept.limit(0)
-    else:
-        candidates = batch_kept.filter(
-            bloom_might_contain(bf, F.col("__digest"))
-        )
-    from nexus_event_stream_spark.streaming.dedup import _bucket_of
-
-    touched = sorted(
-        r[0]
-        for r in candidates.select(
-            _bucket_of(F.col("__digest"), store.n_buckets).alias("b")
-        )
-        .distinct()
-        .collect()
-    )
-    if not touched:
-        # THE Bloom win, pinned by tests: a novel-only batch resolves
-        # with zero store paths read
-        store.last_probe_paths = []
-    stored = store.read_buckets(spark, touched) if touched else None
-    if stored is None:
-        survivors = batch_kept
-    else:
-        if replay:
-            # postings this very epoch wrote must not suppress its docs
-            stored = stored.filter(
-                ~(
-                    (F.col("run") == F.lit(run_token))
-                    & (F.col("epoch") >= F.lit(epoch))
-                )
-            )
-        dup_digests = stored.select(
-            F.col("bucket_key").alias("__digest")
-        ).distinct()
-        survivors = batch_kept.join(dup_digests, "__digest", "left_anti")
-
-    if not replay:
-        surv_keys = survivors.select(
-            F.col("__digest").alias("bucket_key"),
-            F.col(id_col).alias("doc_id"),
-            F.lit(epoch).cast("long").alias("epoch"),
-            F.lit(run_token).cast("string").alias("run"),
-        )
-        # filter FIRST (crash leaves a superset — stray candidates, never
-        # admitted duplicates), store append second
+        # (b) cross-batch: the Bloom filter decides who needs the store
+        bf = read_bloom(store)
         if bf is None:
-            m, k = bloom_params(expected_keys, fpr)
-            bf = BloomFilter(m_bits=m, k=k, words=tuple([0] * (m // 64)))
-        batch_bf = bloom_build(
-            surv_keys, "bucket_key", m_bits=bf.m_bits, k=bf.k
+            candidates = batch_kept.limit(0)
+        else:
+            candidates = batch_kept.filter(
+                bloom_might_contain(bf, F.col("__digest"))
+            )
+        from nexus_event_stream_spark.streaming.dedup import _bucket_of
+
+        touched = sorted(
+            r[0]
+            for r in candidates.select(
+                _bucket_of(F.col("__digest"), store.n_buckets).alias("b")
+            )
+            .distinct()
+            .collect()
         )
-        prev_meta = store.backend.read(_bloom_path(store)) or {"n_keys": 0}
-        n_new = surv_keys.count()
-        _commit_bloom(
-            store, _or_words(bf, batch_bf), prev_meta["n_keys"] + n_new
-        )
-        store.append(
-            surv_keys,
-            epoch,
-            run_token,
-            corpus=survivors.drop("__digest") if corpus_path else None,
-            corpus_root=corpus_path,
-        )
-    # Materialize BEFORE unpersist: the caller consumes the returned
-    # DataFrame after this function drops the cache, and a
-    # nondeterministic batch source recomputed from scratch could
-    # diverge from the digests just registered in the filter/store.
-    survivors = survivors.localCheckpoint(eager=True)
-    keyed.unpersist()
-    return survivors.drop("__digest")
+        if not touched:
+            # THE Bloom win, pinned by tests: a novel-only batch resolves
+            # with zero store paths read
+            store.last_probe_paths = []
+        stored = store.read_buckets(spark, touched) if touched else None
+        if stored is None:
+            survivors = batch_kept
+        else:
+            if replay:
+                # postings this very epoch wrote must not suppress its docs
+                stored = stored.filter(
+                    ~(
+                        (F.col("run") == F.lit(run_token))
+                        & (F.col("epoch") >= F.lit(epoch))
+                    )
+                )
+            dup_digests = stored.select(
+                F.col("bucket_key").alias("__digest")
+            ).distinct()
+            survivors = batch_kept.join(dup_digests, "__digest", "left_anti")
+
+        if not replay:
+            surv_keys = survivors.select(
+                F.col("__digest").alias("bucket_key"),
+                F.col(id_col).alias("doc_id"),
+                F.lit(epoch).cast("long").alias("epoch"),
+                F.lit(run_token).cast("string").alias("run"),
+            )
+            # filter FIRST (crash leaves a superset — stray candidates, never
+            # admitted duplicates), store append second
+            if bf is None:
+                m, k = bloom_params(expected_keys, fpr)
+                bf = BloomFilter(m_bits=m, k=k, words=tuple([0] * (m // 64)))
+            batch_bf = bloom_build(
+                surv_keys, "bucket_key", m_bits=bf.m_bits, k=bf.k
+            )
+            prev_meta = store.backend.read(_bloom_path(store)) or {"n_keys": 0}
+            n_new = surv_keys.count()
+            _commit_bloom(
+                store, _or_words(bf, batch_bf), prev_meta["n_keys"] + n_new
+            )
+            _warn_if_saturated(
+                store, bf, prev_meta["n_keys"] + n_new, fpr
+            )
+            store.append(
+                surv_keys,
+                epoch,
+                run_token,
+                corpus=survivors.drop("__digest") if corpus_path else None,
+                corpus_root=corpus_path,
+            )
+        # Materialize BEFORE unpersist: the caller consumes the returned
+        # DataFrame after this function drops the cache, and a
+        # nondeterministic batch source recomputed from scratch could
+        # diverge from the digests just registered in the filter/store.
+        survivors = survivors.localCheckpoint(eager=True)
+        return survivors.drop("__digest")
+    finally:
+        keyed.unpersist()
 
 
 def compact_exact_store(
@@ -353,124 +383,131 @@ def paragraph_suppress_and_register(
     text = F.col(text_col)
 
     src = docs.persist()
-    units = src.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(_paragraphs(text)).alias("pos", "__para"),
-    )
-    # within-batch: first occurrence per paragraph text wins; the helper
-    # md5s the value, so its `h` column IS the store digest
-    flagged = first_occurrence_flag(units, "__para").persist()
+    flagged = None
+    try:
+        units = src.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(_paragraphs(text)).alias("pos", "__para"),
+        )
+        # within-batch: first occurrence per paragraph text wins; the helper
+        # md5s the value, so its `h` column IS the store digest
+        flagged = first_occurrence_flag(units, "__para").persist()
 
-    # cross-batch: the filter decides who needs the store
-    bf = read_bloom(store)
-    if bf is None:
-        cand = flagged.limit(0).select(F.col("h").alias("bucket_key"))
-    else:
-        cand = (
-            flagged.filter(bloom_might_contain(bf, F.col("h")))
-            .select(F.col("h").alias("bucket_key"))
-            .distinct()
-        )
-    from nexus_event_stream_spark.streaming.dedup import _bucket_of
-
-    touched = sorted(
-        r[0]
-        for r in cand.select(
-            _bucket_of(F.col("bucket_key"), store.n_buckets).alias("b")
-        )
-        .distinct()
-        .collect()
-    )
-    if not touched:
-        store.last_probe_paths = []  # the Bloom win, pinned by tests
-    stored = store.read_buckets(spark, touched) if touched else None
-    if stored is not None and replay:
-        stored = stored.filter(
-            ~(
-                (F.col("run") == F.lit(run_token))
-                & (F.col("epoch") >= F.lit(epoch))
-            )
-        )
-    if stored is not None:
-        hist = stored.select(
-            F.col("bucket_key").alias("h")
-        ).distinct().join(cand.select(F.col("bucket_key").alias("h")), "h")
-        marked = flagged.join(
-            hist.withColumn("__hist", F.lit(True)), "h", "left"
-        )
-    else:
-        marked = flagged.withColumn("__hist", F.lit(None).cast("boolean"))
-    marked = marked.withColumn(
-        "__dup",
-        (F.col("is_dup") == 1) | F.coalesce(F.col("__hist"), F.lit(False)),
-    )
-
-    # per-doc accounting + rebuild from the SURVIVING occurrences
-    per_doc = marked.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_paras"),
-        F.count_if(F.col("__dup")).cast("bigint").alias("dup_paras"),
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(
-                            ~F.col("__dup"),
-                            F.struct(F.col("pos"), F.col("__para")),
-                        )
-                    )
-                ),
-                lambda s: s["__para"],
-            ),
-            "\n\n",
-        ).alias("__rebuilt"),
-    )
-    out = src.join(
-        per_doc.withColumnRenamed("doc_id", "__pid"),
-        F.col(id_col) == F.col("__pid"),
-        "left",
-    ).drop("__pid")
-    out = out.withColumns(
-        {
-            "n_paras": F.coalesce(F.col("n_paras"), F.lit(0).cast("bigint")),
-            "dup_paras": F.coalesce(
-                F.col("dup_paras"), F.lit(0).cast("bigint")
-            ),
-        }
-    )
-    out = out.withColumn(
-        text_col,
-        F.when(text.isNull() | (F.col("dup_paras") == 0), text).otherwise(
-            F.col("__rebuilt")
-        ),
-    ).drop("__rebuilt")
-    # materialize BEFORE the commits and unpersists (the r11 lesson: the
-    # caller's collect must not recompute from the source)
-    out = out.localCheckpoint(eager=True)
-
-    if not replay:
-        novel = (
-            marked.filter(~F.col("__dup"))
-            .select(
-                F.col("h").alias("bucket_key"),
-                F.col("doc_id").cast("long").alias("doc_id"),
-                F.lit(epoch).cast("long").alias("epoch"),
-                F.lit(run_token).cast("string").alias("run"),
-            )
-            .dropDuplicates(["bucket_key"])
-        )
+        # cross-batch: the filter decides who needs the store
+        bf = read_bloom(store)
         if bf is None:
-            m, k = bloom_params(expected_keys, fpr)
-            bf = BloomFilter(m_bits=m, k=k, words=tuple([0] * (m // 64)))
-        batch_bf = bloom_build(novel, "bucket_key", m_bits=bf.m_bits, k=bf.k)
-        prev_meta = store.backend.read(_bloom_path(store)) or {"n_keys": 0}
-        n_new = novel.count()
-        # filter FIRST (crash leaves a superset — stray candidates,
-        # never admitted duplicates), store append second
-        _commit_bloom(
-            store, _or_words(bf, batch_bf), prev_meta["n_keys"] + n_new
-        )
-        store.append(novel, epoch, run_token)
+            cand = flagged.limit(0).select(F.col("h").alias("bucket_key"))
+        else:
+            cand = (
+                flagged.filter(bloom_might_contain(bf, F.col("h")))
+                .select(F.col("h").alias("bucket_key"))
+                .distinct()
+            )
+        from nexus_event_stream_spark.streaming.dedup import _bucket_of
 
-    flagged.unpersist()
-    src.unpersist()
-    return out
+        touched = sorted(
+            r[0]
+            for r in cand.select(
+                _bucket_of(F.col("bucket_key"), store.n_buckets).alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        if not touched:
+            store.last_probe_paths = []  # the Bloom win, pinned by tests
+        stored = store.read_buckets(spark, touched) if touched else None
+        if stored is not None and replay:
+            stored = stored.filter(
+                ~(
+                    (F.col("run") == F.lit(run_token))
+                    & (F.col("epoch") >= F.lit(epoch))
+                )
+            )
+        if stored is not None:
+            hist = stored.select(
+                F.col("bucket_key").alias("h")
+            ).distinct().join(cand.select(F.col("bucket_key").alias("h")), "h")
+            marked = flagged.join(
+                hist.withColumn("__hist", F.lit(True)), "h", "left"
+            )
+        else:
+            marked = flagged.withColumn("__hist", F.lit(None).cast("boolean"))
+        marked = marked.withColumn(
+            "__dup",
+            (F.col("is_dup") == 1) | F.coalesce(F.col("__hist"), F.lit(False)),
+        )
+
+        # per-doc accounting + rebuild from the SURVIVING occurrences
+        per_doc = marked.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_paras"),
+            F.count_if(F.col("__dup")).cast("bigint").alias("dup_paras"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("__dup"),
+                                F.struct(F.col("pos"), F.col("__para")),
+                            )
+                        )
+                    ),
+                    lambda s: s["__para"],
+                ),
+                "\n\n",
+            ).alias("__rebuilt"),
+        )
+        out = src.join(
+            per_doc.withColumnRenamed("doc_id", "__pid"),
+            F.col(id_col) == F.col("__pid"),
+            "left",
+        ).drop("__pid")
+        out = out.withColumns(
+            {
+                "n_paras": F.coalesce(F.col("n_paras"), F.lit(0).cast("bigint")),
+                "dup_paras": F.coalesce(
+                    F.col("dup_paras"), F.lit(0).cast("bigint")
+                ),
+            }
+        )
+        out = out.withColumn(
+            text_col,
+            F.when(text.isNull() | (F.col("dup_paras") == 0), text).otherwise(
+                F.col("__rebuilt")
+            ),
+        ).drop("__rebuilt")
+        # materialize BEFORE the commits and unpersists (the r11 lesson: the
+        # caller's collect must not recompute from the source)
+        out = out.localCheckpoint(eager=True)
+
+        if not replay:
+            novel = (
+                marked.filter(~F.col("__dup"))
+                .select(
+                    F.col("h").alias("bucket_key"),
+                    F.col("doc_id").cast("long").alias("doc_id"),
+                    F.lit(epoch).cast("long").alias("epoch"),
+                    F.lit(run_token).cast("string").alias("run"),
+                )
+                .dropDuplicates(["bucket_key"])
+            )
+            if bf is None:
+                m, k = bloom_params(expected_keys, fpr)
+                bf = BloomFilter(m_bits=m, k=k, words=tuple([0] * (m // 64)))
+            batch_bf = bloom_build(novel, "bucket_key", m_bits=bf.m_bits, k=bf.k)
+            prev_meta = store.backend.read(_bloom_path(store)) or {"n_keys": 0}
+            n_new = novel.count()
+            # filter FIRST (crash leaves a superset — stray candidates,
+            # never admitted duplicates), store append second
+            _commit_bloom(
+                store, _or_words(bf, batch_bf), prev_meta["n_keys"] + n_new
+            )
+            _warn_if_saturated(
+                store, bf, prev_meta["n_keys"] + n_new, fpr
+            )
+            store.append(novel, epoch, run_token)
+
+        return out
+    finally:
+        if flagged is not None:
+            flagged.unpersist()
+        src.unpersist()

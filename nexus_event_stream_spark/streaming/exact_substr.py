@@ -196,281 +196,283 @@ def substr_suppress_and_register(
     src = docs.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
     ).persist()
+    # release every persisted intermediate even on a mid-batch failure
+    # (r12 advisory: a retrying streaming driver must not accumulate
+    # leaked cache blocks — the orphaned-registry trap)
+    anchors = matched = batch_windows = hist_pos = None
+    try:
 
-    id_field = src.schema["doc_id"]
-    anchor_schema = T.StructType(
-        [
-            T.StructField("doc_id", id_field.dataType),
-            T.StructField("pos", T.IntegerType()),
-            T.StructField("ahash", T.LongType()),
-        ]
-    )
-
-    def anchor_batches(it):
-        import pandas as pd
-
-        for pdf in it:
-            ids, poss, hashes = [], [], []
-            for did, text in zip(pdf["doc_id"], pdf["__text"]):
-                toks = _token_split(text)
-                if len(toks) < L:
-                    continue
-                for p, h in _winnow_anchors(toks, k, W):
-                    ids.append(did)
-                    poss.append(p)
-                    hashes.append(h)
-            yield pd.DataFrame(
-                {
-                    "doc_id": ids,
-                    "pos": pd.array(poss, dtype="Int32"),
-                    "ahash": pd.array(hashes, dtype="Int64"),
-                }
-            )
-
-    anchors = src.mapInPandas(anchor_batches, anchor_schema).persist()
-
-    # --- probe: only the buckets the batch's anchor hashes fall into
-    batch_keys = anchors.select(
-        F.col("ahash").cast("string").alias("bucket_key")
-    ).distinct()
-    touched = sorted(
-        r[0]
-        for r in batch_keys.select(
-            _bucket_of(F.col("bucket_key"), store.anchors.n_buckets).alias(
-                "b"
-            )
+        id_field = src.schema["doc_id"]
+        anchor_schema = T.StructType(
+            [
+                T.StructField("doc_id", id_field.dataType),
+                T.StructField("pos", T.IntegerType()),
+                T.StructField("ahash", T.LongType()),
+            ]
         )
-        .distinct()
-        .collect()
-    )
-    stored = (
-        store.anchors.read_buckets(spark, touched) if touched else None
-    )
-    stored = _replay_mask(stored, replay, epoch, run_token)
-    if stored is not None:
-        # matched postings: stored anchors sharing a hash with the batch
-        matched = stored.join(batch_keys, "bucket_key").select(
-            F.col("doc_id").alias("__hist_id"),
-            "pos",
-            F.col("bucket_key").alias("__key"),
-        ).persist()
-        n_matched = matched.count()
-    else:
-        matched = None
-        n_matched = 0
 
-    # --- candidate anchors: within-batch count >= 2 (the batch rule)
-    #     UNION cross-batch hash match
-    wcnt = Window.partitionBy("ahash")
-    cand_local = anchors.withColumn(
-        "__cnt", F.count(F.lit(1)).over(wcnt)
-    ).filter(F.col("__cnt") >= 2).select("doc_id", "pos")
-    if n_matched:
-        hit_keys = matched.select(
-            F.col("__key").alias("bucket_key")
+        def anchor_batches(it):
+            import pandas as pd
+
+            for pdf in it:
+                ids, poss, hashes = [], [], []
+                for did, text in zip(pdf["doc_id"], pdf["__text"]):
+                    toks = _token_split(text)
+                    if len(toks) < L:
+                        continue
+                    for p, h in _winnow_anchors(toks, k, W):
+                        ids.append(did)
+                        poss.append(p)
+                        hashes.append(h)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": ids,
+                        "pos": pd.array(poss, dtype="Int32"),
+                        "ahash": pd.array(hashes, dtype="Int64"),
+                    }
+                )
+
+        anchors = src.mapInPandas(anchor_batches, anchor_schema).persist()
+
+        # --- probe: only the buckets the batch's anchor hashes fall into
+        batch_keys = anchors.select(
+            F.col("ahash").cast("string").alias("bucket_key")
         ).distinct()
-        cand_cross = (
-            anchors.withColumn(
-                "bucket_key", F.col("ahash").cast("string")
-            )
-            .join(hit_keys, "bucket_key", "left_semi")
-            .select("doc_id", "pos")
-        )
-        cand_all = cand_local.unionByName(cand_cross).distinct()
-    else:
-        cand_all = cand_local.distinct()
-    cand = cand_all.groupBy("doc_id").agg(
-        F.collect_list("pos").alias("__anchor_pos")
-    )
-
-    win_schema = T.StructType(
-        [
-            T.StructField("doc_id", id_field.dataType),
-            T.StructField("pos", T.IntegerType()),
-            T.StructField("whash", T.StringType()),
-        ]
-    )
-
-    def window_batches(it):
-        import pandas as pd
-
-        for pdf in it:
-            ids, poss, hashes = [], [], []
-            for did, text, apos in zip(
-                pdf["doc_id"], pdf["__text"], pdf["__anchor_pos"]
-            ):
-                toks = _token_split(text)
-                n = len(toks)
-                if n < L:
-                    continue
-                starts = _window_starts(n, apos, L, W)
-                whs = _window_hashes(toks, starts, L)
-                for s, wh in zip(starts, whs):
-                    ids.append(did)
-                    poss.append(s)
-                    hashes.append(wh)
-            yield pd.DataFrame(
-                {
-                    "doc_id": ids,
-                    "pos": pd.array(poss, dtype="Int32"),
-                    "whash": hashes,
-                }
-            )
-
-    # persisted: TWO branches consume it (the within-batch
-    # first-occurrence flag and the history semi-join) and Spark does
-    # not CSE across DataFrame branches — without the persist every
-    # candidate doc would be re-tokenized and re-md5'd per branch
-    batch_windows = src.join(cand, "doc_id").mapInPandas(
-        window_batches, win_schema
-    ).persist()
-
-    # --- history windows: load ONLY the matched documents' originals
-    if n_matched:
-        hist_pos = matched.groupBy("__hist_id").agg(
-            F.collect_list("pos").alias("__anchor_pos")
-        ).persist()
-        # bounded collect: DISTINCT matched doc ids → bucket ids only
-        # (no isin literal over the ids — a high-duplicate epoch would
-        # inflate the plan with one expression node per id; the inner
-        # join with hist_pos below already restricts to matched docs)
-        doc_buckets = sorted(
-            {
-                r[0]
-                for r in hist_pos.select(
-                    _bucket_of(
-                        F.col("__hist_id").cast("string"),
-                        store.docs.n_buckets,
-                    ).alias("b")
+        touched = sorted(
+            r[0]
+            for r in batch_keys.select(
+                _bucket_of(F.col("bucket_key"), store.anchors.n_buckets).alias(
+                    "b"
                 )
-                .distinct()
-                .collect()
-            }
-        )
-        hist_docs = store.docs.read_buckets(spark, doc_buckets)
-        hist_docs = _replay_mask(hist_docs, replay, epoch, run_token)
-    else:
-        hist_pos = None
-        hist_docs = None
-    if hist_docs is not None:
-        hist_src = (
-            hist_docs.select(
-                F.col("doc_id").alias("__hist_id"),
-                F.col("text").alias("__text"),
             )
-            .join(hist_pos, "__hist_id")
-            .select(
-                F.col("__hist_id").alias("doc_id"),
-                "__text",
-                "__anchor_pos",
-            )
-        )
-        hist_whash = (
-            hist_src.mapInPandas(window_batches, win_schema)
-            .select("whash")
             .distinct()
+            .collect()
         )
-    else:
-        hist_whash = None
+        stored = (
+            store.anchors.read_buckets(spark, touched) if touched else None
+        )
+        stored = _replay_mask(stored, replay, epoch, run_token)
+        if stored is not None:
+            # matched postings: stored anchors sharing a hash with the batch
+            matched = stored.join(batch_keys, "bucket_key").select(
+                F.col("doc_id").alias("__hist_id"),
+                "pos",
+                F.col("bucket_key").alias("__key"),
+            ).persist()
+            n_matched = matched.count()
+        else:
+            matched = None
+            n_matched = 0
 
-    # --- duplicate decision: history wins, then within-batch order
-    from nexus_event_stream_spark.operators.quality import (
-        first_occurrence_flag,
-    )
-
-    flagged = first_occurrence_flag(batch_windows, "whash")
-    dup_local = flagged.filter(F.col("is_dup") == 1).select(
-        "doc_id", "pos"
-    )
-    if hist_whash is not None:
-        dup_hist = batch_windows.join(
-            hist_whash, "whash", "left_semi"
-        ).select("doc_id", "pos")
-        dup_all = dup_local.unionByName(dup_hist).distinct()
-    else:
-        dup_all = dup_local
-    dup_starts = dup_all.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("pos")).alias("__dup_starts")
-    )
-
-    out_schema = T.StructType(
-        [
-            T.StructField(id_col, id_field.dataType),
-            T.StructField("n_tokens", T.LongType()),
-            T.StructField("dup_tokens", T.LongType()),
-            T.StructField("clean_text", T.StringType()),
-        ]
-    )
-
-    def clean_batches(it):
-        import pandas as pd
-
-        for pdf in it:
-            ids, nts, dts, cleans = [], [], [], []
-            for did, text, starts in zip(
-                pdf["doc_id"], pdf["__text"], pdf["__dup_starts"]
-            ):
-                ids.append(did)
-                if text is None:
-                    nts.append(0)
-                    dts.append(0)
-                    cleans.append(None)
-                    continue
-                n, dup, clean = _strip_spans(
-                    _token_split(text),
-                    None if starts is None else starts,
-                    L,
+        # --- candidate anchors: within-batch count >= 2 (the batch rule)
+        #     UNION cross-batch hash match
+        wcnt = Window.partitionBy("ahash")
+        cand_local = anchors.withColumn(
+            "__cnt", F.count(F.lit(1)).over(wcnt)
+        ).filter(F.col("__cnt") >= 2).select("doc_id", "pos")
+        if n_matched:
+            hit_keys = matched.select(
+                F.col("__key").alias("bucket_key")
+            ).distinct()
+            cand_cross = (
+                anchors.withColumn(
+                    "bucket_key", F.col("ahash").cast("string")
                 )
-                nts.append(n)
-                dts.append(dup)
-                cleans.append(clean)
-            yield pd.DataFrame(
+                .join(hit_keys, "bucket_key", "left_semi")
+                .select("doc_id", "pos")
+            )
+            cand_all = cand_local.unionByName(cand_cross).distinct()
+        else:
+            cand_all = cand_local.distinct()
+        cand = cand_all.groupBy("doc_id").agg(
+            F.collect_list("pos").alias("__anchor_pos")
+        )
+
+        win_schema = T.StructType(
+            [
+                T.StructField("doc_id", id_field.dataType),
+                T.StructField("pos", T.IntegerType()),
+                T.StructField("whash", T.StringType()),
+            ]
+        )
+
+        def window_batches(it):
+            import pandas as pd
+
+            for pdf in it:
+                ids, poss, hashes = [], [], []
+                for did, text, apos in zip(
+                    pdf["doc_id"], pdf["__text"], pdf["__anchor_pos"]
+                ):
+                    toks = _token_split(text)
+                    n = len(toks)
+                    if n < L:
+                        continue
+                    starts = _window_starts(n, apos, L, W)
+                    whs = _window_hashes(toks, starts, L)
+                    for s, wh in zip(starts, whs):
+                        ids.append(did)
+                        poss.append(s)
+                        hashes.append(wh)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": ids,
+                        "pos": pd.array(poss, dtype="Int32"),
+                        "whash": hashes,
+                    }
+                )
+
+        # persisted: TWO branches consume it (the within-batch
+        # first-occurrence flag and the history semi-join) and Spark does
+        # not CSE across DataFrame branches — without the persist every
+        # candidate doc would be re-tokenized and re-md5'd per branch
+        batch_windows = src.join(cand, "doc_id").mapInPandas(
+            window_batches, win_schema
+        ).persist()
+
+        # --- history windows: load ONLY the matched documents' originals
+        if n_matched:
+            hist_pos = matched.groupBy("__hist_id").agg(
+                F.collect_list("pos").alias("__anchor_pos")
+            ).persist()
+            # bounded collect: DISTINCT matched doc ids → bucket ids only
+            # (no isin literal over the ids — a high-duplicate epoch would
+            # inflate the plan with one expression node per id; the inner
+            # join with hist_pos below already restricts to matched docs)
+            doc_buckets = sorted(
                 {
-                    id_col: ids,
-                    "n_tokens": pd.array(nts, dtype="Int64"),
-                    "dup_tokens": pd.array(dts, dtype="Int64"),
-                    "clean_text": cleans,
+                    r[0]
+                    for r in hist_pos.select(
+                        _bucket_of(
+                            F.col("__hist_id").cast("string"),
+                            store.docs.n_buckets,
+                        ).alias("b")
+                    )
+                    .distinct()
+                    .collect()
                 }
             )
+            hist_docs = store.docs.read_buckets(spark, doc_buckets)
+            hist_docs = _replay_mask(hist_docs, replay, epoch, run_token)
+        else:
+            hist_pos = None
+            hist_docs = None
+        if hist_docs is not None:
+            hist_src = (
+                hist_docs.select(
+                    F.col("doc_id").alias("__hist_id"),
+                    F.col("text").alias("__text"),
+                )
+                .join(hist_pos, "__hist_id")
+                .select(
+                    F.col("__hist_id").alias("doc_id"),
+                    "__text",
+                    "__anchor_pos",
+                )
+            )
+            hist_whash = (
+                hist_src.mapInPandas(window_batches, win_schema)
+                .select("whash")
+                .distinct()
+            )
+        else:
+            hist_whash = None
 
-    out = (
-        src.join(dup_starts, "doc_id", "left")
-        .select("doc_id", "__text", "__dup_starts")
-        .mapInPandas(clean_batches, out_schema)
-    )
-    # materialize BEFORE the registration appends and unpersist — the
-    # caller's collect must not recompute from a possibly
-    # nondeterministic source (the r11 bloom-store lesson)
-    out = out.localCheckpoint(eager=True)
+        # --- duplicate decision: history wins, then within-batch order
+        from nexus_event_stream_spark.operators.quality import (
+            first_occurrence_flag,
+        )
 
-    # --- register the batch (originals own future spans); each store
-    # guards its own append so a crash between the two converges on
-    # replay. docs BEFORE anchors: a visible anchor posting must always
-    # resolve to a loadable document.
-    doc_postings = src.select(
-        F.col("doc_id").cast("string").alias("bucket_key"),
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.lit(epoch).cast("long").alias("epoch"),
-        F.lit(run_token).cast("string").alias("run"),
-        F.col("__text").alias("text"),
-    )
-    anchor_postings = anchors.select(
-        F.col("ahash").cast("string").alias("bucket_key"),
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.lit(epoch).cast("long").alias("epoch"),
-        F.lit(run_token).cast("string").alias("run"),
-        "pos",
-    )
-    if not store.docs.guard.is_replay(store.docs.current(), epoch, run_token):
-        store.docs.append(doc_postings, epoch, run_token)
-    if not replay:
-        store.anchors.append(anchor_postings, epoch, run_token)
+        flagged = first_occurrence_flag(batch_windows, "whash")
+        dup_local = flagged.filter(F.col("is_dup") == 1).select(
+            "doc_id", "pos"
+        )
+        if hist_whash is not None:
+            dup_hist = batch_windows.join(
+                hist_whash, "whash", "left_semi"
+            ).select("doc_id", "pos")
+            dup_all = dup_local.unionByName(dup_hist).distinct()
+        else:
+            dup_all = dup_local
+        dup_starts = dup_all.groupBy("doc_id").agg(
+            F.sort_array(F.collect_list("pos")).alias("__dup_starts")
+        )
 
-    batch_windows.unpersist()
-    if hist_pos is not None:
-        hist_pos.unpersist()
-    if matched is not None:
-        matched.unpersist()
-    anchors.unpersist()
-    src.unpersist()
-    return out
+        out_schema = T.StructType(
+            [
+                T.StructField(id_col, id_field.dataType),
+                T.StructField("n_tokens", T.LongType()),
+                T.StructField("dup_tokens", T.LongType()),
+                T.StructField("clean_text", T.StringType()),
+            ]
+        )
+
+        def clean_batches(it):
+            import pandas as pd
+
+            for pdf in it:
+                ids, nts, dts, cleans = [], [], [], []
+                for did, text, starts in zip(
+                    pdf["doc_id"], pdf["__text"], pdf["__dup_starts"]
+                ):
+                    ids.append(did)
+                    if text is None:
+                        nts.append(0)
+                        dts.append(0)
+                        cleans.append(None)
+                        continue
+                    n, dup, clean = _strip_spans(
+                        _token_split(text),
+                        None if starts is None else starts,
+                        L,
+                    )
+                    nts.append(n)
+                    dts.append(dup)
+                    cleans.append(clean)
+                yield pd.DataFrame(
+                    {
+                        id_col: ids,
+                        "n_tokens": pd.array(nts, dtype="Int64"),
+                        "dup_tokens": pd.array(dts, dtype="Int64"),
+                        "clean_text": cleans,
+                    }
+                )
+
+        out = (
+            src.join(dup_starts, "doc_id", "left")
+            .select("doc_id", "__text", "__dup_starts")
+            .mapInPandas(clean_batches, out_schema)
+        )
+        # materialize BEFORE the registration appends and unpersist — the
+        # caller's collect must not recompute from a possibly
+        # nondeterministic source (the r11 bloom-store lesson)
+        out = out.localCheckpoint(eager=True)
+
+        # --- register the batch (originals own future spans); each store
+        # guards its own append so a crash between the two converges on
+        # replay. docs BEFORE anchors: a visible anchor posting must always
+        # resolve to a loadable document.
+        doc_postings = src.select(
+            F.col("doc_id").cast("string").alias("bucket_key"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.lit(epoch).cast("long").alias("epoch"),
+            F.lit(run_token).cast("string").alias("run"),
+            F.col("__text").alias("text"),
+        )
+        anchor_postings = anchors.select(
+            F.col("ahash").cast("string").alias("bucket_key"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.lit(epoch).cast("long").alias("epoch"),
+            F.lit(run_token).cast("string").alias("run"),
+            "pos",
+        )
+        if not store.docs.guard.is_replay(store.docs.current(), epoch, run_token):
+            store.docs.append(doc_postings, epoch, run_token)
+        if not replay:
+            store.anchors.append(anchor_postings, epoch, run_token)
+
+        return out
+    finally:
+        for handle in (batch_windows, hist_pos, matched, anchors, src):
+            if handle is not None:
+                handle.unpersist()

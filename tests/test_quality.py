@@ -1102,6 +1102,26 @@ def test_quality_signals_per_language_stopwords(spark):
     assert "Exchange" not in plan
 
 
+def test_quality_lang_col_validated_up_front(spark):
+    """r12 advisory: with a routed stopwords dict, a missing/misnamed
+    lang_col must fail at plan-build time with a clear message on BOTH
+    engines — not as an opaque executor-side KeyError in the Arrow
+    kernel mid-job."""
+    from nexus_event_stream_spark.operators.quality import (
+        STOPWORD_TABLES,
+        quality_signals,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "the cat sat")], "doc_id long, text string"
+    )
+    for engine in ("arrow", "catalyst"):
+        with pytest.raises(ValueError, match="lang_col 'lang'"):
+            quality_signals(df, stopwords=STOPWORD_TABLES, engine=engine)
+    # non-dict stopwords never require the column
+    quality_signals(df, stopwords=("the",)).collect()
+
+
 def test_quality_min_stopwords_floor(spark):
     """The Gopher stop-word floor: vacuous at the default 0 (historical
     pass flags unchanged), bites when raised."""

@@ -253,3 +253,65 @@ def test_paragraph_forget_releases_ownership(spark, store_dir, backend):
     forget_signatures(spark, store, [0, 1])
     got2 = run_para_epoch(spark, store, [(2, f"{P[0]}\n\nother tail")], epoch=2)
     assert got2[2] == (2, 0, f"{P[0]}\n\nother tail")  # novel again
+
+
+def _persistent_ids(spark):
+    sc = spark.sparkContext
+    return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+
+
+def test_exact_mid_batch_failure_releases_caches(spark, store_dir):
+    """r12 advisory: a failure mid-batch (store append error, executor
+    loss) must not leak the suppressor's persisted intermediates — a
+    retrying streaming driver would accumulate them."""
+    store = exact_store(store_dir)
+    run_epoch(spark, store, [(0, A)], epoch=0)
+    before = _persistent_ids(spark)
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected append failure")
+
+    store.append = boom
+    with pytest.raises(RuntimeError, match="injected"):
+        run_epoch(spark, store, [(1, B)], epoch=1)
+    assert _persistent_ids(spark) <= before
+
+
+def test_paragraph_mid_batch_failure_releases_caches(spark, store_dir):
+    store = exact_store(store_dir)
+    run_para_epoch(spark, store, [(0, f"{P[0]}\n\n{P[1]}")], epoch=0)
+    before = _persistent_ids(spark)
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected probe failure")
+
+    store.read_buckets = boom  # hit: the batch re-sends P[0]
+    with pytest.raises(RuntimeError, match="injected"):
+        run_para_epoch(spark, store, [(1, f"{P[0]}\n\nnovel x")], epoch=1)
+    assert _persistent_ids(spark) <= before
+
+
+def test_paragraph_bloom_saturation_warns(spark, store_dir):
+    """A store whose accepted-paragraph count has outgrown the fixed
+    (m, k) warns (estimated FPR > 4x target) instead of silently losing
+    the zero-store-read discipline; exactness is unaffected."""
+    store = exact_store(store_dir)
+    rows = [
+        (i, f"unique saturation paragraph number {i}\n\n"
+            f"second unique saturation unit {i}")
+        for i in range(300)
+    ]
+    with pytest.warns(RuntimeWarning, match="saturated"):
+        run_para_epoch(
+            spark, store, rows, epoch=0, expected_keys=16, fpr=1e-4
+        )
+    # semantics unaffected: a re-sent paragraph still suppresses exactly
+    got = run_para_epoch(
+        spark,
+        store,
+        [(1000, "unique saturation paragraph number 7\n\nfresh tail unit")],
+        epoch=1,
+        expected_keys=16,
+        fpr=1e-4,
+    )
+    assert got[1000][1] == 1

@@ -175,3 +175,26 @@ def test_forget_restores_span_ownership(spark, store_dir, backend):
     forget_substr(spark, store, [0, 1])
     got2 = run_epoch(spark, store, [(2, f"y1 y2 {span}")], epoch=2)
     assert got2[2].dup_tokens == 0 and span in got2[2].clean_text
+
+
+def test_mid_batch_failure_releases_caches(spark, store_dir):
+    """r12 advisory: the suppressor persists five intermediates; a
+    mid-batch store failure must release them all (try/finally), not
+    leak blocks into a retrying streaming driver."""
+    backend = PosixRenameBackend()
+    rng = random.Random(11)
+    store = substr_store(store_dir, backend=backend)
+    sc = spark.sparkContext
+
+    def ids():
+        return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+
+    before = ids()
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected probe failure")
+
+    store.anchors.read_buckets = boom
+    with pytest.raises(RuntimeError, match="injected"):
+        run_epoch(spark, store, [(0, _words(rng, 40))], epoch=0)
+    assert ids() <= before
