@@ -470,11 +470,25 @@ def _stress_bench(
     # corpus (build outside the clock — an index is built once, probed
     # forever; postings persisted like a deployment would store them)
     from nexus_event_stream_spark.operators.search import (
+        BM25Index,
         bm25_topk,
         build_bm25_index,
     )
 
     bm25_index = build_bm25_index(docs, max_df_frac=0.5)
+    # Snapshot the postings to parquet and read back (the PQ-index
+    # pattern): severing the build lineage makes a per-entry
+    # re-materialization a bounded parquet scan, not a full tokenize +
+    # shuffle rebuild — and it is the deployment shape (an index is
+    # stored, not re-derived).
+    bm25_dir = tempfile.mkdtemp(prefix="bench_bm25_")
+    bm25_index.postings.write.mode("overwrite").parquet(bm25_dir)
+    bm25_index = BM25Index(
+        spark.read.parquet(bm25_dir),
+        bm25_index.n_docs,
+        bm25_index.avgdl,
+        bm25_index.id_col,
+    )
     bm25_index.postings.persist().count()
     bm25_queries = [
         (i, f"fast table scan merge batch window q{i}") for i in range(10)
@@ -795,30 +809,59 @@ def _stress_bench(
         ("corpus_pipeline_25x", run_pipeline, n_docs),
     ]
     runs: dict[str, list[float]] = {name: [] for name, _, _ in workloads}
-    pinned_inputs = (docs, emb25, index, bm25_index.postings)
+    # Per-ENTRY pinned setup (r13, closes the r12 ivf_pq_search_25x weak
+    # flag): each entry's clock runs with exactly ITS OWN long-lived
+    # assets warm, not the union of every entry's. The union protocol
+    # taxed small-working-set entries with the block-manager residency
+    # and GC of everyone else's assets — ivf_pq_search_25x measured
+    # 2.89 s inside the r12 union session vs 1.2-1.6 s under the
+    # IDENTICAL per-entry isolation protocol in a session holding only
+    # its own index (the honest number; see SCALE.md warm-number note).
+    # Entries absent from this map pin the 25× docs mirror (their
+    # input); the three lineage-heavy assets (PQ index, BM25 postings,
+    # media corpora) are parquet snapshots, so a transition
+    # re-materialization is a bounded parquet scan.
+    entry_pinned: dict[str, tuple] = {
+        "ivf_pq_search_25x": (emb25, index),
+        "semantic_dedup_25x": (emb25,),
+        "bm25_search_25x": (bm25_index.postings,),
+        "stream_substr_suppress": (),
+        "phash_dedup_media": (),
+        "phash_audio_dedup": (),
+        "phash_video_dedup": (),
+        "warc_corpus_e2e": (),
+    }
+
+    def _run_entry(name: str, fn) -> float:
+        # materialize exactly this entry's setup, OUTSIDE its clock
+        for df in entry_pinned.get(name, (docs,)):
+            if not df.is_cached:
+                df.persist()
+            df.count()
+        base = _pinned_ids(spark)
+        dt = fn()
+        # registry-level release of the entry's internal caches AND its
+        # pinned setup (clearCache is all-or-nothing; the next entry
+        # re-materializes its own) — see _isolate_entry
+        _isolate_entry(spark, base)
+        return dt
+
     # One untimed warmup pass (the catalog's discipline, r12): with
     # per-entry isolation every measured pass is COLD on data, but
     # pass-1 still absorbed first-touch JIT/codegen of the 25× shapes —
     # corpus_pipeline_25x measured [42.5, 18.9] purely from that, which
     # widens bench_compare's spread ranges and masks real regressions.
     for name, fn, _ in workloads:
-        base = _pinned_ids(spark)
-        fn()
-        _isolate_entry(spark, base, pinned_inputs)
+        _run_entry(name, fn)
     for _ in range(max(1, k)):
         for name, fn, _ in workloads:
-            # Per-entry isolation (see _isolate_entry): each entry's
-            # internal caches + CC localCheckpoints are released —
-            # registry included — before the next entry's clock starts,
-            # and the setup-pinned inputs re-materialized.
-            base = _pinned_ids(spark)
-            runs[name].append(fn())
-            _isolate_entry(spark, base, pinned_inputs)
+            runs[name].append(_run_entry(name, fn))
     index.unpersist()
     bm25_index.postings.unpersist()
     docs.unpersist()
     emb25.unpersist()
     shutil.rmtree(idx_dir, ignore_errors=True)
+    shutil.rmtree(bm25_dir, ignore_errors=True)
     shutil.rmtree(sub_dir, ignore_errors=True)
     shutil.rmtree(media_dir, ignore_errors=True)
     shutil.rmtree(audio_dir, ignore_errors=True)
