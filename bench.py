@@ -588,7 +588,10 @@ def _stress_bench(
     # (media arrives as stored bytes; lineage severed like the PQ index);
     # the timed pass is the production path: Arrow decode → dHash →
     # banded pairs (star cap) → connected components → keeper join.
-    from nexus_event_stream_spark.operators.phash import perceptual_dedup
+    from nexus_event_stream_spark.operators.phash import (
+        perceptual_dedup,
+        perceptual_hashes,
+    )
 
     media_dir = tempfile.mkdtemp(prefix="bench_media_")
     _write_bench_media(
@@ -618,6 +621,17 @@ def _stress_bench(
             jmap2.get(rid).unpersist()
         return dt
 
+    def run_media_fp() -> float:
+        # decode → dHash ONLY (zero shuffle, embarrassingly parallel):
+        # the per-row kernel-cost signal the full entry's CC tail masks
+        # (r12 verdict #4). Moves when the decode kernel changes; the
+        # full entry tracks composition.
+        t0 = time.perf_counter()
+        perceptual_hashes(media).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.perf_counter() - t0
+
     # Audio + video perceptual dedup (r10 verdict nit #3: their scale
     # behavior was asserted, not measured): synthetic corpora generated
     # in executors, parquet-snapshotted (lineage severed), ~1.33
@@ -626,7 +640,9 @@ def _stress_bench(
     # released per run (_release_new_caches — the r10 cache-leak lesson).
     from nexus_event_stream_spark.operators.phash import (
         perceptual_audio_dedup,
+        perceptual_audio_hashes,
         perceptual_video_dedup,
+        perceptual_video_hashes,
     )
 
     audio_dir = tempfile.mkdtemp(prefix="bench_audio_")
@@ -645,6 +661,13 @@ def _stress_bench(
             "noop"
         ).mode("overwrite").save()
         return _release_new_caches(spark, base, t0)
+
+    def run_audio_fp() -> float:
+        t0 = time.perf_counter()
+        perceptual_audio_hashes(audio).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.perf_counter() - t0
 
     video_dir = tempfile.mkdtemp(prefix="bench_video_")
     _write_bench_video(
@@ -666,6 +689,13 @@ def _stress_bench(
         ).write.format("noop").mode("overwrite").save()
         return _release_new_caches(spark, base, t0)
 
+    def run_video_fp() -> float:
+        t0 = time.perf_counter()
+        perceptual_video_hashes(video).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.perf_counter() - t0
+
     # WARC → corpus end-to-end (r10 verdict nit #3): Common-Crawl-shaped
     # files wrapping the documents table in chrome-bearing HTML; the
     # timed pass is the FULL funnel a crawl consumer runs — WARC parse →
@@ -674,7 +704,7 @@ def _stress_bench(
     from nexus_event_stream_spark.pipeline import warc_corpus
 
     warc_dir = tempfile.mkdtemp(prefix="bench_warc_")
-    _write_bench_warc(spark, sf_dir, warc_dir)
+    _write_bench_warc(spark, sf_dir, warc_dir, n_files=32)
     n_warc_docs = load_table(spark, sf_dir, "documents").count()
 
     def run_warc_corpus() -> float:
@@ -771,6 +801,15 @@ def _stress_bench(
             )
         )
     )
+    # Snapshot the batch to a 64-file parquet dir (r13): the one-split
+    # documents parquet would otherwise run the timed anchor/window
+    # kernels on two cores (same class as the media corpora), and an
+    # inline repartition would put its shuffle inside the clock — a
+    # real micro-batch arrives pre-partitioned from its source.
+    sub_batch.repartition(64).write.mode("overwrite").parquet(
+        sub_dir + "_batch"
+    )
+    sub_batch = spark.read.parquet(sub_dir + "_batch")
     n_sub = sub_batch.count()
     substr_suppress_and_register(
         spark, sub_store, sub_batch, epoch=1, run_token="bench"
@@ -802,6 +841,9 @@ def _stress_bench(
         ("repetition_25x", run_repetition, n_docs),
         ("bloom_ref_dedup_25x", run_bloom_ref_dedup, n_docs),
         ("stream_substr_suppress", run_stream_substr, n_sub),
+        ("phash_media_fp", run_media_fp, n_media),
+        ("phash_audio_fp", run_audio_fp, n_audio),
+        ("phash_video_fp", run_video_fp, n_video),
         ("phash_dedup_media", run_phash_dedup, n_media),
         ("phash_audio_dedup", run_audio_dedup, n_audio),
         ("phash_video_dedup", run_video_dedup, n_video),
@@ -826,6 +868,9 @@ def _stress_bench(
         "semantic_dedup_25x": (emb25,),
         "bm25_search_25x": (bm25_index.postings,),
         "stream_substr_suppress": (),
+        "phash_media_fp": (),
+        "phash_audio_fp": (),
+        "phash_video_fp": (),
         "phash_dedup_media": (),
         "phash_audio_dedup": (),
         "phash_video_dedup": (),
@@ -863,6 +908,7 @@ def _stress_bench(
     shutil.rmtree(idx_dir, ignore_errors=True)
     shutil.rmtree(bm25_dir, ignore_errors=True)
     shutil.rmtree(sub_dir, ignore_errors=True)
+    shutil.rmtree(sub_dir + "_batch", ignore_errors=True)
     shutil.rmtree(media_dir, ignore_errors=True)
     shutil.rmtree(audio_dir, ignore_errors=True)
     shutil.rmtree(video_dir, ignore_errors=True)
@@ -870,12 +916,37 @@ def _stress_bench(
     return {name: (runs[name], n) for name, _, n in workloads}
 
 
-def _write_bench_media(spark, ids_df, out_dir: str) -> None:
+def _media_seeds(ids_df, replicas: int):
+    """replicas× distinct seeds per doc_id, repartitioned so generation
+    — and therefore the snapshot's file layout and every downstream
+    decode stage — is executor-parallel. Through r12 the media corpora
+    inherited the ONE-split documents parquet, so the timed decode
+    kernels ran on a single core (the _replicate_docs lesson, missed
+    here): the entries measured job latency, not decode throughput."""
+    from pyspark.sql import functions as F
+
+    return (
+        ids_df.withColumn(
+            "__r", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1)))
+        )
+        .select(
+            (F.col("doc_id") * replicas + F.col("__r")).alias("doc_id")
+        )
+        .repartition(64)
+    )
+
+
+def _write_bench_media(
+    spark, ids_df, out_dir: str, replicas: int = 32
+) -> None:
     """Deterministic synthetic media corpus for the perceptual-dedup
-    stress entry: per doc_id one 48×32 grayscale PNG (seeded smooth
-    sinusoid content — the regime where resize keeps the perceptual
-    signature), every 3rd doc also emits a nearest-resized 24×16 twin
-    under a disjoint id range. All generation runs in executors."""
+    stress entries: ``replicas`` 96×64 grayscale PNGs per doc_id (seeded
+    random block grids — high-entropy fingerprints, the r10 lesson:
+    smooth low-parameter content chains into giant accidental near-dup
+    components), every 3rd image also emits a nearest-resized 2× twin
+    under a disjoint id range. Sized (r13) so the decode+dHash kernel —
+    not scheduler latency — dominates the timed pass at sf0.1. All
+    generation runs in executors, 64-way."""
 
     def gen(it):
         import numpy as np
@@ -891,31 +962,28 @@ def _write_bench_media(spark, ids_df, out_dir: str) -> None:
             for did in pdf["doc_id"]:
                 seed = int(did)
                 rng = np.random.RandomState(seed % (2**31 - 1))
-                # 12×8 random block grid → ~high-entropy fingerprints
-                # (tens of thousands of SMOOTH low-parameter images
-                # chain into giant accidental near-dup components and
-                # blow up the CC diameter — the r10 sf0.1 lesson);
-                # blocks stay resize-robust
-                grid = rng.randint(0, 256, size=(8, 12)).astype(np.uint8)
+                grid = rng.randint(0, 256, size=(16, 24)).astype(np.uint8)
                 img = np.repeat(np.repeat(grid, 4, axis=0), 4, axis=1)
                 rows_id.append(seed)
-                rows_p.append(encode_png(48, 32, img.tobytes(), 0))
+                rows_p.append(encode_png(96, 64, img.tobytes(), 0))
                 if seed % 3 == 0:
                     # 2× upscale: exact block replication — the planted
                     # resized duplicate at Hamming 0
-                    up = resize_nearest(img.tobytes(), 48, 32, 96, 64, 1)
+                    up = resize_nearest(img.tobytes(), 96, 64, 192, 128, 1)
                     rows_id.append(seed + (1 << 40))
-                    rows_p.append(encode_png(96, 64, up, 0))
+                    rows_p.append(encode_png(192, 128, up, 0))
             yield pd.DataFrame({"media_id": rows_id, "payload": rows_p})
 
-    ids_df.mapInPandas(gen, "media_id long, payload binary").write.mode(
-        "overwrite"
-    ).parquet(out_dir)
+    _media_seeds(ids_df, replicas).mapInPandas(
+        gen, "media_id long, payload binary"
+    ).write.mode("overwrite").parquet(out_dir)
 
 
-def _write_bench_audio(spark, ids_df, out_dir: str) -> None:
-    """Synthetic WAV corpus for the audio perceptual-dedup entry: per
-    doc_id one 1-second 8 kHz clip — a seeded PIECEWISE-RANDOM amplitude
+def _write_bench_audio(
+    spark, ids_df, out_dir: str, replicas: int = 16
+) -> None:
+    """Synthetic WAV corpus for the audio perceptual-dedup entries:
+    ``replicas`` 1-second 8 kHz clips per doc_id — a seeded PIECEWISE-RANDOM amplitude
     envelope (80 independent segments ≈ one per energy-envelope frame,
     so the 64 fingerprint bits are ~independent coin flips across docs:
     smooth low-parameter envelopes chain thousands of clips into giant
@@ -949,12 +1017,14 @@ def _write_bench_audio(spark, ids_df, out_dir: str) -> None:
                     rows_p.append(encode_wav(quiet.tolist(), 8000))
             yield pd.DataFrame({"media_id": rows_id, "payload": rows_p})
 
-    ids_df.mapInPandas(gen, "media_id long, payload binary").write.mode(
-        "overwrite"
-    ).parquet(out_dir)
+    _media_seeds(ids_df, replicas).mapInPandas(
+        gen, "media_id long, payload binary"
+    ).write.mode("overwrite").parquet(out_dir)
 
 
-def _write_bench_video(spark, ids_df, out_dir: str) -> None:
+def _write_bench_video(
+    spark, ids_df, out_dir: str, replicas: int = 32
+) -> None:
     """Synthetic APNG clip corpus for the video perceptual-dedup entry:
     per doc_id one 6-frame 48×32 clip — a seeded random BLOCK GRID
     (high-entropy fingerprints, the r10 lesson) with a smooth per-column
@@ -995,9 +1065,9 @@ def _write_bench_video(spark, ids_df, out_dir: str) -> None:
                     )
             yield pd.DataFrame({"media_id": rows_id, "payload": rows_p})
 
-    ids_df.mapInPandas(gen, "media_id long, payload binary").write.mode(
-        "overwrite"
-    ).parquet(out_dir)
+    _media_seeds(ids_df, replicas).mapInPandas(
+        gen, "media_id long, payload binary"
+    ).write.mode("overwrite").parquet(out_dir)
 
 
 def _write_bench_warc(spark, sf_dir: str, out_dir: str, n_files: int = 8) -> None:
