@@ -88,10 +88,12 @@ def default_image_decoder(payload: bytes):
     environment cannot pixel-decode the format (tolerant-reader).
 
     Real decode for the PNG family (plain + APNG first frame) via
-    functions/png.py and for JPEG — the dominant crawled image format,
-    BASELINE and PROGRESSIVE profiles both — via functions/jpeg_codec.py
-    (the decoded Y plane IS the BT.601 luma dHash needs, no RGB
-    roundtrip). Arithmetic-coded/lossless JPEG and video pixel decode
+    functions/png.py, for GIF87a/89a (first composited frame) via
+    functions/gif.py — r13 — and for JPEG — the dominant crawled image
+    format, BASELINE and PROGRESSIVE profiles both — via
+    functions/jpeg_codec.py (the decoded Y plane IS the BT.601 luma
+    dHash needs, no RGB roundtrip). Arithmetic-coded/lossless JPEG and
+    video pixel decode
     stay environment-capped (see operators/multimodal.py) — plug a
     codec-backed ``decoder_fn`` into :func:`perceptual_hashes` to cover
     them in production.
@@ -107,6 +109,16 @@ def default_image_decoder(payload: bytes):
 
     if not payload:
         return None
+    if bytes(payload[:6]) in (b"GIF87a", b"GIF89a"):
+        from nexus_event_stream_spark.functions.gif import decode_gif
+
+        try:
+            w, h, frames, _delays = decode_gif(bytes(payload))
+        except ValueError:
+            return None
+        a = np.frombuffer(frames[0], dtype=np.uint8).reshape(h, w, 3)
+        a = a.astype(np.float64)
+        return 0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]
     if bytes(payload[:2]) == b"\xff\xd8":
         from nexus_event_stream_spark.functions.jpeg_codec import (
             decode_jpeg,
@@ -555,8 +567,10 @@ class _LazyMjpegFrames:
 def default_video_decoder(payload: bytes):
     """bytes → sequence of grayscale float64 frames, or None when this
     environment cannot decode the container. Real decode for the APNG
-    family (functions/png.py; a plain PNG is a 1-frame video) and — new
-    in r12 — for MJPEG-in-MP4 end to end with no external codec: the
+    family (functions/png.py; a plain PNG is a 1-frame video), for
+    animated GIF with full disposal/transparency compositing
+    (functions/gif.py, r13) and — new in r12 — for MJPEG-in-MP4 end to
+    end with no external codec: the
     container demux (functions/mp4.py) resolves per-sample byte ranges
     and the in-repo JPEG codec decodes the sampled frames lazily
     (:class:`_LazyMjpegFrames`). Non-JPEG MP4 codec payloads (H.264
@@ -573,6 +587,23 @@ def default_video_decoder(payload: bytes):
     if not payload:
         return None
     payload = bytes(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from nexus_event_stream_spark.functions.gif import decode_gif
+
+        try:
+            w, h, frames, _delays = decode_gif(payload)
+        except ValueError:
+            return None
+        out = []
+        for px in frames:
+            a = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+            a = a.astype(np.float64)
+            out.append(
+                0.299 * a[:, :, 0]
+                + 0.587 * a[:, :, 1]
+                + 0.114 * a[:, :, 2]
+            )
+        return out or None
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
         from nexus_event_stream_spark.functions.mp4 import parse_mp4
 
