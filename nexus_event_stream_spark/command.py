@@ -106,6 +106,14 @@ class SignalCommands:
         self._append({"action": "created", **fields})
         return id_
 
+    def get(self, id_: str) -> dict:
+        """Current entity fields as the command side knows them (the
+        post-write representation a REST create/update response body
+        carries — views.py:17-20's serializer output analogue)."""
+        if id_ not in self._state:
+            raise KeyError(id_)
+        return dict(self._state[id_])
+
     def update(self, id_: str, **changes) -> None:
         """PUT/PATCH /signals/{id} — full envelope republished with a fresh
         updated_at (auto_now, models.py:38)."""
@@ -113,6 +121,10 @@ class SignalCommands:
             raise KeyError(id_)
         fields = dict(self._state[id_])
         if "priority" in changes:
+            if changes["priority"] not in PRIORITY_DISPLAY:
+                raise ValueError(
+                    f"priority must be one of {sorted(PRIORITY_DISPLAY)}"
+                )
             changes["priority"] = PRIORITY_DISPLAY[changes["priority"]]
         for k, v in changes.items():
             if k not in fields or k in ("id", "created_at"):

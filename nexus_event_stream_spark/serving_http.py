@@ -14,6 +14,33 @@ Reference contracts (data-plane/internal/handler/signal.go:24-81):
   envelope/ordering discipline is handler/signal.go:24-60's)
 - errors use the ``{"error": msg}`` envelope; Content-Type is JSON
 
+Write surface (r13 — the one reference entry point that had no HTTP
+twin): the control plane's CRUD viewset
+(control-plane/nexus/urls.py:24-35, views.py:17-20) routed onto the
+command side's event-log-first envelope builders (command.py):
+
+- ``POST /signals``           → 201 + the created entity (id included)
+- ``PUT /signals/{id}``       → 200 + full update (title/content required)
+- ``PATCH /signals/{id}``     → 200 + partial update
+- ``DELETE /signals/{id}``    → 204, empty body
+- unknown id → 404 ``{"error": ...}``; field validation failures → 400
+  with the DRF error shape ``{"field": ["message", ...]}``
+  (serializers.py:16-18's ModelSerializer validation analogue:
+  title/content required strings, title ≤ 255 chars, priority an
+  integer choice in {1, 2, 3}, unknown fields ignored); a body that is
+  not a JSON object → 400 ``{"error": ...}``
+- with no ``commands`` mounted, write methods answer 501 (read-only)
+
+Writes land in the command log, NOT directly in the view — the
+projection (streaming/projection.py) folds them in, exactly like the
+reference's post-commit signal → consumer path (signals.py:58-88 →
+consumer.go). A ``GET /signals/{id}`` immediately after a ``POST``
+therefore reads the view's last projected epoch (eventual consistency —
+the CQRS seam, SURVEY §1).
+
+Route parity: every endpoint also answers under the reference's
+``/api/v1/`` prefix (urls.py:33), so its curl examples replay verbatim.
+
 Auth parity: the reference gates every endpoint with ``IsAuthenticated``
 (control-plane/nexus/core/views.py:10,15,19) and mounts DRF's
 ``api-auth/`` (control-plane/nexus/urls.py:35). The analogue here is a
@@ -55,6 +82,34 @@ def _row_to_dict(row) -> dict:
     return d
 
 
+#: DRF-shaped field validation for the signal write payload
+#: (serializers.py:16-18): returns {field: [messages]} — empty when valid.
+def _validate_signal_fields(data: dict, partial: bool) -> dict:
+    errors: dict[str, list[str]] = {}
+    for field in ("title", "content"):
+        if field not in data:
+            if not partial:
+                errors[field] = ["This field is required."]
+            continue
+        v = data[field]
+        if not isinstance(v, str):
+            errors[field] = ["Not a valid string."]
+        elif field == "title" and len(v) > 255:
+            errors[field] = [
+                "Ensure this field has no more than 255 characters."
+            ]
+        elif not v:
+            errors[field] = ["This field may not be blank."]
+    if "priority" in data and (
+        isinstance(data["priority"], bool)
+        or data["priority"] not in (1, 2, 3)
+    ):
+        errors["priority"] = [f'"{data["priority"]}" is not a valid choice.']
+    if "author" in data and not isinstance(data["author"], str):
+        errors["author"] = ["Not a valid string."]
+    return errors
+
+
 def make_handler(
     service: SignalService,
     directory: DirectoryService | None = None,
@@ -62,6 +117,7 @@ def make_handler(
     rollups: RollupService | None = None,
     search: SearchService | None = None,
     similar: SimilarService | None = None,
+    commands=None,
 ):
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, payload) -> None:
@@ -82,9 +138,116 @@ def make_handler(
             # defeat the point of requiring one
             return hmac.compare_digest(got, f"Bearer {auth_token}")
 
-        def do_GET(self):  # noqa: N802 (stdlib naming)
+        def _route(self):
+            """Split the path; the reference mounts the API under
+            /api/v1/ (urls.py:33) — accept both prefixes."""
             url = urlparse(self.path)
             parts = [p for p in url.path.split("/") if p]
+            if parts[:2] == ["api", "v1"]:
+                parts = parts[2:]
+            return url, parts
+
+        def _read_json_object(self):
+            """Request body → dict, or None after sending the 400."""
+            try:
+                length = int(self.headers.get("Content-Length") or 0)
+                data = json.loads(self.rfile.read(length) or b"null")
+            except (ValueError, TypeError):
+                self._send(400, {"error": "request body is not valid JSON"})
+                return None
+            if not isinstance(data, dict):
+                self._send(
+                    400, {"error": "request body must be a JSON object"}
+                )
+                return None
+            return data
+
+        def _write_route(self, method: str) -> None:
+            """POST/PUT/PATCH/DELETE /signals — the control plane's CRUD
+            viewset (views.py:17-20) over the command log. 201-with-
+            entity on create, 404 envelope on unknown id, DRF-shaped
+            field errors, 204 on delete."""
+            url, parts = self._route()
+            try:
+                if not self._authorized():
+                    self._send(401, {"error": "authentication required"})
+                    return
+                if commands is None:
+                    self._send(
+                        501, {"error": "write API not mounted (read-only)"}
+                    )
+                    return
+                is_collection = parts == ["signals"]
+                is_item = len(parts) == 2 and parts[0] == "signals"
+                if method == "POST" and is_collection:
+                    data = self._read_json_object()
+                    if data is None:
+                        return
+                    errors = _validate_signal_fields(data, partial=False)
+                    if errors:
+                        self._send(400, errors)
+                        return
+                    id_ = commands.create(
+                        data["title"],
+                        data["content"],
+                        priority=data.get("priority", 1),
+                        author=data.get("author"),
+                    )
+                    self._send(201, commands.get(id_))
+                elif method in ("PUT", "PATCH") and is_item:
+                    data = self._read_json_object()
+                    if data is None:
+                        return
+                    errors = _validate_signal_fields(
+                        data, partial=(method == "PATCH")
+                    )
+                    if errors:
+                        self._send(400, errors)
+                        return
+                    changes = {
+                        k: data[k]
+                        for k in ("title", "content", "priority", "author")
+                        if k in data
+                    }
+                    try:
+                        if changes:
+                            commands.update(parts[1], **changes)
+                        else:
+                            commands.get(parts[1])  # 404 check only
+                    except KeyError:
+                        self._send(404, {"error": "signal not found"})
+                        return
+                    self._send(200, commands.get(parts[1]))
+                elif method == "DELETE" and is_item:
+                    try:
+                        commands.delete(parts[1])
+                    except KeyError:
+                        self._send(404, {"error": "signal not found"})
+                        return
+                    self.send_response(204)
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
+                elif is_collection or is_item:
+                    self._send(405, {"error": "method not allowed"})
+                else:
+                    self._send(404, {"error": "not found"})
+            except Exception as exc:  # 500 envelope (handler/signal.go:71-81)
+                self._send(500, {"error": str(exc)})
+
+        def do_POST(self):  # noqa: N802 (stdlib naming)
+            self._write_route("POST")
+
+        def do_PUT(self):  # noqa: N802
+            self._write_route("PUT")
+
+        def do_PATCH(self):  # noqa: N802
+            self._write_route("PATCH")
+
+        def do_DELETE(self):  # noqa: N802
+            self._write_route("DELETE")
+
+        def do_GET(self):  # noqa: N802 (stdlib naming)
+            url, parts = self._route()
             try:
                 if parts == ["health"]:
                     h = service.health()
@@ -190,6 +353,7 @@ def serve(
     rollups: RollupService | None = None,
     search: SearchService | None = None,
     similar: SimilarService | None = None,
+    commands=None,
 ) -> ThreadingHTTPServer:
     """Start the read API on a daemon thread; returns the server (use
     ``server.server_address[1]`` for the bound port, ``shutdown()`` to stop).
@@ -206,11 +370,19 @@ def serve(
     ``/similar`` (?id=vec_id&k=N&nprobe=M; 400 on a non-integer id, 404
     for an unknown id or an empty index, the doc excluded from its own
     neighbors). ``auth_token`` arms the bearer-token gate (401 envelope
-    on every data endpoint; /health open).
+    on every data endpoint, reads AND writes; /health open).
+    ``commands`` (a ``command.SignalCommands``) mounts the write surface
+    — POST/PUT/PATCH/DELETE /signals with the reference viewset's
+    status/envelope discipline (see module docstring); without it,
+    write methods answer 501 (read-only). Every route also answers
+    under the reference's ``/api/v1/`` prefix.
     """
     server = ThreadingHTTPServer(
         ("127.0.0.1", port),
-        make_handler(service, directory, auth_token, rollups, search, similar),
+        make_handler(
+            service, directory, auth_token, rollups, search, similar,
+            commands,
+        ),
     )
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()

@@ -547,3 +547,185 @@ def test_similar_can_return_vector_zero(service, spark, tmp_path_factory):
 def test_search_rows_have_no_query_id(service, search_service):
     rows = search_service.search("fast table scan", k=3)
     assert rows and all("query_id" not in r.asDict() for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# write surface (r12 verdict #2): POST/PUT/PATCH/DELETE /signals routed
+# onto the command log with the reference viewset's status/envelope
+# discipline (urls.py:24-35, views.py:17-20, serializers.py:16-18)
+# ---------------------------------------------------------------------------
+
+
+def req(base, path, method="GET", body=None, token=None):
+    """(status, parsed-json-or-None) for any method; HTTP errors too."""
+    data = None if body is None else json.dumps(body).encode()
+    r = urllib.request.Request(f"{base}{path}", data=data, method=method)
+    if token:
+        r.add_header("Authorization", f"Bearer {token}")
+    try:
+        with urllib.request.urlopen(r) as resp:
+            raw = resp.read()
+            return resp.status, json.loads(raw) if raw else None
+    except urllib.error.HTTPError as err:
+        raw = err.read()
+        return err.code, json.loads(raw) if raw else None
+
+
+@pytest.fixture()
+def write_stack(spark, tmp_path):
+    from nexus_event_stream_spark.command import SignalCommands
+    from nexus_event_stream_spark.sources.streams import (
+        file_event_stream,
+        parse_events,
+    )
+    from nexus_event_stream_spark.streaming.projection import (
+        start_projection,
+    )
+
+    log_dir = str(tmp_path / "log")
+    cmds = SignalCommands(log_dir, author="otavio")
+    store = ParquetViewStore(str(tmp_path / "view"))
+    svc = SignalService(spark, store)
+    server = serve(svc, commands=cmds)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+
+    def project():
+        q = start_projection(
+            spark,
+            parse_events(file_event_stream(spark, log_dir)),
+            store.path,
+            str(tmp_path / "ckpt"),
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    yield base, project
+    server.shutdown()
+
+
+def test_post_create_projects_and_reads_back(write_stack):
+    """The verdict done-bar: create → projection → GET /signals/{id}
+    round-trips end to end through the streaming path."""
+    base, project = write_stack
+    status, body = req(
+        base,
+        "/signals",
+        "POST",
+        {"title": "Server Alert", "content": "CPU 95%", "priority": 3},
+    )
+    assert status == 201
+    sid = body["id"]
+    assert body["priority"] == "High" and body["author"] == "otavio"
+    assert body["created_at"] == body["updated_at"]
+    project()
+    status, got = req(base, f"/signals/{sid}")
+    assert status == 200
+    assert got["title"] == "Server Alert" and got["priority"] == "High"
+
+
+def test_put_patch_delete_lifecycle(write_stack):
+    base, project = write_stack
+    _, made = req(base, "/signals", "POST", {"title": "t", "content": "c"})
+    sid = made["id"]
+    assert made["priority"] == "Low"  # model default (models.py:32-35)
+
+    # PUT: full update
+    status, body = req(
+        base,
+        f"/signals/{sid}",
+        "PUT",
+        {"title": "t2", "content": "c2", "priority": 2},
+    )
+    assert status == 200
+    assert (body["title"], body["priority"]) == ("t2", "Medium")
+    assert body["updated_at"] > body["created_at"]
+
+    # PATCH: partial — untouched fields survive
+    status, body = req(base, f"/signals/{sid}", "PATCH", {"priority": 3})
+    assert status == 200
+    assert (body["title"], body["priority"]) == ("t2", "High")
+
+    # DELETE: 204 empty body, then 404 envelope on a replay
+    status, body = req(base, f"/signals/{sid}", "DELETE")
+    assert status == 204 and body is None
+    status, body = req(base, f"/signals/{sid}", "DELETE")
+    assert status == 404 and body == {"error": "signal not found"}
+
+    # the log now folds to an empty view
+    project()
+    status, body = req(base, f"/signals/{sid}")
+    assert status == 404
+
+
+def test_validation_errors_are_drf_shaped(write_stack):
+    base, _ = write_stack
+    status, body = req(base, "/signals", "POST", {"content": "c"})
+    assert status == 400 and body == {"title": ["This field is required."]}
+    status, body = req(
+        base, "/signals", "POST",
+        {"title": "x" * 256, "content": "c"},
+    )
+    assert status == 400
+    assert body == {
+        "title": ["Ensure this field has no more than 255 characters."]
+    }
+    status, body = req(
+        base, "/signals", "POST", {"title": "t", "content": "c", "priority": 7}
+    )
+    assert status == 400 and body == {"priority": ['"7" is not a valid choice.']}
+    # PUT is full validation, PATCH is partial
+    _, made = req(base, "/signals", "POST", {"title": "t", "content": "c"})
+    status, body = req(base, f"/signals/{made['id']}", "PUT", {"title": "t2"})
+    assert status == 400 and body == {"content": ["This field is required."]}
+    status, _ = req(base, f"/signals/{made['id']}", "PATCH", {"title": "t2"})
+    assert status == 200
+    # non-object / unparseable bodies get the repo's error envelope
+    status, body = req(base, "/signals", "POST", [1, 2])
+    assert status == 400 and "JSON object" in body["error"]
+
+
+def test_write_404_405_and_api_v1_prefix(write_stack):
+    base, _ = write_stack
+    status, body = req(
+        base, "/signals/ghost", "PUT", {"title": "t", "content": "c"}
+    )
+    assert status == 404 and body == {"error": "signal not found"}
+    status, body = req(base, "/signals", "DELETE")
+    assert status == 405
+    status, body = req(base, "/rollups", "POST", {})
+    assert status == 404
+    # the reference mounts under /api/v1/ (urls.py:33) — curl replays work
+    status, body = req(
+        base, "/api/v1/signals/", "POST", {"title": "t", "content": "c"}
+    )
+    assert status == 201
+    status, got = req(base, f"/api/v1/signals/{body['id']}", "PATCH",
+                      {"content": "c2"})
+    assert status == 200 and got["content"] == "c2"
+
+
+def test_write_bearer_gate_and_read_only_501(spark, tmp_path):
+    from nexus_event_stream_spark.command import SignalCommands
+
+    store = ParquetViewStore(str(tmp_path / "view"))
+    svc = SignalService(spark, store)
+    cmds = SignalCommands(str(tmp_path / "log"))
+    gated = serve(svc, auth_token="sekrit", commands=cmds)
+    base = f"http://127.0.0.1:{gated.server_address[1]}"
+    try:
+        status, body = req(base, "/signals", "POST",
+                           {"title": "t", "content": "c"})
+        assert status == 401 and body == {"error": "authentication required"}
+        status, body = req(base, "/signals", "POST",
+                           {"title": "t", "content": "c"}, token="sekrit")
+        assert status == 201
+    finally:
+        gated.shutdown()
+    ro = serve(svc)  # no commands mounted: read-only deployment
+    base = f"http://127.0.0.1:{ro.server_address[1]}"
+    try:
+        status, body = req(base, "/signals", "POST",
+                           {"title": "t", "content": "c"})
+        assert status == 501 and "read-only" in body["error"]
+    finally:
+        ro.shutdown()
