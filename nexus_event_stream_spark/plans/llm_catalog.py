@@ -23,7 +23,7 @@ from nexus_event_stream_spark.functions.text import (
     doc_fingerprint,
     tokens,
 )
-from nexus_event_stream_spark.io import load_table
+from nexus_event_stream_spark.io import load_table, spread
 from nexus_event_stream_spark.operators.dedup import (
     dedup_groups,
     exact_dedup_annotate,
@@ -171,7 +171,10 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_hashes,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread(): 16 SimHash bit-folds over per-token hashes is HOF-heavy
+    # map compute — same single-core trap as q_binary_meta on the local
+    # one-row-group input, pass-through on real splits.
+    docs = spread(load_table(spark, sf_dir, "documents"))
     # token hashes projected ONCE, then referenced by the 16 bit-folds —
     # an inline expression would re-tokenize+re-hash per bit (HOF lambdas
     # have no common-subexpression elimination; see token_hashes).
@@ -280,7 +283,11 @@ def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_doc_media,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread(): the per-doc codec work (5 encodes + 5 decodes) is the
+    # catalog's heaviest map compute; the local one-row-group parquet
+    # would serialize it onto one core (io.spread docstring) — at 100 TB
+    # the input is already split and spread() passes through untouched.
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return decode_doc_media(synthesize_doc_media(docs)).select(
         "doc_id",
         "n_bytes",

@@ -173,17 +173,25 @@ def test_text_analysis_one_expand_one_shuffle(spark, sf_dir):
     assert plan.count(") Exchange") == 1
 
 
-def test_doc_profile_pure_projection(spark, sf_dir):
+def test_doc_profile_map_only_after_spread(spark, sf_dir):
     plan = physical_plan(CATALOG["q_doc_profile"].build(spark, sf_dir))
-    assert "Exchange" not in plan
+    # exactly io.spread's round-robin fan-out of the one-row-group local
+    # input (pass-through on real splits); NO key shuffle anywhere —
+    # everything downstream is map-only
+    assert plan.count(") Exchange") == 1
+    assert "RoundRobinPartitioning" in plan
+    assert "hashpartitioning" not in plan
     # token hashes are projected once, not inlined per SimHash bit
     assert plan.count("array_distinct") == 1
 
 
-def test_binary_meta_two_python_stages_no_shuffle(spark, sf_dir):
+def test_binary_meta_two_python_stages_no_key_shuffle(spark, sf_dir):
     plan = physical_plan(CATALOG["q_binary_meta"].build(spark, sf_dir))
     assert plan.count(") MapInPandas") == 2  # synthesize + decode
-    assert "Exchange" not in plan
+    # same contract as q_doc_profile: spread's fan-out only
+    assert plan.count(") Exchange") == 1
+    assert "RoundRobinPartitioning" in plan
+    assert "hashpartitioning" not in plan
 
 
 def test_bpe_single_python_stage_no_shuffle(spark, sf_dir):
