@@ -73,6 +73,80 @@ def _paragraphs(text: Column) -> Column:
     )
 
 
+def dedup_paragraphs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-wide first-occurrence paragraph dedup in ONE batch pass —
+    the Dolma paragraph tier over the corpus itself (the
+    frozen-reference variant is :func:`bloom_dedup_paragraphs`; the
+    incremental twin is streaming/bloom_dedup.py's
+    ``paragraph_suppress_and_register``, whose output contract this
+    matches paragraph-for-paragraph).
+
+    A paragraph occurrence is stripped iff its trimmed text matches an
+    earlier occurrence anywhere in the corpus (ordered by doc id, then
+    position). Rows are always preserved: zero-hit documents keep
+    ``text_col`` BYTE-EXACT (separator quirks included), touched
+    documents are rebuilt from the surviving units with ``\n\n``,
+    all-duplicate docs come back ``''``, NULL text stays NULL with zero
+    counts. Appends ``n_paras`` / ``dup_paras``.
+
+    Cost at scale: one md5-uniform window shuffle for the corpus-wide
+    first-occurrence order (``first_occurrence_flag`` — the paragraph
+    digest is the partition key, so skew is bounded by the most-copied
+    paragraph, not any corpus dimension), one keyed rebuild aggregate,
+    one equi-join back to the input on ``id_col``. No driver-side
+    state, no broadcast of anything corpus-sized.
+    """
+    from nexus_event_stream_spark.operators.quality import (
+        first_occurrence_flag,
+    )
+
+    text = F.col(text_col)
+    units = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(_paragraphs(text)).alias("pos", "__para"),
+    )
+    flagged = first_occurrence_flag(units, "__para")
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_paras"),
+        F.sum("is_dup").cast("bigint").alias("dup_paras"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("is_dup") == 0,
+                            F.struct(F.col("pos"), F.col("__para")),
+                        )
+                    )
+                ),
+                lambda s: s["__para"],
+            ),
+            "\n\n",
+        ).alias("__rebuilt"),
+    )
+    out = docs.join(
+        per_doc.withColumnRenamed("doc_id", "__pid"),
+        F.col(id_col) == F.col("__pid"),
+        "left",
+    ).drop("__pid")
+    out = out.withColumns(
+        {
+            "n_paras": F.coalesce(F.col("n_paras"), F.lit(0).cast("bigint")),
+            "dup_paras": F.coalesce(
+                F.col("dup_paras"), F.lit(0).cast("bigint")
+            ),
+        }
+    )
+    return out.withColumn(
+        text_col,
+        F.when(text.isNull() | (F.col("dup_paras") == 0), text).otherwise(
+            F.col("__rebuilt")
+        ),
+    ).drop("__rebuilt")
+
+
 def reference_corpus_bloom(
     ref: DataFrame,
     text_col: str = "text",

@@ -295,59 +295,70 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_token_topk",
     """
-    SELECT tok, COUNT(*) AS n
-    FROM (SELECT unnest(string_split(text,' ')) AS tok FROM documents)
-    GROUP BY tok ORDER BY n DESC, tok LIMIT 20
-    """,
-    doc="Corpus-wide top-20 token frequencies (explode → count → top-k). "
-    "The count partially aggregates map-side before the shuffle; the "
-    "top-k is TakeOrderedAndProject (bounded per-task heap), never a "
-    "full sort of the vocabulary.",
-)
-def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from nexus_event_stream_spark.functions.text import tokens
-
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.select(F.explode(tokens("text")).alias("tok"))
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.desc("n"), F.asc("tok"))
-        .limit(20)
-    )
-
-
-# ---------------------------------------------------------------------------
-# Wave 3: lateral / deterministic-sampling breadth
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "q_posexplode",
-    """
-    SELECT doc_id, CAST(u.pos AS INTEGER) AS pos, u.tok AS tok FROM (
+    SELECT 'topk' AS suite, CAST(NULL AS BIGINT) AS doc_id,
+      CAST(NULL AS INTEGER) AS pos, tok, n
+    FROM (
+      SELECT tok, COUNT(*) AS n
+      FROM (SELECT unnest(string_split(text,' ')) AS tok FROM documents)
+      GROUP BY tok ORDER BY n DESC, tok LIMIT 20)
+    UNION ALL
+    SELECT 'posexplode' AS suite, doc_id, CAST(u.pos AS INTEGER) AS pos,
+      u.tok AS tok, CAST(NULL AS BIGINT) AS n
+    FROM (
       SELECT doc_id,
         unnest(list_transform(string_split(text,' '),
                (tok, i) -> struct_pack(pos := i-1, tok := tok))) AS u
       FROM documents)
     WHERE u.pos < 5
     """,
-    doc="Positional explode (token + 0-based position, first 5 per doc) — "
-    "the LATERAL VIEW/table-generator surface. Spark: posexplode, one "
-    "Generate node, no shuffle; DuckDB oracle builds (pos, tok) structs "
-    "with an indexed lambda since its lateral table functions can't "
-    "correlate.",
+    doc="Token-generator suite (r13 merge, the r6 pattern — frees a "
+    "catalog slot for q_dedup_paragraphs while keeping both shapes "
+    "value-checked): suite='topk' is the corpus-wide top-20 token "
+    "frequencies (explode → map-side-combined count → "
+    "TakeOrderedAndProject bounded per-task heap, never a full "
+    "vocabulary sort); suite='posexplode' is the positional explode "
+    "(token + 0-based position, first 5 per doc) — the LATERAL "
+    "VIEW/table-generator surface, one Generate node, no shuffle; the "
+    "DuckDB leg builds (pos, tok) structs with an indexed lambda since "
+    "its lateral table functions can't correlate.",
 )
-def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nexus_event_stream_spark.functions.text import tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    return (
+    topk = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(20)
+        .select(
+            F.lit("topk").alias("suite"),
+            F.lit(None).cast("long").alias("doc_id"),
+            F.lit(None).cast("int").alias("pos"),
+            "tok",
+            "n",
+        )
+    )
+    posex = (
         docs.select(
             "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
         )
         .filter(F.col("pos") < 5)
+        .select(
+            F.lit("posexplode").alias("suite"),
+            "doc_id",
+            "pos",
+            "tok",
+            F.lit(None).cast("long").alias("n"),
+        )
     )
+    return topk.unionByName(posex)
+
+
+# ---------------------------------------------------------------------------
+# Wave 3: lateral / deterministic-sampling breadth
+# ---------------------------------------------------------------------------
 
 
 @register(

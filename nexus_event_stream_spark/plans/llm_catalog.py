@@ -398,6 +398,90 @@ def q_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_PARA_SQL = (
+    "substr(text, 1, 80) || chr(10) || chr(10) || "
+    "'boilerplate navigation footer ' || CAST(doc_id % 7 AS VARCHAR) || "
+    "chr(10) || chr(10) || text || chr(10) || chr(10) || "
+    "substr(text, 1, 80)"
+)
+
+
+@register(
+    "q_dedup_paragraphs",
+    f"""
+    WITH para AS (
+      SELECT doc_id, {_PARA_SQL} AS text FROM documents),
+    units AS (
+      SELECT doc_id, u.pos AS pos, u.para AS para FROM (
+        SELECT doc_id,
+          unnest(list_transform(
+            list_filter(
+              list_transform(string_split(text, chr(10) || chr(10)),
+                             s -> trim(s)),
+              s -> s <> ''),
+            (s, i) -> struct_pack(pos := i - 1, para := s))) AS u
+        FROM para)),
+    flagged AS (
+      SELECT doc_id, pos, para,
+        CASE WHEN row_number()
+               OVER (PARTITION BY para ORDER BY doc_id, pos) > 1
+             THEN 1 ELSE 0 END AS is_dup
+      FROM units),
+    agg AS (
+      SELECT doc_id,
+        COUNT(*) AS n_paras,
+        SUM(is_dup) AS dup_paras,
+        string_agg(CASE WHEN is_dup = 0 THEN para END,
+                   chr(10) || chr(10) ORDER BY pos) AS rebuilt
+      FROM flagged GROUP BY doc_id)
+    SELECT p.doc_id,
+      CAST(COALESCE(a.n_paras, 0) AS BIGINT) AS n_paras,
+      CAST(COALESCE(a.dup_paras, 0) AS BIGINT) AS dup_paras,
+      CASE WHEN COALESCE(a.dup_paras, 0) = 0 THEN p.text
+           ELSE COALESCE(a.rebuilt, '') END AS text
+    FROM para p LEFT JOIN agg a USING (doc_id)
+    """,
+    doc="Corpus-wide first-occurrence PARAGRAPH dedup (the Dolma "
+    "paragraph tier as one batch pass — operators/bloom_dedup.py "
+    "dedup_paragraphs; its incremental twin is the r12 streaming "
+    "paragraph store). The documents table has no paragraph structure, "
+    "so the query first synthesizes it closed-form in BOTH engines: "
+    "head-slice ∥ shared boilerplate (doc_id % 7 — guaranteed "
+    "cross-doc duplicates) ∥ full text ∥ head-slice again (guaranteed "
+    "within-doc duplicate). The oracle replays the whole contract — "
+    "trimmed non-empty \\n\\n units, (doc_id, pos)-ordered first "
+    "occurrence, surviving-unit rebuild, all-dup → '' — so any drift "
+    "in unit splitting, ordering or reassembly breaks the value hash. "
+    "One md5-uniform window shuffle + one keyed rebuild + one "
+    "equi-join back; skew bounded by the most-copied paragraph. "
+    "Fills the catalog slot freed by the q_posexplode → q_token_topk "
+    "merge (r6 pattern).",
+)
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nexus_event_stream_spark.operators.bloom_dedup import (
+        dedup_paragraphs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sep = F.lit("\n\n")
+    para = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 80),
+            sep,
+            F.lit("boilerplate navigation footer "),
+            (F.col("doc_id") % 7).cast("string"),
+            sep,
+            F.col("text"),
+            sep,
+            F.substring("text", 1, 80),
+        ).alias("text"),
+    )
+    return dedup_paragraphs(para).select(
+        "doc_id", "n_paras", "dup_paras", "text"
+    )
+
+
 @register(
     "q_ngram_jaccard",
     f"""

@@ -216,3 +216,74 @@ def test_pipeline_forwards_id_col_to_paragraph_join_path(spark, monkeypatch):
     )
     assert "reference_dedup" in stages
     assert [(r.id, r.text) for r in corpus.collect()] == [(10, "novel body")]
+
+
+# ---------------------------------------------------------------------------
+# corpus-wide batch paragraph dedup (r13 — the q_dedup_paragraphs operator)
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_paragraphs_matches_first_occurrence_oracle(spark):
+    """Batch corpus-wide paragraph dedup equals the same pure-Python
+    first-occurrence oracle the streaming tier is pinned against —
+    cross-doc, within-doc, all-dup, zero-hit (byte-exact) and NULL
+    shapes in one corpus."""
+    from nexus_event_stream_spark.operators.bloom_dedup import (
+        dedup_paragraphs,
+    )
+
+    P = [f"batch paragraph number {i} about dedup grains" for i in range(6)]
+    quirky = f"{P[0]}\n\n\n  {P[1]}  "  # odd separators, zero-hit doc 0
+    rows = [
+        (0, quirky),
+        (1, f"{P[2]}\n\n{P[3]}"),
+        (2, f"{P[0]}\n\n{P[4]}"),          # cross-doc dup of P[0]
+        (3, f"{P[5]}\n\n{P[5]}"),          # within-doc dup
+        (4, f"{P[2]}\n\n{P[4]}"),          # ALL dups -> ''
+        (5, None),
+    ]
+
+    # pure-Python corpus-wide first-occurrence oracle (doc id, pos order)
+    seen: set[str] = set()
+    want = {}
+    for did, text in rows:
+        if text is None:
+            want[did] = (0, 0, None)
+            continue
+        units = [u.strip(" ") for u in text.split("\n\n")]
+        units = [u for u in units if u != ""]
+        kept, dup = [], 0
+        for u in units:
+            if u in seen:
+                dup += 1
+            else:
+                seen.add(u)
+                kept.append(u)
+        want[did] = (
+            len(units), dup, text if dup == 0 else "\n\n".join(kept)
+        )
+
+    out = dedup_paragraphs(_df(spark, rows))
+    got = {r.doc_id: (r.n_paras, r.dup_paras, r.text) for r in out.collect()}
+    assert got == want
+    assert got[0] == (2, 0, quirky)  # byte-exact zero-hit contract
+    assert got[4] == (2, 2, "")
+    assert got[5] == (0, 0, None)
+
+
+def test_dedup_paragraphs_plan_one_window_shuffle(spark):
+    """One md5-uniform window shuffle + one keyed rebuild + the join
+    back — and no cartesian/SMJ anywhere."""
+    from nexus_event_stream_spark.operators.bloom_dedup import (
+        dedup_paragraphs,
+    )
+
+    df = _df(spark, [(0, "a\n\nb"), (1, "b\n\nc")])
+    plan = (
+        dedup_paragraphs(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
