@@ -399,6 +399,7 @@ DOC_MEDIA_SCHEMA = T.StructType(
         T.StructField("mp4video", T.BinaryType()),
         T.StructField("fmp4video", T.BinaryType()),
         T.StructField("jpeg", T.BinaryType()),
+        T.StructField("gif", T.BinaryType()),
     ]
 )
 
@@ -429,6 +430,10 @@ DECODED_DOC_MEDIA_SCHEMA = T.StructType(
         T.StructField("jpeg_components", T.IntegerType()),
         T.StructField("jpeg_progressive", T.BooleanType()),
         T.StructField("jpeg_orientation", T.IntegerType()),
+        T.StructField("gif_n_frames", T.IntegerType()),
+        T.StructField("gif_pixel_sum", T.LongType()),
+        T.StructField("gif_total_delay", T.IntegerType()),
+        T.StructField("gif_loop", T.IntegerType()),
     ]
 )
 
@@ -451,10 +456,16 @@ def synthesize_doc_media(docs: DataFrame) -> DataFrame:
 
     from nexus_event_stream_spark.functions.mp4 import encode_fmp4, encode_mp4
 
+    from nexus_event_stream_spark.functions.gif import (
+        encode_gif,
+        gray_palette,
+    )
+
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pal = gray_palette()
         for pdf in it:
-            filts, images, audios, videos, mp4s, fmp4s, jpegs = (
-                [], [], [], [], [], [], [],
+            filts, images, audios, videos, mp4s, fmp4s, jpegs, gifs = (
+                [], [], [], [], [], [], [], [],
             )
             for did in pdf["doc_id"]:
                 did = int(did)
@@ -520,6 +531,28 @@ def synthesize_doc_media(docs: DataFrame) -> DataFrame:
                         exif_big_endian=did % 2 == 0,
                     )
                 )
+                # animated GIF (r13, functions/gif.py): same canvas as
+                # the PNG, grayscale identity palette so the index IS
+                # the luma; every 4th doc interlaced — the oracle gate
+                # covers the de-interlace path too
+                ng = 2 + did % 3
+                gifs.append(
+                    encode_gif(
+                        w,
+                        h,
+                        [
+                            bytes(
+                                (did * 19 + fi * 53 + i) % 256
+                                for i in range(w * h)
+                            )
+                            for fi in range(ng)
+                        ],
+                        pal,
+                        delays_cs=[4 + (did + fi) % 6 for fi in range(ng)],
+                        interlace=did % 4 == 0,
+                        loop=did % 3,
+                    )
+                )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -532,6 +565,7 @@ def synthesize_doc_media(docs: DataFrame) -> DataFrame:
                     "mp4video": mp4s,
                     "fmp4video": fmp4s,
                     "jpeg": jpegs,
+                    "gif": gifs,
                 }
             )
 
@@ -543,6 +577,7 @@ def decode_doc_media(media: DataFrame) -> DataFrame:
     pixel sum, and exact absolute-sample energy — the quantities the SQL
     oracle recomputes closed-form."""
 
+    from nexus_event_stream_spark.functions.gif import decode_gif, gif_meta
     from nexus_event_stream_spark.functions.mp4 import (
         extract_samples,
         parse_mp4,
@@ -556,6 +591,7 @@ def decode_doc_media(media: DataFrame) -> DataFrame:
             m_ns, m_bytes, m_last, m_sum = [], [], [], []
             f_nf, f_ns, f_last, f_sum = [], [], [], []
             j_w, j_h, j_nc, j_prog, j_or = [], [], [], [], []
+            g_nf, g_sum, g_delay, g_loop = [], [], [], []
             for p in pdf["image"]:
                 try:
                     w, h, _ct, px = decode_png(p)
@@ -635,6 +671,22 @@ def decode_doc_media(media: DataFrame) -> DataFrame:
                 j_nc.append(jnc)
                 j_prog.append(jpg)
                 j_or.append(jo)
+            for p in pdf["gif"]:
+                # full pixel decode (LZW + de-interlace + compositing);
+                # identity grayscale palette -> the RED channel of the
+                # composited frame IS the encoded index stream
+                try:
+                    _w, _h, frames, delays = decode_gif(p)
+                    nf = len(frames)
+                    ps = sum(sum(fr[0::3]) for fr in frames)
+                    td = sum(delays)
+                    lp = gif_meta(p)["loop"]
+                except Exception:
+                    nf = ps = td = lp = None
+                g_nf.append(nf)
+                g_sum.append(ps)
+                g_delay.append(td)
+                g_loop.append(lp)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -662,6 +714,10 @@ def decode_doc_media(media: DataFrame) -> DataFrame:
                     "jpeg_components": pd.array(j_nc, dtype="Int32"),
                     "jpeg_progressive": pd.array(j_prog, dtype="boolean"),
                     "jpeg_orientation": pd.array(j_or, dtype="Int32"),
+                    "gif_n_frames": pd.array(g_nf, dtype="Int32"),
+                    "gif_pixel_sum": pd.array(g_sum, dtype="Int64"),
+                    "gif_total_delay": pd.array(g_delay, dtype="Int32"),
+                    "gif_loop": pd.array(g_loop, dtype="Int32"),
                 }
             )
 

@@ -240,7 +240,16 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(1 + doc_id % 3 AS INTEGER) AS jpeg_components,
       (doc_id % 2 = 1) AS jpeg_progressive,
       CAST(CASE WHEN doc_id % 9 = 0 THEN NULL ELSE doc_id % 9 END
-        AS INTEGER) AS jpeg_orientation
+        AS INTEGER) AS jpeg_orientation,
+      CAST(2 + doc_id % 3 AS INTEGER) AS gif_n_frames,
+      CAST(list_sum(list_transform(range(0, 2 + doc_id % 3), f ->
+        list_sum(list_transform(
+          range(0, (4 + doc_id % 13) * (3 + doc_id % 7)),
+          i -> (doc_id * 19 + f * 53 + i) % 256)))) AS BIGINT)
+        AS gif_pixel_sum,
+      CAST(list_sum(list_transform(range(0, 2 + doc_id % 3),
+        f -> 4 + (doc_id + f) % 6)) AS INTEGER) AS gif_total_delay,
+      CAST(doc_id % 3 AS INTEGER) AS gif_loop
     FROM documents
     """,
     doc="Multimodal pipeline, REAL codecs end-to-end: per document an "
@@ -269,7 +278,13 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "endianness alternates II/MM, orientation absent every 9th doc) "
     "parsed back by the marker walk to dims + components + progressive "
     "flag + orientation — no pixel decode, the entropy payload is the "
-    "environment-capped step exactly like the MP4 codec frames. "
+    "environment-capped step exactly like the MP4 codec frames, "
+    "AND (r13) an ANIMATED GIF per doc (functions/gif.py — real "
+    "GIF89a: variable-width LZW, grayscale identity palette, per-frame "
+    "GCE delays, NETSCAPE loop block, every 4th doc INTERLACED) fully "
+    "pixel-decoded back — LZW inflate, de-interlace, frame compositing "
+    "— to frame count + exact composited-pixel sum + total delay + "
+    "loop count. "
     "The oracle recomputes "
     "every decoded quantity closed-form, so any encode- or decode-side "
     "bug (PNG filters, WAV sample unpack, APNG sequencing, MP4 chunk "
@@ -314,6 +329,10 @@ def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "jpeg_components",
         "jpeg_progressive",
         "jpeg_orientation",
+        "gif_n_frames",
+        "gif_pixel_sum",
+        "gif_total_delay",
+        "gif_loop",
     )
 
 
