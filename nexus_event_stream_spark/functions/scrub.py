@@ -25,6 +25,11 @@ leak) while leaving the coded image/audio bytes byte-identical:
   same-size ``free`` boxes — removal would shift the absolute ``stco``
   chunk offsets and break every demux; same-size zeroing keeps the
   sample tables byte-valid.
+- GIF (r13): drop comment extensions (0xFE — author/tool strings, the
+  GIF metadata surface) and application extensions (0xFF — XMP rides
+  here) EXCEPT NETSCAPE2.0, which is structural (the loop count changes
+  playback, exactly like JFIF APP0); image descriptors, color tables,
+  GCEs and the LZW pixel data are copied verbatim.
 
 Each scrubber returns ``(clean_bytes, dropped_tags)`` so the pipeline
 can account for what it removed; unrecognized FORMATS are the caller's
@@ -41,7 +46,7 @@ from __future__ import annotations
 
 import struct
 
-__all__ = ["scrub_jpeg", "scrub_png", "scrub_wav", "scrub_mp4"]
+__all__ = ["scrub_jpeg", "scrub_png", "scrub_wav", "scrub_mp4", "scrub_gif"]
 
 #: PNG ancillary chunks that exist to carry metadata (PII surface)
 _PNG_DROP = {b"tEXt", b"zTXt", b"iTXt", b"eXIf", b"tIME"}
@@ -189,4 +194,59 @@ def scrub_mp4(payload: bytes) -> tuple[bytes, list[str]]:
     if len(payload) < 8:
         raise ValueError("not an MP4: too short for a box header")
     walk(0, len(out), "", 0)
+    return bytes(out), dropped
+
+
+def scrub_gif(payload: bytes) -> tuple[bytes, list[str]]:
+    """Strip comment (0xFE) and non-NETSCAPE application (0xFF)
+    extensions from a GIF87a/89a stream; every other block — headers,
+    color tables, graphic-control extensions, plain-text blocks, image
+    descriptors and their LZW data — is copied verbatim, so pixels and
+    animation behavior are byte-identical. Returns
+    ``(clean_bytes, dropped_tags)`` with tags like ``"comment"`` /
+    ``"app:XMP DataXMP"``; raises ``ValueError`` on a malformed walk."""
+    from .gif import HEADER_87, HEADER_89, _read_sub_blocks
+
+    if len(payload) < 13 or payload[:6] not in (HEADER_87, HEADER_89):
+        raise ValueError("not a GIF payload")
+    packed = payload[10]
+    pos = 13
+    if packed & 0x80:
+        pos += 3 * (2 << (packed & 0x07))
+    out = bytearray(payload[:pos])
+    dropped: list[str] = []
+    n = len(payload)
+    while pos < n:
+        block = payload[pos]
+        if block == 0x3B:  # trailer
+            out.append(0x3B)
+            pos += 1
+            break
+        if block == 0x21:
+            label = payload[pos + 1] if pos + 1 < n else None
+            if label is None:
+                raise ValueError("extension truncated")
+            data, end = _read_sub_blocks(payload, pos + 2)
+            if label == 0xFE:
+                dropped.append("comment")
+            elif label == 0xFF and data[:11] != b"NETSCAPE2.0":
+                dropped.append(
+                    "app:" + data[:11].decode("latin-1", "replace").strip()
+                )
+            else:
+                out += payload[pos:end]
+            pos = end
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown block 0x{block:02x}")
+        start = pos
+        if pos + 10 > n:
+            raise ValueError("image descriptor truncated")
+        ipacked = payload[pos + 9]
+        pos += 10
+        if ipacked & 0x80:
+            pos += 3 * (2 << (ipacked & 0x07))
+        pos += 1  # LZW min code size
+        _, pos = _read_sub_blocks(payload, pos)
+        out += payload[start:pos]
     return bytes(out), dropped

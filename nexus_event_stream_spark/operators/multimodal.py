@@ -191,6 +191,7 @@ def scrub_media(media: DataFrame) -> DataFrame:
     quarantining what it could not clean). One Arrow pass, zero shuffle,
     payloads never cross the driver."""
     from nexus_event_stream_spark.functions.scrub import (
+        scrub_gif,
         scrub_jpeg,
         scrub_mp4,
         scrub_png,
@@ -212,6 +213,8 @@ def scrub_media(media: DataFrame) -> DataFrame:
                         clean, dropped = scrub_wav(p)
                     elif p[4:8] == b"ftyp":
                         clean, dropped = scrub_mp4(p)
+                    elif p[:6] in (b"GIF87a", b"GIF89a"):
+                        clean, dropped = scrub_gif(p)
                     else:
                         raise ValueError("unrecognized format")
                     outs.append(clean)

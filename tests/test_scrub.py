@@ -291,3 +291,45 @@ def test_scrub_mp4_recurses_through_largesize_containers():
     assert clean[: len(ftyp) + 16 + len(mvhd)] == dirty[: len(ftyp) + 16 + len(mvhd)]
     again, d2 = scrub_mp4(clean)
     assert again == clean and d2 == []
+
+
+def test_scrub_gif_drops_comment_and_app_keeps_pixels_and_loop():
+    """GIF comment + non-NETSCAPE application extensions drop; pixels,
+    delays and the NETSCAPE loop block survive byte-identically (r13 —
+    the GIF branch of the media PII tier)."""
+    import numpy as np
+
+    from nexus_event_stream_spark.functions.gif import (
+        _sub_blocks,
+        decode_gif,
+        encode_gif,
+        gif_meta,
+        gray_palette,
+    )
+    from nexus_event_stream_spark.functions.scrub import scrub_gif
+
+    rng = np.random.RandomState(5)
+    frames = [
+        bytes(rng.randint(0, 256, 24 * 16).astype(np.uint8))
+        for _ in range(2)
+    ]
+    g = encode_gif(24, 16, frames, gray_palette(), delays_cs=[7, 9], loop=3)
+    # splice metadata: a comment and an XMP application extension
+    dirty = (
+        g[:-1]
+        + b"\x21\xfe" + _sub_blocks(b"shot at 51.5N -0.1E by jane")
+        + b"\x21\xff" + _sub_blocks(b"XMP DataXMP<x:xmpmeta author='jane'/>")
+        + b"\x3b"
+    )
+    clean, dropped = scrub_gif(dirty)
+    assert sorted(dropped) == ["app:XMP DataXMP", "comment"]
+    assert b"jane" not in clean and b"51.5N" not in clean
+    assert clean == g  # extensions out, everything else byte-identical
+    w, h, got, delays = decode_gif(clean)
+    assert delays == [7, 9]
+    assert gif_meta(clean)["loop"] == 3  # NETSCAPE kept (structural)
+    ref = decode_gif(g)[2]
+    assert got == ref
+    # clean of clean is a fixpoint
+    again, dropped2 = scrub_gif(clean)
+    assert again == clean and dropped2 == []
