@@ -801,12 +801,17 @@ def _stress_bench(
             )
         )
     )
-    # Snapshot the batch to a 64-file parquet dir (r13): the one-split
+    # Snapshot the batch to an 8-file parquet dir (r13): the one-split
     # documents parquet would otherwise run the timed anchor/window
     # kernels on two cores (same class as the media corpora), and an
     # inline repartition would put its shuffle inside the clock — a
-    # real micro-batch arrives pre-partitioned from its source.
-    sub_batch.repartition(64).write.mode("overwrite").parquet(
+    # real micro-batch arrives pre-partitioned from its source. 8, not
+    # 64: at this batch size the entry is dominated by its ~dozen
+    # serial jobs (bucket-pruned probes, bounded collects), and 64-way
+    # task fan-out measured 35% SLOWER (per-task Python worker
+    # round-trips × stages); 8 matches the kernel work while keeping
+    # real parallelism.
+    sub_batch.repartition(8).write.mode("overwrite").parquet(
         sub_dir + "_batch"
     )
     sub_batch = spark.read.parquet(sub_dir + "_batch")

@@ -53,14 +53,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # 512-row Arrow batches (default 10k): a multi-stage Python
-        # pipeline over blob-bearing rows (q_binary_meta's synthesize →
-        # decode) otherwise crosses the boundary as one giant batch per
-        # task — peak allocation spikes measured as a 1.4× run-to-run
-        # spread; at 512 the stages pipeline batch-by-batch (spread
-        # 1.08×, ~25% faster) and the volume kernels (125k-doc quality
-        # pass) are unchanged (measured, r13).
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        # Arrow batch size stays at the 10k default: a global 512 was
+        # tried (r13) to smooth q_binary_meta's blob batches and cost
+        # the VOLUME Arrow kernels 1.4-1.9× (cdc/repetition/semantic at
+        # 125k docs — 24× more per-batch numpy setup); the real
+        # q_binary_meta fix was io.spread(), after which each task's
+        # batch is small regardless.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # The 64 MB broadcast threshold needs a driver heap that can BUILD
         # a 64 MB-estimated relation (deserialized rows + hash table run
