@@ -704,7 +704,11 @@ def _stress_bench(
     from nexus_event_stream_spark.pipeline import warc_corpus
 
     warc_dir = tempfile.mkdtemp(prefix="bench_warc_")
-    _write_bench_warc(spark, sf_dir, warc_dir, n_files=32)
+    # 8 files (not 32): the funnel's dozen-plus stages each pay per-task
+    # Python round-trips, and 32-way fan-out of a 5k-doc corpus measured
+    # ~1.5x slower than 8-way (the stream_substr lesson) — 8 matches the
+    # parse work at this SF
+    _write_bench_warc(spark, sf_dir, warc_dir, n_files=8)
     n_warc_docs = load_table(spark, sf_dir, "documents").count()
 
     def run_warc_corpus() -> float:
@@ -985,7 +989,7 @@ def _write_bench_media(
 
 
 def _write_bench_audio(
-    spark, ids_df, out_dir: str, replicas: int = 16
+    spark, ids_df, out_dir: str, replicas: int = 8
 ) -> None:
     """Synthetic WAV corpus for the audio perceptual-dedup entries:
     ``replicas`` 1-second 8 kHz clips per doc_id — a seeded PIECEWISE-RANDOM amplitude
