@@ -309,3 +309,55 @@ def test_default_video_decoder_gif_and_still():
     still = encode_gif(16, 12, [a.tobytes()], gray_palette())
     assert len(default_video_decoder(still)) == 1
     assert default_video_decoder(b"GIF87a") is None
+
+
+# ---------------------------------------------------------------------------
+# property tests (hypothesis): codec invariants over generated inputs
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    data=st.binary(min_size=1, max_size=2000),
+    mcs=st.integers(min_value=2, max_value=8),
+)
+def test_lzw_roundtrip_property(data, mcs):
+    clamped = bytes(b % (1 << mcs) for b in data)
+    assert bytes(
+        _lzw_decode(_lzw_encode(clamped, mcs), mcs, len(clamped))
+    ) == clamped
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=30),
+    n_frames=st.integers(min_value=1, max_value=3),
+    interlace=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_gif_roundtrip_property(w, h, n_frames, interlace, seed):
+    """Any frame stack round-trips byte-exact through encode → decode
+    (grayscale identity palette ⇒ red channel == index stream)."""
+    rng = np.random.RandomState(seed)
+    frames = [
+        bytes(rng.randint(0, 256, w * h).astype(np.uint8))
+        for _ in range(n_frames)
+    ]
+    delays = [int(rng.randint(0, 100)) for _ in range(n_frames)]
+    g = encode_gif(
+        w, h, frames, gray_palette(),
+        delays_cs=delays if n_frames > 1 else None,
+        interlace=interlace,
+    )
+    gw, gh, got, got_delays = decode_gif(g)
+    assert (gw, gh) == (w, h) and len(got) == n_frames
+    for want, fr in zip(frames, got):
+        assert gray_of(fr, w, h).tobytes() == want
+    if n_frames > 1:
+        assert got_delays == delays
+    m = gif_meta(g)
+    assert (m["width"], m["height"], m["n_frames"]) == (w, h, n_frames)

@@ -189,3 +189,48 @@ def test_distributed_trainer_matches_local(spark):
         assert math.isclose(dist[p], local[p], rel_tol=1e-9, abs_tol=1e-9), p
     for w in ("walking", "thematic", "walkway"):
         assert viterbi_segment(w, dist)[0] == viterbi_segment(w, local)[0]
+
+
+# ---------------------------------------------------------------------------
+# property tests (hypothesis): lattice invariants over generated models
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    word=st.text(alphabet="abc", min_size=1, max_size=8),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_lattice_invariants_property(word, seed):
+    """For any word and random piece model: (1) forward-backward Z
+    equals the brute-force segmentation-probability sum, (2) every
+    expected count is the brute-force posterior, (3) Viterbi returns an
+    achievable max-probability segmentation that reassembles the word,
+    (4) per-position expected coverage sums to exactly 1 (each char is
+    covered by exactly one piece in every segmentation)."""
+    rng = np.random.RandomState(seed)
+    logp = rand_model(rng, word)
+    exp, z = _forward_backward(word, logp, 3)
+    probs, counts = [], {}
+    for segs in brute_segmentations(word, set(logp)):
+        p = math.exp(sum(logp[s] for s in segs))
+        probs.append(p)
+        for s in segs:
+            counts[s] = counts.get(s, 0.0) + p
+    assert math.isclose(math.exp(z), sum(probs), rel_tol=1e-9)
+    for s, c in counts.items():
+        assert math.isclose(exp[s], c / sum(probs), rel_tol=1e-9)
+    # coverage: sum over pieces of expected * len == len(word)
+    assert math.isclose(
+        sum(exp[s] * len(s) for s in exp), len(word), rel_tol=1e-9
+    )
+    segs, score = viterbi_segment(word, logp, 3)
+    assert "".join(segs) == word
+    best = max(
+        sum(logp[s] for s in ss)
+        for ss in brute_segmentations(word, set(logp))
+    )
+    assert math.isclose(score, best, rel_tol=1e-9)
