@@ -23,6 +23,7 @@ import datetime as dt
 import json
 import os
 import tempfile
+import threading
 import uuid
 
 from nexus_event_stream_spark.schemas import PRIORITY_SCORES
@@ -37,6 +38,11 @@ class SignalCommands:
         self.log_dir = log_dir
         self.author = author
         self._state: dict[str, dict] = {}  # id → last written entity fields
+        # serving_http drives this from a ThreadingHTTPServer: the seq
+        # increment + _state read-modify-write + append must be atomic or
+        # two writers can claim the same cmd-N and os.replace silently
+        # drops one command from the source-of-truth log
+        self._lock = threading.Lock()
         os.makedirs(log_dir, exist_ok=True)
         # Resume the sequence after existing log files — the log is the
         # source of truth, so a restarted writer must never overwrite it.
@@ -102,41 +108,45 @@ class SignalCommands:
             "created_at": now,
             "updated_at": now,
         }
-        self._state[id_] = fields
-        self._append({"action": "created", **fields})
+        with self._lock:
+            self._state[id_] = fields
+            self._append({"action": "created", **fields})
         return id_
 
     def get(self, id_: str) -> dict:
         """Current entity fields as the command side knows them (the
         post-write representation a REST create/update response body
         carries — views.py:17-20's serializer output analogue)."""
-        if id_ not in self._state:
-            raise KeyError(id_)
-        return dict(self._state[id_])
+        with self._lock:
+            if id_ not in self._state:
+                raise KeyError(id_)
+            return dict(self._state[id_])
 
     def update(self, id_: str, **changes) -> None:
         """PUT/PATCH /signals/{id} — full envelope republished with a fresh
         updated_at (auto_now, models.py:38)."""
-        if id_ not in self._state:
-            raise KeyError(id_)
-        fields = dict(self._state[id_])
-        if "priority" in changes:
-            if changes["priority"] not in PRIORITY_DISPLAY:
-                raise ValueError(
-                    f"priority must be one of {sorted(PRIORITY_DISPLAY)}"
-                )
-            changes["priority"] = PRIORITY_DISPLAY[changes["priority"]]
-        for k, v in changes.items():
-            if k not in fields or k in ("id", "created_at"):
-                raise ValueError(f"cannot update field {k!r}")
-            fields[k] = v
-        fields["updated_at"] = self._now()
-        self._state[id_] = fields
-        self._append({"action": "updated", **fields})
+        with self._lock:
+            if id_ not in self._state:
+                raise KeyError(id_)
+            fields = dict(self._state[id_])
+            if "priority" in changes:
+                if changes["priority"] not in PRIORITY_DISPLAY:
+                    raise ValueError(
+                        f"priority must be one of {sorted(PRIORITY_DISPLAY)}"
+                    )
+                changes["priority"] = PRIORITY_DISPLAY[changes["priority"]]
+            for k, v in changes.items():
+                if k not in fields or k in ("id", "created_at"):
+                    raise ValueError(f"cannot update field {k!r}")
+                fields[k] = v
+            fields["updated_at"] = self._now()
+            self._state[id_] = fields
+            self._append({"action": "updated", **fields})
 
     def delete(self, id_: str) -> None:
         """DELETE /signals/{id} — 2-key envelope (tests.py:134-139)."""
-        if id_ not in self._state:
-            raise KeyError(id_)
-        del self._state[id_]
-        self._append({"action": "deleted", "id": id_})
+        with self._lock:
+            if id_ not in self._state:
+                raise KeyError(id_)
+            del self._state[id_]
+            self._append({"action": "deleted", "id": id_})

@@ -30,6 +30,13 @@ _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 _MAX_CODE = 4095  # 12-bit LZW ceiling
 
+#: decompression-bomb caps: a frame's logical screen, and the TOTAL
+#: pixels emitted across all composited frames (each frame copies the
+#: full canvas, so a KB-sized GIF with a large screen and many tiny
+#: sub-rectangles would otherwise force gigabytes of output)
+_MAX_SCREEN_PIXELS = 16_000_000  # 48 MB RGB per frame
+_MAX_TOTAL_PIXELS = 64_000_000  # 192 MB RGB across the animation
+
 
 # ---------------------------------------------------------------------------
 # LZW
@@ -285,7 +292,7 @@ def decode_gif(payload: bytes) -> tuple[int, int, list[bytes], list[int]]:
     )
     if width == 0 or height == 0:
         raise ValueError("zero logical screen dimension")
-    if width * height > 64_000_000:
+    if width * height > _MAX_SCREEN_PIXELS:
         raise ValueError("logical screen too large")  # decompression-bomb cap
     pos = 13
     gct = None
@@ -384,6 +391,8 @@ def decode_gif(payload: bytes) -> tuple[int, int, list[bytes], list[int]]:
                     raise ValueError("pixel index beyond color table")
                 o = 3 * (crow + left + c)
                 canvas[o : o + 3] = table[3 * v : 3 * v + 3]
+        if (len(frames) + 1) * width * height > _MAX_TOTAL_PIXELS:
+            raise ValueError("decoded animation too large")
         frames.append(bytes(canvas))
         delays.append(gce_delay)
         # disposal AFTER the frame is rendered, preparing the next
@@ -413,19 +422,23 @@ def gif_meta(payload: bytes) -> dict:
     )
     pos = 13
     gct_size = 0
+    n = len(payload)
     if packed & 0x80:
         gct_size = 2 << (packed & 0x07)
+        if pos + 3 * gct_size > n:
+            raise ValueError("global color table truncated")
         pos += 3 * gct_size
     n_frames = 0
     loop = None
     total_delay = 0
-    n = len(payload)
     while pos < n:
         block = payload[pos]
         pos += 1
         if block == 0x3B:
             break
         if block == 0x21:
+            if pos >= n:
+                raise ValueError("extension truncated")
             label = payload[pos]
             pos += 1
             data, pos = _read_sub_blocks(payload, pos)
@@ -442,6 +455,8 @@ def gif_meta(payload: bytes) -> dict:
         pos += 9
         if ipacked & 0x80:
             pos += 3 * (2 << (ipacked & 0x07))
+        if pos >= n:
+            raise ValueError("image data truncated")
         pos += 1  # LZW min code size
         _, pos = _read_sub_blocks(payload, pos)
         n_frames += 1

@@ -114,7 +114,10 @@ def default_image_decoder(payload: bytes):
 
         try:
             w, h, frames, _delays = decode_gif(bytes(payload))
-        except ValueError:
+        except Exception:
+            # broad on purpose (same contract as the JPEG branch below):
+            # a crafted GIF can surface MemoryError-class failures and
+            # one corrupt payload must not kill a media micro-batch
             return None
         a = np.frombuffer(frames[0], dtype=np.uint8).reshape(h, w, 3)
         a = a.astype(np.float64)
@@ -592,7 +595,9 @@ def default_video_decoder(payload: bytes):
 
         try:
             w, h, frames, _delays = decode_gif(payload)
-        except ValueError:
+        except Exception:
+            # broad on purpose: tolerant-reader contract (see the still
+            # GIF branch in default_image_decoder)
             return None
         out = []
         for px in frames:

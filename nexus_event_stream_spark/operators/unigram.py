@@ -185,10 +185,20 @@ def _seed_pieces(
 
 
 def _m_step(expected: dict[str, float]) -> dict[str, float]:
+    # c > 0 alone is not enough: a subnormal count (≈5e-324) divided by
+    # the total underflows to exactly 0.0 and log() raises — such a
+    # piece is EM-dead, so it drops out like a zero-count piece (single
+    # chars never hit this: the 1e-9-of-total floor keeps their
+    # quotient finite)
     total = sum(expected.values())
-    return {
-        p: math.log(c / total) for p, c in expected.items() if c > 0.0
-    }
+    out: dict[str, float] = {}
+    for p, c in expected.items():
+        if c <= 0.0:
+            continue
+        q = c / total
+        if q > 0.0:
+            out[p] = math.log(q)
+    return out
 
 
 def _em_round(
@@ -290,16 +300,18 @@ def _collect_histogram(
     |distinct words| — the train_bpe contract (SCALE.md)."""
     hist = (
         word_histogram(docs, text_col)
-        .select(
-            F.array_join(F.slice("symbols", 1, 1_000_000), "").alias("w"),
-            "freq",
-        )
+        .select(F.array_join("symbols", "").alias("w"), "freq")
         .collect()
     )
     # strip the BPE end-of-word marker the shared histogram appends
+    # (suffix-checked so a pathological word can never lose real chars,
+    # matching train_unigram_distributed's substring path)
     from nexus_event_stream_spark.operators.bpe import EOW
 
-    out = [(r.w[: -len(EOW)], int(r.freq)) for r in hist]
+    out = [
+        (r.w[: -len(EOW)] if r.w.endswith(EOW) else r.w, int(r.freq))
+        for r in hist
+    ]
     return sorted(out)
 
 

@@ -85,6 +85,58 @@ def test_command_writer_restart_replays_log(tmp_path):
         c2.update(gone, title="zombie")
 
 
+def test_concurrent_writers_never_lose_commands(tmp_path):
+    """SignalCommands is driven by a ThreadingHTTPServer (serving_http):
+    concurrent writers must each land a distinct cmd-N file — pre-r14
+    the unlocked seq increment let two writers claim the same sequence
+    and os.replace silently dropped one command (r13 advice)."""
+    import os
+    import threading
+
+    log = str(tmp_path / "log")
+    cmds = SignalCommands(log, author="otavio")
+    n_threads, per_thread = 8, 25
+    barrier = threading.Barrier(n_threads)
+    errors: list[Exception] = []
+
+    def writer(k: int) -> None:
+        try:
+            barrier.wait()
+            for j in range(per_thread):
+                id_ = cmds.create(f"t{k}-{j}", "c", priority=1 + (j % 3))
+                if j % 5 == 0:
+                    cmds.update(id_, title=f"u{k}-{j}")
+                if j % 7 == 0:
+                    cmds.delete(id_)
+        except Exception as exc:  # surfaced below; threads must not die
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=writer, args=(k,)) for k in range(n_threads)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    want = n_threads * (per_thread + 5 + 4)  # creates + updates + deletes
+    files = [
+        f for f in os.listdir(log)
+        if f.startswith("cmd-") and f.endswith(".json")
+    ]
+    assert len(files) == want  # every command file exists, none clobbered
+    assert len(set(files)) == want
+    # the log replays cleanly into a fresh writer
+    c2 = SignalCommands(log, author="otavio")
+    n_live = sum(
+        1
+        for k in range(n_threads)
+        for j in range(per_thread)
+        if j % 7 != 0
+    )
+    assert len(c2._state) == n_live
+
+
 def test_command_validation(tmp_path):
     cmds = SignalCommands(str(tmp_path / "log"))
     with pytest.raises(ValueError):

@@ -207,6 +207,60 @@ def test_decompression_bomb_capped():
         decode_gif(bytes(bomb))
 
 
+def test_many_tiny_frames_bomb_capped():
+    """A KB-sized GIF whose logical screen passes the per-frame cap but
+    whose many 1x1 frames each force a full-canvas copy must stop at the
+    TOTAL-output cap instead of materialising gigabytes (r13 advice)."""
+    w = h = 4000  # 16M pixels: at the per-frame cap, 48 MB RGB canvas
+    bomb = bytearray(b"GIF87a")
+    bomb += struct.pack("<HHBBB", w, h, 0x80, 0, 0)
+    bomb += bytes(6)  # 2-entry GCT
+    # 1x1 frame: LZW mcs=2 → codes clear(4), 0, end(5) LSB-first
+    frame = (
+        b"\x2c" + struct.pack("<HHHHB", 0, 0, 1, 1, 0)
+        + b"\x02" + b"\x02\x44\x01" + b"\x00"
+    )
+    bomb += frame * 8
+    bomb += b"\x3b"
+    assert len(bomb) < 200  # the whole point: tiny input, huge output
+    with pytest.raises(ValueError, match="animation too large"):
+        decode_gif(bytes(bomb))
+
+
+def test_gif_meta_truncations_raise_valueerror_only():
+    """gif_meta at EVERY truncation point: ValueError or a valid dict,
+    never IndexError (r13 advice — the phash/scrub callers catch only
+    ValueError)."""
+    img = make_img(5, 16, 12)
+    g = encode_gif(
+        16, 12, [img.tobytes()] * 2, gray_palette(),
+        delays_cs=[3, 3], loop=2,
+    )
+    for cut in range(len(g)):
+        try:
+            gif_meta(g[:cut])
+        except ValueError:
+            pass
+
+
+def test_image_decoder_tolerates_nonvalueerror_gif_failures(monkeypatch):
+    """The tolerant-decoder contract is None-never-crash: a decode_gif
+    failure beyond ValueError (MemoryError-class) degrades to undecoded
+    instead of killing the micro-batch (r13 advice)."""
+    import nexus_event_stream_spark.functions.gif as gifmod
+    from nexus_event_stream_spark.operators.phash import (
+        default_video_decoder,
+    )
+
+    def boom(_payload):
+        raise MemoryError("allocation refused")
+
+    monkeypatch.setattr(gifmod, "decode_gif", boom)
+    payload = b"GIF89a" + bytes(32)
+    assert default_image_decoder(payload) is None
+    assert default_video_decoder(payload) is None
+
+
 def test_encode_validation():
     with pytest.raises(ValueError, match="power of two"):
         encode_gif(2, 2, [bytes(4)], bytes(9))

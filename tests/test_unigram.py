@@ -191,6 +191,49 @@ def test_distributed_trainer_matches_local(spark):
         assert viterbi_segment(w, dist)[0] == viterbi_segment(w, local)[0]
 
 
+def test_m_step_survives_subnormal_expected_counts():
+    """A piece whose expected count underflows to a subnormal (c > 0 but
+    c/total == 0.0) must drop out of the M-step instead of raising a
+    math domain error — hit by real corpora (r14, found by the WordPiece
+    wiring test's training run)."""
+    from nexus_event_stream_spark.operators.unigram import _m_step
+
+    out = _m_step({"a": 10.0, "dead": 5e-323, "b": 10.0})
+    assert set(out) == {"a", "b"}
+    assert math.isclose(out["a"], math.log(0.5), rel_tol=1e-12)
+    # and the full trainer runs on a corpus that used to trigger it
+    words: dict[str, int] = {}
+    for t in (
+        "the windowed aggregation runs fast",
+        "the fast scan aggregates the window",
+        "windowed scan runs",
+    ):
+        for w in t.split():
+            words[w] = words.get(w, 0) + 1
+    logp = train_unigram_local(
+        sorted(words.items()), vocab_size=30, max_piece_len=5
+    )
+    assert len(logp) >= 20
+
+
+def test_collect_histogram_preserves_long_words(spark):
+    """The driver-side histogram must not truncate pathological words:
+    pre-r14 a >1M-char word lost real trailing characters to the
+    unconditional EOW strip after a 1M slice (r13 advice). The strip is
+    now suffix-checked and sliceless."""
+    from nexus_event_stream_spark.operators.unigram import (
+        _collect_histogram,
+    )
+
+    long_word = "ab" * 500_001  # 1_000_002 chars > the old 1M slice
+    docs = spark.createDataFrame(
+        [(1, f"{long_word} tiny"), (2, "tiny")],
+        "doc_id long, text string",
+    )
+    hist = dict(_collect_histogram(docs, "text"))
+    assert hist == {long_word: 1, "tiny": 2}
+
+
 # ---------------------------------------------------------------------------
 # property tests (hypothesis): lattice invariants over generated models
 # ---------------------------------------------------------------------------
