@@ -569,6 +569,23 @@ def _stress_bench(
         ).save()
         return time.perf_counter() - t0
 
+    def run_unigram_encode() -> float:
+        # unigram-LM Viterbi encode with the catalog's golden piece
+        # table (r13 verdict #1: the tokenizer's throughput beside
+        # lm_ppl_25x) — one Arrow mapInPandas pass, zero shuffles
+        from nexus_event_stream_spark.operators.unigram import (
+            unigram_encode,
+        )
+        from nexus_event_stream_spark.plans.llm_catalog import (
+            _golden_unigram,
+        )
+
+        t0 = time.perf_counter()
+        unigram_encode(docs, _golden_unigram()).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.perf_counter() - t0
+
     def run_cdc_dedup() -> float:
         # content-defined-chunk dedup, Arrow convolution kernel (the
         # Catalyst HOF twin measures ~23× slower — interpreted lambdas;
@@ -845,6 +862,7 @@ def _stress_bench(
         ("semantic_dedup_25x", run_semantic_dedup, n_vecs),
         ("bm25_search_25x", run_bm25, n_docs),
         ("lm_ppl_25x", run_lm_ppl, n_docs),
+        ("unigram_encode_25x", run_unigram_encode, n_docs),
         ("cdc_dedup_25x", run_cdc_dedup, n_docs),
         ("exact_substr_25x", run_exact_substr, n_docs),
         ("repetition_25x", run_repetition, n_docs),
@@ -910,6 +928,16 @@ def _stress_bench(
     for _ in range(max(1, k)):
         for name, fn, _ in workloads:
             runs[name].append(_run_entry(name, fn))
+
+    # Per-stage decomposition of the loosest entry (phash_audio_dedup
+    # spread [7.33, 11.02] in r13 — verdict #3): fingerprint vs banded
+    # pairs vs CC vs keeper join, plus the CC round count, measured once
+    # under the same isolation protocol. This is DIAGNOSTIC telemetry
+    # for the sidecar (names the dominating/noisy stage), not a scored
+    # entry.
+    stage_breakdown = {
+        "phash_audio_dedup": _audio_stage_breakdown(spark, audio)
+    }
     index.unpersist()
     bm25_index.postings.unpersist()
     docs.unpersist()
@@ -922,7 +950,69 @@ def _stress_bench(
     shutil.rmtree(audio_dir, ignore_errors=True)
     shutil.rmtree(video_dir, ignore_errors=True)
     shutil.rmtree(warc_dir, ignore_errors=True)
-    return {name: (runs[name], n) for name, _, n in workloads}
+    return {name: (runs[name], n) for name, _, n in workloads}, stage_breakdown
+
+
+def _audio_stage_breakdown(spark, audio) -> dict:
+    """Stage times for the perceptual_audio_dedup composition (same
+    parameters as run_audio_dedup): decode+fingerprint, banded pair
+    generation, connected components (+ round count), keeper join."""
+    from pyspark.sql import functions as F
+
+    from nexus_event_stream_spark.operators.dedup import (
+        connected_components,
+    )
+    from nexus_event_stream_spark.operators.phash import (
+        perceptual_audio_hashes,
+        phash_pairs,
+    )
+
+    base = _pinned_ids(spark)
+    out: dict = {}
+    t0 = time.perf_counter()
+    hashes = perceptual_audio_hashes(audio).persist()
+    out["n_media"] = hashes.count()
+    out["fingerprint_s"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    pairs = phash_pairs(
+        hashes, max_hamming=3, max_bucket_size=200
+    ).persist()
+    out["n_pairs"] = pairs.count()
+    out["banded_pairs_s"] = round(time.perf_counter() - t0, 3)
+
+    rounds: list = []
+    t0 = time.perf_counter()
+    comp = connected_components(
+        pairs, a_col="id_a", b_col="id_b", rounds_out=rounds
+    )
+    out["n_labels"] = comp.count()
+    out["cc_s"] = round(time.perf_counter() - t0, 3)
+    out["cc_rounds"] = rounds[0] if rounds else None
+
+    t0 = time.perf_counter()
+    (
+        hashes.select("media_id", "decoded")
+        .join(
+            comp.select(
+                F.col("node").alias("media_id"),
+                F.col("comp").alias("keep_id"),
+            ),
+            "media_id",
+            "left",
+        )
+        .select(
+            "media_id",
+            F.coalesce(F.col("keep_id"), F.col("media_id")).alias("keep_id"),
+            "decoded",
+        )
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    out["keeper_join_s"] = round(time.perf_counter() - t0, 3)
+    _isolate_entry(spark, base)
+    return out
 
 
 def _media_seeds(ids_df, replicas: int):
@@ -1555,8 +1645,10 @@ def main() -> None:
     # SPARK_GRAFT_SKIP_STRESS=1 skips for fast loops.
     throughput: dict[str, int] = {}
     replay_info: dict = {}
+    stage_breakdown: dict = {}
     if not os.environ.get("SPARK_GRAFT_SKIP_STRESS"):
-        for name, (stress_runs, n_rows) in _stress_bench(spark, sf_dir).items():
+        stress_entries, stage_breakdown = _stress_bench(spark, sf_dir)
+        for name, (stress_runs, n_rows) in stress_entries.items():
             best = _extra(name, stress_runs)
             total += best
             throughput[name] = int(n_rows / best)
@@ -1593,6 +1685,7 @@ def main() -> None:
                     "throughput_rows_per_s": throughput,
                     "spread": spread,
                     "replay_stress": replay_info,
+                    "stage_breakdown": stage_breakdown,
                     "k": k_runs,
                     "sf": sf,
                 },

@@ -531,6 +531,7 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 20,
+    rounds_out: list | None = None,
 ) -> DataFrame:
     """Connected components of an undirected pair graph — the step that
     turns near-dup PAIRS (minhash_dedup / simhash_pairs /
@@ -590,7 +591,7 @@ def connected_components(
             F.min(F.least("src", "dst")).alias("comp")
         )
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # One propagation hop per materialization. (A fused two-hop round
         # was measured SLOWER: the un-checkpointed first hop's subtree
         # appears in both branches of the second hop — join input and
@@ -607,6 +608,10 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if new_sum == cur_sum:
+            if rounds_out is not None:
+                # seed hop + propagation hops run (the bench stage
+                # breakdown's CC-round telemetry — r13 verdict #3)
+                rounds_out.append(it + 2)
             edges.unpersist()
             return labels
         cur_sum = new_sum

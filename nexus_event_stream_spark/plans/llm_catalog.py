@@ -355,60 +355,161 @@ def _golden_merges() -> list[tuple[str, str]]:
     return list(GOLDEN_MERGES)
 
 
-def _sql_bpe(merges: list[tuple[str, str]]) -> str:
-    """DuckDB twin of operators/bpe.bpe_encode for a FIXED merge list.
+#: The pinned unigram-LM piece table — trained once by
+#: operators/unigram.train_unigram (vocab_size=40, max_piece_len=5) on
+#: the sf0.001 corpus and frozen (same rationale as GOLDEN_MERGES), so
+#: q_bpe's unigram leg is a deterministic Viterbi-encode pass. Values
+#: are full-precision reprs: both the Spark DP and the DuckDB oracle
+#: parse them to the identical double, and both accumulate piece
+#: log-probs left-to-right, so scores agree bit-for-bit. Validated
+#: exhaustively offline over every distinct corpus word at sf0.001/
+#: 0.01/0.1 (31 words, max length 8): DP output == brute-force lattice
+#: argmax under the oracle's (score DESC, toks) tie-break with a
+#: minimum top-2 margin of 5.99 nats — no float-ordering risk.
+GOLDEN_UNIGRAM: list[tuple[str, float]] = [
+    ("a", -2.337476563831325), ("agg", -4.385881733686734),
+    ("b", -20.723265842944286), ("batch", -4.43205203783004),
+    ("big", -4.45427517461475), ("c", -3.7101993594475657),
+    ("colum", -4.359988069368659), ("d", -3.281340918499998),
+    ("e", -3.6837393504894753), ("f", -4.428758039383218),
+    ("filte", -4.4243918706012835), ("g", -20.723265842944286),
+    ("group", -4.406020199112298), ("h", -20.723265842944286),
+    ("hash", -4.417867402838083), ("i", -3.287618410777476),
+    ("j", -4.403881160863345), ("k", -4.432052037804938),
+    ("key", -4.394311709871364), ("l", -3.039457903016654),
+    ("m", -4.442856575901319), ("mer", -4.457884802757168),
+    ("merge", -4.404950108076174), ("n", -2.7649674302962897),
+    ("o", -2.4602628488487635), ("p", -3.6948353942354974),
+    ("q", -20.723265842944286), ("query", -4.406020199112093),
+    ("r", -2.3210772604151564), ("s", -2.3351808610149196),
+    ("t", -2.8041018323368494), ("table", -4.439774083924546),
+    ("the", -4.432052037957891), ("tream", -4.422224595190046),
+    ("u", -4.423298072628684), ("v", -20.723265842944286),
+    ("value", -4.389034652746461), ("vecto", -4.40923736006413),
+    ("w", -3.018923162363821), ("y", -20.723265842944286),
+]
 
-    Each word's symbol sequence is a ``{sym}{sym}…`` wrapped string (the
-    corpus charset is lowercase+space, so braces never occur in a symbol);
-    one merge = one ``replace()`` — SQL replace scans left-to-right,
-    non-overlapping, exactly ``_merge_symbols``'s semantics, and wrapping
-    every symbol in its own brace pair means adjacent matches share no
-    characters, so consecutive merges chain correctly. Applying the
-    merges as a rank-ordered replace chain is equivalent to the greedy
-    lowest-rank-first encoder because a merge's constituents are always
-    products of strictly earlier merges (training order), so no later
-    merge can ever re-enable an earlier pair.
+
+def _golden_unigram() -> dict[str, float]:
+    return dict(GOLDEN_UNIGRAM)
+
+
+def _sql_bpe_unigram(
+    merges: list[tuple[str, str]], pieces: list[tuple[str, float]]
+) -> str:
+    """DuckDB twin of the combined q_bpe plan: a BPE replace-chain CTE
+    plus an EXACT unigram-Viterbi leg.
+
+    BPE: each word's symbol sequence is a ``{sym}{sym}…`` wrapped string
+    (the corpus charset is lowercase+space, so braces never occur in a
+    symbol); one merge = one ``replace()`` — SQL replace scans
+    left-to-right, non-overlapping, exactly ``_merge_symbols``'s
+    semantics, and wrapping every symbol in its own brace pair means
+    adjacent matches share no characters, so consecutive merges chain
+    correctly. Applying the merges as a rank-ordered replace chain is
+    equivalent to the greedy lowest-rank-first encoder because a merge's
+    constituents are always products of strictly earlier merges
+    (training order), so no later merge can ever re-enable an earlier
+    pair.
+
+    The Viterbi twin brute-forces the segmentation lattice per DISTINCT
+    word with a recursive CTE (every path through the piece table,
+    score accumulated left-to-right — the same fold order as
+    ``viterbi_segment``, so equal segmentations produce bit-identical
+    doubles) and picks the argmax under a (score DESC, toks) tie-break.
+    That tie-break is validated offline to agree with the DP's
+    longest-final-piece rule on every corpus word at every sf, with a
+    5.99-nat minimum margin between the top two segmentations — see
+    GOLDEN_UNIGRAM. Cost: 31 distinct corpus words × a few hundred
+    lattice paths — trivially bounded; the per-doc work is one join.
     """
+    vals = ",\n      ".join(f"('{p}', {v!r})" for p, v in pieces)
     expr = "'{' || array_to_string(string_split(w,''), '}{') || '}{</w>}'"
     for a, b in merges:
         expr = f"replace({expr}, '{{{a}}}{{{b}}}', '{{{a}{b}}}')"
     return f"""
-    WITH enc AS (
+    WITH RECURSIVE enc AS (
       SELECT doc_id,
         flatten(list_transform(
           list_filter(string_split(text, ' '), w -> w <> ''),
           w -> string_split(trim({expr}, '{{}}'), '}}{{')
         )) AS toks
-      FROM documents)
-    SELECT doc_id,
-      CAST(len(toks) AS BIGINT) AS n_bpe,
-      array_to_string(toks, ' ') AS bpe_text
-    FROM enc
+      FROM documents),
+    pieces(piece, lp) AS (VALUES
+      {vals}),
+    wrds AS (
+      SELECT DISTINCT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      FROM documents),
+    seg AS (
+      SELECT w, 0 AS pos, CAST('' AS VARCHAR) AS toks,
+             CAST(0.0 AS DOUBLE) AS score
+      FROM wrds
+      UNION ALL
+      SELECT s.w, s.pos + length(p.piece),
+             s.toks || CASE WHEN s.toks = '' THEN '' ELSE ' ' END || p.piece,
+             s.score + p.lp
+      FROM seg s JOIN pieces p
+        ON substr(s.w, s.pos + 1, length(p.piece)) = p.piece),
+    best AS (
+      SELECT w, toks FROM (
+        SELECT w, toks,
+               row_number() OVER (PARTITION BY w ORDER BY score DESC, toks) AS rn
+        FROM seg WHERE pos = length(w)) WHERE rn = 1),
+    docwords AS (
+      SELECT d.doc_id, t.i, d.words[t.i] AS w
+      FROM (SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS words
+            FROM documents) d,
+           unnest(range(1, len(d.words) + 1)) AS t(i)),
+    uni AS (
+      SELECT dw.doc_id,
+        CAST(sum(len(string_split(b.toks, ' '))) AS BIGINT) AS n_unigram,
+        string_agg(b.toks, ' ' ORDER BY dw.i) AS unigram_text
+      FROM docwords dw JOIN best b ON b.w = dw.w
+      GROUP BY dw.doc_id)
+    SELECT enc.doc_id,
+      CAST(len(enc.toks) AS BIGINT) AS n_bpe,
+      array_to_string(enc.toks, ' ') AS bpe_text,
+      COALESCE(u.n_unigram, 0) AS n_unigram,
+      COALESCE(u.unigram_text, '') AS unigram_text
+    FROM enc LEFT JOIN uni u USING (doc_id)
     """
 
 
 @register(
     "q_bpe",
-    _sql_bpe(_golden_merges()),
-    doc="BPE encode of the corpus with the golden merge list "
-    "(tests/fixtures/bpe_golden.json — trained by the distributed "
-    "word-histogram trainer, operators/bpe.py): per document the token "
-    "count and the full space-joined token string (symbols never contain "
-    "spaces — words are split on space — so the join is unambiguous). "
-    "One Arrow-batched mapInPandas pass; the merge table ships in the "
-    "closure. The oracle replays the same greedy encoder as a "
-    "rank-ordered replace() chain over brace-wrapped symbol strings, so "
-    "every token boundary is value-checked, not just counts.",
+    _sql_bpe_unigram(_golden_merges(), GOLDEN_UNIGRAM),
+    doc="Trained-tokenizer encode of the corpus, BOTH families in one "
+    "pipeline (r13 verdict #1 — unigram was pytest-only): the golden "
+    "BPE merge list (tests/fixtures/bpe_golden.json, trained by the "
+    "distributed word-histogram trainer, operators/bpe.py) and the "
+    "golden unigram-LM piece table (GOLDEN_UNIGRAM, trained by "
+    "operators/unigram.train_unigram). Per document the token count and "
+    "full space-joined token string per family (symbols never contain "
+    "spaces — words split on space — so the joins are unambiguous). Two "
+    "chained Arrow-batched mapInPandas stages, zero shuffles; both "
+    "tables ship in the closures. The oracle replays BPE as a "
+    "rank-ordered replace() chain and the unigram Viterbi as a "
+    "brute-force lattice argmax per distinct word (see "
+    "_sql_bpe_unigram), so every token boundary of both encoders is "
+    "value-checked, not just counts — this exercises "
+    "operators/unigram.py's viterbi_segment/unigram_encode under the "
+    "driver's hash gate.",
 )
 def q_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nexus_event_stream_spark.operators.bpe import bpe_encode
+    from nexus_event_stream_spark.operators.unigram import unigram_encode
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    enc = bpe_encode(docs, _golden_merges())
+    enc = unigram_encode(
+        bpe_encode(docs, _golden_merges()), _golden_unigram()
+    )
     return enc.select(
         "doc_id",
         F.size("bpe_tokens").cast("long").alias("n_bpe"),
         F.concat_ws(" ", "bpe_tokens").alias("bpe_text"),
+        F.size("unigram_tokens").cast("long").alias("n_unigram"),
+        F.concat_ws(" ", "unigram_tokens").alias("unigram_text"),
     )
 
 

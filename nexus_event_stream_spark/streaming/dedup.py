@@ -754,6 +754,8 @@ def update_cluster_labels_bucketed(
     run_token: str | None = None,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
+    mode: str = "auto",
+    rewrite_frac: float = 0.6,
 ) -> None:
     """The at-scale shape of cluster-label maintenance: per-epoch WRITE
     cost is O(affected components), not O(all labels).
@@ -773,6 +775,20 @@ def update_cluster_labels_bucketed(
        not read or written. A mega-merge epoch rewrites exactly the
        components it merges — unavoidable, their values changed.
 
+    ``mode`` picks the rewrite strategy per epoch, the same
+    touched-bucket-fraction dispatch ``apply_batch_bucketed`` uses (r13
+    verdict #4 — the label store previously left the choice to the
+    caller despite the measured replay800k crossover):
+
+    - ``"bucketed"``: always rewrite only the touched buckets.
+    - ``"full"``: relabel the whole store and rewrite every bucket
+      (collapses the manifest to one version — compaction-style).
+    - ``"auto"`` (default): bucketed below ``rewrite_frac`` of the
+      buckets touched, full at or above it. The fraction comes from the
+      touched-bucket collect the bucketed path pays anyway; a
+      no-component-changed epoch never escalates (nothing to rewrite —
+      the epoch marker alone commits).
+
     Same (run_token, epoch) replay guard as the other foreachBatch
     bodies; label-equivalence to full recompute pinned in
     tests/test_streaming_dedup.py alongside an untouched-bucket pin.
@@ -783,6 +799,8 @@ def update_cluster_labels_bucketed(
     )
     from nexus_event_stream_spark.streaming.projection import _bucket_expr
 
+    if mode not in ("auto", "bucketed", "full"):
+        raise ValueError(f"mode must be auto|bucketed|full, got {mode!r}")
     cur = store.current()
     if store.guard.is_replay(cur, epoch, run_token):
         return  # already applied within this run
@@ -855,8 +873,20 @@ def update_cluster_labels_bucketed(
     # touched can be empty (every delta edge lands inside an existing
     # component): still commit the epoch marker so the replay guard
     # engages — same contract as SignatureStore.append on an
-    # all-suppressed batch
-    slice_ = store.read(spark, buckets=touched) if touched else None
+    # all-suppressed batch. A non-empty dense epoch takes the full side
+    # of the measured crossover: partial rewrite would re-read and
+    # re-write ~every bucket anyway, plus per-bucket slice overhead.
+    if touched and (
+        mode == "full"
+        or (mode == "auto" and len(touched) >= rewrite_frac * store.n_buckets)
+    ):
+        touched = list(range(store.n_buckets))
+    full_rewrite = len(touched) == store.n_buckets
+    slice_ = (
+        store.read(spark, buckets=None if full_rewrite else touched)
+        if touched
+        else None
+    )
     if slice_ is None:
         updated = new_rows
     else:

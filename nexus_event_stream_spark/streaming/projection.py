@@ -350,6 +350,27 @@ class BucketedViewStore:
 
     # -- write --------------------------------------------------------------
 
+    def _write_partitioned(
+        self, df: DataFrame, out: str, n_parts: int
+    ) -> None:
+        """Bucket-tag ``df`` and write it dynamic-partitioned by bucket,
+        ALIGNED so ~one task owns each bucket. Without the repartition a
+        dense epoch (every input partition holding rows of most buckets)
+        writes up to tasks × buckets small files — the measured 17×
+        replay800k dense-bucketed-vs-full gap was almost entirely this
+        file fan-out, not merge work. One small hash shuffle buys
+        one-file-per-bucket output, which is also what a 100 TB reader
+        wants (a bucket scan = one file listing, no small-file storm)."""
+        tagged = df.withColumn(
+            "__bucket", _bucket_expr(self.n_buckets, self.key_col)
+        )
+        (
+            tagged.repartition(n_parts, "__bucket")
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(out)
+        )
+
     def write_buckets(
         self,
         df: DataFrame,
@@ -367,11 +388,8 @@ class BucketedViewStore:
         cur = self.current()
         version = (cur["version"] + 1) if cur else 0
         out = os.path.join(self.path, f"v={version}")
-        (
-            df.withColumn("__bucket", _bucket_expr(self.n_buckets, self.key_col))
-            .write.mode("overwrite")
-            .partitionBy("__bucket")
-            .parquet(out)
+        self._write_partitioned(
+            df, out, min(self.n_buckets, max(1, len(touched)))
         )
         manifest = dict(cur["manifest"]) if cur else {}
         written = {
@@ -427,11 +445,8 @@ class BucketedViewStore:
         cur = self.current()
         version = (cur["version"] + 1) if cur else 0
         out = os.path.join(self.path, f"v={version}")
-        (
-            df.withColumn("__bucket", _bucket_expr(self.n_buckets, self.key_col))
-            .write.mode("overwrite")
-            .partitionBy("__bucket")
-            .parquet(out)
+        self._write_partitioned(
+            df, out, min(self.n_buckets, max(1, len(touched)))
         )
         manifest = dict(cur["manifest"]) if cur else {}
         written = {

@@ -194,11 +194,12 @@ def test_binary_meta_two_python_stages_no_key_shuffle(spark, sf_dir):
     assert "hashpartitioning" not in plan
 
 
-def test_bpe_single_python_stage_no_shuffle(spark, sf_dir):
+def test_bpe_two_python_stages_no_shuffle(spark, sf_dir):
     plan = physical_plan(CATALOG["q_bpe"].build(spark, sf_dir))
-    # encode is ONE Arrow-batched stage over the corpus scan; the merge
-    # table rides in the closure, so no join and no exchange anywhere
-    assert plan.count(") MapInPandas") == 1
+    # BPE encode + unigram Viterbi encode are two CHAINED Arrow-batched
+    # stages over one corpus scan; both token tables ride in closures,
+    # so no join and no exchange anywhere
+    assert plan.count(") MapInPandas") == 2
     assert "Exchange" not in plan
 
 

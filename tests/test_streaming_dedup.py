@@ -787,3 +787,73 @@ def test_tombstone_queue_cap_triggers_full_sweep_on_append(spark, store_dir):
     cur = store.current()
     assert cur["tombstones"] == []
     assert stored_doc_ids(spark, store) == {9}
+
+
+def test_update_cluster_labels_bucketed_auto_dispatch(spark, tmp_path):
+    """r13 verdict #4: the label store picks bucketed-vs-full rewrite by
+    the touched-bucket fraction itself (same dispatch as
+    apply_batch_bucketed), instead of leaving it to the caller. Two
+    stores replay identical epochs — ``auto`` vs forced ``bucketed`` —
+    and must end with IDENTICAL labels (equal to a full recompute); the
+    dispatch pin is the manifest shape: the dense epoch collapses auto's
+    manifest to the head version (full rewrite) while the forced
+    bucketed store still carries older versions for untouched buckets."""
+    from nexus_event_stream_spark.operators.dedup import connected_components
+    from nexus_event_stream_spark.streaming.dedup import (
+        bucketed_label_store,
+        update_cluster_labels_bucketed,
+    )
+    from nexus_event_stream_spark.streaming.projection import _bucket_expr
+
+    def pairs_df(rows):
+        return spark.createDataFrame(rows, "doc_a long, doc_b long")
+
+    install = [(i, i + 10_000) for i in range(64)]  # 64 comps, min-id=i
+    auto = bucketed_label_store(str(tmp_path / "auto"), n_buckets=8)
+    forced = bucketed_label_store(str(tmp_path / "forced"), n_buckets=8)
+    update_cluster_labels_bucketed(spark, auto, pairs_df(install), 0, "r")
+    update_cluster_labels_bucketed(spark, forced, pairs_df(install), 0, "r")
+
+    # comp → bucket, computed with the store's own hash; pick one comp
+    # from each of 6 of the 8 buckets and chain-merge them — touched
+    # fraction ≥ 5/8 > rewrite_frac=0.6 ⇒ auto escalates; 2+ buckets
+    # stay cold for the forced-bucketed contrast
+    bmap = {
+        r["comp"]: r["b"]
+        for r in auto.read(spark)
+        .select("comp")
+        .distinct()
+        .select("comp", _bucket_expr(8, "comp").alias("b"))
+        .collect()
+    }
+    assert len(set(bmap.values())) == 8  # install covers every bucket
+    by_bucket: dict[int, int] = {}
+    for comp, b in sorted(bmap.items()):
+        by_bucket.setdefault(b, comp)
+    chain = [by_bucket[b] for b in sorted(by_bucket)[:6]]
+    dense = list(zip(chain, chain[1:]))
+    update_cluster_labels_bucketed(spark, auto, pairs_df(dense), 1, "r")
+    update_cluster_labels_bucketed(
+        spark, forced, pairs_df(dense), 1, "r", mode="bucketed"
+    )
+
+    want = {
+        r["node"]: r["comp"]
+        for r in connected_components(pairs_df(install + dense)).collect()
+    }
+    got_auto = {r["node"]: r["comp"] for r in auto.read(spark).collect()}
+    got_forced = {r["node"]: r["comp"] for r in forced.read(spark).collect()}
+    assert got_auto == want and got_forced == want
+
+    # dispatch pin: auto's dense epoch rewrote EVERY bucket (manifest
+    # collapsed to the head version); forced-bucketed left the cold
+    # buckets at their install version
+    a_head, a_manifest = auto.current()["version"], auto.current()["manifest"]
+    assert set(a_manifest.values()) == {a_head}
+    f_head = forced.current()["version"]
+    assert any(v < f_head for v in forced.current()["manifest"].values())
+
+    with pytest.raises(ValueError, match="auto|bucketed|full"):
+        update_cluster_labels_bucketed(
+            spark, auto, pairs_df([(1, 2)]), 2, "r", mode="nope"
+        )
