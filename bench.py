@@ -569,6 +569,31 @@ def _stress_bench(
         ).save()
         return time.perf_counter() - t0
 
+    # KN word-bigram perplexity over 25× docs: the DISTRIBUTED-state
+    # sibling of the char-LM (operators/knlm.py — model state is
+    # DataFrames, no driver vocab bound). Trains once on the base table
+    # outside the clock like lm_model; the model tables are UNPERSISTED
+    # after training and re-pinned only for this entry (per-entry
+    # isolation — every other entry's clock must not see their
+    # block-manager residency). Timed pass: explode → 3 broadcast
+    # joins → per-doc aggregation.
+    from nexus_event_stream_spark.operators.knlm import (
+        kn_perplexity,
+        train_kn_bigram,
+    )
+
+    kn_model = train_kn_bigram(
+        load_table(spark, sf_dir, "documents"), min_count=2
+    )
+    kn_model.unpersist()
+
+    def run_kn_ppl() -> float:
+        t0 = time.perf_counter()
+        kn_perplexity(docs, kn_model).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.perf_counter() - t0
+
     def run_unigram_encode() -> float:
         # unigram-LM Viterbi encode with the catalog's golden piece
         # table (r13 verdict #1: the tokenizer's throughput beside
@@ -862,6 +887,7 @@ def _stress_bench(
         ("semantic_dedup_25x", run_semantic_dedup, n_vecs),
         ("bm25_search_25x", run_bm25, n_docs),
         ("lm_ppl_25x", run_lm_ppl, n_docs),
+        ("kn_ppl_25x", run_kn_ppl, n_docs),
         ("unigram_encode_25x", run_unigram_encode, n_docs),
         ("cdc_dedup_25x", run_cdc_dedup, n_docs),
         ("exact_substr_25x", run_exact_substr, n_docs),
@@ -891,6 +917,12 @@ def _stress_bench(
     # media corpora) are parquet snapshots, so a transition
     # re-materialization is a bounded parquet scan.
     entry_pinned: dict[str, tuple] = {
+        "kn_ppl_25x": (
+            docs,
+            kn_model.bigrams,
+            kn_model.contexts,
+            kn_model.continuations,
+        ),
         "ivf_pq_search_25x": (emb25, index),
         "semantic_dedup_25x": (emb25,),
         "bm25_search_25x": (bm25_index.postings,),

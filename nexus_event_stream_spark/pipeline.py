@@ -212,6 +212,14 @@ class CorpusRecipe:
     rare_gram_max: float = 0.95
     cms_gram_n: int = 3
     cms_min_count: int = 2
+    #: KN word-bigram perplexity gate (r14, operators/knlm.py — the
+    #: CCNet WORD-model cut beside the char-LM gate; its model state is
+    #: DataFrames, so a web-scale vocabulary never has to fit the
+    #: driver). Scoring is explode → broadcast joins → per-doc agg —
+    #: the one opt-in gate that aggregates rather than riding the scan,
+    #: priced accordingly in SCALE.md.
+    kn_model: "KNBigramModel | None" = None
+    kn_ppl_max: float = 1_000.0
     #: per-language routing (r11): ``{lang: train_char_lm(...)}`` — one
     #: char-LM per language, trained on a trusted slice of that
     #: language. When set, a ``language_id`` stage (operators/lm.py,
@@ -432,6 +440,15 @@ def prepare_training_corpus(
             id_col=id_col, text_col=text_col,
         )
         stages["lm_perplexity"] = cur
+
+    if recipe.kn_model is not None:
+        from nexus_event_stream_spark.operators.knlm import kn_gate
+
+        cur = kn_gate(
+            cur, recipe.kn_model, max_ppl=recipe.kn_ppl_max,
+            id_col=id_col, text_col=text_col,
+        )
+        stages["kn_perplexity"] = cur
 
     if recipe.cms_model is not None:
         from nexus_event_stream_spark.operators.cms import rare_gram_frac

@@ -35,6 +35,8 @@ DESCRIPTIONS = {
     "cdc_dedup_25x": "Arrow convolution CDC chunker → md5 first-occurrence (docs/s)",
     "exact_substr_25x": "winnowing anchors → candidate verify → interval union; fully-mirrored degenerate corpus (docs/s)",
     "lm_ppl_25x": "char-LM train + perplexity score (docs/s)",
+    "kn_ppl_25x": "KN word-bigram perplexity: explode → 3 broadcast joins → per-doc agg (docs/s)",
+    "unigram_encode_25x": "unigram-LM Viterbi encode, golden piece table (docs/s)",
     "repetition_25x": "Gopher repetition suite, Arrow kernel (docs/s)",
     "bloom_ref_dedup_25x": "Bloom reference-corpus paragraph suppression (docs/s)",
     "stream_substr_suppress": "streaming ExactSubstr suppressor micro-batches (docs/s)",
@@ -50,7 +52,7 @@ DESCRIPTIONS = {
     "phash_video_dedup": "video fingerprint → frame-0 banding → aligned-max verify → CC; 2×-fps twins (videos/s)",
     "replay800k_sparse_bucketed": "800 k-key store, 32-row batches, bucketed rewrite (rows/s upserted)",
     "replay800k_sparse_full": "800 k-key store, 32-row batches, full rewrite (rows/s upserted)",
-    "replay800k_dense_bucketed": "800 k-key store, 50 k-row batches, bucketed rewrite (rows/s upserted)",
+    "replay800k_dense_bucketed": "800 k-key store, 50 k-row batches, bucketed store (auto-dispatch escalates dense to full; bucket-aligned write) (rows/s upserted)",
     "replay800k_dense_full": "800 k-key store, 50 k-row batches, full rewrite (rows/s upserted)",
 }
 
