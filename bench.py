@@ -903,6 +903,11 @@ def _stress_bench(
         ("warc_corpus_e2e", run_warc_corpus, n_warc_docs),
         ("corpus_pipeline_25x", run_pipeline, n_docs),
     ]
+    # Optimization-loop hook (tools/r14_stress_one.py): run only a subset
+    # of entries. None (the default, and the driver's path) = run all.
+    only = globals().get("_STRESS_ONLY", None)
+    if only:
+        workloads = [w for w in workloads if w[0] in only]
     runs: dict[str, list[float]] = {name: [] for name, _, _ in workloads}
     # Per-ENTRY pinned setup (r13, closes the r12 ivf_pq_search_25x weak
     # flag): each entry's clock runs with exactly ITS OWN long-lived
@@ -967,9 +972,11 @@ def _stress_bench(
     # under the same isolation protocol. This is DIAGNOSTIC telemetry
     # for the sidecar (names the dominating/noisy stage), not a scored
     # entry.
-    stage_breakdown = {
-        "phash_audio_dedup": _audio_stage_breakdown(spark, audio)
-    }
+    stage_breakdown = {}
+    if not only or "phash_audio_dedup" in only:
+        stage_breakdown = {
+            "phash_audio_dedup": _audio_stage_breakdown(spark, audio)
+        }
     index.unpersist()
     bm25_index.postings.unpersist()
     docs.unpersist()

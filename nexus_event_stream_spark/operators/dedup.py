@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from nexus_event_stream_spark.functions.text import (
     HASH_MOD,
+    HASH_MULT,
     ngrams_from_tokens,
     portable_string_hash,
 )
@@ -210,34 +211,292 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     seed: int = 42,
+    engine: str = "arrow",
 ) -> DataFrame:
     """MinHash signature per document: sig[i] = min over shingles of
     (a_i·h(shingle)+b_i) mod p, h = portable polynomial hash.
 
-    Pure narrow map (transform/aggregate HOFs) — no shuffle, no UDF.
     Empty shingle sets get sig[i] = p (sentinel > any hash) so they never
-    collide with real signatures. Single pass over the shingle set with an
+    collide with real signatures. Output: doc_id, __shingles, sig.
+
+    Two result-identical engines (pinned bit-equal on edge strings and
+    the test corpora in tests/test_dedup_similarity.py):
+
+    - ``"arrow"`` (default): one vectorized numpy kernel per Arrow batch
+      (mapInPandas) — zero shuffle, and only (id, text) crosses the
+      Python boundary. The guide-§4.2 shape: Catalyst higher-order
+      functions evaluate INTERPRETED (no whole-stage codegen inside a
+      lambda), so the per-char hash fold × per-shingle × 16-permutation
+      min chain was the dominant cost of every MinHash consumer
+      (measured ~8.5 s of dedup_chain_25x's 12.8 s at 125 k docs); the
+      numpy kernel computes identical integer arithmetic ~an order of
+      magnitude faster.
+    - ``"catalyst"``: the pure-expression formulation (no Python worker
+      anywhere) — the form the DuckDB value oracle mirrors term for
+      term, kept as the executable spec the Arrow kernel is verified
+      against.
+    """
+    if engine == "arrow":
+        return _minhash_signatures_arrow(
+            docs, num_perm, shingle_n, id_col, text_col, seed
+        )
+    if engine != "catalyst":
+        raise ValueError(f"engine must be arrow|catalyst, got {engine!r}")
+    return _minhash_signatures_catalyst(
+        docs, num_perm, shingle_n, id_col, text_col, seed
+    )
+
+
+def _minhash_signatures_arrow(
+    docs: DataFrame,
+    num_perm: int,
+    shingle_n: int,
+    id_col: str,
+    text_col: str,
+    seed: int,
+) -> DataFrame:
+    """Vectorized twin of ``_minhash_signatures_catalyst`` — identical
+    values (exact int64 arithmetic, every intermediate < 2^63), one
+    numpy pass per Arrow batch.
+
+    Exact-equivalence notes, each pinned by tests:
+    - tokenization replicates ``split(text, ' ')``: consecutive spaces
+      yield empty tokens, ``''`` yields one empty token, NULL yields no
+      tokens (empty shingle set, sentinel signature);
+    - characters are Unicode code points (UTF-32 view), matching Java's
+      code-point-aware ``split(s, '')`` + ``ascii(ch)``;
+    - shingle hashes compose per-token polynomial state
+      (H(a‖b) = (H(a)·131^len(b) + H(b)) mod p) — congruent to the
+      per-shingle char fold, so values are bit-identical;
+    - ``__shingles`` keeps first-occurrence order like array_distinct.
+    """
+    coeffs = minhash_coeffs(num_perm, seed)
+    a_list = [a for a, _ in coeffs]
+    b_list = [b for _, b in coeffs]
+    mod, mult, n = HASH_MOD, HASH_MULT, shingle_n
+
+    def kernel(it):
+        import numpy as np
+        import pandas as pd
+
+        a = np.array(a_list, dtype=np.int64).reshape(-1, 1)
+        b = np.array(b_list, dtype=np.int64).reshape(-1, 1)
+        empty_sig = np.full(num_perm, mod, dtype=np.int64)
+        empty_sh = np.empty(0, dtype=np.int64)
+        # 131^k mod p table, grown on demand (task-lifetime cache)
+        pow_tab = np.ones(1, dtype=np.int64)
+
+        def powers(upto: int):
+            nonlocal pow_tab
+            if upto >= pow_tab.size:
+                old = pow_tab.size
+                grown = np.empty(upto + 1, dtype=np.int64)
+                grown[:old] = pow_tab
+                for k in range(old, upto + 1):
+                    grown[k] = (grown[k - 1] * mult) % mod
+                pow_tab = grown
+            return pow_tab
+
+        for pdf in it:
+            texts = pdf["__text"]
+            ndocs = len(texts)
+            bufs = [
+                t.encode("utf-32-le") if isinstance(t, str) else b""
+                for t in texts
+            ]
+            is_null = np.fromiter(
+                (not isinstance(t, str) for t in texts), bool, ndocs
+            )
+            doc_len = np.fromiter(
+                (len(bf) >> 2 for bf in bufs), np.int64, ndocs
+            )
+            flat = np.frombuffer(b"".join(bufs), dtype="<u4").astype(
+                np.int64
+            )
+            doc_off = np.zeros(ndocs + 1, dtype=np.int64)
+            np.cumsum(doc_len, out=doc_off[1:])
+            space_pos = np.nonzero(flat == 32)[0]
+            # spaces per doc → token counts (0 for NULL text, else 1+spaces)
+            sp_per_doc = np.diff(np.searchsorted(space_pos, doc_off))
+            n_tok = np.where(is_null, 0, 1 + sp_per_doc)
+            # token boundaries: each non-null doc contributes its start
+            # and end; each space splits. Both arrays are globally sorted
+            # because docs are contiguous and within-doc boundaries are
+            # ordered.
+            live = ~is_null
+            tok_starts = np.sort(
+                np.concatenate([doc_off[:-1][live], space_pos + 1]),
+                kind="stable",
+            )
+            tok_ends = np.sort(
+                np.concatenate([space_pos, doc_off[1:][live]]),
+                kind="stable",
+            )
+            tok_lens = tok_ends - tok_starts
+            n_tokens = tok_lens.size
+            tok_doc = np.repeat(np.arange(ndocs), n_tok)
+            # per-token polynomial hash, grouped by length so every
+            # Horner step is one vectorized op over equal-length tokens
+            h = np.zeros(n_tokens, dtype=np.int64)
+            if n_tokens:
+                order = np.argsort(tok_lens, kind="stable")
+                sl = tok_lens[order]
+                grp_bounds = np.concatenate(
+                    [[0], np.nonzero(np.diff(sl))[0] + 1, [n_tokens]]
+                )
+                for g in range(grp_bounds.size - 1):
+                    i0, i1 = grp_bounds[g], grp_bounds[g + 1]
+                    ln = int(sl[i0])
+                    if ln == 0:
+                        continue
+                    grp = order[i0:i1]
+                    chars = flat[
+                        tok_starts[grp][:, None] + np.arange(ln)[None, :]
+                    ]
+                    acc = np.zeros(i1 - i0, dtype=np.int64)
+                    for c in range(ln):
+                        acc = (acc * mult + chars[:, c]) % mod
+                    h[grp] = acc
+            ptab = powers(int(tok_lens.max()) if n_tokens else 0)
+            p = ptab[tok_lens]
+            # shingle hashes over token windows [i, i+n): valid iff the
+            # window stays inside one document
+            if n_tokens >= n:
+                m = n_tokens - n + 1
+                acc = h[:m].copy()
+                for j in range(1, n):
+                    acc = (
+                        ((acc * mult + 32) % mod) * p[j : m + j]
+                        + h[j : m + j]
+                    ) % mod
+                valid = tok_doc[:m] == tok_doc[n - 1 :]
+                sh_flat = acc[valid]
+                sh_doc = tok_doc[:m][valid]
+            else:
+                sh_flat = np.empty(0, dtype=np.int64)
+                sh_doc = np.empty(0, dtype=np.int64)
+            sh_counts = np.bincount(sh_doc, minlength=ndocs).astype(
+                np.int64
+            )
+            sh_off = np.zeros(ndocs + 1, dtype=np.int64)
+            np.cumsum(sh_counts, out=sh_off[1:])
+            out_sh, out_sig = [], []
+            for d in range(ndocs):
+                s = sh_flat[sh_off[d] : sh_off[d + 1]]
+                if s.size == 0:
+                    out_sh.append(empty_sh)
+                    out_sig.append(empty_sig)
+                    continue
+                uniq, first = np.unique(s, return_index=True)
+                u = uniq[np.argsort(first, kind="stable")]
+                out_sh.append(u)
+                out_sig.append(((a * u[None, :] + b) % mod).min(axis=1))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "__shingles": out_sh,
+                    "sig": out_sig,
+                }
+            )
+
+    return (
+        spread(docs)
+        .select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(text_col).alias("__text"),
+        )
+        .mapInPandas(
+            kernel, "doc_id long, __shingles array<bigint>, sig array<bigint>"
+        )
+    )
+
+
+def _minhash_signatures_catalyst(
+    docs: DataFrame,
+    num_perm: int,
+    shingle_n: int,
+    id_col: str,
+    text_col: str,
+    seed: int,
+) -> DataFrame:
+    """Pure-Catalyst MinHash signatures (no Python stage anywhere) — the
+    executable spec of the portable-hash pipeline and the form the
+    DuckDB oracle mirrors. Single pass over the shingle set with an
     array-of-mins accumulator: each shingle hash is visited once and
     updates all ``num_perm`` slots via zip_with/least (min is commutative
     — exactly the per-permutation minima, same values the SQL oracle
-    computes with per-permutation list_min). Output: id, n_shingles, sig.
+    computes with per-permutation list_min).
     """
     coeffs = minhash_coeffs(num_perm, seed)
-    # Staged projections: tokens → shingles → hashed shingle set. Each
-    # stage lands in a bound column so no HOF lambda recomputes upstream
-    # work per element (split per n-gram / char-hash per permutation).
+    # Staged projections: tokens → per-token hash state → hashed shingle
+    # set. Each stage lands in a bound column so no HOF lambda recomputes
+    # upstream work per element (split per n-gram / char-hash per
+    # permutation).
+    #
+    # r14 (guide §1.2 "per-task work"): shingle hashes are COMPOSED from
+    # per-token polynomial-hash state instead of char-folding every
+    # shingle string. The old shape built each n-gram string (concat_ws)
+    # and re-folded its characters — every character of the text was
+    # hashed ~n times (once per overlapping shingle) through an
+    # interpreted HOF lambda, and that fold dominated dedup_chain_25x
+    # (~7.4 s of 12.8 s measured in isolation). Polynomial hashes
+    # compose: H(a‖b) = (H(a)·131^len(b) + H(b)) mod p, so one char fold
+    # per TOKEN producing (h, p=131^len mod M) lets each shingle hash
+    # fall out of 2(n−1) integer ops. Modular congruence makes the
+    # result BIT-IDENTICAL to the per-shingle fold (all intermediates
+    # < 2^62 — no overflow), so the SQL oracle and every downstream
+    # consumer see unchanged values; the empty token ('' from repeated
+    # separators — split('','') is [''] and ascii('')=0) keeps h=0 from
+    # the fold but needs p forced to 131^0 = 1.
+    big = lambda v: F.lit(v).cast("bigint")  # noqa: E731
+
+    def token_hp(w: Column) -> Column:
+        folded = F.aggregate(
+            F.split(w, ""),
+            F.struct(big(0).alias("h"), big(1).alias("p")),
+            lambda acc, ch: F.struct(
+                (
+                    (acc["h"] * F.lit(HASH_MULT) + F.ascii(ch).cast("bigint"))
+                    % F.lit(HASH_MOD)
+                ).alias("h"),
+                ((acc["p"] * F.lit(HASH_MULT)) % F.lit(HASH_MOD)).alias("p"),
+            ),
+        )
+        return F.struct(
+            folded["h"].alias("h"),
+            F.when(F.length(w) == 0, big(1)).otherwise(folded["p"]).alias("p"),
+        )
+
     tok = spread(docs).select(
         F.col(id_col).alias("doc_id"),
         F.split(F.col(text_col), " ").alias("__toks"),
     )
-    sh = tok.select(
+    th = tok.select(
         "doc_id",
-        F.array_distinct(ngrams_from_tokens(F.col("__toks"), shingle_n)).alias("__sh"),
+        F.transform(F.col("__toks"), token_hp).alias("__th"),
     )
-    hashed = sh.select(
+
+    def shingle_hash(i: Column) -> Column:
+        # H(w_i ‖ ' ' ‖ w_{i+1} ‖ … ‖ w_{i+n-1}), composed left-to-right
+        # exactly like the char fold (space = codepoint 32)
+        h = F.element_at(F.col("__th"), i)["h"]
+        for j in range(1, shingle_n):
+            e = F.element_at(F.col("__th"), i + F.lit(j))
+            h = (
+                ((h * F.lit(HASH_MULT) + F.lit(32)) % F.lit(HASH_MOD))
+                * e["p"]
+                + e["h"]
+            ) % F.lit(HASH_MOD)
+        return h
+
+    count = F.greatest(F.size("__th") - F.lit(shingle_n - 1), F.lit(0))
+    idx = F.sequence(F.lit(1), count)
+    hashed = th.select(
         "doc_id",
         F.array_distinct(
-            F.transform(F.col("__sh"), lambda s: portable_string_hash(s))
+            F.when(count > 0, F.transform(idx, shingle_hash)).otherwise(
+                F.array().cast("array<bigint>")
+            )
         ).alias("__shingles"),  # hashed shingle set (verify + sig input)
     )
     a_arr = F.array(*[F.lit(a) for a, _ in coeffs])
@@ -556,16 +815,31 @@ def connected_components(
 
     Output: (node, component) with component = min node id reachable.
     """
-    edges = pairs.select(
-        F.col(a_col).cast("long").alias("src"),
-        F.col(b_col).cast("long").alias("dst"),
-    )
     # Both directions; duplicates are harmless (min is idempotent), so no
-    # distinct — one shuffle saved.
+    # distinct — one shuffle saved. Emitted by ONE explode per pair row
+    # rather than union(pairs, swap(pairs)) (r14, guide §2.4): the union
+    # form embeds the whole upstream pair pipeline TWICE in the seed
+    # action's plan, and since the two branches are separate subtrees
+    # they race-compute the (possibly expensive, Python-stage-bearing)
+    # pair derivation concurrently on a cold cache — measured up to
+    # ~4× run-to-run swing on the composed q_dedup_groups shape. The
+    # explode evaluates the pair source exactly once per partition.
     edges = (
-        edges.union(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        pairs.select(
+            F.col(a_col).cast("long").alias("src"),
+            F.col(b_col).cast("long").alias("dst"),
         )
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src"), F.col("dst")),
+                    F.struct(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    ),
+                )
+            ).alias("__e")
+        )
+        .select("__e.src", "__e.dst")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # Seed with the FIRST hop for free: comp₀(v) = min(v, min neighbor) is

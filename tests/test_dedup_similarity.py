@@ -66,6 +66,46 @@ def test_minhash_identical_docs_identical_sigs(docs):
     assert sigs[1] != sigs[4]
 
 
+def test_minhash_arrow_matches_catalyst(spark, docs):
+    """The r14 vectorized signature kernel must be BIT-identical to the
+    pure-Catalyst formulation (the form the DuckDB oracle mirrors) —
+    shingle hash sets AND signatures, across the tokenization edge cases
+    (empty text, NULL, consecutive spaces → empty tokens, sub-shingle
+    docs, astral-plane code points, CJK) and non-default parameters."""
+    edge = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over it", "s1"),
+            (2, "", "s1"),
+            (3, None, "s1"),
+            (4, "a  b  c d e", "s1"),
+            (5, "x y", "s1"),
+            (6, "x y z", "s1"),
+            (7, "astral \U0001D11E clef \U0001F600 emoji here ok", "s1"),
+            (8, "中文 words mixed ünicode é́ combining", "s1"),
+            (9, " leading and trailing ", "s1"),
+            (10, "a b c a b c a b c", "s1"),
+        ],
+        DOC_SCHEMA,
+    )
+    for df in (docs, edge):
+        for kw in (
+            {},
+            {"num_perm": 8, "shingle_n": 2},
+            {"num_perm": 32, "shingle_n": 5, "seed": 7},
+        ):
+            a = {
+                r["doc_id"]: (list(r["__shingles"]), list(r["sig"]))
+                for r in minhash_signatures(df, engine="arrow", **kw).collect()
+            }
+            c = {
+                r["doc_id"]: (list(r["__shingles"]), list(r["sig"]))
+                for r in minhash_signatures(
+                    df, engine="catalyst", **kw
+                ).collect()
+            }
+            assert a == c, f"engine divergence for {kw}"
+
+
 def test_minhash_dedup_recovers_dup_pairs(docs):
     got = {
         (r["doc_a"], r["doc_b"]): r["jaccard"]
