@@ -1,9 +1,14 @@
 """Deduplication operators for large-scale training-data pipelines.
 
 North-star extension (BASELINE.json): exact dedup, n-gram Jaccard,
-MinHash+LSH, SimHash, and embedding-cosine near-dup — all expressed as
-compositions of built-in DataFrame ops (no UDFs), so Catalyst sees every
-predicate and the whole pipeline stays in whole-stage codegen.
+MinHash+LSH, SimHash, and embedding-cosine near-dup — joins, windows and
+predicates are compositions of built-in DataFrame ops so Catalyst sees
+every predicate; the one deliberate Python stage is the MinHash
+signature kernel (r14), a vectorized Arrow batch kernel that replaced an
+interpreted higher-order-function hash fold (HOF lambdas never enter
+whole-stage codegen — the guide-§4.2 tradeoff, measured ~2× end-to-end
+on the signature stage with bit-identical output; the pure-Catalyst
+formulation remains as ``engine="catalyst"``).
 
 Scale design:
 - exact dedup: one hash-shuffle on the text digest — the minimum possible.
