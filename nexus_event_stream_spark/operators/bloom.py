@@ -54,6 +54,7 @@ surface, same tier as operators/partitioning.py.
 
 from __future__ import annotations
 
+import functools
 import math
 from dataclasses import dataclass
 
@@ -74,6 +75,29 @@ MAX_EXPR_WORDS = 1 << 20
 
 # masks[i] = 1 << i as a signed 64-bit literal (bit 63 is the sign bit).
 _MASKS = [1 << i if i < 63 else -(1 << 63) for i in range(64)]
+
+
+@functools.lru_cache(maxsize=64)
+def int64_array_literal(values: tuple[int, ...]) -> Column:
+    """One ``array<bigint>`` literal Column from a tuple of ints, built
+    with a SINGLE py4j call and memoized per value tuple.
+
+    ``F.lit(list)`` builds the expression one element at a time — one
+    py4j round trip per element — so a W-word filter literal cost
+    ~W × 0.5 ms of single-threaded DRIVER time per composition: the
+    bloom_ref_dedup_25x bench entry measured 8.5–10 s of which ~9 s was
+    ``F.lit(list(words))`` alone (execution was 0.7 s), and the cost is
+    driver-side, so it also nullified core scaling (the r14 verdict's
+    unexplained 4–8× driver-vs-isolated gap — isolated measurements had
+    composed the plan outside the clock). The ndarray form crosses the
+    bridge as one array (compose ~50× faster at 15k words) and
+    additionally evaluates ~3× faster per row (a folded ``Literal``
+    rather than a 15k-child ``CreateArray``); the memo makes repeat
+    compositions of the same frozen filter/sketch free. Values are
+    identical either way (int64 in, array<bigint> out)."""
+    import numpy as np
+
+    return F.lit(np.asarray(values, dtype=np.int64))
 
 
 def _blocked_fpr(m_bits: int, k: int, n_keys: int) -> float:
@@ -136,7 +160,7 @@ def _word_index(key: Column, n_words: int) -> Column:
 def _word_mask(key: Column, k: int) -> Column:
     """OR of k single-bit masks; bit i's index is the i-th 6-bit slice of
     the second hash (unsigned shift → non-negative → &63 is in [0, 64))."""
-    masks = F.lit(_MASKS)
+    masks = int64_array_literal(tuple(_MASKS))
     h2 = F.xxhash64(key, F.lit(_SEED2))
     mask: Column | None = None
     for i in range(k):
@@ -197,7 +221,7 @@ def bloom_might_contain(bf: BloomFilter, key: Column | str) -> Column:
             "use bloom_prune_join for large filters"
         )
     key = F.col(key) if isinstance(key, str) else key
-    arr = F.lit(list(bf.words))
+    arr = int64_array_literal(bf.words)
     idx = (_word_index(key, bf.n_words) + F.lit(1)).cast("int")
     word = F.element_at(arr, idx)
     mask = _word_mask(key, bf.k)

@@ -159,9 +159,16 @@ def cms_estimate(sk: CMSketch, key: Column | str) -> Column:
     NULL keys estimate NULL. Composable inside HOF lambdas (the
     ``rare_gram_frac`` path scores a whole gram array map-side)."""
     key = F.col(key) if isinstance(key, str) else key
+    # one memoized single-py4j-call literal per row (operators/bloom.py
+    # int64_array_literal — the bloom_ref_dedup lesson: F.lit(list) costs
+    # one driver round trip per ELEMENT per composition, and evaluates as
+    # a per-row CreateArray instead of a folded Literal)
+    from nexus_event_stream_spark.operators.bloom import int64_array_literal
+
     ests = [
         F.element_at(
-            F.lit(list(sk.rows[r])), (_cell(key, r, sk.w) + 1).cast("int")
+            int64_array_literal(tuple(sk.rows[r])),
+            (_cell(key, r, sk.w) + 1).cast("int"),
         )
         for r in range(sk.d)
     ]
