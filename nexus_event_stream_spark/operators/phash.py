@@ -288,6 +288,19 @@ def phash_band_keys(
     )
 
 
+def _phash_band_matches(a: Column, b: Column, bands: int) -> list[Column]:
+    """matches[j] for 64-bit fingerprints: the band-j bit slices are
+    equal ⟺ the band-j bucket keys built by phash_band_keys are equal
+    (same unsigned-shift + mask extraction)."""
+    width = 64 // bands
+    mask = F.lit(-1) if bands == 1 else F.lit((1 << width) - 1)
+    return [
+        F.shiftrightunsigned(a, j * width).bitwiseAND(mask)
+        == F.shiftrightunsigned(b, j * width).bitwiseAND(mask)
+        for j in range(bands)
+    ]
+
+
 def phash_pairs(
     hashes: DataFrame,
     max_hamming: int = 3,
@@ -301,7 +314,17 @@ def phash_pairs(
     100% recall at the threshold when ``bands ≥ max_hamming+1``, the
     default). ``max_bucket_size`` is the hot-bucket star cap shared
     with minhash_lsh_candidates (flat-color images are the image
-    corpus's boilerplate bucket)."""
+    corpus's boilerplate bucket).
+
+    Candidate dedup stays the explicit ``distinct`` (bucket_candidates):
+    the r15 first-match-in-verify alternative (dedup as a verify-join
+    filter, no pair-multiset exchange) was implemented and MEASURED here
+    too — even with this operator's 8-byte payload it ran ~30% slower at
+    bench scale (the capped path's per-doc hot/hub mask regroup + a third
+    evaluation of the bucket-size window subtree cost more than the saved
+    distinct of narrow pair rows). The machinery stays in
+    operators/dedup.py, equivalence-pinned, as the documented
+    alternative for shapes where the distinct dominates."""
     from pyspark import StorageLevel
 
     from .dedup import bucket_candidates
@@ -736,7 +759,11 @@ def video_phash_pairs(
     0's bands must agree — banding the other frames would only surface
     pairs the full-signature verify rejects anyway. One band shuffle of
     ``bands`` short keys per video; the verify is ``zip_with`` +
-    ``bit_count`` over ``n_samples`` int64s per candidate pair."""
+    ``bit_count`` over ``n_samples`` int64s per candidate pair.
+
+    Candidate dedup stays the explicit ``distinct`` — see phash_pairs'
+    docstring for the measured rejection of the first-match-in-verify
+    alternative."""
     from pyspark import StorageLevel
 
     from .dedup import bucket_candidates
