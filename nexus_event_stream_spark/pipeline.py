@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 
 from nexus_event_stream_spark.functions.text import token_count
 from nexus_event_stream_spark.operators.dedup import (
-    dedup_groups,
+    connected_components,
     exact_dedup_annotate,
     minhash_dedup,
 )
@@ -509,16 +509,55 @@ def prepare_training_corpus(
             cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
         stages["exact_dedup"] = cur
 
+    # §2.6 overlap (r15): the benchmark-side decontamination setup (gram
+    # explode + distinct + the broadcast-cap guard's persist + count in
+    # decontaminate()) is independent of every corpus-side stage, yet it
+    # used to run strictly AFTER the near-dedup connected-components
+    # rounds because the driver called them in that order. Submitting the
+    # gram materialization from a driver thread lets its small jobs
+    # back-fill executors while the CC rounds' tails run. Failures are
+    # swallowed here on purpose: decontaminate()'s own guard re-runs the
+    # persist + count (a cache hit when the prefetch succeeded) and is
+    # the one that raises with the documented message.
+    bench_grams = None
+    grams_prefetch = None
+    if recipe.benchmark is not None:
+        bench_grams = benchmark_ngrams(
+            recipe.benchmark, n=recipe.decontaminate_n, text_col=text_col
+        )
+        if recipe.near_dedup:
+            from pyspark import InheritableThread, StorageLevel
+
+            def _warm_grams(df: DataFrame = bench_grams) -> None:
+                try:
+                    df.persist(StorageLevel.MEMORY_AND_DISK)
+                    df.count()
+                except Exception:
+                    pass
+
+            grams_prefetch = InheritableThread(target=_warm_grams)
+            grams_prefetch.start()
+
     if recipe.near_dedup:
         pairs = minhash_dedup(
             cur, id_col=id_col, text_col=text_col, **recipe.minhash_params
         )
-        groups = dedup_groups(cur, pairs, id_col=id_col)
-        cur = (
-            cur.join(groups, id_col)
-            .filter(F.col(id_col) == F.col("keep_id"))
-            .drop("keep_id")
+        # Keep set = corpus minus NON-KEEPERS (r15). The old formulation
+        # built dedup_groups' full (doc_id, keep_id) mapping — one row
+        # per corpus doc — and joined it back, so the join's small side
+        # was corpus-sized (a full id shuffle of the corpus once the
+        # mapping outgrows the broadcast threshold). The pipeline never
+        # reads the mapping (it is provenance — dedup_groups still
+        # serves callers that do); dropping exactly the docs that are a
+        # non-min member of some near-dup component is the same row set,
+        # and the anti-join's small side is bounded by the docs that
+        # appear in a verified pair — usually orders of magnitude below
+        # the corpus, broadcastable far longer (guide §3.1/§2.4).
+        comp = connected_components(pairs)
+        non_keepers = comp.filter(F.col("node") != F.col("comp")).select(
+            F.col("node").alias(id_col)
         )
+        cur = cur.join(non_keepers, id_col, "left_anti")
         if recipe.persist_deduped:
             from pyspark import StorageLevel
 
@@ -548,9 +587,9 @@ def prepare_training_corpus(
         stages["semantic_dedup"] = cur
 
     if recipe.benchmark is not None:
-        grams = benchmark_ngrams(
-            recipe.benchmark, n=recipe.decontaminate_n, text_col=text_col
-        )
+        if grams_prefetch is not None:
+            grams_prefetch.join()
+        grams = bench_grams
         overlap = decontaminate(
             cur, grams, n=recipe.decontaminate_n, text_col=text_col, id_col=id_col
         )
