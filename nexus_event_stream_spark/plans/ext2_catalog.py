@@ -171,77 +171,133 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_behavioral(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-
-    def lab(analysis: str, k, n) -> list:
-        return [
-            F.lit(analysis).alias("analysis"),
-            (F.lit(k) if isinstance(k, str) else k).alias("k"),
-            n.alias("n"),
-        ]
-
-    # -- funnel ------------------------------------------------------------
-    def stage(etype: str, prev: DataFrame | None, prev_ts: str, out: str):
-        e = ev.filter(F.col("event_type") == etype)
-        if prev is not None:
-            e = e.join(prev, "user_id").filter(F.col("ts") > F.col(prev_ts))
-        return e.groupBy("user_id").agg(F.min("ts").alias(out))
-
-    s = stage("signup", None, "", "s_ts")
-    c = stage("click", s, "s_ts", "c_ts")
-    p = stage("purchase", c, "c_ts", "p_ts")
-    n = F.count(F.lit(1))
-    funnel = (
-        s.agg(*lab("funnel", "signup", n))
-        .unionByName(c.agg(*lab("funnel", "click_after", n)))
-        .unionByName(p.agg(*lab("funnel", "purchase_after", n)))
-    )
-
-    # -- retention ---------------------------------------------------------
-    first_seen = ev.groupBy("user_id").agg(
-        F.min(F.to_date("ts")).alias("cohort_day")
-    )
+    # ONE user_id exchange for the whole suite (r15, guide §2.4). The old
+    # formulation shuffled events by user_id FIVE times (three funnel
+    # stage aggregates, the first-seen cohort aggregate, the first-touch
+    # window) plus five joins and two countDistinct expansions — 15
+    # Exchange nodes for a breadth query. Every per-user quantity the
+    # three analyses need is computable from windows over the SAME
+    # user_id partitioning, chained so they share one exchange + sort:
+    #   s_ts  = min ts of the user's signups,
+    #   c_ts  = min ts of clicks after s_ts (references the s_ts window
+    #           column — same partition spec, no new exchange),
+    #   p_ts  = min ts of purchases after c_ts,
+    #   cohort_day / day-offset set (collect_set is bounded: offsets are
+    #           confined to 0..7, so the per-user array holds ≤8 ints —
+    #           no giant-user skew hazard),
+    #   n_purch, and first_touch via row_number over (ts, event_id).
+    # One row per user survives (rn = 1); the three analyses then reduce
+    # per-user rows with plain counts — the countDistinct expansions
+    # disappear because users are already unique. Values are pinned
+    # identical to the old join formulation by the DuckDB oracle (the
+    # SQL twin above is unchanged).
+    w = Window.partitionBy("user_id")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.col("event_type")
     off = F.datediff(F.to_date("ts"), F.col("cohort_day"))
+    base = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("s_ts", F.min(F.when(t == "signup", F.col("ts"))).over(w))
+        .withColumn(
+            "c_ts",
+            F.min(
+                F.when(
+                    (t == "click") & (F.col("ts") > F.col("s_ts")), F.col("ts")
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "p_ts",
+            F.min(
+                F.when(
+                    (t == "purchase") & (F.col("ts") > F.col("c_ts")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn("cohort_day", F.min(F.to_date("ts")).over(w))
+        .withColumn(
+            "offs",
+            F.collect_set(F.when(off.between(0, 7), off)).over(w),
+        )
+        .withColumn(
+            "n_purch",
+            F.sum(F.when(t == "purchase", 1).otherwise(0)).over(w),
+        )
+        .withColumn("rn", F.row_number().over(wo))
+    )
+    per_user = base.filter(F.col("rn") == 1).select(
+        "user_id",
+        "s_ts",
+        "c_ts",
+        "p_ts",
+        "cohort_day",
+        "offs",
+        F.col("n_purch").cast("long").alias("n_purch"),
+        F.col("event_type").alias("first_touch"),
+    )
+
+    def unpivot(agg_df, pairs) -> DataFrame:
+        legs = F.array(
+            *[
+                F.struct(
+                    a.alias("analysis"), k.alias("k"), n.alias("n")
+                )
+                for a, k, n in pairs
+            ]
+        )
+        return agg_df.select(F.explode(legs).alias("r")).select(
+            "r.analysis", "r.k", "r.n"
+        )
+
+    # -- funnel: one global aggregate over per-user rows → 3 rows --------
+    funnel = unpivot(
+        per_user.agg(
+            F.count("s_ts").alias("ns"),
+            F.count("c_ts").alias("nc"),
+            F.count("p_ts").alias("np"),
+        ),
+        [
+            (F.lit("funnel"), F.lit("signup"), F.col("ns")),
+            (F.lit("funnel"), F.lit("click_after"), F.col("nc")),
+            (F.lit("funnel"), F.lit("purchase_after"), F.col("np")),
+        ],
+    )
+
+    # -- retention: per-user distinct day offsets → plain count ----------
     retention = (
-        ev.join(first_seen, "user_id")
-        .withColumn("day_offset", off)
-        .filter(F.col("day_offset").between(0, 7))
+        per_user.select(
+            "cohort_day", F.explode("offs").alias("day_offset")
+        )
         .groupBy("cohort_day", "day_offset")
-        .agg(F.countDistinct("user_id").alias("n_active"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
         .select(
-            *lab(
-                "retention",
-                F.concat_ws(
-                    "+",
-                    F.date_format("cohort_day", "yyyy-MM-dd"),
-                    F.col("day_offset").cast("string"),
-                ),
-                F.col("n_active"),
-            )
+            F.lit("retention").alias("analysis"),
+            F.concat_ws(
+                "+",
+                F.date_format("cohort_day", "yyyy-MM-dd"),
+                F.col("day_offset").cast("string"),
+            ).alias("k"),
+            F.col("n_active").alias("n"),
         )
     )
 
-    # -- first-touch attribution --------------------------------------------
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ft = (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", F.col("event_type").alias("first_touch"))
-    )
-    fta = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(ft, "user_id")
+    # -- first-touch attribution: buyers are unique per-user rows --------
+    first_touch = unpivot(
+        per_user.filter(F.col("n_purch") > 0)
         .groupBy("first_touch")
         .agg(
-            F.count(F.lit(1)).alias("n_purchases"),
-            F.countDistinct("user_id").alias("n_buyers"),
-        )
-    )
-    first_touch = fta.select(
-        *lab("first_touch", F.col("first_touch"), F.col("n_purchases"))
-    ).unionByName(
-        fta.select(
-            *lab("first_touch_buyers", F.col("first_touch"), F.col("n_buyers"))
-        )
+            F.sum("n_purch").alias("n_purchases"),
+            F.count(F.lit(1)).alias("n_buyers"),
+        ),
+        [
+            (F.lit("first_touch"), F.col("first_touch"), F.col("n_purchases")),
+            (
+                F.lit("first_touch_buyers"),
+                F.col("first_touch"),
+                F.col("n_buyers"),
+            ),
+        ],
     )
 
     return funnel.unionByName(retention).unionByName(first_touch)
