@@ -1713,6 +1713,30 @@ def main() -> None:
     # stdout line past the capture window (BENCH_r06.json recorded
     # parsed:null exactly because the runs arrays overflowed it).
     detail_path = os.path.join(root, "BENCH_DETAIL.json")
+    # Static measurement notes (r15, VERDICT r14 items 3/5): per-entry
+    # caveats the spread numbers alone don't explain. Sidecar-only —
+    # the driver-facing stdout line is unchanged.
+    notes = {
+        "lm_ppl_25x": (
+            "noise floor: a single embarrassingly-parallel Python scan "
+            "whose wall time tracks instantaneous host CPU availability; "
+            "measured 3.0-20.2 s across 4 isolated byte-identical runs "
+            "under hypervisor steal (r15). Cross-round deltas inside "
+            "that band are not code regressions; the 8-vs-32-core ratio "
+            "is similarly steal-sensitive (a 32-worker Python fleet "
+            "loses more to a burst than an 8-worker one)."
+        ),
+        "bloom_ref_dedup_25x": (
+            "through r14 this entry was ~90% driver-side plan "
+            "composition (F.lit(list) built the 15k-word filter literal "
+            "one py4j call per element, ~9 s single-threaded per "
+            "composition — also why the entry showed no core scaling); "
+            "fixed in r15 by operators/bloom.py int64_array_literal. "
+            "The r14 builder-vs-driver 4-8x gap was exactly this: "
+            "isolated measurements had composed the plan outside the "
+            "clock."
+        ),
+    }
     try:
         with open(detail_path, "w") as fh:
             json.dump(
@@ -1725,6 +1749,7 @@ def main() -> None:
                     "spread": spread,
                     "replay_stress": replay_info,
                     "stage_breakdown": stage_breakdown,
+                    "notes": notes,
                     "k": k_runs,
                     "sf": sf,
                 },

@@ -120,7 +120,7 @@ def probe_pipeline(spark, sf_dir):
         print(f"  [run {run}] TOTAL {time.perf_counter() - total0:.2f}s")
         stages["near_dedup"].unpersist()
         stages["exact_dedup"].unpersist()
-        bench._isolate_entry(spark, base)
+        bench._isolate_entry(spark, base, (docs,))
 
     # inner decomposition of the eager part: minhash pairs vs CC
     base = bench._pinned_ids(spark)
@@ -128,7 +128,7 @@ def probe_pipeline(spark, sf_dir):
         lambda p: (p.persist(), p.count(), p)[2]
     )(minhash_dedup(docs, threshold=0.05, max_bucket_size=200)))
     t("dedup_groups (CC) on materialized pairs", lambda: dedup_groups(docs, pairs).count())
-    bench._isolate_entry(spark, base)
+    bench._isolate_entry(spark, base, (docs,))
 
 
 def probe_warc(spark, sf_dir):
@@ -243,7 +243,7 @@ def probe_lm(spark, sf_dir):
         base = bench._pinned_ids(spark)
         t(f"[run {run}] lm_ppl 25x noop", lambda: perplexity_score(
             docs, lm_model).write.format("noop").mode("overwrite").save())
-        bench._isolate_entry(spark, base)
+        bench._isolate_entry(spark, base, (docs,))
 
 
 def probe_bloom(spark, sf_dir):
@@ -265,7 +265,7 @@ def probe_bloom(spark, sf_dir):
         base = bench._pinned_ids(spark)
         t(f"[run {run}] bloom_ref_dedup 25x noop", lambda: bloom_dedup_paragraphs(
             docs, ref).write.format("noop").mode("overwrite").save())
-        bench._isolate_entry(spark, base)
+        bench._isolate_entry(spark, base, (docs,))
 
 
 def main() -> int:
