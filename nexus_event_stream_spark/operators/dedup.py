@@ -1065,6 +1065,33 @@ def connected_components(
             F.min(F.least("src", "dst")).alias("comp")
         )
     )
+    # Clique fast path (r15): near-dup graphs are overwhelmingly unions
+    # of diameter-≤1 components (mirror clusters), for which the SEED
+    # labeling is already the fixpoint — but sum-based convergence can
+    # only see that by computing one full CONFIRM round (join + union +
+    # groupBy + checkpoint). Min-label propagation is at its fixpoint
+    # iff no directed edge can lower a label — with the symmetric edge
+    # list, iff labels agree across every edge — which one edge-scan
+    # with two label lookups checks directly, no shuffle, no checkpoint.
+    # Run it once after the seed: when it passes (the common case) the
+    # confirm round is skipped outright; when it fails, proceed exactly
+    # as before (the sum comparison stays the per-round detector — for
+    # deeper graphs a per-round edge check would cost more than the sum
+    # it replaces). The labeling is unchanged either way: stability
+    # across edges IS the fixpoint condition the sum comparison detects.
+    la = labels.select(F.col("node").alias("__sn"), F.col("comp").alias("__sc"))
+    lb = labels.select(F.col("node").alias("__dn"), F.col("comp").alias("__dc"))
+    seed_converged = (
+        edges.join(la, edges.src == la.__sn)
+        .join(lb, edges.dst == lb.__dn)
+        .filter(F.col("__sc") != F.col("__dc"))
+        .isEmpty()  # take(1)-style probe: aborts on the first violation
+    )
+    if seed_converged:
+        if rounds_out is not None:
+            rounds_out.append(1)  # seed hop only; edge check confirmed
+        edges.unpersist()
+        return labels
     for it in range(max_iter):
         # One propagation hop per materialization. (A fused two-hop round
         # was measured SLOWER: the un-checkpointed first hop's subtree

@@ -211,7 +211,9 @@ def test_connected_components_one_action_per_round_and_cached_labels(
     refactor that sneaks in a second action (e.g. a separate
     localCheckpoint job or a change-count) doubles the per-round cost at
     100 TB. Counted at the DataFrame-API level so AQE's per-stage jobs
-    can't skew the number."""
+    can't skew the number. (r15: one extra isEmpty edge-consistency
+    probe runs after the seed — the clique fast path below — it is
+    JVM-side and take(1)-bounded, deliberately NOT a per-round cost.)"""
     from nexus_event_stream_spark.operators.dedup import connected_components
 
     # a 4-node chain: diameter forces exactly 3 propagation rounds
@@ -248,6 +250,22 @@ def test_connected_components_one_action_per_round_and_cached_labels(
     assert "ExistingRDD" in physical_plan(labels)
     got = {r["node"]: r["comp"] for r in labels.collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+    # r15 clique fast path: a diameter-1 graph is already labeled by the
+    # seed; the edge-consistency probe detects it and the confirm round
+    # (join + union + groupBy + checkpoint) is skipped — ONE label
+    # materialization total instead of two.
+    for meth in counts:
+        counts[meth] = 0
+    clique = spark.createDataFrame(
+        [(10, 11), (10, 12), (11, 12), (20, 21)], "doc_a long, doc_b long"
+    )
+    rounds: list = []
+    labels2 = connected_components(clique, rounds_out=rounds)
+    got2 = {r["node"]: r["comp"] for r in labels2.collect()}
+    assert got2 == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    assert rounds == [1]
+    assert counts["first"] == 1 and counts["count"] == 0
 
 
 def test_ivf_pq_plan_broadcasts_and_prunes(spark, sf_dir):
