@@ -17,6 +17,13 @@ from nexus_event_stream_spark.operators.classifier import (
 )
 from nexus_event_stream_spark.operators.quality import quality_signals
 
+#: r15 two-tier suite (VERDICT r14 #6): this module is a multi-second
+#: store/protocol INTEGRATION suite — the dominant cost of the ~93-min
+#: full run that outgrew the driver's verification window. Skipped by
+#: default (SPARK_GRAFT_FULL_TESTS=1 runs it); the operators it
+#: exercises keep fast-tier unit coverage in the sibling suites.
+pytestmark = pytest.mark.slow
+
 FEATURES = [
     "n_words",
     "mean_word_len",

@@ -6,11 +6,20 @@ engine must provide.
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 import os
 
 from nexus_event_stream_spark.schemas import TABLE_SCHEMAS
 from nexus_event_stream_spark.streaming.stateful import windowed_counts
+
+#: r15 two-tier suite (VERDICT r14 #6): this module is a multi-second
+#: store/protocol INTEGRATION suite — the dominant cost of the ~93-min
+#: full run that outgrew the driver's verification window. Skipped by
+#: default (SPARK_GRAFT_FULL_TESTS=1 runs it); the operators it
+#: exercises keep fast-tier unit coverage in the sibling suites.
+pytestmark = pytest.mark.slow
 
 EVENTS_DDL = (
     "event_id long, ts timestamp, user_id long, event_type string, "

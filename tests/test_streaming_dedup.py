@@ -25,6 +25,13 @@ from nexus_event_stream_spark.streaming.dedup import (
     suppress_and_register,
 )
 
+#: r15 two-tier suite (VERDICT r14 #6): this module is a multi-second
+#: store/protocol INTEGRATION suite — the dominant cost of the ~93-min
+#: full run that outgrew the driver's verification window. Skipped by
+#: default (SPARK_GRAFT_FULL_TESTS=1 runs it); the operators it
+#: exercises keep fast-tier unit coverage in the sibling suites.
+pytestmark = pytest.mark.slow
+
 # Long enough that a one-word edit keeps shingle-Jaccard ≈ 0.83 and the
 # 4×4 LSH bands are guaranteed to collide (deterministic for fixed text;
 # verified: minhash_dedup pairs (A, A_NEAR) at jaccard 0.833).
